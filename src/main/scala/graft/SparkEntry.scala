@@ -1,13 +1,720 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.SeriesOps
+import graft.events.Events
+import graft.metrics.Metrics
+import graft.models.StlLite
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Every entry in `queries` is a SURVEY §2 operator exercised over the
+  * driver testdata (`/root/testdata/sf*`); `oracleSql` carries the ANSI
+  * SQL equivalent the driver runs in DuckDB. Conventions that make the
+  * hash-compare robust:
+  *  - every float column whose computation is algorithm-dependent across
+  *    engines (window/group means, stddevs, corr) is `round(x, 4)` on
+  *    BOTH sides; floats derived by identical arithmetic from exact ints
+  *    (metric formulas) are `round(x, 6)`;
+  *  - int ordinals/counts are cast to BIGINT on the Spark side to match
+  *    DuckDB's window/count result types;
+  *  - the events table's nanosecond timestamps are read via
+  *    `nanosAsLong` and floored to microseconds (`ts DIV 1000`), which is
+  *    exactly DuckDB's ns→µs read behavior.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+
+  /** events scan: Spark 4 rejects TIMESTAMP(NANOS) parquet, so read ns as
+    * long and floor-divide to µs (exact integer math — a double division
+    * would lose precision above 2^53). */
+  private def ev(s: SparkSession, dir: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    s.read.parquet(s"$dir/events.parquet")
+      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+  }
+
+  private def tbl(s: SparkSession, dir: String, name: String): DataFrame =
+    s.read.parquet(s"$dir/$name.parquet")
+
+  // shared flag definitions for the detector queries
+  private val predFlag = when(col("value") > 150, 1).otherwise(0)
+  private val truthFlag =
+    when(col("event_type") === "error" && col("value") > 100, 1).otherwise(0)
+
+  private def withZ(base: DataFrame): DataFrame = {
+    val st = base.groupBy("user_id")
+      .agg(avg("value").as("__mu"), stddev_samp("value").as("__sd"))
+    base.join(broadcast(st), Seq("user_id"))
+      .withColumn("z", abs(col("value") - col("__mu")) / (col("__sd") + lit(1e-9)))
+      .drop("__mu", "__sd")
+  }
+
+  private def predEvents(base: DataFrame): DataFrame =
+    Events.eventize(base.withColumn("flag", predFlag), Seq("user_id"), "ts",
+      "flag", 3)
+
+  private def truthEvents(base: DataFrame): DataFrame =
+    Events.eventize(base.withColumn("tflag", truthFlag), Seq("user_id"), "ts",
+      "tflag", 3)
+
+  /** Flagship: full anomaly-detection pipeline on the events series —
+    * per-user z-score → threshold (k=3) → persistence(2) → eventize(gap 3)
+    * → event-level F1 vs the truth flag. Driver smoke-checks rows>0. */
+  def entry(spark: SparkSession): DataFrame = {
+    val dir = "/root/testdata/sf0.001"
+    val base = withZ(ev(spark, dir))
+    val flagged = base.withColumn("flag",
+      SeriesOps.thresholdFlag(col("z"), lit(3.0)))
+    val persisted = Events.persistFilter(flagged, Seq("user_id"), "ts",
+      "flag", 2, "flag_p")
+    val pred = Events.eventize(persisted, Seq("user_id"), "ts", "flag_p", 3)
+    Events.eventLevelMetrics(pred, truthEvents(ev(spark, dir)), Seq("user_id"))
+  }
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // P3: fractional train/val/test split
+    "q_split" -> ((s, dir) =>
+      SeriesOps.withSplit(ev(s, dir), "user_id", "ts", 0.5, 0.25)
+        .select(col("user_id"), col("ts"), col("value"), col("split"))),
+
+    // W5: per-series row ordinal
+    "q_rownum" -> ((s, dir) =>
+      SeriesOps.withRowNumber(ev(s, dir), "user_id", "ts")
+        .select(col("user_id"), col("ts"), col("rn").cast("long").as("rn"))),
+
+    // W1: rolling mean/std with min_periods + backfill + eps floor
+    "q_rolling" -> ((s, dir) =>
+      SeriesOps.withRollingStats(ev(s, dir), "user_id", "ts", "value",
+        48, 5, "roll_mean", "roll_std")
+        .select(col("user_id"), col("ts"),
+          round(col("roll_mean"), 9).as("roll_mean"),
+          round(col("roll_std"), 6).as("roll_std"))),
+
+    // W6/P7: backfill nulls with next non-null
+    "q_backfill" -> ((s, dir) => {
+      val d = ev(s, dir).withColumn("__c",
+        when(col("event_type") =!= "error", col("value")))
+      SeriesOps.backfill(d, "user_id", "ts", "__c", "value_bf")
+        .select(col("user_id"), col("ts"), col("value_bf"))
+    }),
+
+    // W4: lag features
+    "q_lags" -> ((s, dir) =>
+      SeriesOps.withLags(ev(s, dir), "user_id", "ts", "value", Seq(1, 2, 3))
+        .select(col("user_id"), col("ts"), col("value"),
+          col("value_lag1"), col("value_lag2"), col("value_lag3"))),
+
+    // A4/A3: MAD sigma (two exact medians)
+    "q_mad" -> ((s, dir) =>
+      SeriesOps.madSigma(ev(s, dir), "user_id", "value")
+        .select(col("user_id"), round(col("mad_sigma"), 6).as("mad_sigma"))),
+
+    // M7/F1: residual z-score vs per-series mean/std
+    "q_zscore" -> ((s, dir) =>
+      withZ(ev(s, dir))
+        .select(col("user_id"), col("ts"), round(col("z"), 6).as("z"))),
+
+    // P5: threshold flag
+    "q_flags" -> ((s, dir) =>
+      withZ(ev(s, dir))
+        .withColumn("flag", SeriesOps.thresholdFlag(col("z"), lit(2.5)))
+        .select(col("user_id"), col("ts"), col("flag"))),
+
+    // W7: gaps-and-islands eventize with gap bridging
+    "q_eventize" -> ((s, dir) =>
+      Events.eventize(ev(s, dir).withColumn("flag", predFlag),
+        Seq("user_id"), "ts", "flag", 3)
+        .select(col("user_id"), col("event_id").cast("long").as("event_id"),
+          col("start_rn").cast("long").as("start_rn"),
+          col("end_rn").cast("long").as("end_rn"),
+          col("start_ts"), col("end_ts"),
+          col("n_points").cast("long").as("n_points"))),
+
+    // W8: persistence filter
+    "q_persist" -> ((s, dir) =>
+      Events.persistFilter(ev(s, dir).withColumn("flag", predFlag),
+        Seq("user_id"), "ts", "flag", 2, "flag_p")
+        .select(col("user_id"), col("ts"), col("flag"), col("flag_p"))),
+
+    // A5: pointwise confusion with 1e-9 epsilons
+    "q_pointwise" -> ((s, dir) =>
+      Metrics.pointwise(
+        ev(s, dir).withColumn("pflag", predFlag).withColumn("tflag", truthFlag),
+        Seq("user_id"), "tflag", "pflag")
+        .select(col("user_id"), col("tp"), col("fp"), col("fn"),
+          round(col("precision"), 6).as("precision"),
+          round(col("recall"), 6).as("recall"),
+          round(col("f1"), 6).as("f1"))),
+
+    // J3/A6: event-level confusion via interval-overlap joins
+    "q_event_metrics" -> ((s, dir) => {
+      val base = ev(s, dir)
+      Events.eventLevelMetrics(predEvents(base), truthEvents(base),
+        Seq("user_id"))
+        .select(col("user_id"), col("tp"), col("fp"), col("fn"),
+          col("n_pred_events"), col("n_true_events"),
+          round(col("precision"), 6).as("precision"),
+          round(col("recall"), 6).as("recall"),
+          round(col("f1"), 6).as("f1"))
+    }),
+
+    // J4/O3: detection latency (earliest overlapping pred)
+    "q_latency" -> ((s, dir) => {
+      val base = ev(s, dir)
+      Events.detectionLatency(predEvents(base), truthEvents(base),
+        Seq("user_id"))
+        .select(col("user_id"),
+          col("true_start_rn").cast("long").as("true_start_rn"),
+          col("true_start_ts"), col("first_pred_ts"),
+          round(col("latency_minutes"), 6).as("latency_minutes"))
+    }),
+
+    // A7: business metrics (FP/day, duration, median latency)
+    "q_business" -> ((s, dir) => {
+      val base = ev(s, dir)
+      Metrics.business(base, Seq("user_id"), "ts",
+        predEvents(base), truthEvents(base))
+        .select(col("user_id"),
+          round(col("duration_days"), 6).as("duration_days"),
+          col("fp_count"),
+          round(col("fp_per_day"), 6).as("fp_per_day"),
+          round(col("median_latency_minutes"), 6)
+            .as("median_latency_minutes"))
+    }),
+
+    // A10/P6: event-F1 threshold sweep with rate guard + first-best tie-break
+    "q_sweep" -> ((s, dir) => {
+      val base = withZ(ev(s, dir)).withColumn("tflag", truthFlag)
+      val truth = Events.eventize(base, Seq("user_id"), "ts", "tflag", 3)
+      val ks = (0 until 17).map(i => 2.0 + 0.5 * i)
+      Metrics.sweep(base.select("user_id", "ts", "z"), Seq("user_id"), "ts",
+        "z", ks, 2, 3, truth)
+        .select(col("user_id"), col("best_k"),
+          round(col("best_f1"), 6).as("best_f1"),
+          round(col("rate"), 6).as("rate"))
+    }),
+
+    // J2: as-of label-window marking (searchsorted semantics)
+    "q_label_windows" -> ((s, dir) => {
+      val base = ev(s, dir)
+      val labels = base.filter(col("value") > 300)
+        .select(col("user_id"),
+          (col("ts") + expr("INTERVAL 1 SECOND")).as("label_ts"))
+      SeriesOps.markLabelWindows(base, labels, "user_id", "ts", "label_ts", 3)
+        .select(col("user_id"), col("ts"), col("is_anomaly"))
+    }),
+
+    // M1: stl_lite relational decomposition
+    "q_stl_lite" -> ((s, dir) =>
+      StlLite.decompose(ev(s, dir), "user_id", "ts", "value", 24)
+        .select(col("user_id"), col("ts"),
+          round(col("trend"), 9).as("trend"),
+          round(col("seasonal"), 9).as("seasonal"),
+          round(col("resid"), 9).as("resid"))),
+
+    // W9: autocorrelation per lag
+    "q_acf" -> ((s, dir) =>
+      SeriesOps.acf(ev(s, dir), "user_id", "ts", "value", Seq(1, 2, 3, 4, 5))
+        .select(col("user_id"), col("lag"), round(col("acf"), 6).as("acf"))),
+
+    // A9: kurtosis (excess, population moments — scipy fisher=True)
+    "q_kurtosis" -> ((s, dir) =>
+      ev(s, dir).groupBy("user_id")
+        .agg(round(kurtosis(col("value")), 6).as("kurt"))),
+
+    // A1/A2: global aggregates with ddof conventions
+    "q_global_stats" -> ((s, dir) =>
+      ev(s, dir).groupBy("user_id").agg(
+        count(lit(1)).as("n"),
+        round(sum("value"), 9).as("sum_value"),
+        round(avg("value"), 9).as("avg_value"),
+        round(stddev_samp(col("value")), 6).as("std_samp"),
+        round(stddev_pop(col("value")), 6).as("std_pop"),
+        round(median(col("value")), 6).as("med"))),
+
+    // TPC-H Q1-style pricing summary (scan + hash agg)
+    "q1_pricing" -> ((s, dir) =>
+      tbl(s, dir, "lineitem")
+        .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          round(sum("l_quantity"), 2).as("sum_qty"),
+          round(sum("l_extendedprice"), 2).as("sum_base_price"),
+          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+            .as("sum_disc_price"),
+          round(avg("l_quantity"), 9).as("avg_qty"),
+          round(avg("l_discount"), 9).as("avg_disc"),
+          count(lit(1)).as("count_order"))),
+
+    // join + agg (orders ⋈ lineitem)
+    "q_join_agg" -> ((s, dir) =>
+      tbl(s, dir, "lineitem")
+        .join(tbl(s, dir, "orders"),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy("o_orderpriority")
+        .agg(
+          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+            .as("revenue"),
+          count(lit(1)).as("n_lines"),
+          countDistinct(col("o_orderkey")).as("n_orders"))),
+
+    // O2/top-k: orders by totalprice
+    "q_topk_orders" -> ((s, dir) =>
+      tbl(s, dir, "orders")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+        .limit(10)
+        .select(col("o_orderkey"), col("o_totalprice"))),
+
+    // LLM-pipeline: exact dedup groups (hash-groupBy)
+    "q_dedup_exact" -> ((s, dir) =>
+      tbl(s, dir, "documents")
+        .groupBy("lang", "n_chars")
+        .agg(min("doc_id").as("keep_id"), count(lit(1)).as("n_dups"))),
+
+    // LLM-pipeline: content fingerprint (md5)
+    "q_fingerprint" -> ((s, dir) =>
+      tbl(s, dir, "documents")
+        .select(col("doc_id"), md5(col("text")).as("fp"))),
+
+    // LLM-pipeline: text stats / quality scoring
+    "q_text_stats" -> ((s, dir) => {
+      val d = tbl(s, dir, "documents")
+        .withColumn("len", length(col("text")))
+        .withColumn("n_tokens",
+          col("len") - length(regexp_replace(col("text"), " ", "")) + lit(1))
+        .withColumn("stop_hits",
+          (col("len") - length(regexp_replace(col("text"), "the", "")))
+            / lit(3))
+      d.select(col("doc_id"), col("len").cast("long").as("len"),
+        col("n_tokens").cast("long").as("n_tokens"),
+        round((col("len") - col("n_tokens") + lit(1))
+          .cast("double") / col("n_tokens"), 6).as("avg_token_len"),
+        round(col("stop_hits") / col("n_tokens"), 6).as("stop_ratio"))
+    })
+  )
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+  def oracleSql: Map[String, String] = Map(
+    "q_split" ->
+      """WITH b AS (SELECT user_id, ts, value,
+        |  row_number() OVER (PARTITION BY user_id ORDER BY ts) AS rn,
+        |  count(*) OVER (PARTITION BY user_id) AS n FROM events)
+        |SELECT user_id, ts, value,
+        |  CASE WHEN rn <= floor(n*0.5) THEN 'Train'
+        |       WHEN rn <= floor(n*0.75) THEN 'Validation'
+        |       ELSE 'Test' END AS split
+        |FROM b""".stripMargin,
+
+    "q_rownum" ->
+      """SELECT user_id, ts,
+        |  row_number() OVER (PARTITION BY user_id ORDER BY ts) AS rn
+        |FROM events""".stripMargin,
+
+    "q_rolling" ->
+      """WITH b AS (SELECT user_id, ts, value,
+        |    count(value) OVER w AS cnt, avg(value) OVER w AS mu,
+        |    stddev_samp(value) OVER w AS sd
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts
+        |               ROWS BETWEEN 47 PRECEDING AND CURRENT ROW)),
+        |c AS (SELECT user_id, ts,
+        |    CASE WHEN cnt >= 5 THEN mu END AS mu0,
+        |    CASE WHEN cnt >= 5 THEN sd END AS sd0 FROM b)
+        |SELECT user_id, ts,
+        |  round(first_value(mu0 IGNORE NULLS) OVER wb, 9) AS roll_mean,
+        |  round(first_value(sd0 IGNORE NULLS) OVER wb + 1e-6, 6) AS roll_std
+        |FROM c
+        |WINDOW wb AS (PARTITION BY user_id ORDER BY ts
+        |              ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)""".stripMargin,
+
+    "q_backfill" ->
+      """WITH b AS (SELECT user_id, ts,
+        |  CASE WHEN event_type <> 'error' THEN value END AS c FROM events)
+        |SELECT user_id, ts,
+        |  first_value(c IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY ts
+        |    ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS value_bf
+        |FROM b""".stripMargin,
+
+    "q_lags" ->
+      """SELECT user_id, ts, value,
+        |  lag(value, 1) OVER w AS value_lag1,
+        |  lag(value, 2) OVER w AS value_lag2,
+        |  lag(value, 3) OVER w AS value_lag3
+        |FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)""".stripMargin,
+
+    "q_mad" ->
+      """WITH med AS (SELECT user_id, median(value) AS m FROM events
+        |             GROUP BY user_id)
+        |SELECT e.user_id,
+        |  round(1.4826*median(abs(e.value - med.m)), 6) AS mad_sigma
+        |FROM events e JOIN med USING (user_id) GROUP BY e.user_id""".stripMargin,
+
+    "q_zscore" ->
+      """WITH st AS (SELECT user_id, avg(value) AS mu,
+        |  stddev_samp(value) AS sd FROM events GROUP BY user_id)
+        |SELECT e.user_id, e.ts,
+        |  round(abs(e.value - st.mu)/(st.sd + 1e-9), 6) AS z
+        |FROM events e JOIN st USING (user_id)""".stripMargin,
+
+    "q_flags" ->
+      """WITH st AS (SELECT user_id, avg(value) AS mu,
+        |  stddev_samp(value) AS sd FROM events GROUP BY user_id)
+        |SELECT e.user_id, e.ts,
+        |  CASE WHEN abs(e.value - st.mu)/(st.sd + 1e-9) > 2.5
+        |       THEN 1 ELSE 0 END AS flag
+        |FROM events e JOIN st USING (user_id)""".stripMargin,
+
+    "q_eventize" ->
+      """WITH b AS (SELECT user_id, ts,
+        |    CASE WHEN value > 150 THEN 1 ELSE 0 END AS flag,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY ts) AS rn
+        |  FROM events),
+        |f AS (SELECT * FROM b WHERE flag = 1),
+        |r0 AS (SELECT user_id, ts, rn,
+        |    rn - row_number() OVER (PARTITION BY user_id ORDER BY rn) AS isl
+        |  FROM f),
+        |runs AS (SELECT user_id, isl, min(rn) AS srn, max(rn) AS ern,
+        |    min(ts) AS sts, max(ts) AS ets FROM r0 GROUP BY user_id, isl),
+        |br AS (SELECT *, CASE WHEN srn - lag(ern) OVER
+        |    (PARTITION BY user_id ORDER BY srn) <= 4 THEN 0 ELSE 1 END AS ng
+        |  FROM runs),
+        |g AS (SELECT *, sum(ng) OVER (PARTITION BY user_id ORDER BY srn
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS grp FROM br),
+        |e2 AS (SELECT user_id, grp, min(srn) AS start_rn, max(ern) AS end_rn,
+        |    min(sts) AS start_ts, max(ets) AS end_ts FROM g
+        |  GROUP BY user_id, grp)
+        |SELECT user_id,
+        |  row_number() OVER (PARTITION BY user_id ORDER BY start_rn)
+        |    AS event_id,
+        |  start_rn, end_rn, start_ts, end_ts,
+        |  end_rn - start_rn + 1 AS n_points
+        |FROM e2""".stripMargin,
+
+    "q_persist" ->
+      """WITH b AS (SELECT user_id, ts,
+        |    CASE WHEN value > 150 THEN 1 ELSE 0 END AS flag,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY ts) AS rn
+        |  FROM events),
+        |i AS (SELECT *, rn - row_number() OVER
+        |    (PARTITION BY user_id, flag ORDER BY rn) AS isl FROM b),
+        |c AS (SELECT *, count(*) OVER
+        |    (PARTITION BY user_id, flag, isl) AS rl FROM i)
+        |SELECT user_id, ts, flag,
+        |  CASE WHEN flag = 1 AND rl >= 2 THEN 1 ELSE 0 END AS flag_p
+        |FROM c""".stripMargin,
+
+    "q_pointwise" ->
+      """WITH b AS (SELECT user_id,
+        |    CASE WHEN value > 150 THEN 1 ELSE 0 END AS p,
+        |    CASE WHEN event_type = 'error' AND value > 100
+        |         THEN 1 ELSE 0 END AS t
+        |  FROM events),
+        |a AS (SELECT user_id,
+        |    CAST(sum(CASE WHEN t=1 AND p=1 THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+        |    CAST(sum(CASE WHEN t=0 AND p=1 THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+        |    CAST(sum(CASE WHEN t=1 AND p=0 THEN 1 ELSE 0 END) AS BIGINT) AS fn
+        |  FROM b GROUP BY user_id)
+        |SELECT user_id, tp, fp, fn,
+        |  round(tp/(tp+fp+1e-9), 6) AS precision,
+        |  round(tp/(tp+fn+1e-9), 6) AS recall,
+        |  round(2*(tp/(tp+fp+1e-9))*(tp/(tp+fn+1e-9)) /
+        |        ((tp/(tp+fp+1e-9)) + (tp/(tp+fn+1e-9)) + 1e-9), 6) AS f1
+        |FROM a""".stripMargin,
+
+    "q_event_metrics" -> eventMetricsSql,
+    "q_latency" -> latencySql,
+    "q_business" -> businessSql,
+    "q_sweep" -> sweepSql,
+    "q_label_windows" -> labelWindowsSql,
+
+    "q_stl_lite" ->
+      """WITH b AS (SELECT user_id, ts, value,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY ts) AS rn,
+        |    avg(value) OVER (PARTITION BY user_id ORDER BY ts
+        |      ROWS BETWEEN 12 PRECEDING AND 12 FOLLOWING) AS trend
+        |  FROM events),
+        |d AS (SELECT *, (rn-1) % 24 AS phase, value - trend AS detr FROM b),
+        |sr AS (SELECT user_id, phase, avg(detr) AS sraw FROM d
+        |  GROUP BY user_id, phase),
+        |sc AS (SELECT user_id, phase,
+        |    sraw - avg(sraw) OVER (PARTITION BY user_id) AS seasonal FROM sr)
+        |SELECT d.user_id, d.ts, round(d.trend, 9) AS trend,
+        |  round(sc.seasonal, 9) AS seasonal,
+        |  round(d.value - d.trend - sc.seasonal, 9) AS resid
+        |FROM d JOIN sc ON d.user_id = sc.user_id AND d.phase = sc.phase""".stripMargin,
+
+    "q_acf" -> acfSql,
+
+    "q_kurtosis" ->
+      """WITH m AS (SELECT user_id, avg(value) AS mu FROM events
+        |  GROUP BY user_id),
+        |c AS (SELECT e.user_id, e.value - m.mu AS d FROM events e
+        |  JOIN m USING (user_id))
+        |SELECT user_id,
+        |  round(avg(d*d*d*d)/(avg(d*d)*avg(d*d)) - 3, 6) AS kurt
+        |FROM c GROUP BY user_id""".stripMargin,
+
+    "q_global_stats" ->
+      """SELECT user_id, count(*) AS n,
+        |  round(sum(value), 9) AS sum_value,
+        |  round(avg(value), 9) AS avg_value,
+        |  round(stddev_samp(value), 6) AS std_samp,
+        |  round(stddev_pop(value), 6) AS std_pop,
+        |  round(median(value), 6) AS med
+        |FROM events GROUP BY user_id""".stripMargin,
+
+    "q1_pricing" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  round(sum(l_quantity), 2) AS sum_qty,
+        |  round(sum(l_extendedprice), 2) AS sum_base_price,
+        |  round(sum(l_extendedprice*(1-l_discount)), 2) AS sum_disc_price,
+        |  round(avg(l_quantity), 9) AS avg_qty,
+        |  round(avg(l_discount), 9) AS avg_disc,
+        |  count(*) AS count_order
+        |FROM lineitem
+        |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+        |GROUP BY l_returnflag, l_linestatus""".stripMargin,
+
+    "q_join_agg" ->
+      """SELECT o_orderpriority,
+        |  round(sum(l_extendedprice*(1-l_discount)), 2) AS revenue,
+        |  count(*) AS n_lines,
+        |  count(DISTINCT o_orderkey) AS n_orders
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderpriority""".stripMargin,
+
+    "q_topk_orders" ->
+      """SELECT o_orderkey, o_totalprice FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10""".stripMargin,
+
+    "q_dedup_exact" ->
+      """SELECT lang, n_chars, min(doc_id) AS keep_id, count(*) AS n_dups
+        |FROM documents GROUP BY lang, n_chars""".stripMargin,
+
+    "q_fingerprint" ->
+      """SELECT doc_id, md5(text) AS fp FROM documents""".stripMargin,
+
+    "q_text_stats" ->
+      """WITH d AS (SELECT doc_id, length(text) AS len,
+        |    length(text) - length(replace(text, ' ', '')) + 1 AS n_tokens,
+        |    (length(text) - length(replace(text, 'the', '')))/3 AS stop_hits
+        |  FROM documents)
+        |SELECT doc_id, len, n_tokens,
+        |  round(CAST(len - n_tokens + 1 AS DOUBLE)/n_tokens, 6)
+        |    AS avg_token_len,
+        |  round(CAST(stop_hits AS DOUBLE)/n_tokens, 6) AS stop_ratio
+        |FROM d""".stripMargin
+  )
+
+  // ---- long oracle SQL bodies -------------------------------------------
+
+  /** Shared CTE block: pred events (value>150) and truth events
+    * (error & value>100), both gap=3 (merge iff srn - prev_ern <= 4). */
+  private val eventCtes =
+    """WITH b AS (SELECT user_id, ts, value, event_type,
+      |    row_number() OVER (PARTITION BY user_id ORDER BY ts) AS rn
+      |  FROM events),
+      |pf AS (SELECT *, CASE WHEN value > 150 THEN 1 ELSE 0 END AS flag FROM b),
+      |p0 AS (SELECT user_id, ts, rn, rn - row_number() OVER
+      |    (PARTITION BY user_id ORDER BY rn) AS isl FROM pf WHERE flag = 1),
+      |p1 AS (SELECT user_id, isl, min(rn) AS srn, max(rn) AS ern,
+      |    min(ts) AS sts FROM p0 GROUP BY user_id, isl),
+      |p2 AS (SELECT *, CASE WHEN srn - lag(ern) OVER
+      |    (PARTITION BY user_id ORDER BY srn) <= 4 THEN 0 ELSE 1 END AS ng
+      |  FROM p1),
+      |p3 AS (SELECT *, sum(ng) OVER (PARTITION BY user_id ORDER BY srn
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS grp FROM p2),
+      |pev AS (SELECT user_id, min(srn) AS start_rn, max(ern) AS end_rn,
+      |    min(sts) AS start_ts FROM p3 GROUP BY user_id, grp),
+      |tf AS (SELECT *, CASE WHEN event_type = 'error' AND value > 100
+      |    THEN 1 ELSE 0 END AS tflag FROM b),
+      |t0 AS (SELECT user_id, ts, rn, rn - row_number() OVER
+      |    (PARTITION BY user_id ORDER BY rn) AS isl FROM tf WHERE tflag = 1),
+      |t1 AS (SELECT user_id, isl, min(rn) AS srn, max(rn) AS ern,
+      |    min(ts) AS sts FROM t0 GROUP BY user_id, isl),
+      |t2 AS (SELECT *, CASE WHEN srn - lag(ern) OVER
+      |    (PARTITION BY user_id ORDER BY srn) <= 4 THEN 0 ELSE 1 END AS ng
+      |  FROM t1),
+      |t3 AS (SELECT *, sum(ng) OVER (PARTITION BY user_id ORDER BY srn
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS grp FROM t2),
+      |tev AS (SELECT user_id, min(srn) AS start_rn, max(ern) AS end_rn,
+      |    min(sts) AS start_ts FROM t3 GROUP BY user_id, grp)""".stripMargin
+
+  private val eventMetricsSql = eventCtes +
+    """,
+      |np AS (SELECT user_id, count(*) AS n_pred_events FROM pev
+      |  GROUP BY user_id),
+      |nt AS (SELECT user_id, count(*) AS n_true_events FROM tev
+      |  GROUP BY user_id),
+      |tpp AS (SELECT user_id, count(*) AS tp FROM pev p
+      |  WHERE EXISTS (SELECT 1 FROM tev t WHERE t.user_id = p.user_id
+      |    AND p.start_rn <= t.end_rn AND p.end_rn >= t.start_rn)
+      |  GROUP BY user_id),
+      |tpt AS (SELECT user_id, count(*) AS tp_true FROM tev t
+      |  WHERE EXISTS (SELECT 1 FROM pev p WHERE p.user_id = t.user_id
+      |    AND p.start_rn <= t.end_rn AND p.end_rn >= t.start_rn)
+      |  GROUP BY user_id),
+      |ks AS (SELECT user_id FROM np UNION SELECT user_id FROM nt),
+      |a AS (SELECT ks.user_id,
+      |    CAST(coalesce(tp, 0) AS BIGINT) AS tp,
+      |    CAST(coalesce(n_pred_events, 0) AS BIGINT) AS n_pred_events,
+      |    CAST(coalesce(n_true_events, 0) AS BIGINT) AS n_true_events,
+      |    CAST(coalesce(tp_true, 0) AS BIGINT) AS tp_true
+      |  FROM ks LEFT JOIN np USING (user_id) LEFT JOIN nt USING (user_id)
+      |  LEFT JOIN tpp USING (user_id) LEFT JOIN tpt USING (user_id))
+      |SELECT user_id, tp, n_pred_events - tp AS fp,
+      |  n_true_events - tp_true AS fn, n_pred_events, n_true_events,
+      |  round(tp/(n_pred_events + 1e-9), 6) AS precision,
+      |  round(tp_true/(n_true_events + 1e-9), 6) AS recall,
+      |  round(2*(tp/(n_pred_events + 1e-9))*(tp_true/(n_true_events + 1e-9)) /
+      |    ((tp/(n_pred_events + 1e-9)) + (tp_true/(n_true_events + 1e-9))
+      |     + 1e-9), 6) AS f1
+      |FROM a""".stripMargin
+
+  private val latencySql = eventCtes +
+    """
+      |SELECT t.user_id, t.start_rn AS true_start_rn,
+      |  t.start_ts AS true_start_ts, min(p.start_ts) AS first_pred_ts,
+      |  round((epoch_us(min(p.start_ts)) - epoch_us(t.start_ts))/60000000.0, 6)
+      |    AS latency_minutes
+      |FROM tev t JOIN pev p ON p.user_id = t.user_id
+      |  AND p.start_rn <= t.end_rn AND p.end_rn >= t.start_rn
+      |GROUP BY t.user_id, t.start_rn, t.start_ts""".stripMargin
+
+  private val businessSql = eventCtes +
+    """,
+      |span AS (SELECT user_id,
+      |    (epoch_us(max(ts)) - epoch_us(min(ts)))/86400000000.0
+      |      AS duration_days
+      |  FROM events GROUP BY user_id),
+      |fpe AS (SELECT user_id, count(*) AS fp_count FROM pev p
+      |  WHERE NOT EXISTS (SELECT 1 FROM tev t WHERE t.user_id = p.user_id
+      |    AND p.start_rn <= t.end_rn AND p.end_rn >= t.start_rn)
+      |  GROUP BY user_id),
+      |lat AS (SELECT user_id, median(latency_minutes)
+      |    AS median_latency_minutes
+      |  FROM (SELECT t.user_id, t.start_rn,
+      |      (epoch_us(min(p.start_ts)) - epoch_us(t.start_ts))/60000000.0
+      |        AS latency_minutes
+      |    FROM tev t JOIN pev p ON p.user_id = t.user_id
+      |      AND p.start_rn <= t.end_rn AND p.end_rn >= t.start_rn
+      |    GROUP BY t.user_id, t.start_rn, t.start_ts) q
+      |  GROUP BY user_id)
+      |SELECT span.user_id, round(span.duration_days, 6) AS duration_days,
+      |  CAST(coalesce(fpe.fp_count, 0) AS BIGINT) AS fp_count,
+      |  round(coalesce(fpe.fp_count, 0)/span.duration_days, 6) AS fp_per_day,
+      |  round(lat.median_latency_minutes, 6) AS median_latency_minutes
+      |FROM span LEFT JOIN fpe USING (user_id) LEFT JOIN lat USING (user_id)""".stripMargin
+
+  private val sweepSql =
+    """WITH b AS (SELECT user_id, ts, value, event_type,
+      |    row_number() OVER (PARTITION BY user_id ORDER BY ts) AS rn
+      |  FROM events),
+      |st AS (SELECT user_id, avg(value) AS mu, stddev_samp(value) AS sd
+      |  FROM events GROUP BY user_id),
+      |z AS (SELECT b.user_id, b.ts, b.rn,
+      |    abs(b.value - st.mu)/(st.sd + 1e-9) AS z,
+      |    CASE WHEN b.event_type = 'error' AND b.value > 100
+      |         THEN 1 ELSE 0 END AS tflag
+      |  FROM b JOIN st USING (user_id)),
+      |grid AS (SELECT 2.0 + 0.5*i AS k FROM range(17) t(i)),
+      |f AS (SELECT z.user_id, z.ts, z.rn, grid.k,
+      |    CASE WHEN z.z > grid.k THEN 1 ELSE 0 END AS fl
+      |  FROM z CROSS JOIN grid),
+      |pi AS (SELECT *, rn - row_number() OVER
+      |    (PARTITION BY user_id, k, fl ORDER BY rn) AS isl FROM f),
+      |pc AS (SELECT *, count(*) OVER
+      |    (PARTITION BY user_id, k, fl, isl) AS rl FROM pi),
+      |pff AS (SELECT user_id, ts, rn, k,
+      |    CASE WHEN fl = 1 AND rl >= 2 THEN 1 ELSE 0 END AS fp2 FROM pc),
+      |rates AS (SELECT user_id, k, avg(fp2) AS rate FROM pff
+      |  GROUP BY user_id, k),
+      |pe0 AS (SELECT user_id, k, rn, rn - row_number() OVER
+      |    (PARTITION BY user_id, k ORDER BY rn) AS isl
+      |  FROM pff WHERE fp2 = 1),
+      |pe1 AS (SELECT user_id, k, min(rn) AS srn, max(rn) AS ern
+      |  FROM pe0 GROUP BY user_id, k, isl),
+      |pe2 AS (SELECT *, CASE WHEN srn - lag(ern) OVER
+      |    (PARTITION BY user_id, k ORDER BY srn) <= 4 THEN 0 ELSE 1 END AS ng
+      |  FROM pe1),
+      |pe3 AS (SELECT *, sum(ng) OVER (PARTITION BY user_id, k ORDER BY srn
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS grp FROM pe2),
+      |pev AS (SELECT user_id, k, min(srn) AS start_rn, max(ern) AS end_rn
+      |  FROM pe3 GROUP BY user_id, k, grp),
+      |te0 AS (SELECT user_id, rn, rn - row_number() OVER
+      |    (PARTITION BY user_id ORDER BY rn) AS isl FROM z WHERE tflag = 1),
+      |te1 AS (SELECT user_id, min(rn) AS srn, max(rn) AS ern FROM te0
+      |  GROUP BY user_id, isl),
+      |te2 AS (SELECT *, CASE WHEN srn - lag(ern) OVER
+      |    (PARTITION BY user_id ORDER BY srn) <= 4 THEN 0 ELSE 1 END AS ng
+      |  FROM te1),
+      |te3 AS (SELECT *, sum(ng) OVER (PARTITION BY user_id ORDER BY srn
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS grp FROM te2),
+      |tev0 AS (SELECT user_id, min(srn) AS start_rn, max(ern) AS end_rn
+      |  FROM te3 GROUP BY user_id, grp),
+      |tev AS (SELECT t.user_id, grid.k, t.start_rn, t.end_rn
+      |  FROM tev0 t CROSS JOIN grid),
+      |np AS (SELECT user_id, k, count(*) AS n_pred FROM pev
+      |  GROUP BY user_id, k),
+      |nt AS (SELECT user_id, k, count(*) AS n_true FROM tev
+      |  GROUP BY user_id, k),
+      |tpp AS (SELECT user_id, k, count(*) AS tp FROM pev p
+      |  WHERE EXISTS (SELECT 1 FROM tev t WHERE t.user_id = p.user_id
+      |    AND t.k = p.k AND p.start_rn <= t.end_rn AND p.end_rn >= t.start_rn)
+      |  GROUP BY user_id, k),
+      |tpt AS (SELECT user_id, k, count(*) AS tp_true FROM tev t
+      |  WHERE EXISTS (SELECT 1 FROM pev p WHERE p.user_id = t.user_id
+      |    AND p.k = t.k AND p.start_rn <= t.end_rn AND p.end_rn >= t.start_rn)
+      |  GROUP BY user_id, k),
+      |ks2 AS (SELECT user_id, k FROM np UNION SELECT user_id, k FROM nt),
+      |f1s AS (SELECT ks2.user_id, ks2.k,
+      |    2*(coalesce(tp,0)/(coalesce(n_pred,0)+1e-9))
+      |     *(coalesce(tp_true,0)/(coalesce(n_true,0)+1e-9)) /
+      |    ((coalesce(tp,0)/(coalesce(n_pred,0)+1e-9))
+      |     + (coalesce(tp_true,0)/(coalesce(n_true,0)+1e-9)) + 1e-9) AS f1
+      |  FROM ks2 LEFT JOIN np USING (user_id, k)
+      |  LEFT JOIN nt USING (user_id, k)
+      |  LEFT JOIN tpp USING (user_id, k) LEFT JOIN tpt USING (user_id, k)),
+      |cand AS (SELECT r.user_id, r.k, r.rate, coalesce(f1s.f1, 0.0) AS f1
+      |  FROM rates r LEFT JOIN f1s USING (user_id, k)
+      |  WHERE r.rate <= 0.10)
+      |SELECT user_id, k AS best_k, round(f1, 6) AS best_f1,
+      |  round(rate, 6) AS rate
+      |FROM cand
+      |QUALIFY row_number() OVER (PARTITION BY user_id
+      |  ORDER BY f1 DESC, k ASC) = 1""".stripMargin
+
+  private val labelWindowsSql =
+    """WITH s AS (SELECT user_id, ts,
+      |    row_number() OVER (PARTITION BY user_id ORDER BY ts) AS rn
+      |  FROM events),
+      |n AS (SELECT user_id, max(rn) AS n FROM s GROUP BY user_id),
+      |l AS (SELECT user_id, ts + INTERVAL 1 SECOND AS lts FROM events
+      |  WHERE value > 300),
+      |a AS (SELECT l.user_id, coalesce(min(s.rn), min(n.n) + 1) AS anchor
+      |  FROM l JOIN n USING (user_id)
+      |  LEFT JOIN s ON s.user_id = l.user_id AND s.ts >= l.lts
+      |  GROUP BY l.user_id, l.lts)
+      |SELECT s.user_id, s.ts,
+      |  CASE WHEN EXISTS (SELECT 1 FROM a WHERE a.user_id = s.user_id
+      |    AND s.rn BETWEEN a.anchor - 3 AND a.anchor + 3)
+      |  THEN 1 ELSE 0 END AS is_anomaly
+      |FROM s""".stripMargin
+
+  private val acfSql = {
+    val one = (k: Int) =>
+      s"""SELECT user_id, $k AS lag, round(corr(value, l$k), 6) AS acf
+         |FROM L WHERE l$k IS NOT NULL GROUP BY user_id""".stripMargin
+    """WITH L AS (SELECT user_id, ts, value,
+      |  lag(value, 1) OVER w AS l1, lag(value, 2) OVER w AS l2,
+      |  lag(value, 3) OVER w AS l3, lag(value, 4) OVER w AS l4,
+      |  lag(value, 5) OVER w AS l5
+      |FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts))
+      |""".stripMargin +
+      (1 to 5).map(one).mkString("\nUNION ALL\n")
+  }
 }

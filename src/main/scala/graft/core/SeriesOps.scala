@@ -18,37 +18,52 @@ import org.apache.spark.sql.functions._
   */
 object SeriesOps {
 
-  /** Ordered per-series window: the one sort every op shares. */
+  /** Ordered per-key window: the one sort every op shares. */
+  def byKeys(keys: Seq[String], ts: String): WindowSpec =
+    Window.partitionBy(keys.map(col): _*).orderBy(ts)
+
+  /** Ordered per-series window. */
   def bySeries(series: String, ts: String): WindowSpec =
-    Window.partitionBy(series).orderBy(ts)
+    byKeys(Seq(series), ts)
 
   /** P3/W5: 1-based ordinal per series (time-as-ordinal feature, split basis). */
   def withRowNumber(df: DataFrame, series: String, ts: String,
                     out: String = "rn"): DataFrame =
     df.withColumn(out, row_number().over(bySeries(series, ts)))
 
+  /** Multi-key variant (used by the threshold sweep, which partitions by
+    * (series, k)). */
+  def withRowNumberKeys(df: DataFrame, keys: Seq[String], ts: String,
+                        out: String = "rn"): DataFrame =
+    df.withColumn(out, row_number().over(byKeys(keys, ts)))
+
   /** P3: fractional train/val/test split as a `split` column.
     * Reference: `iloc[:int(n*frac)]` (kalman_model.py:168-171) and the
     * 3-way variant (run_bsts.py:31-35). valFrac=0 gives 2-way splits.
+    *
+    * Scale note: per-series row counts come from a partial-aggregated
+    * groupBy broadcast back onto the fact table — one ordered window pass
+    * total, instead of a second unbounded-frame window over every row.
     */
   def withSplit(df: DataFrame, series: String, ts: String,
                 trainFrac: Double, valFrac: Double = 0.0,
                 out: String = "split"): DataFrame = {
-    val w = bySeries(series, ts)
-    val n = count(lit(1)).over(Window.partitionBy(series))
-    val rn = row_number().over(w)
-    val trainEnd = floor(n * lit(trainFrac))
-    val valEnd = floor(n * lit(trainFrac + valFrac))
-    df.withColumn(out,
-      when(rn <= trainEnd, lit("Train"))
-        .when(rn <= valEnd, lit("Validation"))
-        .otherwise(lit("Test")))
+    val rn = row_number().over(bySeries(series, ts))
+    val n = df.groupBy(series).agg(count(lit(1)).as("__n"))
+    df.join(broadcast(n), Seq(series))
+      .withColumn(out,
+        when(rn <= floor(col("__n") * lit(trainFrac)), lit("Train"))
+          .when(rn <= floor(col("__n") * lit(trainFrac + valFrac)), lit("Validation"))
+          .otherwise(lit("Test")))
+      .drop("__n")
   }
 
   /** W1/W2/W3: trailing rolling mean + sample-std over `window` rows with
     * pandas `min_periods` semantics (null below minPeriods), then
-    * backfilled (P7/W6) and floored by `eps` like `utils.py:63-68`.
-    * pandas `rolling(...).std()` is sample std → `stddev_samp`.
+    * backfilled (P7/W6) and the std floored by `eps` like `utils.py:63-68`.
+    * pandas `rolling(...).std()` is sample std → `stddev_samp`; a
+    * single-observation frame yields NaN in Spark but NaN in pandas too —
+    * both must backfill, so NaN is normalized to null before the bfill.
     */
   def withRollingStats(df: DataFrame, series: String, ts: String,
                        value: String, window: Int, minPeriods: Int,
@@ -57,7 +72,8 @@ object SeriesOps {
     val frame = bySeries(series, ts).rowsBetween(-(window - 1), 0)
     val cnt = count(col(value)).over(frame)
     val mu = when(cnt >= minPeriods, avg(col(value)).over(frame))
-    val sd = when(cnt >= minPeriods, stddev_samp(col(value)).over(frame))
+    val sd = when(cnt >= minPeriods,
+      nanvl(stddev_samp(col(value)).over(frame), lit(null).cast("double")))
     val bfill = bySeries(series, ts).rowsBetween(0, Window.unboundedFollowing)
     df.withColumn(meanOut, mu).withColumn(stdOut, sd)
       .withColumn(meanOut, first(col(meanOut), ignoreNulls = true).over(bfill))
@@ -83,6 +99,32 @@ object SeriesOps {
       .agg((lit(1.4826) * median(abs(col(value) - col("__med")))).as(out))
   }
 
+  /** F6: per-series standard scaling `(x - mean) / std` (run_lstm.py:36-39;
+    * popStd=true matches `np.std` ddof=0 there, false matches ddof=1). */
+  def standardScale(df: DataFrame, series: String, value: String,
+                    out: String, popStd: Boolean = true,
+                    eps: Double = 1e-9): DataFrame = {
+    val sd = if (popStd) stddev_pop(col(value)) else stddev_samp(col(value))
+    val stats = df.groupBy(series)
+      .agg(avg(col(value)).as("__mu"), sd.as("__sd"))
+    df.join(broadcast(stats), Seq(series))
+      .withColumn(out, (col(value) - col("__mu")) / (col("__sd") + lit(eps)))
+      .drop("__mu", "__sd")
+  }
+
+  /** F6: per-series robust scaling `(x - median) / madSigma` (README.md:40). */
+  def robustScale(df: DataFrame, series: String, value: String,
+                  out: String, eps: Double = 1e-9): DataFrame = {
+    val med = df.groupBy(series).agg(median(col(value)).as("__med"))
+    val mad = df.join(broadcast(med), Seq(series))
+      .groupBy(series)
+      .agg(first(col("__med")).as("__med"),
+        (lit(1.4826) * median(abs(col(value) - col("__med")))).as("__mad"))
+    df.join(broadcast(mad), Seq(series))
+      .withColumn(out, (col(value) - col("__med")) / (col("__mad") + lit(eps)))
+      .drop("__med", "__mad")
+  }
+
   /** W4: trailing lag features for autoregression (`lstm_model.py:18-30`
     * capability mapping — each row gets value at t-1..t-k).
     */
@@ -103,62 +145,71 @@ object SeriesOps {
       .withColumn(out, when(size(col(out)) === seqLen, col(out)))
   }
 
+  /** O5: last `n` rows of each series (the GP training subsample,
+    * `run_gp.py:62-67`) — a limit-from-end expressed as a descending
+    * row_number filter; original ascending order is restored by callers'
+    * window specs, never assumed from file order. */
+  def lastN(df: DataFrame, series: String, ts: String, n: Int): DataFrame = {
+    val w = Window.partitionBy(series).orderBy(col(ts).desc)
+    df.withColumn("__rnd", row_number().over(w))
+      .filter(col("__rnd") <= n)
+      .drop("__rnd")
+  }
+
   /** J2: as-of label-window marking (`load_nab.py:46-61`): each label
-    * timestamp is matched to the NEAREST series row (searchsorted
-    * semantics), and rows within ±windowRows row positions of the match
-    * are flagged 1.
+    * timestamp is anchored at the `searchsorted` insertion index — the
+    * FIRST series row with ts >= label (n+1 when the label falls past the
+    * end) — and rows within ±windowRows of the anchor are flagged 1.
     *
-    * Scale design: the nearest-row match is a sort-based as-of join —
-    * labels are unioned into the series stream, the previous/next series
-    * row propagates via one per-series window, and the nearer side wins.
-    * No crossJoin; the final ±window marking is a broadcast range join
-    * against the (small) matched-label set.
+    * Scale design: the anchor match is a sort-based as-of join — labels
+    * are unioned into the series stream and the next series row propagates
+    * via one per-series window. The ±window marking first merges the
+    * (small) anchor set into disjoint rn-intervals, then a single
+    * broadcast range join marks the fact table in ONE pass (each row
+    * matches at most one disjoint interval, so no duplication and no
+    * second scan).
     */
   def markLabelWindows(seriesDf: DataFrame, labels: DataFrame,
                        series: String, ts: String, labelTs: String,
                        windowRows: Int, out: String = "is_anomaly"): DataFrame = {
     val s = withRowNumber(seriesDf, series, ts)
     val sTagged = s.select(col(series), col(ts).as("__t"), col("rn"),
-      lit(0).as("__is_label"))
+      lit(0).as("__lbl"))
     val lTagged = labels.select(col(series), col(labelTs).as("__t"),
-      lit(null).cast("int").as("rn"), lit(1).as("__is_label"))
-    // searchsorted: order labels among series rows; a label sorts AFTER a
-    // series row with the same timestamp so prev = the exact-match row.
-    val w = Window.partitionBy(series).orderBy(col("__t"), col("__is_label"))
-    val prev = last(when(col("__is_label") === 0, col("rn")), ignoreNulls = true)
-      .over(w.rowsBetween(Window.unboundedPreceding, -1))
-    val prevT = last(when(col("__is_label") === 0, col("__t")), ignoreNulls = true)
-      .over(w.rowsBetween(Window.unboundedPreceding, -1))
-    val nxt = first(when(col("__is_label") === 0, col("rn")), ignoreNulls = true)
+      lit(null).cast("int").as("rn"), lit(1).as("__lbl"))
+    // searchsorted: a label sorts BEFORE a series row with the same
+    // timestamp (np.searchsorted side='left'), so the exact-match row is
+    // its own anchor.
+    val w = Window.partitionBy(series).orderBy(col("__t"), col("__lbl").desc)
+    val nxt = first(when(col("__lbl") === 0, col("rn")), ignoreNulls = true)
       .over(w.rowsBetween(0, Window.unboundedFollowing))
-    val nxtT = first(when(col("__is_label") === 0, col("__t")), ignoreNulls = true)
-      .over(w.rowsBetween(0, Window.unboundedFollowing))
-    val matched = sTagged.unionByName(lTagged)
-      .withColumn("__prn", prev).withColumn("__pts", prevT)
-      .withColumn("__nrn", nxt).withColumn("__nts", nxtT)
-      .filter(col("__is_label") === 1)
-      .select(col(series),
-        // nearest row: exact/next match from searchsorted, else whichever
-        // neighbor is closer in time; ties go to the earlier row.
-        when(col("__nrn").isNull, col("__prn"))
-          .when(col("__prn").isNull, col("__nrn"))
-          .when(unix_micros(col("__t")) - unix_micros(col("__pts"))
-            <= unix_micros(col("__nts")) - unix_micros(col("__t")), col("__prn"))
-          .otherwise(col("__nrn")).as("__lrn"))
-      .filter(col("__lrn").isNotNull)
-      .distinct()
-    s.join(broadcast(matched),
-        s(series) === matched(series) &&
-          col("rn") >= col("__lrn") - windowRows &&
-          col("rn") <= col("__lrn") + windowRows,
-        "left_semi")
-      .withColumn(out, lit(1))
-      .unionByName(
-        s.join(broadcast(matched),
-          s(series) === matched(series) &&
-            col("rn") >= col("__lrn") - windowRows &&
-            col("rn") <= col("__lrn") + windowRows,
-          "left_anti").withColumn(out, lit(0)))
+    val nRows = s.groupBy(series).agg(max("rn").as("__n"))
+    val anchors = sTagged.unionByName(lTagged)
+      .withColumn("__a", nxt)
+      .filter(col("__lbl") === 1)
+      .join(nRows, Seq(series))
+      .select(col(series), coalesce(col("__a"), col("__n") + 1).as("__a"))
+    // ±window intervals, merged to disjoint ranges (classic running-max
+    // islands over the tiny anchor set).
+    val iv = anchors.select(col(series),
+      greatest(col("__a") - windowRows, lit(1)).as("__ivs"),
+      (col("__a") + windowRows).as("__ive"))
+    val wi = Window.partitionBy(series).orderBy("__ivs")
+    val prevMax = max("__ive").over(wi.rowsBetween(Window.unboundedPreceding, -1))
+    val merged = iv
+      .withColumn("__new", when(col("__ivs") <= prevMax, 0).otherwise(1))
+      .withColumn("__grp",
+        sum("__new").over(wi.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy(col(series), col("__grp"))
+      .agg(min("__ivs").as("__ivs"), max("__ive").as("__ive"))
+      .drop("__grp")
+      .withColumnRenamed(series, "__ms")
+    s.join(broadcast(merged),
+        s(series) === col("__ms") &&
+          col("rn").between(col("__ivs"), col("__ive")),
+        "left_outer")
+      .withColumn(out, when(col("__ivs").isNotNull, 1).otherwise(0))
+      .drop("__ms", "__ivs", "__ive")
   }
 
   /** M7: residual z-score `|x - mu| / sigma` (`kalman_model.py:55-97`). */
@@ -167,4 +218,20 @@ object SeriesOps {
   /** P5: threshold flag `z > k` as 0/1 int. */
   def thresholdFlag(z: Column, k: Column): Column =
     when(z > k, 1).otherwise(0)
+
+  /** W9: autocorrelation of `value` at each requested lag, per series —
+    * `corr(x_t, x_{t-k})` over the overlapping rows (notebooks/01 cell 7).
+    * Output: (series, lag, acf). */
+  def acf(df: DataFrame, series: String, ts: String, value: String,
+          lags: Seq[Int]): DataFrame = {
+    val w = bySeries(series, ts)
+    val perLag = lags.map { k =>
+      df.withColumn("__l", lag(col(value), k).over(w))
+        .filter(col("__l").isNotNull)
+        .groupBy(series)
+        .agg(corr(col(value), col("__l")).as("acf"))
+        .withColumn("lag", lit(k))
+    }
+    perLag.reduce(_.unionByName(_)).select(col(series), col("lag"), col("acf"))
+  }
 }

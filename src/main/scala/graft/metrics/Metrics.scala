@@ -1,0 +1,122 @@
+package graft.metrics
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.events.Events
+
+/** Metric aggregates and the threshold sweep (SURVEY.md §2.4).
+  *
+  * Formulas mirror the reference's `src/evaluate.py` exactly, including
+  * the `1e-9` epsilon guards (evaluate.py:6-25) and the business metrics'
+  * day/minute unit conversions (evaluate.py:148-207).
+  */
+object Metrics {
+
+  /** A5: pointwise confusion per key-group — TP/FP/FN + precision/recall/
+    * F1 with the reference's 1e-9 epsilons (evaluate.py:6-25). */
+  def pointwise(df: DataFrame, keys: Seq[String], truthFlag: String,
+                predFlag: String, eps: Double = 1e-9): DataFrame = {
+    val t = col(truthFlag); val p = col(predFlag)
+    df.groupBy(keys.map(col): _*)
+      .agg(
+        sum(when(t === 1 && p === 1, 1).otherwise(0)).as("tp"),
+        sum(when(t === 0 && p === 1, 1).otherwise(0)).as("fp"),
+        sum(when(t === 1 && p === 0, 1).otherwise(0)).as("fn"))
+      .withColumn("precision", col("tp") / (col("tp") + col("fp") + lit(eps)))
+      .withColumn("recall", col("tp") / (col("tp") + col("fn") + lit(eps)))
+      .withColumn("f1",
+        lit(2) * col("precision") * col("recall") /
+          (col("precision") + col("recall") + lit(eps)))
+  }
+
+  /** A8: anomaly rate `mean(flag)` per key-group (run_gp.py:105). */
+  def anomalyRate(df: DataFrame, keys: Seq[String], flag: String,
+                  out: String = "rate"): DataFrame =
+    df.groupBy(keys.map(col): _*).agg(avg(col(flag)).as(out))
+
+  /** A7/J4: business metrics per key-group (evaluate.py:148-207):
+    * fp_count   = predicted events overlapping NO true event,
+    * duration_days = (max ts - min ts) of the scored series span,
+    * fp_per_day = fp_count / duration_days,
+    * median_latency_minutes = exact median over detected true events of
+    *   minutes from true start to earliest overlapping pred start.
+    * `seriesDf` provides the time span (the frame the events were scored
+    * on); pred/truth are eventize() outputs.
+    */
+  def business(seriesDf: DataFrame, keys: Seq[String], ts: String,
+               pred: DataFrame, truth: DataFrame): DataFrame = {
+    val pk = keys.map(k => s"__p_$k")
+    val p = pred.select(keys.zip(pk).map { case (k, a) => col(k).as(a) } ++
+      Seq(col("start_rn").as("__ps"), col("end_rn").as("__pe")): _*)
+    val t = truth.select(keys.map(col) ++
+      Seq(col("start_rn").as("__ts"), col("end_rn").as("__te")): _*)
+    val keyEq = keys.zip(pk).map { case (k, a) => col(k) === col(a) }
+      .reduce(_ && _)
+    val overlap = col("__ps") <= col("__te") && col("__pe") >= col("__ts")
+    val fpEvents = p.join(t, keyEq && overlap, "left_anti")
+      .groupBy(pk.map(col): _*).agg(count(lit(1)).as("fp_count"))
+      .select(pk.zip(keys).map { case (a, k) => col(a).as(k) } :+
+        col("fp_count"): _*)
+    val span = seriesDf.groupBy(keys.map(col): _*)
+      .agg(((unix_micros(max(col(ts))) - unix_micros(min(col(ts))))
+        / lit(86400e6)).as("duration_days"))
+    val lat = Events.detectionLatency(pred, truth, keys)
+      .groupBy(keys.map(col): _*)
+      .agg(median(col("latency_minutes")).as("median_latency_minutes"))
+    span
+      .join(fpEvents, keys, "left")
+      .join(lat, keys, "left")
+      .na.fill(0, Seq("fp_count"))
+      .withColumn("fp_per_day", col("fp_count") / col("duration_days"))
+  }
+
+  /** A10 + P6: event-F1 threshold sweep (run_gp.py:89-118,
+    * run_bsts.py:69-94). For each k in `ks`: flag = z > k, persistence-
+    * filter (p rows), eventize (gap), event-level F1 vs `truthEvents`,
+    * anomaly rate AFTER persistence (run_gp.py:104-107); candidates with
+    * rate > maxRate are rejected (P6); the winner per series is the
+    * SMALLEST k attaining the best F1 (strict `>` first-best tie-break,
+    * run_gp.py:109).
+    *
+    * Scale: the k-independent inputs (z, truth events) are computed once
+    * by the caller; the crossJoin with the tiny k-grid multiplies the
+    * fact table by |ks| and every downstream op partitions by
+    * (series, k) — embarrassingly parallel across the grid.
+    * Returns one row per series: (keys..., best_k, best_f1, rate).
+    */
+  def sweep(df: DataFrame, keys: Seq[String], ts: String, z: String,
+            ks: Seq[Double], persistence: Int, gap: Int,
+            truthEvents: DataFrame, maxRate: Double = 0.10,
+            eps: Double = 1e-9): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val grid = ks.toDF("k")
+    val flagged = df.crossJoin(broadcast(grid))
+      .withColumn("__f", when(col(z) > col("k"), 1).otherwise(0))
+    val kk = keys :+ "k"
+    val persisted = Events.persistFilter(flagged, kk, ts, "__f", persistence,
+      "__fp")
+    val rates = persisted.groupBy(kk.map(col): _*)
+      .agg(avg(col("__fp")).as("rate"))
+    val predEvents = Events.eventize(persisted, kk, ts, "__fp", gap)
+    val truthK = truthEvents.crossJoin(broadcast(grid))
+    val f1s = Events.eventLevelMetrics(predEvents, truthK, kk, eps)
+      .select((kk.map(col) :+ col("f1")): _*)
+    val cand = rates.join(f1s, kk, "left")
+      .na.fill(0.0, Seq("f1"))
+      .filter(col("rate") <= maxRate)
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col("f1").desc, col("k").asc)
+    cand.withColumn("__r", row_number().over(w))
+      .filter(col("__r") === 1)
+      .select(keys.map(col) ++ Seq(col("k").as("best_k"),
+        col("f1").as("best_f1"), col("rate")): _*)
+  }
+
+  /** A11/O2: leaderboard — union per-(model, dataset) metric rows, sort
+    * by event F1 desc (aggregate_metrics.py:55-67). */
+  def leaderboard(runs: Seq[DataFrame]): DataFrame =
+    runs.reduce(_.unionByName(_)).orderBy(desc("Event_F1"))
+}

@@ -1,0 +1,83 @@
+#!/usr/bin/env python3
+"""Local pre-validation of SparkEntry.oracleSql vs Verify parquet output.
+
+Mimics the driver's t2 gate: for each query, run the oracle SQL in DuckDB
+against the sf tables, load the Spark parquet result, sort columns by
+name, sort rows, and compare values (exact for non-floats, tiny-eps for
+floats to surface rounding-boundary hits distinctly from real bugs).
+
+Usage: python3 tools/check_oracle.py /root/testdata/sf0.01 /tmp/verify_out
+"""
+import sys, json, glob, math
+import duckdb
+import pandas as pd
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+def main(sfdir, outdir):
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{sfdir}/{t}.parquet'")
+    oracle = json.load(open(f"{outdir}/oracle_sql.json"))
+    results = {}
+    for name, sql in sorted(oracle.items()):
+        try:
+            exp = con.execute(sql).df()
+        except Exception as e:
+            results[name] = f"ORACLE-ERROR: {e}"
+            continue
+        files = glob.glob(f"{outdir}/{name}/*.parquet")
+        if not files:
+            results[name] = "NO-SPARK-OUTPUT"
+            continue
+        got = pd.concat([pd.read_parquet(f) for f in files])
+        r = compare(exp, got)
+        results[name] = r
+    ok = sum(1 for v in results.values() if v == "OK")
+    for name, v in sorted(results.items()):
+        print(f"{'PASS' if v=='OK' else 'FAIL'} {name}: {v}")
+    print(f"\n{ok}/{len(results)} queries match")
+    return 0 if ok == len(results) else 1
+
+def normalize(df):
+    df = df.reindex(sorted(df.columns), axis=1)
+    for c in df.columns:
+        if str(df[c].dtype).startswith("datetime"):
+            df[c] = pd.to_datetime(df[c]).astype("datetime64[us]")
+        if df[c].dtype == object:
+            df[c] = df[c].astype(str)
+    return df.sort_values(by=list(df.columns)).reset_index(drop=True)
+
+def compare(exp, got):
+    if sorted(exp.columns) != sorted(got.columns):
+        return f"SCHEMA: oracle={sorted(exp.columns)} spark={sorted(got.columns)}"
+    if len(exp) != len(got):
+        return f"ROWS: oracle={len(exp)} spark={len(got)}"
+    exp, got = normalize(exp), normalize(got)
+    dtype_notes = []
+    for c in exp.columns:
+        if str(exp[c].dtype) != str(got[c].dtype):
+            dtype_notes.append(f"{c}: {exp[c].dtype} vs {got[c].dtype}")
+    bad = []
+    for c in exp.columns:
+        e, g = exp[c], got[c]
+        if e.dtype.kind == "f" or g.dtype.kind == "f":
+            e = e.astype(float); g = g.astype(float)
+            mism = ~((e.isna() & g.isna()) | (e - g).abs().le(1e-12)
+                     | (e == g))
+        else:
+            mism = ~((e.isna() & g.isna()) | (e.astype(str) == g.astype(str)))
+        n = int(mism.sum())
+        if n:
+            i = mism.idxmax()
+            bad.append(f"{c}: {n} mismatches e.g. oracle={e[i]} spark={g[i]}")
+    if bad:
+        return "VALUES: " + "; ".join(bad[:3])
+    if dtype_notes:
+        return "OK"  # values match; note dtypes separately if needed
+    return "OK"
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv[1], sys.argv[2]))
