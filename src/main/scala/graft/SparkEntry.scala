@@ -268,6 +268,101 @@ object SparkEntry {
         .limit(10)
         .select(col("o_orderkey"), col("o_totalprice"))),
 
+    // M2: Kalman local level (MLE fit, one-step train / dynamic test)
+    "q_kalman" -> ((s, dir) =>
+      models.KalmanLocalLevel.run(ev(s, dir), "user_id", "ts", "value", 0.5)
+        .select(col("series_id"), col("ts"),
+          round(col("pred_mean"), 6).as("pred_mean"),
+          round(col("pred_std"), 6).as("pred_std"),
+          round(col("resid"), 6).as("resid"), col("split"))),
+
+    // M6: BOCPD changepoint probabilities + run-length MAP
+    "q_bocpd" -> ((s, dir) =>
+      models.Bocpd.run(ev(s, dir), "user_id", "ts", "value")
+        .select(col("series_id"), col("ts"),
+          round(col("cp_prob"), 6).as("cp_prob"), col("map_run_length"))),
+
+    // M4: GP regression with composite periodic kernel
+    "q_gp" -> ((s, dir) =>
+      models.GpRegressor.run(ev(s, dir), "user_id", "ts", "value",
+        trainFrac = 0.5, subsample = 1000, period = 24)
+        .select(col("series_id"), col("ts"),
+          round(col("pred_mean"), 6).as("pred_mean"),
+          round(col("pred_std"), 6).as("pred_std"), col("split"))),
+
+    // M3: BSTS local-linear trend + trig seasonal with CI
+    "q_bsts" -> ((s, dir) =>
+      models.Bsts.run(ev(s, dir), "user_id", "ts", "value",
+        period = 24, harmonics = 3, trainFrac = 0.5)
+        .select(col("series_id"), col("ts"),
+          round(col("bsts_mean"), 6).as("bsts_mean"),
+          round(col("bsts_lower"), 6).as("bsts_lower"),
+          round(col("bsts_upper"), 6).as("bsts_upper"), col("split"))),
+
+    // M1 exact mode: per-series loess STL (robust)
+    "q_stl_exact" -> ((s, dir) =>
+      models.StlExact.decompose(ev(s, dir), "user_id", "ts", "value", 24)
+        .select(col("series_id"), col("ts"),
+          round(col("trend"), 6).as("trend"),
+          round(col("seasonal"), 6).as("seasonal"),
+          round(col("resid"), 6).as("resid"))),
+
+    // A11/O2/S5: leaderboard — per-model global event metrics, F1 desc
+    "q_leaderboard" -> ((s, dir) => {
+      val base = ev(s, dir)
+      val truth = truthEvents(base)
+      def modelRow(th: Double, name: String): DataFrame = {
+        val pred = Events.eventize(base.withColumn("f",
+          when(col("value") > th, 1).otherwise(0)), Seq("user_id"), "ts",
+          "f", 3)
+        Events.eventLevelMetrics(pred, truth, Seq("user_id"))
+          .agg(sum("tp").as("tp"), sum("n_pred_events").as("np"),
+            sum(col("n_true_events") - col("fn")).as("tpt"),
+            sum("n_true_events").as("nt"))
+          .withColumn("p", col("tp") / (col("np") + lit(1e-9)))
+          .withColumn("r", col("tpt") / (col("nt") + lit(1e-9)))
+          .select(lit(name).as("Model"), lit("events").as("Dataset"),
+            round(lit(2) * col("p") * col("r") /
+              (col("p") + col("r") + lit(1e-9)), 6).as("Event_F1"),
+            round(col("p"), 6).as("Precision"),
+            round(col("r"), 6).as("Recall"))
+      }
+      modelRow(150, "T150").unionByName(modelRow(200, "T200"))
+        .orderBy(desc("Event_F1"))
+    }),
+
+    // M5: MLlib autoregressor on lag features (LSTM capability mapping)
+    "q_ar" -> ((s, dir) =>
+      models.AutoRegressor.run(ev(s, dir), "user_id", "ts", "value",
+        seqLen = 12, trainFrac = 0.5)
+        .select(col("user_id"), col("ts"),
+          round(col("pred_mean"), 6).as("pred_mean"),
+          round(col("resid"), 6).as("resid"), col("split"))),
+
+    // M8: hybrid ensemble — mean of model z-scores, swept detection
+    "q_hybrid" -> ((s, dir) => {
+      val base = ev(s, dir)
+      val stl = StlLite.decompose(base, "user_id", "ts", "value", 24)
+      val stlZ = SeriesOps.madSigma(stl, "user_id", "resid", "__mad")
+      val s1 = stl.join(broadcast(stlZ), "user_id")
+        .withColumn("score_stl", abs(col("resid")) / (col("__mad") + lit(1e-9)))
+        .select(col("user_id").cast("string").as("series_id"), col("ts"),
+          col("value"), col("score_stl"))
+      val kal = models.KalmanLocalLevel.run(base, "user_id", "ts", "value", 0.5)
+        .withColumn("score_kalman",
+          abs(col("resid")) / (col("pred_std") + lit(1e-9)))
+        .select(col("series_id"), col("ts"), col("score_kalman"))
+      val joined = s1.join(kal, Seq("series_id", "ts"))
+      ensemble.Hybrid.combineEqual(joined, Seq("score_stl", "score_kalman"))
+        .withColumn("detected",
+          SeriesOps.thresholdFlag(col("combined_score"), lit(3.0)))
+        .select(col("series_id"), col("ts"), col("value"),
+          round(col("score_stl"), 6).as("score_stl"),
+          round(col("score_kalman"), 6).as("score_kalman"),
+          round(col("combined_score"), 6).as("combined_score"),
+          col("detected"))
+    }),
+
     // LLM-pipeline: exact dedup groups (hash-groupBy)
     "q_dedup_exact" -> ((s, dir) =>
       tbl(s, dir, "documents")
@@ -278,6 +373,88 @@ object SparkEntry {
     "q_fingerprint" -> ((s, dir) =>
       tbl(s, dir, "documents")
         .select(col("doc_id"), md5(col("text")).as("fp"))),
+
+    // LLM-pipeline: exact n-gram Jaccard near-dup (shingle-bucketed join)
+    "q_ngram_jaccard" -> ((s, dir) =>
+      llm.Dedup.ngramJaccard(tbl(s, dir, "documents"), "doc_id", "text",
+        n = 3, minJaccard = 0.2, maxDocFreq = 100)
+        .select(col("id_a"), col("id_b"),
+          round(col("jaccard"), 6).as("jaccard"))),
+
+    // LLM-pipeline: MinHash LSH near-dup candidates (banded, no crossJoin)
+    "q_minhash" -> ((s, dir) =>
+      llm.Dedup.minhashCandidates(tbl(s, dir, "documents"), "doc_id",
+        "text", shingleN = 3, numHashes = 32, bands = 8, minEst = 0.4)
+        .select(col("id_a"), col("id_b"),
+          round(col("est_jaccard"), 6).as("est_jaccard"))),
+
+    // LLM-pipeline: SimHash near-dup (16-bit banded hamming)
+    "q_simhash" -> ((s, dir) =>
+      llm.Dedup.simhashCandidates(tbl(s, dir, "documents"), "doc_id",
+        "text", maxDist = 10)
+        .select(col("id_a"), col("id_b"), col("hamming"))),
+
+    // LLM-pipeline: brute-force cosine top-k (the ANN correctness baseline)
+    "q_cosine_topk" -> ((s, dir) => {
+      val emb = tbl(s, dir, "embeddings")
+      val queries = emb.filter(col("vec_id") < 5)
+      llm.Similarity.bruteForceTopK(queries, emb, "vec_id", "embedding", 3)
+        .select(col("query_id"), col("corpus_id"),
+          round(col("cosine"), 6).as("cosine"), col("rank"))
+    }),
+
+    // LLM-pipeline: hyperplane-LSH ANN top-k (bucketed scale path)
+    "q_ann_lsh" -> ((s, dir) => {
+      val emb = tbl(s, dir, "embeddings")
+      llm.Similarity.lshTopK(emb, emb.filter(col("vec_id") < 5), "vec_id",
+        "embedding", 3, planes = 16)
+        .select(col("query_id"), col("corpus_id"),
+          round(col("cosine"), 6).as("cosine"), col("rank"))
+    }),
+
+    // LLM-pipeline: embedding cosine near-dup via LSH buckets
+    "q_embed_neardup" -> ((s, dir) =>
+      llm.Dedup.embeddingNearDup(tbl(s, dir, "embeddings"), "vec_id",
+        "embedding", minCosine = 0.8, planes = 16)
+        .select(col("id_a"), col("id_b"),
+          round(col("cosine"), 6).as("cosine"))),
+
+    // LLM-pipeline: quality scoring (C4/Gopher-style heuristics)
+    "q_quality" -> ((s, dir) =>
+      llm.TextAnalysis.withQuality(tbl(s, dir, "documents"), "text")
+        .select(col("doc_id"), col("n_tokens"),
+          round(col("avg_token_len"), 6).as("avg_token_len"),
+          round(col("stop_ratio"), 6).as("stop_ratio"),
+          round(col("punct_ratio"), 6).as("punct_ratio"),
+          round(col("quality_score"), 6).as("quality_score"))),
+
+    // LLM-pipeline: language id (stopword voting + CJK ratio)
+    "q_langid" -> ((s, dir) =>
+      llm.TextAnalysis.withLangId(tbl(s, dir, "documents"), "text")
+        .select(col("doc_id"), col("lang"), col("lang_pred"))),
+
+    // LLM-pipeline: polynomial rolling-hash document fingerprint
+    "q_rollhash" -> ((s, dir) =>
+      tbl(s, dir, "documents")
+        .select(col("doc_id"),
+          llm.TextAnalysis.rollingHash(col("text")).as("rollhash"))),
+
+    // LLM-pipeline: winnowing fingerprint sketch
+    "q_winnow" -> ((s, dir) =>
+      llm.TextAnalysis.winnowing(tbl(s, dir, "documents"), "doc_id",
+        "text", k = 8, w = 4)
+        .groupBy("doc_id").agg(count(lit(1)).as("n_fingerprints"),
+          min("fingerprint").as("min_fp"))),
+
+    // LLM-pipeline: multimodal plumbing (binary payload → stub features)
+    "q_multimodal" -> ((s, dir) => {
+      val media = llm.Multimodal.synthesize(tbl(s, dir, "documents"),
+        "doc_id", "text")
+      llm.Multimodal.extractFeatures(media)
+        .select(col("media_id"), col("byte_len"),
+          round(col("byte_mean"), 6).as("byte_mean"),
+          round(col("byte_std"), 6).as("byte_std"), col("head_byte"))
+    }),
 
     // LLM-pipeline: text stats / quality scoring
     "q_text_stats" -> ((s, dir) => {
@@ -426,6 +603,7 @@ object SparkEntry {
         |FROM a""".stripMargin,
 
     "q_event_metrics" -> eventMetricsSql,
+    "q_leaderboard" -> leaderboardSql,
     "q_latency" -> latencySql,
     "q_business" -> businessSql,
     "q_sweep" -> sweepSql,
@@ -497,6 +675,78 @@ object SparkEntry {
 
     "q_fingerprint" ->
       """SELECT doc_id, md5(text) AS fp FROM documents""".stripMargin,
+
+    "q_ngram_jaccard" ->
+      """WITH words AS (SELECT doc_id, string_split(text, ' ') AS w
+        |  FROM documents),
+        |sh AS (SELECT DISTINCT doc_id,
+        |    w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
+        |  FROM (SELECT doc_id, w, unnest(range(1, len(w) - 1)) AS i
+        |        FROM words) wi),
+        |freq AS (SELECT shingle FROM sh GROUP BY shingle
+        |  HAVING count(*) <= 100),
+        |f AS (SELECT sh.doc_id, sh.shingle FROM sh
+        |  JOIN freq USING (shingle)),
+        |sizes AS (SELECT doc_id, count(*) AS sz FROM f GROUP BY doc_id),
+        |inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |    count(*) AS i FROM f a JOIN f b ON a.shingle = b.shingle
+        |    AND a.doc_id < b.doc_id
+        |  GROUP BY a.doc_id, b.doc_id)
+        |SELECT id_a, id_b,
+        |  round(CAST(i AS DOUBLE)/(sa.sz + sb.sz - i), 6) AS jaccard
+        |FROM inter
+        |JOIN sizes sa ON sa.doc_id = id_a
+        |JOIN sizes sb ON sb.doc_id = id_b
+        |WHERE CAST(i AS DOUBLE)/(sa.sz + sb.sz - i) >= 0.2""".stripMargin,
+
+    "q_cosine_topk" ->
+      """WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+        |  FROM embeddings WHERE vec_id < 5),
+        |c AS (SELECT vec_id AS corpus_id, embedding::DOUBLE[] AS cv
+        |  FROM embeddings),
+        |p AS (SELECT query_id, corpus_id,
+        |    list_reduce(list_prepend(0.0, list_transform(list_zip(qv, cv),
+        |      x -> x[1]*x[2])), (a, b) -> a + b) AS dot,
+        |    list_reduce(list_prepend(0.0, list_transform(list_zip(qv, qv),
+        |      x -> x[1]*x[2])), (a, b) -> a + b) AS qq,
+        |    list_reduce(list_prepend(0.0, list_transform(list_zip(cv, cv),
+        |      x -> x[1]*x[2])), (a, b) -> a + b) AS cc
+        |  FROM q CROSS JOIN c WHERE query_id <> corpus_id),
+        |s AS (SELECT query_id, corpus_id,
+        |    dot/(sqrt(qq)*sqrt(cc) + 1e-12) AS raw_cos FROM p)
+        |SELECT query_id, corpus_id, round(raw_cos, 6) AS cosine,
+        |  row_number() OVER (PARTITION BY query_id
+        |    ORDER BY raw_cos DESC, corpus_id ASC) AS rank
+        |FROM s QUALIFY rank <= 3""".stripMargin,
+
+    "q_quality" ->
+      """WITH d AS (SELECT doc_id, text, length(text) AS len,
+        |    length(text) - length(replace(text, ' ', '')) + 1 AS n_tokens,
+        |    len(list_filter(string_split(text, ' '),
+        |      w -> w IN ('the','a','and','of','to','in','is','it')))
+        |      AS stop_hits,
+        |    length(text) - length(regexp_replace(text, '[[:punct:]]', '',
+        |      'g')) AS punct
+        |  FROM documents)
+        |SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+        |  round(CAST(len - n_tokens + 1 AS DOUBLE)/n_tokens, 6)
+        |    AS avg_token_len,
+        |  round(CAST(stop_hits AS DOUBLE)/n_tokens, 6) AS stop_ratio,
+        |  round(CAST(punct AS DOUBLE)/len, 6) AS punct_ratio,
+        |  round((CASE WHEN n_tokens BETWEEN 10 AND 1000 THEN 0.4
+        |         ELSE 0.0 END)
+        |    + (CASE WHEN CAST(len - n_tokens + 1 AS DOUBLE)/n_tokens
+        |         BETWEEN 2.0 AND 12.0 THEN 0.3 ELSE 0.0 END)
+        |    + least(CAST(stop_hits AS DOUBLE)/n_tokens * 3.0, 0.3), 6)
+        |    AS quality_score
+        |FROM d""".stripMargin,
+
+    "q_rollhash" ->
+      """SELECT doc_id,
+        |  list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |    list_transform(string_split(text, ''), c -> ascii(c)::BIGINT)),
+        |    (a, b) -> (a * 1000003 + b) % 2147483647) AS rollhash
+        |FROM documents""".stripMargin,
 
     "q_text_stats" ->
       """WITH d AS (SELECT doc_id, length(text) AS len,
@@ -574,6 +824,61 @@ object SparkEntry {
       |    ((tp/(n_pred_events + 1e-9)) + (tp_true/(n_true_events + 1e-9))
       |     + 1e-9), 6) AS f1
       |FROM a""".stripMargin
+
+  private val leaderboardSql =
+    """WITH models AS (SELECT * FROM (VALUES (150.0, 'T150'),
+      |    (200.0, 'T200')) m(th, model)),
+      |b AS (SELECT user_id, ts, value, event_type,
+      |    row_number() OVER (PARTITION BY user_id ORDER BY ts) AS rn
+      |  FROM events),
+      |pf AS (SELECT b.user_id, b.rn, m.model,
+      |    CASE WHEN b.value > m.th THEN 1 ELSE 0 END AS fl
+      |  FROM b CROSS JOIN models m),
+      |p0 AS (SELECT model, user_id, rn, rn - row_number() OVER
+      |    (PARTITION BY model, user_id ORDER BY rn) AS isl
+      |  FROM pf WHERE fl = 1),
+      |p1 AS (SELECT model, user_id, isl, min(rn) AS srn, max(rn) AS ern
+      |  FROM p0 GROUP BY model, user_id, isl),
+      |p2 AS (SELECT *, CASE WHEN srn - lag(ern) OVER
+      |    (PARTITION BY model, user_id ORDER BY srn) <= 4
+      |    THEN 0 ELSE 1 END AS ng FROM p1),
+      |p3 AS (SELECT *, sum(ng) OVER (PARTITION BY model, user_id
+      |    ORDER BY srn ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |    AS grp FROM p2),
+      |pev AS (SELECT model, user_id, min(srn) AS start_rn,
+      |    max(ern) AS end_rn FROM p3 GROUP BY model, user_id, grp),
+      |tf AS (SELECT *, CASE WHEN event_type = 'error' AND value > 100
+      |    THEN 1 ELSE 0 END AS tflag FROM b),
+      |t0 AS (SELECT user_id, rn, rn - row_number() OVER
+      |    (PARTITION BY user_id ORDER BY rn) AS isl FROM tf
+      |  WHERE tflag = 1),
+      |t1 AS (SELECT user_id, isl, min(rn) AS srn, max(rn) AS ern FROM t0
+      |  GROUP BY user_id, isl),
+      |t2 AS (SELECT *, CASE WHEN srn - lag(ern) OVER
+      |    (PARTITION BY user_id ORDER BY srn) <= 4 THEN 0 ELSE 1 END AS ng
+      |  FROM t1),
+      |t3 AS (SELECT *, sum(ng) OVER (PARTITION BY user_id ORDER BY srn
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS grp FROM t2),
+      |tev AS (SELECT user_id, min(srn) AS start_rn, max(ern) AS end_rn
+      |  FROM t3 GROUP BY user_id, grp),
+      |agg AS (SELECT m.model,
+      |    (SELECT count(*) FROM pev p WHERE p.model = m.model) AS np,
+      |    (SELECT count(*) FROM pev p WHERE p.model = m.model AND EXISTS
+      |      (SELECT 1 FROM tev t WHERE t.user_id = p.user_id
+      |        AND p.start_rn <= t.end_rn AND p.end_rn >= t.start_rn))
+      |      AS tp,
+      |    (SELECT count(*) FROM tev) AS nt,
+      |    (SELECT count(*) FROM tev t WHERE EXISTS
+      |      (SELECT 1 FROM pev p WHERE p.model = m.model
+      |        AND p.user_id = t.user_id AND p.start_rn <= t.end_rn
+      |        AND p.end_rn >= t.start_rn)) AS tpt
+      |  FROM models m)
+      |SELECT model AS Model, 'events' AS Dataset,
+      |  round(2*(tp/(np + 1e-9))*(tpt/(nt + 1e-9)) /
+      |    ((tp/(np + 1e-9)) + (tpt/(nt + 1e-9)) + 1e-9), 6) AS Event_F1,
+      |  round(tp/(np + 1e-9), 6) AS Precision,
+      |  round(tpt/(nt + 1e-9), 6) AS Recall
+      |FROM agg""".stripMargin
 
   private val latencySql = eventCtes +
     """

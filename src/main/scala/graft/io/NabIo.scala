@@ -48,7 +48,8 @@ object NabIo {
     val keyCols = raw.schema.fieldNames
     val stacked = raw.select(keyCols.map(k =>
       struct(lit(k).as("series_id"), col(s"`$k`").as("tss")).as(k)): _*)
-    val arr = stacked.select(array(keyCols.map(col): _*).as("a"))
+    // NAB keys contain dots — every reference must be backtick-quoted
+    val arr = stacked.select(array(keyCols.map(k => col(s"`$k`")): _*).as("a"))
       .select(explode(col("a")).as("e"))
       .select(col("e.series_id"), explode(col("e.tss")).as("label_ts"))
     arr

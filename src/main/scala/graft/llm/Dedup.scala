@@ -1,0 +1,160 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for large-scale text corpora (builder brief:
+  * first-class components beyond the reference's own surface).
+  *
+  * Everything is bucketed — candidate generation NEVER does an all-pairs
+  * crossJoin. At 100 TB the joins are shuffle-partitioned by bucket key
+  * (band hash / shingle), with document-frequency caps bounding the
+  * blow-up of pathological hot shingles.
+  */
+object Dedup {
+
+  /** Exact dedup: one row per distinct `fingerprintCols` group with the
+    * kept (minimum) id and the duplicate count. */
+  def exact(df: DataFrame, id: String, fingerprintCols: Seq[String]
+           ): DataFrame =
+    df.groupBy(fingerprintCols.map(col): _*)
+      .agg(min(col(id)).as("keep_id"), count(lit(1)).as("n_dups"))
+
+  /** Word n-gram shingles, one row per (id, shingle), DISTINCT within a
+    * doc (set semantics for Jaccard). */
+  def shingles(df: DataFrame, id: String, text: String, n: Int): DataFrame = {
+    // materialize the token array as an ATTRIBUTE before the transform:
+    // an expression inside the lambda would be re-evaluated per element
+    // (no CSE across lambda invocations) — O(len²) per document
+    val words = df.select(col(id), split(col(text), " ").as("__words"))
+    // guard: Spark sequence(0, -1) yields a DESCENDING [0,-1], not empty
+    val sh = when(size(col("__words")) >= n,
+      transform(sequence(lit(0), size(col("__words")) - n),
+        i => concat_ws(" ", slice(col("__words"), i + 1, lit(n)))))
+      .otherwise(array().cast("array<string>"))
+    words.select(col(id), explode(sh).as("shingle")).distinct()
+  }
+
+  /** MinHash signatures: k independent hash functions simulated by
+    * seeding xxhash64 with the hash index; one groupBy pass computes all
+    * k minima (map-side partial aggregation keeps the shuffle tiny). */
+  def minhashSignatures(df: DataFrame, id: String, text: String,
+                        shingleN: Int = 3, numHashes: Int = 32): DataFrame = {
+    val sh = shingles(df, id, text, shingleN)
+    val aggs = (0 until numHashes).map { i =>
+      min(xxhash64(lit(i), col("shingle"))).as(s"mh$i")
+    }
+    sh.groupBy(col(id)).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** MinHash LSH candidate pairs: split the signature into `bands` bands
+    * of `numHashes/bands` rows, bucket-join docs sharing any band bucket.
+    * Estimated Jaccard = fraction of agreeing minhashes. Output:
+    * (id_a, id_b, est_jaccard) with id_a < id_b, est_jaccard >= minEst. */
+  def minhashCandidates(df: DataFrame, id: String, text: String,
+                        shingleN: Int = 3, numHashes: Int = 32,
+                        bands: Int = 8, minEst: Double = 0.5): DataFrame = {
+    val sigs = minhashSignatures(df, id, text, shingleN, numHashes)
+    val rows = numHashes / bands
+    val bandCols = (0 until bands).map { b =>
+      val cols = (b * rows until (b + 1) * rows).map(i => col(s"mh$i"))
+      struct(lit(b).as("band"), hash(cols: _*).as("bucket"))
+    }
+    val buckets = sigs.select(col(id).as("doc"),
+        array(bandCols: _*).as("bb"))
+      .select(col("doc"), explode(col("bb")).as("b"))
+      .select(col("doc"), col("b.band"), col("b.bucket"))
+    val a = buckets.select(col("band"), col("bucket"), col("doc").as("id_a"))
+    val bjoin = buckets.select(col("band"), col("bucket"),
+      col("doc").as("id_b"))
+    val pairs = a.join(bjoin, Seq("band", "bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+    val sa = sigs.select(
+      (col(id).as("id_a") +:
+        (0 until numHashes).map(i => col(s"mh$i").as(s"a$i"))): _*)
+    val sb = sigs.select(
+      (col(id).as("id_b") +:
+        (0 until numHashes).map(i => col(s"mh$i").as(s"b$i"))): _*)
+    val agree: Column = (0 until numHashes).map { i =>
+      when(col(s"a$i") === col(s"b$i"), 1).otherwise(0)
+    }.reduce(_ + _)
+    pairs.join(sa, "id_a").join(sb, "id_b")
+      .withColumn("est_jaccard", agree.cast("double") / lit(numHashes))
+      .filter(col("est_jaccard") >= minEst)
+      .select("id_a", "id_b", "est_jaccard")
+  }
+
+  /** Exact n-gram Jaccard similarity for pairs sharing at least one
+    * shingle. `maxDocFreq` drops shingles appearing in more docs (both a
+    * skew guard and the standard quality heuristic). Output:
+    * (id_a, id_b, jaccard) with id_a < id_b and jaccard >= minJaccard. */
+  def ngramJaccard(df: DataFrame, id: String, text: String, n: Int = 3,
+                   minJaccard: Double = 0.2, maxDocFreq: Int = 100
+                  ): DataFrame = {
+    val sh = shingles(df, id, text, n)
+    val freq = sh.groupBy("shingle").agg(count(lit(1)).as("__df"))
+      .filter(col("__df") <= maxDocFreq)
+    val filtered = sh.join(freq.select("shingle"), "shingle")
+    val sizes = filtered.groupBy(col(id)).agg(count(lit(1)).as("sz"))
+    val a = filtered.select(col("shingle"), col(id).as("id_a"))
+    val b = filtered.select(col("shingle"), col(id).as("id_b"))
+    val inter = a.join(b, "shingle").filter(col("id_a") < col("id_b"))
+      .groupBy("id_a", "id_b").agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.select(col(id).as("id_a"), col("sz").as("sza")), "id_a")
+      .join(sizes.select(col(id).as("id_b"), col("sz").as("szb")), "id_b")
+      .withColumn("jaccard", col("inter").cast("double") /
+        (col("sza") + col("szb") - col("inter")))
+      .filter(col("jaccard") >= minJaccard)
+      .select("id_a", "id_b", "jaccard")
+  }
+
+  /** 64-bit SimHash per document over whitespace tokens: bit b of the
+    * fingerprint is the sign of Σ_token (±1 by bit b of xxhash64(token)).
+    * One explode + one groupBy with 64 codegen'd conditional sums. */
+  def simhash(df: DataFrame, id: String, text: String): DataFrame = {
+    val toks = df.select(col(id), explode(split(col(text), " ")).as("tok"))
+      .withColumn("h", xxhash64(col("tok")))
+    val bitSums = (0 until 64).map { b =>
+      sum(when(shiftright(col("h"), b).bitwiseAND(1) === 1, 1)
+        .otherwise(-1)).as(s"s$b")
+    }
+    val agg = toks.groupBy(col(id)).agg(bitSums.head, bitSums.tail: _*)
+    val fp: Column = (0 until 64).map { b =>
+      when(col(s"s$b") > 0, lit(1L << b)).otherwise(lit(0L))
+    }.reduce(_.bitwiseOR(_))
+    agg.select(col(id), fp.as("simhash"))
+  }
+
+  /** Near-dup candidates by SimHash hamming distance <= maxDist, banded
+    * on 4 16-bit chunks (any pair within distance 3 shares a chunk). */
+  def simhashCandidates(df: DataFrame, id: String, text: String,
+                        maxDist: Int = 3): DataFrame = {
+    val fps = simhash(df, id, text)
+    val chunks = (0 until 4).map { c =>
+      struct(lit(c).as("chunk"),
+        shiftright(col("simhash"), c * 16).bitwiseAND(0xffffL).as("key"))
+    }
+    val buckets = fps.select(col(id).as("doc"), col("simhash"),
+        explode(array(chunks: _*)).as("b"))
+      .select(col("doc"), col("simhash"), col("b.chunk"), col("b.key"))
+    val a = buckets.select(col("chunk"), col("key"), col("doc").as("id_a"),
+      col("simhash").as("fp_a"))
+    val b = buckets.select(col("chunk"), col("key"), col("doc").as("id_b"),
+      col("simhash").as("fp_b"))
+    a.join(b, Seq("chunk", "key")).filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        bit_count(col("fp_a").bitwiseXOR(col("fp_b"))).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxDist)
+  }
+
+  /** Embedding cosine near-dup: hyperplane-LSH bucket join (Similarity),
+    * exact cosine inside buckets, threshold. */
+  def embeddingNearDup(df: DataFrame, id: String, vec: String,
+                       minCosine: Double = 0.95, planes: Int = 16
+                      ): DataFrame =
+    Similarity.lshPairs(df, id, vec, planes)
+      .filter(col("cosine") >= minCosine)
+}

@@ -1,0 +1,131 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Similarity search over embedding columns (`Array[Float]`).
+  *
+  * Brute-force cosine is the correctness baseline (broadcast the small
+  * query set — never an unbucketed corpus×corpus crossJoin); the scale
+  * path is random-hyperplane LSH: sign-bit signatures over deterministic
+  * pseudo-random planes, bucket join, exact cosine only within buckets.
+  */
+object Similarity {
+
+  /** Exact cosine between two float-array columns, accumulated in
+    * DOUBLE (element-wise products of doubles, sequential fold — the
+    * deterministic formulation both engines agree on). HOF reference
+    * implementation; `cosineNative` is the codegen'd production path
+    * (identical left-to-right summation → bit-identical results). */
+  def cosine(a: Column, b: Column): Column = {
+    def dot(x: Column, y: Column) = aggregate(
+      zip_with(x, y, (p, q) => p.cast("double") * q.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+    dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)) + lit(1e-12))
+  }
+
+  /** Cosine via the native `vec_dot` Catalyst expression (whole-stage
+    * codegen; same summation order as the HOF form, so results are
+    * bit-identical — VecDotSpec pins this). */
+  def cosineNative(a: Column, b: Column): Column = {
+    val spark = org.apache.spark.sql.SparkSession.active
+    if (!spark.catalog.functionExists("vec_dot"))
+      graft.functions.VecDot.register(spark)
+    def dot(x: Column, y: Column) = call_function("vec_dot", x, y)
+    dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)) + lit(1e-12))
+  }
+
+  /** Brute-force top-k: cosine of every (query, corpus) pair, top k per
+    * query by score desc (ties by corpus id asc). `queries` must be the
+    * small side — it is broadcast. */
+  def bruteForceTopK(queries: DataFrame, corpus: DataFrame, id: String,
+                     vec: String, k: Int): DataFrame = {
+    val q = queries.select(col(id).as("query_id"), col(vec).as("__qv"))
+    val c = corpus.select(col(id).as("corpus_id"), col(vec).as("__cv"))
+    val scored = c.join(broadcast(q), col("query_id") =!= col("corpus_id"))
+      .withColumn("cosine", cosineNative(col("__qv"), col("__cv")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id")
+      .orderBy(col("cosine").desc, col("corpus_id").asc)
+    scored.withColumn("__r", row_number().over(w))
+      .filter(col("__r") <= k)
+      .select(col("query_id"), col("corpus_id"), col("cosine"),
+        col("__r").cast("long").as("rank"))
+  }
+
+  /** Deterministic pseudo-random unit-free hyperplane component for
+    * (plane p, dimension d): a hash folded to [-1, 1). Deterministic
+    * across sessions (xxhash64 is seed-stable). */
+  private def planeComponent(p: Int, d: Column): Column =
+    (xxhash64(lit(p), d).cast("double") / lit(Long.MaxValue.toDouble))
+
+  /** Sign-bit LSH signature: bit p = sign of Σ_d v_d · plane(p, d). */
+  def lshSignature(vec: Column, planes: Int): Column = {
+    val proj = (0 until planes).map { p =>
+      val s = aggregate(
+        zip_with(vec, sequence(lit(0), size(vec) - 1),
+          (v, i) => v.cast("double") * planeComponent(p, i)),
+        lit(0.0), (acc, x) => acc + x)
+      when(s >= 0, lit(1L << p)).otherwise(lit(0L))
+    }
+    proj.reduce(_.bitwiseOR(_))
+  }
+
+  /** Candidate pairs sharing an LSH bucket (16-bit band split of the
+    * signature), with exact cosine computed only inside buckets. */
+  def lshPairs(df: DataFrame, id: String, vec: String, planes: Int = 16
+              ): DataFrame = {
+    val sig = df.select(col(id).as("doc"), col(vec).as("__v"))
+      .withColumn("__sig", lshSignature(col("__v"), planes))
+    val nBands = math.max(planes / 16, 1)
+    val chunks = (0 until nBands).map { c =>
+      struct(lit(c).as("chunk"),
+        shiftright(col("__sig"), c * 16).bitwiseAND(0xffffL).as("key"))
+    }
+    val buckets = sig.select(col("doc"), col("__v"),
+        explode(array(chunks: _*)).as("b"))
+      .select(col("doc"), col("__v"), col("b.chunk"), col("b.key"))
+    val a = buckets.select(col("chunk"), col("key"), col("doc").as("id_a"),
+      col("__v").as("__va"))
+    val b = buckets.select(col("chunk"), col("key"), col("doc").as("id_b"),
+      col("__v").as("__vb"))
+    a.join(b, Seq("chunk", "key")).filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), col("__va"), col("__vb"))
+      .distinct()
+      .withColumn("cosine", cosineNative(col("__va"), col("__vb")))
+      .drop("__va", "__vb")
+  }
+
+  /** LSH-accelerated top-k: exact cosine only for bucket-mates of each
+    * query; recall is tunable via `planes` (fewer planes → bigger
+    * buckets → higher recall, more compute). */
+  def lshTopK(df: DataFrame, queries: DataFrame, id: String, vec: String,
+              k: Int, planes: Int = 16): DataFrame = {
+    val sig = df.select(col(id).as("corpus_id"), col(vec).as("__cv"))
+      .withColumn("__sig", lshSignature(col("__cv"), planes))
+    val qsig = queries.select(col(id).as("query_id"), col(vec).as("__qv"))
+      .withColumn("__qsig", lshSignature(col("__qv"), planes))
+    val nBands = math.max(planes / 16, 1)
+    def bands(sigCol: Column) = array((0 until nBands).map { c =>
+      struct(lit(c).as("chunk"),
+        shiftright(sigCol, c * 16).bitwiseAND(0xffffL).as("key"))
+    }: _*)
+    val cb = sig.select(col("corpus_id"), col("__cv"),
+        explode(bands(col("__sig"))).as("b"))
+      .select(col("corpus_id"), col("__cv"), col("b.chunk"), col("b.key"))
+    val qb = qsig.select(col("query_id"), col("__qv"),
+        explode(bands(col("__qsig"))).as("b"))
+      .select(col("query_id"), col("__qv"), col("b.chunk"), col("b.key"))
+    val cand = cb.join(broadcast(qb), Seq("chunk", "key"))
+      .filter(col("query_id") =!= col("corpus_id"))
+      .select("query_id", "corpus_id", "__qv", "__cv").distinct()
+      .withColumn("cosine", cosineNative(col("__qv"), col("__cv")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id")
+      .orderBy(col("cosine").desc, col("corpus_id").asc)
+    cand.withColumn("__r", row_number().over(w))
+      .filter(col("__r") <= k)
+      .select(col("query_id"), col("corpus_id"), col("cosine"),
+        col("__r").cast("long").as("rank"))
+  }
+}

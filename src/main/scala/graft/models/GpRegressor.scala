@@ -1,0 +1,142 @@
+package graft.models
+
+import java.sql.Timestamp
+
+import breeze.linalg.{cholesky, DenseMatrix, DenseVector}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** M4: Gaussian-process regression with the reference's composite kernel
+  * `C·RBF + C·ExpSineSquared(period) [+ C·ExpSineSquared(period2)] +
+  * White` over the time ordinal (reference `src/gp_model.py:8-42`,
+  * `src/run_gp.py:19-45`). Train on the LAST `subsample` train points
+  * (the O(N³) guard of run_gp.py:62-67 — kept, it is semantics), predict
+  * mean + std on the test region.
+  *
+  * Hyperparameters are FIXED (documented delta per SURVEY §7.4(2):
+  * sklearn's gradient ML-II restarts are out of scope); y is normalized
+  * (sklearn `normalize_y=True`) and x scaled to the subsample index.
+  *
+  * Scale: per-series driver-side math inside `mapGroups` — the subsample
+  * cap bounds each fit at O(subsample³) regardless of series length;
+  * parallelism is across series.
+  */
+object GpRegressor {
+
+  case class Out(series_id: String, ts: Timestamp, value: Double,
+                 pred_mean: Double, pred_std: Double, split: String)
+
+  private[models] case class Kernel(cRbf: Double, lRbf: Double,
+                                    cPer: Double, lPer: Double, period: Double,
+                                    cPer2: Double, lPer2: Double,
+                                    period2: Double, white: Double) {
+    def apply(a: Double, b: Double): Double = {
+      val d = a - b
+      var k = cRbf * math.exp(-d * d / (2 * lRbf * lRbf))
+      val s = math.sin(math.Pi * math.abs(d) / period)
+      k += cPer * math.exp(-2 * s * s / (lPer * lPer))
+      if (cPer2 > 0) {
+        val s2 = math.sin(math.Pi * math.abs(d) / period2)
+        k += cPer2 * math.exp(-2 * s2 * s2 / (lPer2 * lPer2))
+      }
+      k
+    }
+  }
+
+  /** Exact GP posterior on a 1-D ordinal grid. */
+  private[models] def predict(xTrain: Array[Double], yTrain: Array[Double],
+                              xTest: Array[Double], kernel: Kernel)
+      : (Array[Double], Array[Double]) = {
+    val n = xTrain.length
+    val yMean = yTrain.sum / n
+    val yStd = math.max(math.sqrt(
+      yTrain.map(v => (v - yMean) * (v - yMean)).sum / n), 1e-9)
+    val y = DenseVector(yTrain.map(v => (v - yMean) / yStd))
+    val K = DenseMatrix.tabulate(n, n) { (i, j) =>
+      kernel(xTrain(i), xTrain(j)) + (if (i == j) kernel.white + 1e-8 else 0.0)
+    }
+    val L = cholesky(K)
+    // alpha = K^-1 y via two triangular solves
+    val z = lowerSolve(L, y)
+    val alpha = upperSolve(L, z)
+    val m = xTest.length
+    val mean = new Array[Double](m); val std = new Array[Double](m)
+    var j = 0
+    while (j < m) {
+      val ks = DenseVector.tabulate(n)(i => kernel(xTrain(i), xTest(j)))
+      val mu = (ks dot alpha) * yStd + yMean
+      val v = lowerSolve(L, ks)
+      val varf = kernel(xTest(j), xTest(j)) + kernel.white - (v dot v)
+      mean(j) = mu
+      std(j) = math.sqrt(math.max(varf, 1e-12)) * yStd
+      j += 1
+    }
+    (mean, std)
+  }
+
+  private def lowerSolve(l: DenseMatrix[Double], b: DenseVector[Double])
+      : DenseVector[Double] = {
+    val n = b.length
+    val x = DenseVector.zeros[Double](n)
+    var i = 0
+    while (i < n) {
+      var s = b(i)
+      var j = 0
+      while (j < i) { s -= l(i, j) * x(j); j += 1 }
+      x(i) = s / l(i, i)
+      i += 1
+    }
+    x
+  }
+
+  private def upperSolve(l: DenseMatrix[Double], b: DenseVector[Double])
+      : DenseVector[Double] = {
+    val n = b.length
+    val x = DenseVector.zeros[Double](n)
+    var i = n - 1
+    while (i >= 0) {
+      var s = b(i)
+      var j = i + 1
+      while (j < n) { s -= l(j, i) * x(j); j += 1 }
+      x(i) = s / l(i, i)
+      i -= 1
+    }
+    x
+  }
+
+  /** Pipeline: per series, fit on the last `subsample` train rows and
+    * predict the test region (train rows score mean=value, std→0-filled
+    * downstream like run_hybrid.py:55-72). */
+  def run(df: DataFrame, series: String, ts: String, value: String,
+          trainFrac: Double = 0.5, subsample: Int = 1000,
+          period: Double = 48, period2: Double = 0): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val kernel = Kernel(cRbf = 1.0, lRbf = 50.0, cPer = 0.5, lPer = 1.0,
+      period = period,
+      cPer2 = if (period2 > 0) 0.5 else 0.0, lPer2 = 1.0, period2 = period2,
+      white = 0.1)
+    val typed = df.select(col(series).cast("string"), col(ts), col(value))
+      .as[(String, Timestamp, Double)]
+    typed.groupByKey(_._1).flatMapGroups { (sid, it) =>
+      val rows = it.toArray.sortBy(_._2.getTime)
+      val n = rows.length
+      val trainEnd = (n * trainFrac).toInt
+      if (trainEnd < 8 || trainEnd >= n) Iterator.empty
+      else {
+        val s0 = math.max(0, trainEnd - subsample)
+        val xTr = (s0 until trainEnd).map(_.toDouble).toArray
+        val yTr = rows.slice(s0, trainEnd).map(_._3)
+        val xTe = (trainEnd until n).map(_.toDouble).toArray
+        val (mean, std) = predict(xTr, yTr, xTe, kernel)
+        rows.indices.iterator.map { i =>
+          if (i < trainEnd)
+            Out(sid, rows(i)._2, rows(i)._3, rows(i)._3, 0.0, "Train")
+          else
+            Out(sid, rows(i)._2, rows(i)._3, mean(i - trainEnd),
+              std(i - trainEnd), "Test")
+        }
+      }
+    }.toDF()
+  }
+}

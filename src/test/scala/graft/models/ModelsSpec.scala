@@ -1,0 +1,131 @@
+package graft.models
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+/** Sanity tests for the model operators on synthetic series with known
+  * structure (golden parity with the reference's stochastic fits is
+  * tolerance-based per SURVEY §7.4(6); these pin direction + shape). */
+class ModelsSpec extends SparkSpec {
+
+  private val rng = new scala.util.Random(42)
+
+  test("Kalman local level tracks a random walk and widens in test") {
+    var level = 10.0
+    val ys = (0 until 200).map { _ =>
+      level += rng.nextGaussian() * 0.5
+      level + rng.nextGaussian() * 0.2
+    }
+    val out = KalmanLocalLevel.run(valueSeries(ys), "series_id", "ts",
+      "value", 0.5).orderBy("ts").collect()
+    assert(out.length === 200)
+    val train = out.filter(_.getAs[String]("split") == "Train")
+    val mae = train.drop(10).map(r =>
+      math.abs(r.getAs[Double]("resid"))).sum / (train.length - 10)
+    assert(mae < 1.5, s"one-step MAE too big: $mae")
+    // dynamic forecast variance grows monotonically in test
+    val testStd = out.filter(_.getAs[String]("split") == "Test")
+      .map(_.getAs[Double]("pred_std"))
+    assert(testStd.sliding(2).forall(p => p(1) >= p(0) - 1e-9))
+  }
+
+  test("Kalman MLE recovers noise-dominated vs signal-dominated regimes") {
+    // pure noise around constant: q should be tiny vs h
+    val flat = (0 until 300).map(_ => 5.0 + rng.nextGaussian()).toArray
+    val (q, h) = KalmanLocalLevel.fit(flat)
+    assert(q < h, s"expected q<h for white noise, got q=$q h=$h")
+  }
+
+  test("BOCPD map run length resets at a mean shift; cp_prob ~ hazard") {
+    val ys = (0 until 120).map(i =>
+      (if (i < 60) 0.0 else 8.0) + rng.nextGaussian() * 0.5)
+    val out = Bocpd.run(valueSeries(ys), "series_id", "ts", "value")
+      .orderBy("ts").collect()
+    assert(out.length === 120)
+    val mapRun = out.map(_.getAs[Int]("map_run_length"))
+    // run length grows 1,2,3,... then RESETS to ~1 right after the shift
+    assert(mapRun(59) >= 55)
+    assert(mapRun(61) <= 3, s"map run after shift: ${mapRun(61)}")
+    assert(mapRun(70) <= 12)
+    // reference-parity property: cp_prob ≈ H for a constant hazard
+    val cp = out.map(_.getAs[Double]("cp_prob"))
+    assert(cp.drop(3).forall(p => math.abs(p - 0.01) < 1e-3))
+  }
+
+  test("BOCPD detect() is deterministic and bounded in [0,1]") {
+    val xs = Array.fill(100)(rng.nextGaussian())
+    val (a, _) = Bocpd.detect(xs); val (b, _) = Bocpd.detect(xs)
+    assert(a.toSeq === b.toSeq)
+    assert(a.forall(p => p >= 0 && p <= 1))
+  }
+
+  test("GP fits a noisy sine and predicts the test region") {
+    val ys = (0 until 240).map(i =>
+      math.sin(2 * math.Pi * i / 24.0) * 3 + rng.nextGaussian() * 0.2)
+    val out = GpRegressor.run(valueSeries(ys), "series_id", "ts", "value",
+      trainFrac = 0.8, subsample = 200, period = 24)
+      .filter(col("split") === "Test").orderBy("ts").collect()
+    assert(out.length === 48)
+    val mae = out.map(r => math.abs(
+      r.getAs[Double]("value") - r.getAs[Double]("pred_mean"))).sum / 48
+    assert(mae < 1.0, s"GP test MAE $mae")
+    assert(out.forall(_.getAs[Double]("pred_std") > 0))
+  }
+
+  test("BSTS forecasts trend + seasonal structure") {
+    val ys = (0 until 300).map(i =>
+      0.05 * i + 4 * math.sin(2 * math.Pi * i / 24.0)
+        + rng.nextGaussian() * 0.3)
+    val out = Bsts.run(valueSeries(ys), "series_id", "ts", "value",
+      period = 24, harmonics = 3, trainFrac = 0.8)
+      .filter(col("split") === "Test").orderBy("ts").collect()
+    assert(out.length === 60)
+    val mae = out.map(r => math.abs(
+      r.getAs[Double]("value") - r.getAs[Double]("bsts_mean"))).sum / 60
+    val std = {
+      val v = ys.drop(240); val m = v.sum / v.length
+      math.sqrt(v.map(x => (x - m) * (x - m)).sum / v.length)
+    }
+    assert(mae < std, s"BSTS forecast MAE $mae not better than naive $std")
+    // CI contains most actuals
+    val cover = out.count(r => r.getAs[Double]("value") >=
+      r.getAs[Double]("bsts_lower") && r.getAs[Double]("value") <=
+      r.getAs[Double]("bsts_upper"))
+    assert(cover >= 48, s"CI coverage $cover/60")
+  }
+
+  test("AutoRegressor beats the naive predictor on AR(1) data") {
+    var x = 0.0
+    val ys = (0 until 400).map { _ =>
+      x = 0.9 * x + rng.nextGaussian(); x
+    }
+    val out = AutoRegressor.run(valueSeries(ys), "series_id", "ts", "value",
+      seqLen = 8, trainFrac = 0.5)
+      .filter(col("split") === "Test")
+      .select("value", "resid").collect()
+    val residVar = out.map(r => math.pow(r.getDouble(1), 2)).sum / out.length
+    val vals = out.map(_.getDouble(0))
+    val vm = vals.sum / vals.length
+    val valVar = vals.map(v => (v - vm) * (v - vm)).sum / vals.length
+    assert(residVar < valVar * 0.5,
+      s"AR resid var $residVar vs value var $valVar")
+  }
+
+  test("stl_lite decomposition reconstructs and extracts the seasonal") {
+    val ys = (0 until 240).map(i =>
+      10.0 + 5 * math.sin(2 * math.Pi * i / 24.0))
+    val out = StlLite.decompose(valueSeries(ys), "series_id", "ts", "value",
+      24).orderBy("ts").collect()
+    // value = trend + seasonal + resid by construction
+    out.foreach { r =>
+      val v = r.getAs[Double]("value")
+      val sum = r.getAs[Double]("trend") + r.getAs[Double]("seasonal") +
+        r.getAs[Double]("resid")
+      assert(math.abs(v - sum) < 1e-9)
+    }
+    // mid-series resid ~ 0 for a pure seasonal signal
+    val mid = out.slice(50, 190)
+    val mae = mid.map(r => math.abs(r.getAs[Double]("resid"))).sum / mid.length
+    assert(mae < 0.5, s"stl_lite resid MAE $mae")
+  }
+}
