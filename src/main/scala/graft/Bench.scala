@@ -14,7 +14,10 @@ object Bench {
   val headline: Seq[String] = Seq(
     "q1_pricing", "q_join_agg", "q_rolling", "q_stl_lite", "q_sweep",
     "q_eventize", "q_event_metrics", "q_label_windows", "q_mad",
-    "q_dedup_exact", "q_text_stats", "q_topk_orders")
+    "q_dedup_exact", "q_text_stats", "q_topk_orders",
+    "q_kalman", "q_bocpd", "q_hybrid",
+    "q_minhash", "q_ngram_jaccard", "q_simhash", "q_cosine_topk",
+    "q_ann_lsh", "q_quality", "q_langid")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -235,6 +235,20 @@ object SparkEntry {
         round(stddev_pop(col("value")), 6).as("std_pop"),
         round(median(col("value")), 6).as("med"))),
 
+    // O5: tail-window subsample (GP training subsample semantics)
+    "q_lastn" -> ((s, dir) =>
+      SeriesOps.lastN(ev(s, dir), "user_id", "ts", 10)
+        .select(col("user_id"), col("ts"), col("value"))),
+
+    // F5: JSON struct extraction from the props column
+    "q_json" -> ((s, dir) =>
+      ev(s, dir)
+        .withColumn("k_val",
+          get_json_object(col("props"), "$.k").cast("long"))
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n"), sum("k_val").as("sum_k"),
+          round(avg("k_val"), 9).as("avg_k"))),
+
     // TPC-H Q1-style pricing summary (scan + hash agg)
     "q1_pricing" -> ((s, dir) =>
       tbl(s, dir, "lineitem")
@@ -643,6 +657,21 @@ object SparkEntry {
         |  round(stddev_samp(value), 6) AS std_samp,
         |  round(stddev_pop(value), 6) AS std_pop,
         |  round(median(value), 6) AS med
+        |FROM events GROUP BY user_id""".stripMargin,
+
+    "q_lastn" ->
+      """SELECT user_id, ts, value FROM (
+        |  SELECT user_id, ts, value,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY ts DESC)
+        |      AS rnd
+        |  FROM events) t WHERE rnd <= 10""".stripMargin,
+
+    "q_json" ->
+      """SELECT user_id, count(*) AS n,
+        |  CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT))
+        |    AS BIGINT) AS sum_k,
+        |  round(avg(CAST(json_extract_string(props, '$.k') AS BIGINT)), 9)
+        |    AS avg_k
         |FROM events GROUP BY user_id""".stripMargin,
 
     "q1_pricing" ->
