@@ -1,0 +1,134 @@
+package graft.golden
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+import graft.events.Events
+import graft.metrics.Metrics
+import graft.models.Bocpd
+
+/** Golden-artifact parity: replay the engine's metric/model operators on
+  * the reference's OWN persisted outputs (results tree: predictions.csv,
+  * cp_probs.csv, metrics.json) and demand the reference's numbers.
+  *
+  * These run only when the reference checkout is present; the inputs are
+  * public artifacts studied for behavior (no code is derived from them).
+  */
+class GoldenSpec extends SparkSpec {
+
+  private val refRoot = "/root/reference/results"
+  private def available: Boolean = new java.io.File(refRoot).isDirectory
+
+  private def loadPredictions(dir: String, testOnly: Boolean): DataFrame = {
+    val df = spark.read.option("header", "true").csv(s"$dir/predictions.csv")
+      .withColumn("ts", to_timestamp(col("timestamp")))
+      .withColumn("is_anomaly", col("is_anomaly").cast("int"))
+      .withColumn("detected", col("detected").cast("int"))
+      .withColumn("series_id", lit("s"))
+    if (testOnly && df.columns.contains("split"))
+      df.filter(col("split") === "Test")
+    else df
+  }
+
+  private def goldenEventLevel(dir: String): Map[String, Double] = {
+    val json = ujsonLite(java.nio.file.Files.readString(
+      java.nio.file.Paths.get(s"$dir/metrics.json")))
+    json("event_level").asInstanceOf[Map[String, Any]]
+      .map { case (k, v) => k -> v.toString.toDouble }
+  }
+
+  /** minimal JSON parser for the flat metrics files (numbers + nesting) */
+  private def ujsonLite(s: String): Map[String, Any] = {
+    // metrics.json is trusted-shape: use Spark's own parser via a Dataset
+    import spark.implicits._
+    val df = spark.read.option("multiLine", "true")
+      .json(Seq(s).toDS())
+    val row = df.collect().head
+    def toMap(r: org.apache.spark.sql.Row,
+              schema: org.apache.spark.sql.types.StructType): Map[String, Any] =
+      schema.fields.zipWithIndex.map { case (f, i) =>
+        f.name -> (f.dataType match {
+          case st: org.apache.spark.sql.types.StructType =>
+            toMap(r.getStruct(i), st)
+          case _ => r.get(i)
+        })
+      }.toMap
+    toMap(row, df.schema)
+  }
+
+  private val cases = Seq(
+    ("bsts nyc_taxi", s"$refRoot/bsts/realKnownCause__nyc_taxi.csv", true),
+    ("bsts twitter (0 true events)",
+      s"$refRoot/bsts/realTweets__Twitter_volume_AMZN.csv", true),
+    ("bsts machine_temp (0 tp)",
+      s"$refRoot/bsts/realKnownCause__machine_temperature_system_failure.csv",
+      true),
+    ("enhanced_bsts nyc_taxi (f1=1.0)",
+      s"$refRoot/enhanced_bsts/realKnownCause__nyc_taxi.csv", false),
+    ("ensemble nyc_taxi",
+      s"$refRoot/ensemble/realKnownCause__nyc_taxi.csv", false))
+
+  test("event-level metrics reproduce every reference metrics.json exactly") {
+    assume(available, "reference artifacts not present")
+    cases.foreach { case (name, dir, testOnly) =>
+      val df = loadPredictions(dir, testOnly)
+      val pred = Events.eventize(df, Seq("series_id"), "ts", "detected", 3)
+      val truth = Events.eventize(df, Seq("series_id"), "ts", "is_anomaly", 3)
+      val m = Events.eventLevelMetrics(pred, truth, Seq("series_id"))
+        .collect().head
+      val gold = goldenEventLevel(dir)
+      def chk(col: String, key: String): Unit = {
+        val got: Double = m.get(m.fieldIndex(col)) match {
+          case l: Long => l.toDouble
+          case d: Double => d
+          case x => x.toString.toDouble
+        }
+        assert(math.abs(got - gold(key)) < 1e-9,
+          s"$name $key: got $got want ${gold(key)}")
+      }
+      chk("tp", "tp"); chk("fp", "fp"); chk("fn", "fn")
+      chk("n_pred_events", "n_pred_events")
+      chk("n_true_events", "n_true_events")
+      chk("precision", "precision"); chk("recall", "recall")
+      chk("f1", "f1")
+    }
+  }
+
+  test("business metrics reproduce the bsts nyc_taxi golden") {
+    assume(available, "reference artifacts not present")
+    val dir = s"$refRoot/bsts/realKnownCause__nyc_taxi.csv"
+    val df = loadPredictions(dir, testOnly = true)
+    val pred = Events.eventize(df, Seq("series_id"), "ts", "detected", 3)
+    val truth = Events.eventize(df, Seq("series_id"), "ts", "is_anomaly", 3)
+    val b = Metrics.business(df, Seq("series_id"), "ts", pred, truth)
+      .collect().head
+    val gold = ujsonLite(java.nio.file.Files.readString(
+      java.nio.file.Paths.get(s"$dir/metrics.json")))("business")
+      .asInstanceOf[Map[String, Any]]
+    assert(b.getAs[Long]("fp_count") === 9L)
+    assert(math.abs(b.getAs[Double]("duration_days") -
+      gold("duration_days").toString.toDouble) < 1e-9)
+    assert(math.abs(b.getAs[Double]("fp_per_day") -
+      gold("fp_per_day").toString.toDouble) < 1e-9)
+    assert(math.abs(b.getAs[Double]("median_latency_minutes") -
+      gold("median_latency_minutes").toString.toDouble) < 1e-9)
+  }
+
+  test("BOCPD cp_prob matches the reference golden over the full series") {
+    assume(available, "reference artifacts not present")
+    val dir = s"$refRoot/bocpd/realKnownCause__nyc_taxi.csv"
+    val df = spark.read.option("header", "true").csv(s"$dir/cp_probs.csv")
+      .withColumn("ts", to_timestamp(col("timestamp")))
+      .withColumn("value", col("value").cast("double"))
+      .withColumn("gold", col("cp_prob").cast("double"))
+      .withColumn("series_id", lit("s"))
+    val mine = Bocpd.run(df, "series_id", "ts", "value")
+      .select(col("ts"), col("cp_prob"))
+    val joined = df.select(col("ts"), col("gold"))
+      .join(mine, "ts")
+    val worst = joined
+      .agg(max(abs(col("gold") - col("cp_prob")))).collect().head.getDouble(0)
+    assert(joined.count() === 10320)
+    assert(worst < 1e-6, s"max |golden - mine| = $worst")
+  }
+}
