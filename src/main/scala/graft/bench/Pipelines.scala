@@ -1,0 +1,276 @@
+package graft.bench
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.SeriesOps
+import graft.events.Events
+import graft.io.NabIo
+import graft.metrics.Metrics
+import graft.models._
+import graft.ensemble.Hybrid
+
+/** End-to-end detection pipelines — the engine's equivalents of the
+  * reference entry points (`run_bsts.py`, `run_gp.py`, `run_lstm.py`,
+  * `run_hybrid.py`, `run_final_benchmark.py`; SURVEY §3 E1-E3).
+  *
+  * Every pipeline shares one relational skeleton: source → label-window
+  * marking (J2) → split (P3) → model forecast/score columns → residual →
+  * rolling sigma (W1/W2 with the zero-sigma → train-std fallback of
+  * kalman_model.py:70-76) → threshold sweep with persistence and rate
+  * guard (A10/P6/W8) → eventize (W7) → event + business metrics (J3/J4/
+  * A5-A7) → prediction/metrics sinks (S3/S4).
+  */
+object Pipelines {
+
+  /** Plan barrier: the pipelines chain many self-referencing joins and
+    * window layers; without truncating lineage, every DataFrame reuse
+    * duplicates the whole upstream plan subtree and Catalyst analysis
+    * goes quadratic-to-exponential (measured: minutes of driver CPU on
+    * a 400-row fixture). `localCheckpoint` materializes and cuts the
+    * plan; on a cluster the same barrier would be a persisted table. */
+  private def barrier(df: DataFrame): DataFrame =
+    df.localCheckpoint(eager = true)
+
+  case class Config(
+      labelWindowRows: Int = 3,
+      trainFrac: Double = 0.5,
+      valFrac: Double = 0.0,
+      rollingWindow: Int = 48,
+      minPeriods: Int = 5,
+      persistence: Int = 2,
+      gap: Int = 3,
+      ks: Seq[Double] = (0 until 17).map(i => 2.0 + 0.5 * i),
+      maxRate: Double = 0.10,
+      period: Int = 48)
+
+  /** Shared detector tail: given a frame with `resid` (+ optional
+    * per-row `pred_std`), build the z-score from a rolling sigma (or the
+    * model's predictive std), sweep k on the tuning split, apply the
+    * winner, and assemble the metrics record per series.
+    * Returns (annotated predictions, metrics). */
+  def detectAndScore(df: DataFrame, series: String, ts: String,
+                     cfg: Config, tuneSplit: String = "Test",
+                     sigmaSource: String = "rolling"): (DataFrame, DataFrame) = {
+    // train residual std for the zero-sigma fallback (W2)
+    val trainStd = df.filter(col("split") === "Train")
+      .groupBy(series).agg(stddev_samp(col("resid")).as("__train_std"))
+    val withSigma = sigmaSource match {
+      case "pred_std" =>
+        df.withColumn("__sigma", col("pred_std") + lit(1e-6))
+      case _ =>
+        SeriesOps.withRollingStats(df, series, ts, "resid",
+          cfg.rollingWindow, cfg.minPeriods, "__roll_mean", "__roll_std")
+          .join(broadcast(trainStd), Seq(series), "left")
+          .withColumn("__sigma",
+            when(col("__roll_std") <= lit(2e-6),
+              coalesce(col("__train_std"), lit(1.0)))
+              .otherwise(col("__roll_std")))
+    }
+    val scored = barrier(withSigma
+      .withColumn("score", SeriesOps.zscore(col("resid"), col("__sigma"))))
+    val tune = scored.filter(col("split") === tuneSplit)
+    val truthTune = Events.eventize(tune, Seq(series), ts, "is_anomaly",
+      cfg.gap)
+    val best = Metrics.sweep(tune.select(col(series), col(ts), col("score")),
+      Seq(series), ts, "score", cfg.ks, cfg.persistence, cfg.gap,
+      truthTune, cfg.maxRate)
+    // apply the winning k on the Test split
+    val test = scored.filter(col("split") === "Test")
+      .join(broadcast(barrier(best).select(col(series), col("best_k"))),
+        series)
+      .withColumn("flag",
+        SeriesOps.thresholdFlag(col("score"), col("best_k")))
+    val persisted = Events.persistFilter(test, Seq(series), ts, "flag",
+      cfg.persistence, "detected")
+    val pred = Events.eventize(persisted, Seq(series), ts, "detected",
+      cfg.gap)
+    val truth = Events.eventize(test, Seq(series), ts, "is_anomaly", cfg.gap)
+    val eventM = Events.eventLevelMetrics(pred, truth, Seq(series))
+    val pointM = Metrics.pointwise(persisted, Seq(series), "is_anomaly",
+      "detected")
+      .select(col(series), col("tp").as("pt_tp"), col("fp").as("pt_fp"),
+        col("fn").as("pt_fn"), col("precision").as("pt_precision"),
+        col("recall").as("pt_recall"), col("f1").as("pt_f1"))
+    val bizM = Metrics.business(test, Seq(series), ts, pred, truth)
+    val metrics = eventM
+      .join(pointM, Seq(series), "left")
+      .join(bizM, Seq(series), "left")
+      .join(best, Seq(series), "left")
+    (persisted, metrics)
+  }
+
+  /** Annotate a labeled series with a split column (2- or 3-way). */
+  private def prepared(series: DataFrame, labels: DataFrame, key: String,
+                       ts: String, cfg: Config): DataFrame = {
+    val marked = SeriesOps.markLabelWindows(series, labels, key, ts,
+      "label_ts", cfg.labelWindowRows)
+    barrier(SeriesOps.withSplit(marked, key, ts, cfg.trainFrac, cfg.valFrac))
+  }
+
+  /** M2 pipeline (kalman_model.py:146-243). */
+  def runKalman(series: DataFrame, labels: DataFrame, key: String,
+                ts: String, value: String, cfg: Config)
+      : (DataFrame, DataFrame) = {
+    val prep = prepared(series, labels, key, ts, cfg)
+    val kal = KalmanLocalLevel.run(prep, key, ts, value, cfg.trainFrac)
+      .withColumnRenamed("series_id", "__sid")
+    val joined = prep.join(kal.select(col("__sid"), col(ts),
+        col("pred_mean"), col("pred_std"), col("resid")),
+      prep(key).cast("string") === col("__sid") && prep(ts) === kal(ts))
+      .drop("__sid").drop(kal(ts))
+    detectAndScore(barrier(joined), key, ts, cfg)
+  }
+
+  /** M1+M7 pipeline (notebooks/01: STL residual + rolling z). */
+  def runStl(series: DataFrame, labels: DataFrame, key: String,
+             ts: String, value: String, cfg: Config,
+             exact: Boolean = false): (DataFrame, DataFrame) = {
+    val prep = prepared(series, labels, key, ts, cfg)
+    val dec =
+      if (exact) {
+        val d = StlExact.decompose(prep, key, ts, value, cfg.period)
+          .withColumnRenamed("series_id", "__sid")
+        prep.join(d.select(col("__sid"), col(ts), col("resid")),
+          prep(key).cast("string") === col("__sid") && prep(ts) === d(ts))
+          .drop("__sid").drop(d(ts))
+      } else StlLite.decompose(prep, key, ts, value, cfg.period)
+    detectAndScore(barrier(dec), key, ts, cfg)
+  }
+
+  /** M5 pipeline (run_lstm.py capability mapping). */
+  def runAutoRegressor(series: DataFrame, labels: DataFrame, key: String,
+                       ts: String, value: String, cfg: Config,
+                       seqLen: Int = 48): (DataFrame, DataFrame) = {
+    val prep = prepared(series, labels, key, ts, cfg)
+    val ar = AutoRegressor.run(prep.drop("split"), key, ts, value, seqLen,
+      cfg.trainFrac)
+    detectAndScore(barrier(ar), key, ts, cfg)
+  }
+
+  /** M3 pipeline (run_bsts.py: val-tuned 3-way split). */
+  def runBsts(series: DataFrame, labels: DataFrame, key: String,
+              ts: String, value: String, cfg0: Config)
+      : (DataFrame, DataFrame) = {
+    val cfg = if (cfg0.valFrac <= 0) cfg0.copy(valFrac = 0.25) else cfg0
+    val prep = prepared(series, labels, key, ts, cfg)
+    val b = Bsts.run(prep, key, ts, value, cfg.period, 3, cfg.trainFrac)
+      .withColumnRenamed("series_id", "__sid")
+      .withColumnRenamed("split", "__msplit")
+    val joined = prep.join(
+      b.select(col("__sid"), col(ts), col("bsts_mean")),
+      prep(key).cast("string") === col("__sid") && prep(ts) === b(ts))
+      .drop("__sid").drop(b(ts))
+      .withColumn("resid", col(value) - col("bsts_mean"))
+    detectAndScore(barrier(joined), key, ts, cfg,
+      tuneSplit = "Validation")
+  }
+
+  /** M4 pipeline (run_gp.py: predictive-std scoring on test). */
+  def runGp(series: DataFrame, labels: DataFrame, key: String,
+            ts: String, value: String, cfg: Config)
+      : (DataFrame, DataFrame) = {
+    val prep = prepared(series, labels, key, ts, cfg)
+    val g = GpRegressor.run(prep, key, ts, value, cfg.trainFrac, 1000,
+      cfg.period)
+      .withColumnRenamed("series_id", "__sid")
+      .withColumnRenamed("split", "__msplit")
+    val joined = prep.join(
+      g.select(col("__sid"), col(ts), col("pred_mean"), col("pred_std")),
+      prep(key).cast("string") === col("__sid") && prep(ts) === g(ts))
+      .drop("__sid").drop(g(ts))
+      .withColumn("resid", col(value) - col("pred_mean"))
+    detectAndScore(barrier(joined), key, ts, cfg,
+      sigmaSource = "pred_std")
+  }
+
+  /** M8 pipeline (run_hybrid.py: equal-weight mean of model z-scores,
+    * sweep on the combined score). */
+  def runHybrid(series: DataFrame, labels: DataFrame, key: String,
+                ts: String, value: String, cfg: Config)
+      : (DataFrame, DataFrame) = {
+    val prep = prepared(series, labels, key, ts, cfg)
+    // branch A: STL-lite residual / MAD z
+    val stl = StlLite.decompose(prep, key, ts, value, cfg.period)
+    val mad = SeriesOps.madSigma(stl, key, "resid", "__mad")
+    val a = stl.join(broadcast(mad), Seq(key))
+      .withColumn("score_stl",
+        SeriesOps.zscore(col("resid"), col("__mad") + lit(1e-9)))
+      .drop("__mad", "trend", "seasonal", "resid", "rn")
+    // branch B: Kalman one-step z
+    val kal = KalmanLocalLevel.run(prep, key, ts, value, cfg.trainFrac)
+      .withColumnRenamed("series_id", "__sid")
+    val ab = a.join(
+      kal.select(col("__sid"), col(ts).as("__kts"),
+        (abs(col("resid")) / (col("pred_std") + lit(1e-9)))
+          .as("score_kalman")),
+      a(key).cast("string") === col("__sid") && a(ts) === col("__kts"))
+      .drop("__sid", "__kts")
+    val combined = barrier(
+      Hybrid.combineEqual(ab, Seq("score_stl", "score_kalman"))
+        .withColumn("resid", col("combined_score")))
+    // the combined score IS the z-score: sweep directly on it
+    val tune = combined.filter(col("split") === "Test")
+    val truthTune = Events.eventize(tune, Seq(key), ts, "is_anomaly",
+      cfg.gap)
+    val best = Metrics.sweep(
+      tune.select(col(key), col(ts), col("combined_score")), Seq(key), ts,
+      "combined_score", cfg.ks, cfg.persistence, cfg.gap, truthTune,
+      cfg.maxRate)
+    val test = tune
+      .join(broadcast(barrier(best).select(col(key), col("best_k"))), key)
+      .withColumn("flag",
+        SeriesOps.thresholdFlag(col("combined_score"), col("best_k")))
+    val persisted = Events.persistFilter(test, Seq(key), ts, "flag",
+      cfg.persistence, "detected")
+    val pred = Events.eventize(persisted, Seq(key), ts, "detected", cfg.gap)
+    val truth = Events.eventize(test, Seq(key), ts, "is_anomaly", cfg.gap)
+    val metrics = Events.eventLevelMetrics(pred, truth, Seq(key))
+      .join(Metrics.business(test, Seq(key), ts, pred, truth), Seq(key),
+        "left")
+      .join(best, Seq(key), "left")
+    (persisted, metrics)
+  }
+
+  /** E1: the final benchmark — every (model, series) combination, one
+    * leaderboard ordered by event F1 (run_final_benchmark.py +
+    * aggregate_metrics.py). Per-model failures are isolated like the
+    * reference's try/except. */
+  def runFinalBenchmark(series: DataFrame, labels: DataFrame, key: String,
+                        ts: String, value: String, cfg: Config,
+                        models: Seq[String] = Seq("stl", "kalman", "ar",
+                          "hybrid")): DataFrame = {
+    val runs = models.flatMap { m =>
+      try {
+        val (_, metrics) = m match {
+          case "stl" => runStl(series, labels, key, ts, value, cfg)
+          case "kalman" => runKalman(series, labels, key, ts, value, cfg)
+          case "ar" => runAutoRegressor(series, labels, key, ts, value, cfg)
+          case "bsts" => runBsts(series, labels, key, ts, value, cfg)
+          case "gp" => runGp(series, labels, key, ts, value, cfg)
+          case "hybrid" => runHybrid(series, labels, key, ts, value, cfg)
+        }
+        Some(metrics
+          .select(lit(m.toUpperCase).as("Model"),
+            col(key).cast("string").as("Dataset"),
+            col("f1").as("Event_F1"), col("precision").as("Precision"),
+            col("recall").as("Recall"),
+            col("fp_per_day").as("FP_per_Day"),
+            col("median_latency_minutes").as("Latency_Min")))
+      } catch {
+        case e: Throwable =>
+          org.slf4j.LoggerFactory.getLogger(getClass)
+            .warn(s"model $m failed: ${e.getMessage}")
+          None
+      }
+    }
+    Metrics.leaderboard(runs)
+  }
+
+  /** S3/S4 sinks for one run. */
+  def persist(outDir: String, predictions: DataFrame,
+              metrics: DataFrame): Unit = {
+    NabIo.writePredictionsCsv(predictions, s"$outDir/predictions")
+    NabIo.writeMetricsJson(metrics, s"$outDir/metrics")
+  }
+}
