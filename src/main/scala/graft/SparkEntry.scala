@@ -197,6 +197,17 @@ object SparkEntry {
           round(col("rate"), 6).as("rate"))
     }),
 
+    // S7/A10: the full sweep curve — data behind the threshold/PR plots
+    "q_sweep_curve" -> ((s, dir) => {
+      val base = withZ(ev(s, dir)).withColumn("tflag", truthFlag)
+      val truth = Events.eventize(base, Seq("user_id"), "ts", "tflag", 3)
+      val ks = (0 until 17).map(i => 2.0 + 0.5 * i)
+      Metrics.sweepCurve(base.select("user_id", "ts", "z"), Seq("user_id"),
+        "ts", "z", ks, 2, 3, truth)
+        .select(col("user_id"), col("k"),
+          round(col("f1"), 6).as("f1"), round(col("rate"), 6).as("rate"))
+    }),
+
     // J2: as-of label-window marking (searchsorted semantics)
     "q_label_windows" -> ((s, dir) => {
       val base = ev(s, dir)
@@ -352,6 +363,12 @@ object SparkEntry {
         .select(col("user_id"), col("ts"),
           round(col("pred_mean"), 6).as("pred_mean"),
           round(col("resid"), 6).as("resid"), col("split"))),
+
+    // MLlib clustering anomaly scorer (BASELINE north-star approach)
+    "q_kmeans" -> ((s, dir) =>
+      models.KMeansDetector.run(ev(s, dir), "user_id", "ts", "value")
+        .select(col("user_id"), col("ts"), col("cluster"),
+          round(col("km_score"), 6).as("km_score"), col("split"))),
 
     // M8: hybrid ensemble — mean of model z-scores, swept detection
     "q_hybrid" -> ((s, dir) => {
@@ -621,6 +638,7 @@ object SparkEntry {
     "q_latency" -> latencySql,
     "q_business" -> businessSql,
     "q_sweep" -> sweepSql,
+    "q_sweep_curve" -> sweepCurveSql,
     "q_label_windows" -> labelWindowsSql,
 
     "q_stl_lite" ->
@@ -944,7 +962,7 @@ object SparkEntry {
       |  round(lat.median_latency_minutes, 6) AS median_latency_minutes
       |FROM span LEFT JOIN fpe USING (user_id) LEFT JOIN lat USING (user_id)""".stripMargin
 
-  private val sweepSql =
+  private val sweepCtes =
     """WITH b AS (SELECT user_id, ts, value, event_type,
       |    row_number() OVER (PARTITION BY user_id ORDER BY ts) AS rn
       |  FROM events),
@@ -1016,11 +1034,18 @@ object SparkEntry {
       |cand AS (SELECT r.user_id, r.k, r.rate, coalesce(f1s.f1, 0.0) AS f1
       |  FROM rates r LEFT JOIN f1s USING (user_id, k)
       |  WHERE r.rate <= 0.10)
-      |SELECT user_id, k AS best_k, round(f1, 6) AS best_f1,
+      |""".stripMargin
+
+  private val sweepSql = sweepCtes +
+    """SELECT user_id, k AS best_k, round(f1, 6) AS best_f1,
       |  round(rate, 6) AS rate
       |FROM cand
       |QUALIFY row_number() OVER (PARTITION BY user_id
       |  ORDER BY f1 DESC, k ASC) = 1""".stripMargin
+
+  private val sweepCurveSql = sweepCtes +
+    """SELECT user_id, k, round(f1, 6) AS f1, round(rate, 6) AS rate
+      |FROM cand""".stripMargin
 
   private val labelWindowsSql =
     """WITH s AS (SELECT user_id, ts,

@@ -86,27 +86,45 @@ object Metrics {
     * (series, k) — embarrassingly parallel across the grid.
     * Returns one row per series: (keys..., best_k, best_f1, rate).
     */
+  /** The full sweep curve — one row per (series, k) with event F1 and
+    * anomaly rate, rate-guard applied. This is the data behind the
+    * reference's PR/threshold plots (plotting.py; SURVEY S7 delivers
+    * plot data as relations); `sweep` is its argmax. */
+  def sweepCurve(df: DataFrame, keys: Seq[String], ts: String, z: String,
+                 ks: Seq[Double], persistence: Int, gap: Int,
+                 truthEvents: DataFrame, maxRate: Double = 0.10,
+                 eps: Double = 1e-9): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val grid = ks.toDF("k")
+    // one row_number pass BEFORE the grid crossJoin: the ordinal is
+    // k-independent, so computing it once avoids three window sorts over
+    // the |ks|x-multiplied table (within a (series, k) partition the
+    // per-series ordinal orders identically)
+    val withRn = graft.core.SeriesOps.withRowNumberKeys(df, keys, ts, "__srn")
+    val flagged = withRn.crossJoin(broadcast(grid))
+      .withColumn("__f", when(col(z) > col("k"), 1).otherwise(0))
+    val kk = keys :+ "k"
+    val persisted = Events.persistFilter(flagged, kk, ts, "__f", persistence,
+      "__fp", rnCol = Some("__srn"))
+    val rates = persisted.groupBy(kk.map(col): _*)
+      .agg(avg(col("__fp")).as("rate"))
+    val predEvents = Events.eventize(persisted, kk, ts, "__fp", gap,
+      rnCol = Some("__srn"))
+    val truthK = truthEvents.crossJoin(broadcast(grid))
+    val f1s = Events.eventLevelMetrics(predEvents, truthK, kk, eps)
+      .select((kk.map(col) :+ col("f1")): _*)
+    rates.join(f1s, kk, "left")
+      .na.fill(0.0, Seq("f1"))
+      .filter(col("rate") <= maxRate)
+  }
+
   def sweep(df: DataFrame, keys: Seq[String], ts: String, z: String,
             ks: Seq[Double], persistence: Int, gap: Int,
             truthEvents: DataFrame, maxRate: Double = 0.10,
             eps: Double = 1e-9): DataFrame = {
-    val spark = df.sparkSession
-    import spark.implicits._
-    val grid = ks.toDF("k")
-    val flagged = df.crossJoin(broadcast(grid))
-      .withColumn("__f", when(col(z) > col("k"), 1).otherwise(0))
-    val kk = keys :+ "k"
-    val persisted = Events.persistFilter(flagged, kk, ts, "__f", persistence,
-      "__fp")
-    val rates = persisted.groupBy(kk.map(col): _*)
-      .agg(avg(col("__fp")).as("rate"))
-    val predEvents = Events.eventize(persisted, kk, ts, "__fp", gap)
-    val truthK = truthEvents.crossJoin(broadcast(grid))
-    val f1s = Events.eventLevelMetrics(predEvents, truthK, kk, eps)
-      .select((kk.map(col) :+ col("f1")): _*)
-    val cand = rates.join(f1s, kk, "left")
-      .na.fill(0.0, Seq("f1"))
-      .filter(col("rate") <= maxRate)
+    val cand = sweepCurve(df, keys, ts, z, ks, persistence, gap,
+      truthEvents, maxRate, eps)
     val w = Window.partitionBy(keys.map(col): _*)
       .orderBy(col("f1").desc, col("k").asc)
     cand.withColumn("__r", row_number().over(w))

@@ -1,0 +1,38 @@
+package graft.models
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+/** Clustering anomaly scorer: outliers must score far above inliers. */
+class KMeansDetectorSpec extends SparkSpec {
+
+  test("outliers sit far from every centroid") {
+    val rng = new scala.util.Random(21)
+    val ys = (0 until 400).map { i =>
+      val base = 10 + 3 * math.sin(2 * math.Pi * i / 20.0) +
+        rng.nextGaussian() * 0.3
+      if (i == 250 || i == 340) base + 40 else base
+    }
+    val out = KMeansDetector.run(valueSeries(ys), "series_id", "ts",
+      "value", lags = 4, k = 4)
+      .orderBy("ts").collect()
+    val scores = out.map(_.getAs[Double]("km_score"))
+    assert(scores.forall(s => !s.isNaN && s >= 0))
+    // the two injected outliers rank in the top scores
+    val top = scores.sorted.reverse.take(12).min
+    val offset = 400 - out.length // rows dropped by lag na.drop
+    Seq(250, 340).foreach { i =>
+      assert(scores(i - offset) >= top,
+        s"outlier at $i scored ${scores(i - offset)}, top cut $top")
+    }
+  }
+
+  test("scoring is deterministic under the fixed seed") {
+    val ys = (0 until 200).map(i => math.sin(i / 10.0) * 5)
+    val a = KMeansDetector.run(valueSeries(ys), "series_id", "ts", "value")
+      .agg(sum("km_score")).collect().head.getDouble(0)
+    val b = KMeansDetector.run(valueSeries(ys), "series_id", "ts", "value")
+      .agg(sum("km_score")).collect().head.getDouble(0)
+    assert(math.abs(a - b) < 1e-9)
+  }
+}
