@@ -286,6 +286,27 @@ object SparkEntry {
           count(lit(1)).as("n_lines"),
           countDistinct(col("o_orderkey")).as("n_orders"))),
 
+    // TPC-H Q5-style multiway join (join ordering + broadcast dims)
+    "q5_region_revenue" -> ((s, dir) =>
+      tbl(s, dir, "lineitem")
+        .join(tbl(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .join(tbl(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+        .join(tbl(s, dir, "supplier"), col("l_suppkey") === col("s_suppkey"))
+        .join(tbl(s, dir, "nation"), col("s_nationkey") === col("n_nationkey"))
+        .join(tbl(s, dir, "region"), col("n_regionkey") === col("r_regionkey"))
+        .filter(col("c_nationkey") === col("s_nationkey"))
+        .groupBy("r_name", "n_name")
+        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))),
+          2).as("revenue"), count(lit(1)).as("n_lines"))),
+
+    // Streaming-shared sessionization in batch mode (session_window)
+    "q_session" -> ((s, dir) =>
+      graft.streaming.StreamingDetect.sessionEvents(
+        ev(s, dir).withColumn("flag", predFlag), "user_id", "ts", "flag",
+        gapDuration = "1 hour")
+        .select(col("user_id"), col("start_ts"), col("end_ts"),
+          col("n_points"))),
+
     // O2/top-k: orders by totalprice
     "q_topk_orders" -> ((s, dir) =>
       tbl(s, dir, "orders")
@@ -711,6 +732,32 @@ object SparkEntry {
         |  count(DISTINCT o_orderkey) AS n_orders
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |GROUP BY o_orderpriority""".stripMargin,
+
+    "q5_region_revenue" ->
+      """SELECT r_name, n_name,
+        |  round(sum(l_extendedprice*(1-l_discount)), 2) AS revenue,
+        |  count(*) AS n_lines
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE c_nationkey = s_nationkey
+        |GROUP BY r_name, n_name""".stripMargin,
+
+    "q_session" ->
+      """WITH f AS (SELECT user_id, ts FROM events WHERE value > 150),
+        |i AS (SELECT user_id, ts,
+        |    CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+        |         < INTERVAL 1 HOUR THEN 0 ELSE 1 END AS ng
+        |  FROM f),
+        |g AS (SELECT user_id, ts, sum(ng) OVER (PARTITION BY user_id
+        |    ORDER BY ts ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |    AS grp FROM i)
+        |SELECT user_id, min(ts) AS start_ts, max(ts) AS end_ts,
+        |  count(*) AS n_points
+        |FROM g GROUP BY user_id, grp""".stripMargin,
 
     "q_topk_orders" ->
       """SELECT o_orderkey, o_totalprice FROM orders

@@ -13,9 +13,11 @@ import org.apache.spark.sql.functions._
   * (the O(N³) guard of run_gp.py:62-67 — kept, it is semantics), predict
   * mean + std on the test region.
   *
-  * Hyperparameters are FIXED (documented delta per SURVEY §7.4(2):
-  * sklearn's gradient ML-II restarts are out of scope); y is normalized
-  * (sklearn `normalize_y=True`) and x scaled to the subsample index.
+  * Hyperparameters are selected by exact log-marginal likelihood over a
+  * small deterministic grid (the ML-II objective sklearn optimizes by
+  * gradient with restarts — documented delta per SURVEY §7.4(2);
+  * `optimize = false` pins the fixed default). y is normalized (sklearn
+  * `normalize_y=True`) and x scaled to the subsample index.
   *
   * Scale: per-series driver-side math inside `mapGroups` — the subsample
   * cap bounds each fit at O(subsample³) regardless of series length;
@@ -42,6 +44,36 @@ object GpRegressor {
       k
     }
   }
+
+  /** Exact log-marginal likelihood of the (normalized) train data under
+    * a kernel — the ML-II model-selection objective (sklearn optimizes
+    * this by gradient; we grid-search it, SURVEY §7.4(2)). */
+  private[models] def logMarginal(xTrain: Array[Double],
+                                  yTrain: Array[Double],
+                                  kernel: Kernel): Double = {
+    val n = xTrain.length
+    val yMean = yTrain.sum / n
+    val yStd = math.max(math.sqrt(
+      yTrain.map(v => (v - yMean) * (v - yMean)).sum / n), 1e-9)
+    val y = DenseVector(yTrain.map(v => (v - yMean) / yStd))
+    val K = DenseMatrix.tabulate(n, n) { (i, j) =>
+      kernel(xTrain(i), xTrain(j)) + (if (i == j) kernel.white + 1e-8 else 0.0)
+    }
+    val L = cholesky(K)
+    val z = lowerSolve(L, y)
+    val alpha = upperSolve(L, z)
+    var logDet = 0.0
+    var i = 0
+    while (i < n) { logDet += math.log(L(i, i)); i += 1 }
+    -0.5 * (y dot alpha) - logDet - n / 2.0 * math.log(2 * math.Pi)
+  }
+
+  /** Pick the best kernel from a candidate grid by log-marginal
+    * likelihood (first-best on ties for determinism). */
+  private[models] def selectKernel(xTrain: Array[Double],
+                                   yTrain: Array[Double],
+                                   candidates: Seq[Kernel]): Kernel =
+    candidates.maxBy(k => (logMarginal(xTrain, yTrain, k), -candidates.indexOf(k)))
 
   /** Exact GP posterior on a 1-D ordinal grid. */
   private[models] def predict(xTrain: Array[Double], yTrain: Array[Double],
@@ -109,13 +141,18 @@ object GpRegressor {
     * downstream like run_hybrid.py:55-72). */
   def run(df: DataFrame, series: String, ts: String, value: String,
           trainFrac: Double = 0.5, subsample: Int = 1000,
-          period: Double = 48, period2: Double = 0): DataFrame = {
+          period: Double = 48, period2: Double = 0,
+          optimize: Boolean = true): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
-    val kernel = Kernel(cRbf = 1.0, lRbf = 50.0, cPer = 0.5, lPer = 1.0,
-      period = period,
+    def mk(l: Double, w: Double) = Kernel(cRbf = 1.0, lRbf = l,
+      cPer = 0.5, lPer = 1.0, period = period,
       cPer2 = if (period2 > 0) 0.5 else 0.0, lPer2 = 1.0, period2 = period2,
-      white = 0.1)
+      white = w)
+    val kernel = mk(50.0, 0.1)
+    val candidates =
+      for (l <- Seq(20.0, 50.0, 100.0); w <- Seq(0.01, 0.1, 0.5))
+        yield mk(l, w)
     val typed = df.select(col(series).cast("string"), col(ts), col(value))
       .as[(String, Timestamp, Double)]
     typed.groupByKey(_._1).flatMapGroups { (sid, it) =>
@@ -128,7 +165,9 @@ object GpRegressor {
         val xTr = (s0 until trainEnd).map(_.toDouble).toArray
         val yTr = rows.slice(s0, trainEnd).map(_._3)
         val xTe = (trainEnd until n).map(_.toDouble).toArray
-        val (mean, std) = predict(xTr, yTr, xTe, kernel)
+        val chosen =
+          if (optimize) selectKernel(xTr, yTr, candidates) else kernel
+        val (mean, std) = predict(xTr, yTr, xTe, chosen)
         rows.indices.iterator.map { i =>
           if (i < trainEnd)
             Out(sid, rows(i)._2, rows(i)._3, rows(i)._3, 0.0, "Train")
