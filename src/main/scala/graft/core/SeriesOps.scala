@@ -219,6 +219,27 @@ object SeriesOps {
   def thresholdFlag(z: Column, k: Column): Column =
     when(z > k, 1).otherwise(0)
 
+  /** Skew guard: two-phase aggregation with deterministic key salting —
+    * hot series keys are spread over `salts` sub-keys (hash of the
+    * timestamp, not rand(), so results are reproducible), partially
+    * aggregated, then merged. Use when one series dominates a groupBy
+    * (the 100 TB skew pattern; AQE skew-join handles the join side).
+    * `partial`/`merge` must form a decomposable aggregate pair, e.g.
+    * (sum, sum), (count, sum), (max, max). */
+  def saltedAgg(df: DataFrame, keys: Seq[String], saltCol: String,
+                salts: Int,
+                partial: Seq[(String, Column)],
+                merge: Seq[(String, Column)]): DataFrame = {
+    val salted = df.withColumn("__salt", pmod(hash(col(saltCol)), lit(salts)))
+    val phase1 = salted
+      .groupBy((keys.map(col) :+ col("__salt")): _*)
+      .agg(partial.head._2.as(partial.head._1),
+        partial.tail.map { case (n, c) => c.as(n) }: _*)
+    phase1.groupBy(keys.map(col): _*)
+      .agg(merge.head._2.as(merge.head._1),
+        merge.tail.map { case (n, c) => c.as(n) }: _*)
+  }
+
   /** W9: autocorrelation of `value` at each requested lag, per series —
     * `corr(x_t, x_{t-k})` over the overlapping rows (notebooks/01 cell 7).
     * Output: (series, lag, acf). */

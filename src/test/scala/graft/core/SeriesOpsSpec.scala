@@ -112,6 +112,21 @@ class SeriesOpsSpec extends SparkSpec {
     assert(math.abs(samp(2) - 2.0 / (2.0 + 1e-9)) < 1e-12)
   }
 
+  test("saltedAgg equals the direct aggregate on a skewed key") {
+    import org.apache.spark.sql.functions._
+    // one hot series: 500 rows for "s" — salting spreads the partials
+    val vals = (1 to 500).map(_.toDouble)
+    val df = valueSeries(vals)
+    val direct = df.groupBy("series_id")
+      .agg(sum("value").as("s"), count(lit(1)).as("n")).collect().head
+    val salted = SeriesOps.saltedAgg(df, Seq("series_id"), "ts", 8,
+      partial = Seq("s" -> sum(col("value")), "n" -> count(lit(1))),
+      merge = Seq("s" -> sum(col("s")), "n" -> sum(col("n"))))
+      .collect().head
+    assert(salted.getAs[Double]("s") === direct.getAs[Double]("s"))
+    assert(salted.getAs[Long]("n") === direct.getAs[Long]("n"))
+  }
+
   test("lastN keeps the trailing n rows") {
     val out = SeriesOps.lastN(valueSeries((1 to 10).map(_.toDouble)),
       "series_id", "ts", 3).select("value").collect()
