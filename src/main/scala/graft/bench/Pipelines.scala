@@ -93,10 +93,19 @@ object Pipelines {
         col("fn").as("pt_fn"), col("precision").as("pt_precision"),
         col("recall").as("pt_recall"), col("f1").as("pt_f1"))
     val bizM = Metrics.business(test, Seq(series), ts, pred, truth)
-    val metrics = eventM
+    // anchor on EVERY series in the frame: a series with no events on
+    // either side still gets a (zeroed) metrics row, like the reference's
+    // per-run metrics.json
+    val allSeries = scored.select(series).distinct()
+    val metrics = allSeries
+      .join(eventM, Seq(series), "left")
       .join(pointM, Seq(series), "left")
       .join(bizM, Seq(series), "left")
       .join(best, Seq(series), "left")
+      .na.fill(0L, Seq("tp", "fp", "fn", "n_pred_events", "n_true_events",
+        "pt_tp", "pt_fp", "pt_fn"))
+      .na.fill(0.0, Seq("precision", "recall", "f1", "pt_precision",
+        "pt_recall", "pt_f1"))
     (persisted, metrics)
   }
 
