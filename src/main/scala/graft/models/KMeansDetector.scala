@@ -34,6 +34,7 @@ object KMeansDetector {
       new StandardScaler().setInputCol("__feat").setOutputCol("__scaled")
         .setWithMean(true).setWithStd(true),
       new KMeans().setK(k).setSeed(seed).setFeaturesCol("__scaled")
+        .setMaxIter(10).setTol(1e-3)
         .setPredictionCol("cluster")))
     val model = pipeline.fit(split.filter(col("split") === "Train"))
     val kmeans = model.stages.last
