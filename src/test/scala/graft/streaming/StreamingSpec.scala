@@ -39,6 +39,30 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("rollingStats windows aggregate per series with a watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[(String, Timestamp, Double)]
+    val df = input.toDF().toDF("series_id", "ts", "value")
+    val stats = StreamingDetect.rollingStats(df, "series_id", "ts",
+      "value", "10 seconds", "10 seconds")
+    val q = stats.writeStream.format("memory").queryName("roll")
+      .outputMode("complete").start()
+    try {
+      input.addData(
+        ("s", Timestamp.valueOf("2024-01-01 00:00:01"), 2.0),
+        ("s", Timestamp.valueOf("2024-01-01 00:00:05"), 4.0),
+        ("s", Timestamp.valueOf("2024-01-01 00:00:12"), 9.0))
+      q.processAllAvailable()
+      val rows = spark.sql("select * from roll order by window_start")
+        .collect()
+      assert(rows.length === 2)
+      assert(rows(0).getAs[Double]("roll_mean") === 3.0)
+      assert(rows(0).getAs[Long]("n") === 2)
+      assert(rows(1).getAs[Double]("roll_mean") === 9.0)
+    } finally q.stop()
+  }
+
   test("statefulKalman carries state across micro-batches") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
