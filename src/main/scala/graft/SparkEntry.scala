@@ -440,7 +440,8 @@ object SparkEntry {
         .select(col("id_a"), col("id_b"),
           round(col("est_jaccard"), 6).as("est_jaccard"))),
 
-    // LLM-pipeline: SimHash near-dup (16-bit banded hamming)
+    // LLM-pipeline: SimHash near-dup; banding is derived from maxDist
+    // (16×4-bit chunks for maxDist=10), so recall within maxDist is exact
     "q_simhash" -> ((s, dir) =>
       llm.Dedup.simhashCandidates(tbl(s, dir, "documents"), "doc_id",
         "text", maxDist = 10)
@@ -458,16 +459,22 @@ object SparkEntry {
     // LLM-pipeline: hyperplane-LSH ANN top-k (bucketed scale path)
     "q_ann_lsh" -> ((s, dir) => {
       val emb = tbl(s, dir, "embeddings")
+      // planes=16, bands=8 (2-bit bands): the synthetic embeddings are
+      // diffuse (top neighbors at cosine 0.26-0.40), so recall needs
+      // narrow bands; AnnRecallSpec pins recall >= 0.8 vs brute force.
       llm.Similarity.lshTopK(emb, emb.filter(col("vec_id") < 5), "vec_id",
-        "embedding", 3, planes = 16)
+        "embedding", 3, planes = 16, bands = 8)
         .select(col("query_id"), col("corpus_id"),
           round(col("cosine"), 6).as("cosine"), col("rank"))
     }),
 
     // LLM-pipeline: embedding cosine near-dup via LSH buckets
     "q_embed_neardup" -> ((s, dir) =>
+      // threshold 0.4 sits at the top of this corpus's cosine range (59
+      // true pairs at sf0.01; the max pairwise cosine is 0.51, so 0.8
+      // would be vacuously empty regardless of recall)
       llm.Dedup.embeddingNearDup(tbl(s, dir, "embeddings"), "vec_id",
-        "embedding", minCosine = 0.8, planes = 16)
+        "embedding", minCosine = 0.4, planes = 16, bands = 8)
         .select(col("id_a"), col("id_b"),
           round(col("cosine"), 6).as("cosine"))),
 

@@ -127,14 +127,30 @@ object Dedup {
     agg.select(col(id), fp.as("simhash"))
   }
 
-  /** Near-dup candidates by SimHash hamming distance <= maxDist, banded
-    * on 4 16-bit chunks (any pair within distance 3 shares a chunk). */
+  /** Near-dup candidates by SimHash hamming distance <= maxDist.
+    *
+    * Banding is derived from the recall contract, not fixed: the 64-bit
+    * fingerprint splits into the smallest divisor-of-64 number of chunks
+    * that EXCEEDS maxDist — by pigeonhole, any pair within maxDist flips
+    * fewer bits than there are chunks, so at least one chunk is intact
+    * and the pair shares a bucket. Recall within maxDist is therefore
+    * exact (not probabilistic). maxDist=3 → 4×16-bit chunks;
+    * maxDist=7 → 8×8; maxDist=10 → 16×4.
+    *
+    * Scale note: high maxDist → narrow chunks → hot buckets (a 4-bit
+    * chunk has 16 buckets). For maxDist > 7 at corpus scale prefer the
+    * multi-index permuted-table scheme; the candidate join here is still
+    * bucket-partitioned, never all-pairs. */
   def simhashCandidates(df: DataFrame, id: String, text: String,
                         maxDist: Int = 3): DataFrame = {
+    require(maxDist >= 0 && maxDist < 64, s"maxDist=$maxDist out of [0,64)")
     val fps = simhash(df, id, text)
-    val chunks = (0 until 4).map { c =>
+    val nChunks = Seq(1, 2, 4, 8, 16, 32, 64).find(_ > maxDist).get
+    val width = 64 / nChunks
+    val mask = if (width == 64) -1L else (1L << width) - 1
+    val chunks = (0 until nChunks).map { c =>
       struct(lit(c).as("chunk"),
-        shiftright(col("simhash"), c * 16).bitwiseAND(0xffffL).as("key"))
+        shiftright(col("simhash"), c * width).bitwiseAND(mask).as("key"))
     }
     val buckets = fps.select(col(id).as("doc"), col("simhash"),
         explode(array(chunks: _*)).as("b"))
@@ -150,11 +166,13 @@ object Dedup {
       .filter(col("hamming") <= maxDist)
   }
 
-  /** Embedding cosine near-dup: hyperplane-LSH bucket join (Similarity),
-    * exact cosine inside buckets, threshold. */
+  /** Embedding cosine near-dup: hyperplane-LSH bucket join (Similarity,
+    * OR-amplified bands), exact cosine inside buckets, threshold. Recall
+    * is probabilistic — pick (planes, bands) from the S-curve for the
+    * target cosine (see Similarity.bandKeys). */
   def embeddingNearDup(df: DataFrame, id: String, vec: String,
-                       minCosine: Double = 0.95, planes: Int = 16
-                      ): DataFrame =
-    Similarity.lshPairs(df, id, vec, planes)
+                       minCosine: Double = 0.95, planes: Int = 16,
+                       bands: Int = 4): DataFrame =
+    Similarity.lshPairs(df, id, vec, planes, bands)
       .filter(col("cosine") >= minCosine)
 }

@@ -71,19 +71,38 @@ object Similarity {
     proj.reduce(_.bitwiseOR(_))
   }
 
-  /** Candidate pairs sharing an LSH bucket (16-bit band split of the
-    * signature), with exact cosine computed only inside buckets. */
-  def lshPairs(df: DataFrame, id: String, vec: String, planes: Int = 16
-              ): DataFrame = {
+  /** OR-amplified band decomposition of an LSH signature: `bands` bands
+    * of `planes/bands` sign bits each. A pair is a candidate iff it
+    * agrees on ALL bits of AT LEAST ONE band (AND within a band, OR
+    * across bands) — the classic S-curve
+    * `P(candidate) = 1 - (1 - (1 - θ/π)^r)^b` with r = planes/bands.
+    *
+    * Tuning: near-dup mining on corpora with a real similarity gap
+    * (cosine ≥ 0.9 targets) wants wide bands — planes=64, bands=8 keeps
+    * random-pair collisions ≈ b/2^r ≈ 3% while recall at cosine 0.9 stays
+    * ≈ 0.94. Diffuse spaces (targets at cosine 0.3–0.5) need narrow
+    * bands — planes=16, bands=8 — trading candidate volume for recall.
+    * A single wide band (the round-2 default) has ~2% recall even at
+    * cosine 0.8 — never do that. */
+  private def bandKeys(sigCol: Column, planes: Int, bands: Int): Column = {
+    require(planes % bands == 0 && planes <= 63,
+      s"planes=$planes must be a multiple of bands=$bands and <= 63")
+    val width = planes / bands
+    val mask = (1L << width) - 1
+    array((0 until bands).map { c =>
+      struct(lit(c).as("chunk"),
+        shiftright(sigCol, c * width).bitwiseAND(mask).as("key"))
+    }: _*)
+  }
+
+  /** Candidate pairs sharing any LSH band bucket (OR-amplified, see
+    * [[bandKeys]]), with exact cosine computed only inside buckets. */
+  def lshPairs(df: DataFrame, id: String, vec: String, planes: Int = 16,
+               bands: Int = 4): DataFrame = {
     val sig = df.select(col(id).as("doc"), col(vec).as("__v"))
       .withColumn("__sig", lshSignature(col("__v"), planes))
-    val nBands = math.max(planes / 16, 1)
-    val chunks = (0 until nBands).map { c =>
-      struct(lit(c).as("chunk"),
-        shiftright(col("__sig"), c * 16).bitwiseAND(0xffffL).as("key"))
-    }
     val buckets = sig.select(col("doc"), col("__v"),
-        explode(array(chunks: _*)).as("b"))
+        explode(bandKeys(col("__sig"), planes, bands)).as("b"))
       .select(col("doc"), col("__v"), col("b.chunk"), col("b.key"))
     val a = buckets.select(col("chunk"), col("key"), col("doc").as("id_a"),
       col("__v").as("__va"))
@@ -97,24 +116,20 @@ object Similarity {
   }
 
   /** LSH-accelerated top-k: exact cosine only for bucket-mates of each
-    * query; recall is tunable via `planes` (fewer planes → bigger
-    * buckets → higher recall, more compute). */
+    * query. Recall follows the [[bandKeys]] S-curve — more/narrower
+    * bands → higher recall and more candidates; wider bands → cheaper
+    * and sharper (only works when true neighbors are genuinely close). */
   def lshTopK(df: DataFrame, queries: DataFrame, id: String, vec: String,
-              k: Int, planes: Int = 16): DataFrame = {
+              k: Int, planes: Int = 16, bands: Int = 4): DataFrame = {
     val sig = df.select(col(id).as("corpus_id"), col(vec).as("__cv"))
       .withColumn("__sig", lshSignature(col("__cv"), planes))
     val qsig = queries.select(col(id).as("query_id"), col(vec).as("__qv"))
       .withColumn("__qsig", lshSignature(col("__qv"), planes))
-    val nBands = math.max(planes / 16, 1)
-    def bands(sigCol: Column) = array((0 until nBands).map { c =>
-      struct(lit(c).as("chunk"),
-        shiftright(sigCol, c * 16).bitwiseAND(0xffffL).as("key"))
-    }: _*)
     val cb = sig.select(col("corpus_id"), col("__cv"),
-        explode(bands(col("__sig"))).as("b"))
+        explode(bandKeys(col("__sig"), planes, bands)).as("b"))
       .select(col("corpus_id"), col("__cv"), col("b.chunk"), col("b.key"))
     val qb = qsig.select(col("query_id"), col("__qv"),
-        explode(bands(col("__qsig"))).as("b"))
+        explode(bandKeys(col("__qsig"), planes, bands)).as("b"))
       .select(col("query_id"), col("__qv"), col("b.chunk"), col("b.key"))
     val cand = cb.join(broadcast(qb), Seq("chunk", "key"))
       .filter(col("query_id") =!= col("corpus_id"))

@@ -1,0 +1,77 @@
+package graft.llm
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+/** Dedup operator contracts, including the SimHash pigeonhole recall
+  * guarantee: banding derived from maxDist must never miss a pair whose
+  * hamming distance is within maxDist.
+  */
+class DedupSpec extends SparkSpec {
+
+  /** Exhaustive hamming ground truth for a corpus, via the fingerprints
+    * the operator itself computes (the contract under test is the
+    * CANDIDATE GENERATION, given those fingerprints). */
+  private def exhaustivePairs(docs: org.apache.spark.sql.DataFrame,
+                              maxDist: Int): Set[(Long, Long)] = {
+    val fps = Dedup.simhash(docs, "doc_id", "text")
+    val a = fps.select(col("doc_id").as("id_a"), col("simhash").as("fa"))
+    val b = fps.select(col("doc_id").as("id_b"), col("simhash").as("fb"))
+    a.join(b, col("id_a") < col("id_b"))
+      .filter(bit_count(col("fa").bitwiseXOR(col("fb"))) <= maxDist)
+      .select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+  }
+
+  /** Documents built from a small vocabulary so hamming distances spread
+    * over 0..64 and several pairs land within each tested radius. */
+  private def corpus() = {
+    import spark.implicits._
+    val vocab = Vector("alpha", "beta", "gamma", "delta", "epsilon", "zeta",
+      "eta", "theta", "iota", "kappa")
+    val rng = new scala.util.Random(11)
+    val base = (0 until 30).map { i =>
+      (i.toLong, Seq.fill(20)(vocab(rng.nextInt(vocab.size))).mkString(" "))
+    }
+    // jittered copies: swap one word -> small hamming distance
+    val dups = (0 until 10).map { i =>
+      val (bid, text) = base(i)
+      val words = text.split(" ")
+      words(rng.nextInt(words.length)) = vocab(rng.nextInt(vocab.size))
+      (100L + bid, words.mkString(" "))
+    }
+    (base ++ dups).toDF("doc_id", "text")
+  }
+
+  test("simhashCandidates misses no pair within maxDist (pigeonhole)") {
+    val docs = corpus()
+    for (maxDist <- Seq(3, 7, 10)) {
+      val truth = exhaustivePairs(docs, maxDist)
+      val cand = Dedup.simhashCandidates(docs, "doc_id", "text", maxDist)
+        .select("id_a", "id_b").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(truth.nonEmpty, s"test corpus has no pairs within $maxDist")
+      assert(truth.subsetOf(cand),
+        s"maxDist=$maxDist missed ${(truth -- cand).size}/${truth.size} pairs")
+    }
+  }
+
+  test("simhashCandidates emits only pairs within maxDist") {
+    val docs = corpus()
+    val out = Dedup.simhashCandidates(docs, "doc_id", "text", maxDist = 7)
+      .collect()
+    assert(out.nonEmpty)
+    out.foreach(r =>
+      assert(r.getAs[Number]("hamming").longValue() <= 7))
+  }
+
+  test("exact dedup groups identical fingerprints") {
+    import spark.implicits._
+    val df = Seq((1L, "a b c"), (2L, "a b c"), (3L, "x y z"))
+      .toDF("doc_id", "text")
+    val out = Dedup.exact(df, "doc_id", Seq("text")).collect()
+    assert(out.length == 2)
+    val dup = out.find(_.getAs[Long]("n_dups") == 2L).get
+    assert(dup.getAs[Long]("keep_id") == 1L)
+  }
+}
