@@ -175,6 +175,29 @@ object Pipelines {
       tuneSplit = "Validation")
   }
 
+  /** M3 enhanced pipeline (notebooks/02 `run_enhanced_bsts_pipeline`):
+    * daily+weekly trigonometric seasonality (periods 48/336, 10 harmonics
+    * each), MLE variances, 2-way split, threshold sweep tuned directly on
+    * Test with no rate guard — pass `cfg.maxRate > 1` to disable it and
+    * `cfg.ks = 3..12 step 1` for the notebook's grid. */
+  def runEnhancedBsts(series: DataFrame, labels: DataFrame, key: String,
+                      ts: String, value: String, cfg: Config,
+                      seasonal: Seq[(Double, Int)] =
+                        Seq((48.0, 10), (336.0, 10)))
+      : (DataFrame, DataFrame) = {
+    val prep = prepared(series, labels, key, ts, cfg)
+    val b = Bsts.run(prep, key, ts, value, seasonal, cfg.trainFrac,
+        mle = true)
+      .withColumnRenamed("series_id", "__sid")
+      .withColumnRenamed("split", "__msplit")
+    val joined = prep.join(
+      b.select(col("__sid"), col(ts), col("bsts_mean")),
+      prep(key).cast("string") === col("__sid") && prep(ts) === b(ts))
+      .drop("__sid").drop(b(ts))
+      .withColumn("resid", col(value) - col("bsts_mean"))
+    detectAndScore(barrier(joined), key, ts, cfg, tuneSplit = "Test")
+  }
+
   /** M4 pipeline (run_gp.py: predictive-std scoring on test). */
   def runGp(series: DataFrame, labels: DataFrame, key: String,
             ts: String, value: String, cfg: Config)

@@ -2,12 +2,11 @@ package graft.models
 
 import java.sql.Timestamp
 
-import breeze.linalg.{DenseMatrix, DenseVector}
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
-/** M3: Bayesian structural time series — local linear trend +
-  * trigonometric seasonal state space, the capability of statsmodels
+/** M3: Bayesian structural time series — local linear trend plus one or
+  * more trigonometric seasonal components, the capability of statsmodels
   * UnobservedComponents as configured by the reference
   * (`src/bsts_model.py:12-50`: level='local linear trend',
   * freq_seasonal=[{period, harmonics ≤ 10}]; harmonic cap at
@@ -15,12 +14,19 @@ import org.apache.spark.sql.functions._
   * (`dynamic=True` run-out, bsts_model.py:52-71).
   *
   * State: [level, slope] ⊕ one 2-dim rotation block per harmonic.
-  * Variance parameters are FIXED relative to the train variance
-  * (SURVEY §7.4(1): exact statsmodels MLE parity is explicitly out of
-  * scope; golden tests are tolerance-based).
+  * Variance parameters are fitted per series by MLE — coordinate
+  * golden-section ascent in log-variance space on the exact filter
+  * log-likelihood, the same pattern as [[KalmanLocalLevel.fit]] but over
+  * (h, qLevel, qSlope, qSeas per seasonal component). statsmodels
+  * optimizer-trajectory parity is out of scope (SURVEY §7.4(1)); the
+  * golden tests are tolerance-based.
   *
-  * Scale: same mapGroups-per-series contract as M2; filter cost
-  * O(n·d²) with d = 2 + 2·harmonics.
+  * Scale: same mapGroups-per-series contract as M2. The filter exploits
+  * the block structure of the transition matrix (trend 2×2 + per-harmonic
+  * rotations), so one step costs O(d²) rather than the O(d³) of a dense
+  * triple product — at the reference's enhanced config (periods [48,336],
+  * 10 harmonics each, d=42) that is the difference between seconds and
+  * minutes per series for the MLE's ~10² likelihood evaluations.
   */
 object Bsts {
 
@@ -28,85 +34,237 @@ object Bsts {
                  bsts_mean: Double, bsts_lower: Double, bsts_upper: Double,
                  split: String)
 
-  private[models] class Model(period: Double, harmonics: Int,
+  /** State-space model for fixed variances. `seasonal` is a list of
+    * (period, harmonics). All hot loops are on raw arrays (row-major P). */
+  private[models] class Model(seasonal: Seq[(Double, Int)],
                               qLevel: Double, qSlope: Double,
-                              qSeas: Double, val h: Double) {
-    val d: Int = 2 + 2 * harmonics
-    val T: DenseMatrix[Double] = {
-      val t = DenseMatrix.zeros[Double](d, d)
-      t(0, 0) = 1.0; t(0, 1) = 1.0; t(1, 1) = 1.0
-      var j = 0
-      while (j < harmonics) {
-        val lam = 2 * math.Pi * (j + 1) / period
-        val i = 2 + 2 * j
-        t(i, i) = math.cos(lam); t(i, i + 1) = math.sin(lam)
-        t(i + 1, i) = -math.sin(lam); t(i + 1, i + 1) = math.cos(lam)
-        j += 1
+                              qSeas: Seq[Double], val h: Double) {
+    require(seasonal.nonEmpty && seasonal.size == qSeas.size)
+    val d: Int = 2 + 2 * seasonal.map(_._2).sum
+
+    // per-harmonic rotation blocks: (state index, cos λ, sin λ)
+    private val blocks: Array[(Int, Double, Double)] = {
+      val b = Array.newBuilder[(Int, Double, Double)]
+      var i = 2
+      for ((period, harm) <- seasonal; j <- 1 to harm) {
+        val lam = 2 * math.Pi * j / period
+        b += ((i, math.cos(lam), math.sin(lam)))
+        i += 2
       }
-      t
+      b.result()
     }
-    val Z: DenseVector[Double] = {
-      val z = DenseVector.zeros[Double](d)
-      z(0) = 1.0
-      var j = 0
-      while (j < harmonics) { z(2 + 2 * j) = 1.0; j += 1 }
-      z
-    }
-    val Q: DenseVector[Double] = {
-      val q = DenseVector.zeros[Double](d)
+    // observation picks level + first state of every harmonic block
+    private val zIdx: Array[Int] = 0 +: blocks.map(_._1)
+    private val qDiag: Array[Double] = {
+      val q = new Array[Double](d)
       q(0) = qLevel; q(1) = qSlope
-      var j = 2
-      while (j < d) { q(j) = qSeas; j += 1 }
+      var i = 2
+      for (((_, harm), qs) <- seasonal.zip(qSeas); _ <- 0 until 2 * harm) {
+        q(i) = qs; i += 1
+      }
       q
     }
 
-    /** Filter ys; returns (loglik, final a, final P). */
-    def filter(ys: Array[Double], a0: DenseVector[Double],
-               p0: DenseMatrix[Double])
-        : (Double, DenseVector[Double], DenseMatrix[Double]) = {
-      var a = a0; var p = p0
+    private def tVec(a: Array[Double]): Unit = {
+      a(0) += a(1)
+      var b = 0
+      while (b < blocks.length) {
+        val (i, c, s) = blocks(b)
+        val x = a(i); val y = a(i + 1)
+        a(i) = c * x + s * y; a(i + 1) = -s * x + c * y
+        b += 1
+      }
+    }
+
+    /** P := T P (left-multiply rows of row-major P). */
+    private def tRows(p: Array[Double]): Unit = {
+      var j = 0
+      while (j < d) { p(j) += p(d + j); j += 1 }
+      var b = 0
+      while (b < blocks.length) {
+        val (i, c, s) = blocks(b)
+        val r0 = i * d; val r1 = r0 + d
+        var k = 0
+        while (k < d) {
+          val x = p(r0 + k); val y = p(r1 + k)
+          p(r0 + k) = c * x + s * y; p(r1 + k) = -s * x + c * y
+          k += 1
+        }
+        b += 1
+      }
+    }
+
+    /** P := P Tᵀ (right-multiply columns). */
+    private def tCols(p: Array[Double]): Unit = {
+      var r = 0
+      while (r < d) { p(r * d) += p(r * d + 1); r += 1 }
+      var b = 0
+      while (b < blocks.length) {
+        val (i, c, s) = blocks(b)
+        var row = 0
+        while (row < d) {
+          val base = row * d
+          val x = p(base + i); val y = p(base + i + 1)
+          p(base + i) = c * x + s * y; p(base + i + 1) = -s * x + c * y
+          row += 1
+        }
+        b += 1
+      }
+    }
+
+    /** One time-update: a := T a; P := T P Tᵀ + Q. */
+    private def predictStep(a: Array[Double], p: Array[Double]): Unit = {
+      tVec(a); tRows(p); tCols(p)
+      var i = 0
+      while (i < d) { p(i * d + i) += qDiag(i); i += 1 }
+    }
+
+    private def zDot(a: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < zIdx.length) { s += a(zIdx(i)); i += 1 }
+      s
+    }
+
+    /** Filter ys from (a, P) IN PLACE; returns loglik. Optional output
+      * arrays receive the one-step prediction mean/variance per row. */
+    def filter(ys: Array[Double], a: Array[Double], p: Array[Double],
+               outMean: Array[Double] = null,
+               outVar: Array[Double] = null): Double = {
+      val nz = zIdx.length
+      val zp = new Array[Double](d)
+      val kv = new Array[Double](d)
       var ll = 0.0
       var t = 0
       while (t < ys.length) {
-        val aPred = T * a
-        var pPred = T * p * T.t
-        var i = 0
-        while (i < d) { pPred(i, i) += Q(i); i += 1 }
-        val f = (Z.t * pPred * Z) + h
-        val v = ys(t) - (Z dot aPred)
+        predictStep(a, p)
+        // zp = Z P (column sums over observed rows); k = P Zᵀ (row sums)
+        var j = 0
+        while (j < d) {
+          var s1 = 0.0; var s2 = 0.0; var i = 0
+          while (i < nz) {
+            val z = zIdx(i)
+            s1 += p(z * d + j)      // (Z P)_j
+            s2 += p(j * d + z)      // (P Zᵀ)_j
+            i += 1
+          }
+          zp(j) = s1; kv(j) = s2
+          j += 1
+        }
+        var f = h
+        var i2 = 0
+        while (i2 < nz) { f += zp(zIdx(i2)); i2 += 1 }
+        val mu = zDot(a)
+        val v = ys(t) - mu
+        if (outMean != null) outMean(t) = mu
+        if (outVar != null) outVar(t) = f
         ll += -0.5 * (math.log(2 * math.Pi * f) + v * v / f)
-        val k = (pPred * Z) / f
-        a = aPred + k * v
-        p = pPred - (k * Z.t * pPred)
+        var i3 = 0
+        while (i3 < d) { kv(i3) /= f; i3 += 1 }
+        i3 = 0
+        while (i3 < d) { a(i3) += kv(i3) * v; i3 += 1 }
+        var r = 0
+        while (r < d) {
+          val base = r * d; val kr = kv(r)
+          var c = 0
+          while (c < d) { p(base + c) -= kr * zp(c); c += 1 }
+          r += 1
+        }
         t += 1
       }
-      (ll, a, p)
+      ll
     }
 
-    /** Dynamic forecast h steps from state (a, P): mean + obs variance. */
-    def forecast(a0: DenseVector[Double], p0: DenseMatrix[Double],
-                 steps: Int): (Array[Double], Array[Double]) = {
-      var a = a0; var p = p0
+    /** Dynamic forecast from state (a, P), NOT mutated: mean + obs var. */
+    def forecast(a0: Array[Double], p0: Array[Double], steps: Int)
+        : (Array[Double], Array[Double]) = {
+      val a = a0.clone(); val p = p0.clone()
       val mean = new Array[Double](steps); val varr = new Array[Double](steps)
+      val nz = zIdx.length
       var t = 0
       while (t < steps) {
-        a = T * a
-        p = T * p * T.t
+        predictStep(a, p)
+        mean(t) = zDot(a)
+        var f = h
         var i = 0
-        while (i < d) { p(i, i) += Q(i); i += 1 }
-        mean(t) = Z dot a
-        varr(t) = (Z.t * p * Z) + h
+        while (i < nz) {
+          var j = 0
+          while (j < nz) { f += p(zIdx(i) * d + zIdx(j)); j += 1 }
+          i += 1
+        }
+        varr(t) = f
         t += 1
       }
       (mean, varr)
     }
+
+    def initState(y0: Double, p0diag: Double): (Array[Double], Array[Double]) = {
+      val a = new Array[Double](d); a(0) = y0
+      val p = new Array[Double](d * d)
+      var i = 0
+      while (i < d) { p(i * d + i) = p0diag; i += 1 }
+      (a, p)
+    }
   }
 
-  /** Pipeline: fit-free filter on train (fixed variances scaled by train
-    * variance), forecast the rest with a 1.96σ CI. */
+  /** Golden-section max of f over [lo, hi]. */
+  private def golden(lo0: Double, hi0: Double, iters: Int)(f: Double => Double)
+      : Double = {
+    val phi = (math.sqrt(5.0) - 1) / 2
+    var lo = lo0; var hi = hi0
+    var c = hi - phi * (hi - lo); var d = lo + phi * (hi - lo)
+    var fc = f(c); var fd = f(d)
+    var i = 0
+    while (i < iters) {
+      if (fc > fd) { hi = d; d = c; fd = fc; c = hi - phi * (hi - lo); fc = f(c) }
+      else { lo = c; c = d; fc = fd; d = lo + phi * (hi - lo); fd = f(d) }
+      i += 1
+    }
+    (lo + hi) / 2
+  }
+
+  /** MLE of (qLevel, qSlope, qSeas.., h) by coordinate golden-section in
+    * log-variance space (the [[KalmanLocalLevel.fit]] pattern widened to
+    * 3 + #seasonal parameters). Start points are the train-variance
+    * heuristics the fixed-variance mode used. */
+  private[models] def fit(train: Array[Double], seasonal: Seq[(Double, Int)],
+                          rounds: Int = 2, goldenIters: Int = 12)
+      : (Double, Double, Seq[Double], Double) = {
+    val m0 = train.sum / train.length
+    val v0 = math.max(
+      train.map(x => (x - m0) * (x - m0)).sum / train.length, 1e-8)
+    val nSeas = seasonal.size
+    // log-variance parameter vector: [h, qLevel, qSlope, qSeas...]
+    val p = Array(math.log(v0 * 0.5), math.log(v0 * 1e-2),
+      math.log(v0 * 1e-4)) ++ Array.fill(nSeas)(math.log(v0 * 1e-3))
+    def ll(ps: Array[Double]): Double = {
+      val model = new Model(seasonal, math.exp(ps(1)), math.exp(ps(2)),
+        (0 until nSeas).map(i => math.exp(ps(3 + i))), math.exp(ps(0)))
+      val (a, pm) = model.initState(train(0), v0 * 1e3)
+      model.filter(train, a, pm)
+    }
+    var r = 0
+    while (r < rounds) {
+      var i = 0
+      while (i < p.length) {
+        val fixed = p.clone()
+        p(i) = golden(p(i) - 6, p(i) + 6, goldenIters) { x =>
+          fixed(i) = x; ll(fixed)
+        }
+        i += 1
+      }
+      r += 1
+    }
+    (math.exp(p(1)), math.exp(p(2)),
+      (0 until nSeas).map(i => math.exp(p(3 + i))), math.exp(p(0)))
+  }
+
+  /** Pipeline over every series: MLE-fit variances on the train region
+    * (or train-variance-scaled fixed values when `mle=false`), filter the
+    * train region emitting one-step predictions, then dynamically
+    * forecast the rest with a 1.96σ CI. */
   def run(df: DataFrame, series: String, ts: String, value: String,
-          period: Double = 48, harmonics: Int = 3,
-          trainFrac: Double = 0.5): DataFrame = {
+          seasonal: Seq[(Double, Int)], trainFrac: Double,
+          mle: Boolean): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
     val typed = df.select(col(series).cast("string"), col(ts), col(value))
@@ -122,29 +280,20 @@ object Bsts {
         val m0 = train.sum / trainEnd
         val v0 = math.max(
           train.map(x => (x - m0) * (x - m0)).sum / trainEnd, 1e-8)
-        val model = new Model(period, harmonics,
-          qLevel = v0 * 1e-2, qSlope = v0 * 1e-4, qSeas = v0 * 1e-3,
-          h = v0 * 0.5)
-        val a0 = DenseVector.zeros[Double](model.d); a0(0) = ys(0)
-        val p0 = DenseMatrix.eye[Double](model.d) * (v0 * 1e3)
-        // filtered one-step predictions on train
-        var a = a0; var p = p0
+        val (qLevel, qSlope, qSeas, h) =
+          if (mle) fit(train, seasonal)
+          else (v0 * 1e-2, v0 * 1e-4, seasonal.map(_ => v0 * 1e-3), v0 * 0.5)
+        val model = new Model(seasonal, qLevel, qSlope, qSeas, h)
+        val (a, p) = model.initState(ys(0), v0 * 1e3)
+        val oneMean = new Array[Double](trainEnd)
+        val oneVar = new Array[Double](trainEnd)
+        model.filter(train, a, p, oneMean, oneVar)
         val out = new Array[Out](n)
         var t = 0
         while (t < trainEnd) {
-          val aPred = model.T * a
-          var pPred = model.T * p * model.T.t
-          var i = 0
-          while (i < model.d) { pPred(i, i) += model.Q(i); i += 1 }
-          val f = (model.Z.t * pPred * model.Z) + model.h
-          val mu = model.Z dot aPred
-          val sd = math.sqrt(f)
-          out(t) = Out(sid, rows(t)._2, ys(t), mu, mu - 1.96 * sd,
-            mu + 1.96 * sd, "Train")
-          val v = ys(t) - mu
-          val k = (pPred * model.Z) / f
-          a = aPred + k * v
-          p = pPred - (k * model.Z.t * pPred)
+          val sd = math.sqrt(oneVar(t))
+          out(t) = Out(sid, rows(t)._2, ys(t), oneMean(t),
+            oneMean(t) - 1.96 * sd, oneMean(t) + 1.96 * sd, "Train")
           t += 1
         }
         val (fm, fv) = model.forecast(a, p, n - trainEnd)
@@ -160,8 +309,15 @@ object Bsts {
     }.toDF()
   }
 
-  // expose fixed variance knobs through the Model for tests
+  /** Single-seasonal convenience (the original M3 surface). */
+  def run(df: DataFrame, series: String, ts: String, value: String,
+          period: Double = 48, harmonics: Int = 3,
+          trainFrac: Double = 0.5): DataFrame =
+    run(df, series, ts, value, Seq((period, harmonics)), trainFrac,
+      mle = true)
+
+  // expose variance knobs through the Model for tests
   private[models] def model(period: Double, harmonics: Int, qLevel: Double,
                             qSlope: Double, qSeas: Double, h: Double): Model =
-    new Model(period, harmonics, qLevel, qSlope, qSeas, h)
+    new Model(Seq((period, harmonics)), qLevel, qSlope, Seq(qSeas), h)
 }

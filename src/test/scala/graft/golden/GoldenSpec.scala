@@ -114,6 +114,86 @@ class GoldenSpec extends SparkSpec {
       gold("median_latency_minutes").toString.toDouble) < 1e-9)
   }
 
+  test("enhanced-BSTS detector tail reproduces best_k=4.0 / F1=1.0 from the reference forecast") {
+    assume(available, "reference artifacts not present")
+    // Layer 1 of the enhanced-BSTS golden: everything DOWNSTREAM of the
+    // model — rolling sigma, k sweep (3..12 step 1, no rate guard),
+    // persistence 2, gap-3 eventize, event metrics — replayed on the
+    // reference's own bsts_mean. This isolates the model-fit layer:
+    // the reference's F1=1.00 artifact comes from an unconverged
+    // statsmodels fit whose dynamic forecast diverges (their predictions
+    // flag 5108/5160 test points as ONE event); given that mean, our
+    // detector tail must land on exactly the same best_k and metrics.
+    val dir = s"$refRoot/enhanced_bsts/realKnownCause__nyc_taxi.csv"
+    val df = spark.read.option("header", "true").csv(s"$dir/predictions.csv")
+      .withColumn("ts", to_timestamp(col("timestamp")))
+      .withColumn("value", col("value").cast("double"))
+      .withColumn("is_anomaly", col("is_anomaly").cast("int"))
+      .withColumn("bsts_mean", col("bsts_mean").cast("double"))
+      .withColumn("series_id", lit("s"))
+      .withColumn("resid", col("value") - col("bsts_mean"))
+      .withColumn("split", lit("Test"))
+    val cfg = graft.bench.Pipelines.Config(
+      rollingWindow = 48, minPeriods = 5, persistence = 2, gap = 3,
+      ks = (0 until 10).map(i => 3.0 + i), maxRate = 1.1)
+    val (_, metrics) = graft.bench.Pipelines.detectAndScore(
+      df, "series_id", "ts", cfg, tuneSplit = "Test")
+    val m = metrics.collect().head
+    val gold = goldenEventLevel(dir)
+    assert(m.getAs[Double]("best_k") === 4.0)
+    def num(c: String): Double = m.get(m.fieldIndex(c)) match {
+      case l: Long => l.toDouble; case d: Double => d
+      case x => x.toString.toDouble
+    }
+    for ((c, k) <- Seq("tp" -> "tp", "fp" -> "fp", "fn" -> "fn",
+        "n_pred_events" -> "n_pred_events",
+        "n_true_events" -> "n_true_events", "precision" -> "precision",
+        "recall" -> "recall", "f1" -> "f1"))
+      assert(math.abs(num(c) - gold(k)) < 1e-9,
+        s"$c: got ${num(c)} want ${gold(k)}")
+  }
+
+  test("enhanced-BSTS full pipeline (MLE fit) runs end-to-end on NYC-Taxi") {
+    assume(available, "reference artifacts not present")
+    // Layer 2: the WHOLE pipeline including our MLE-fitted multi-seasonal
+    // BSTS on the full 10,320-point series (values reconstructed from the
+    // BOCPD artifact, labels from the window-3 run centers). statsmodels'
+    // exact optimizer trajectory is not replayable (their fit did not
+    // converge — see layer 1); our coordinate MLE reaches a better
+    // likelihood whose forecast does NOT collapse, so the degenerate
+    // flag-everything solution (and its F1=1.00) does not arise. The
+    // contract here: the model is healthy (sparse flags, rate far below
+    // the reference's 99%), the sweep lands inside the grid, and at
+    // least one of the five true events is detected.
+    val cpDir = s"$refRoot/bocpd/realKnownCause__nyc_taxi.csv"
+    val full = spark.read.option("header", "true").csv(s"$cpDir/cp_probs.csv")
+      .withColumn("ts", to_timestamp(col("timestamp")))
+      .withColumn("value", col("value").cast("double"))
+      .withColumn("series_id", lit("s"))
+      .select("series_id", "ts", "value")
+    // window-3 label centers (run centers of the enhanced predictions'
+    // is_anomaly column, indices 5942/7183/8526/8834/10080 of the full
+    // series)
+    val ordered = full.orderBy("ts").select("ts").collect().map(_.getTimestamp(0))
+    val labelTs = Seq(5942, 7183, 8526, 8834, 10080).map(ordered(_))
+    import spark.implicits._
+    val labels = labelTs.map(t => ("s", t)).toDF("series_id", "label_ts")
+    val cfg = graft.bench.Pipelines.Config(
+      labelWindowRows = 3, trainFrac = 0.5, valFrac = 0.0,
+      rollingWindow = 48, minPeriods = 5, persistence = 2, gap = 3,
+      ks = (0 until 10).map(i => 3.0 + i), maxRate = 1.1)
+    val (pred, metrics) = graft.bench.Pipelines.runEnhancedBsts(
+      full, labels, "series_id", "ts", "value", cfg)
+    val m = metrics.collect().head
+    assert(m.getAs[Long]("n_true_events") === 5L)
+    val k = m.getAs[Double]("best_k")
+    assert(k >= 3.0 && k <= 12.0, s"best_k $k outside sweep grid")
+    val flags = pred.agg(
+      sum("detected").cast("double") / count(lit(1))).collect().head.getDouble(0)
+    assert(flags < 0.10, s"flag rate $flags — forecast collapsed like the unconverged reference fit")
+    assert(m.getAs[Long]("tp") >= 1L, "no true event detected")
+  }
+
   test("BOCPD cp_prob matches the reference golden over the full series") {
     assume(available, "reference artifacts not present")
     val dir = s"$refRoot/bocpd/realKnownCause__nyc_taxi.csv"
