@@ -147,14 +147,34 @@ object Pipelines {
     detectAndScore(barrier(dec), key, ts, cfg)
   }
 
-  /** M5 pipeline (run_lstm.py capability mapping). */
+  /** M5 pipeline (run_lstm.py): STL-decompose the FULL series like the
+    * reference (`run_lstm.py:31-44`), standard-scale the residual, learn
+    * an autoregressor on it, and score the second-order residual
+    * (actual minus predicted STL residual). The inverse transform is
+    * skipped on purpose: the detector's z-score is scale-invariant (the
+    * rolling sigma scales with the residual), so flags are identical.
+    * `onStlResiduals=false` keeps the raw-value ARX; `regressor="gbt"`
+    * swaps in the nonlinear gradient-boosted option. */
   def runAutoRegressor(series: DataFrame, labels: DataFrame, key: String,
                        ts: String, value: String, cfg: Config,
-                       seqLen: Int = 48): (DataFrame, DataFrame) = {
+                       seqLen: Int = 48, onStlResiduals: Boolean = true,
+                       regressor: String = "ridge")
+      : (DataFrame, DataFrame) = {
     val prep = prepared(series, labels, key, ts, cfg)
-    val ar = AutoRegressor.run(prep.drop("split"), key, ts, value, seqLen,
-      cfg.trainFrac)
-    detectAndScore(barrier(ar), key, ts, cfg)
+    val base =
+      if (onStlResiduals) {
+        val d = StlExact.decompose(prep, key, ts, value, cfg.period)
+          .withColumnRenamed("series_id", "__sid")
+        prep.join(
+          d.select(col("__sid"), col(ts), col("resid").as("__target")),
+          prep(key).cast("string") === col("__sid") && prep(ts) === d(ts))
+          .drop("__sid").drop(d(ts))
+      } else prep.withColumn("__target", col(value))
+    val scaled = SeriesOps.standardScale(base, key, "__target", "__tn",
+      popStd = true)
+    val ar = AutoRegressor.run(barrier(scaled), key, ts, "__tn", seqLen,
+      cfg.trainFrac, regressor)
+    detectAndScore(barrier(ar.drop("__target", "__tn")), key, ts, cfg)
   }
 
   /** M3 pipeline (run_bsts.py: val-tuned 3-way split). */

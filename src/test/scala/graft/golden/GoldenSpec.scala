@@ -194,6 +194,107 @@ class GoldenSpec extends SparkSpec {
     assert(m.getAs[Long]("tp") >= 1L, "no true event detected")
   }
 
+  test("Kalman full pipeline (MLE fit) reproduces the NYC-Taxi metrics golden exactly") {
+    assume(available, "reference artifacts not present")
+    // E2 lifecycle on real NAB data, INCLUDING the model fit: local-level
+    // MLE on the train half, flat out-of-sample forecast, MAD sigma from
+    // train residuals, k=3.0, persistence 2, gap-0 events — the
+    // notebooks/results/kalman pipeline. Unlike enhanced-BSTS, the
+    // local-level MLE is well-behaved, so our coordinate golden-section
+    // fit lands on the same optimum as statsmodels and the FLAGS match
+    // the reference bit-for-bit (verified: 2462/2462 identical flags →
+    // identical pointwise 29/2433/6 and event 5/195/0 confusion).
+    import graft.core.SeriesOps
+    import graft.models.KalmanLocalLevel
+    val cpDir = s"$refRoot/bocpd/realKnownCause__nyc_taxi.csv"
+    val full = spark.read.option("header", "true").csv(s"$cpDir/cp_probs.csv")
+      .withColumn("ts", to_timestamp(col("timestamp")))
+      .withColumn("value", col("value").cast("double"))
+      .withColumn("series_id", lit("s"))
+      .select("series_id", "ts", "value")
+    val ordered = full.orderBy("ts").select("ts").collect().map(_.getTimestamp(0))
+    val labelTs = Seq(5942, 7183, 8526, 8834, 10080).map(ordered(_))
+    import spark.implicits._
+    val labels = labelTs.map(t => ("s", t)).toDF("series_id", "label_ts")
+    val marked = SeriesOps.markLabelWindows(full, labels, "series_id", "ts",
+      "label_ts", 3)
+    val kal = KalmanLocalLevel.run(marked, "series_id", "ts", "value", 0.5)
+      .withColumnRenamed("series_id", "__sid")
+    val withLabels = kal.join(
+      marked.select(col("ts").as("__mts"), col("is_anomaly")),
+      kal("ts") === col("__mts")).drop("__mts")
+      .withColumnRenamed("__sid", "series_id")
+    val mad = SeriesOps.madSigma(
+      withLabels.filter(col("split") === "Train"), "series_id", "resid",
+      "mad_sigma")
+    val test = withLabels.filter(col("split") === "Test")
+      .join(broadcast(mad), "series_id")
+      .withColumn("flag",
+        when(abs(col("resid")) / col("mad_sigma") > 3.0, 1).otherwise(0))
+    val persisted = Events.persistFilter(test, Seq("series_id"), "ts",
+      "flag", 2, "detected")
+    val pred = Events.eventize(persisted, Seq("series_id"), "ts",
+      "detected", 0)
+    val truth = Events.eventize(persisted, Seq("series_id"), "ts",
+      "is_anomaly", 0)
+    val em = Events.eventLevelMetrics(pred, truth, Seq("series_id"))
+      .collect().head
+    val pm = Metrics.pointwise(persisted, Seq("series_id"), "is_anomaly",
+      "detected").collect().head
+    val dir = "/root/reference/notebooks/results/kalman/realKnownCause__nyc_taxi.csv"
+    val all = ujsonLite(java.nio.file.Files.readString(
+      java.nio.file.Paths.get(s"$dir/metrics.json")))
+    val goldE = all("event_level").asInstanceOf[Map[String, Any]]
+      .map { case (k, v) => k -> v.toString.toDouble }
+    val goldP = all("pointwise").asInstanceOf[Map[String, Any]]
+      .map { case (k, v) => k -> v.toString.toDouble }
+    def num(r: org.apache.spark.sql.Row, c: String): Double =
+      r.get(r.fieldIndex(c)) match {
+        case l: Long => l.toDouble; case d: Double => d
+        case x => x.toString.toDouble
+      }
+    for (k <- Seq("tp", "fp", "fn", "n_pred_events", "n_true_events",
+        "precision", "recall", "f1"))
+      assert(math.abs(num(em, k) - goldE(k)) < 1e-9,
+        s"event $k: got ${num(em, k)} want ${goldE(k)}")
+    for (k <- Seq("tp", "fp", "fn", "precision", "recall", "f1"))
+      assert(math.abs(num(pm, k) - goldP(k)) < 1e-9,
+        s"pointwise $k: got ${num(pm, k)} want ${goldP(k)}")
+  }
+
+  test("AR-on-STL-residuals pipeline approaches the LSTM NYC-Taxi golden") {
+    assume(available, "reference artifacts not present")
+    // The reference's LSTM pipeline (run_lstm.py): STL on the full
+    // series, forecast the residual, score the second-order residual,
+    // sweep k on Test (2..10 step 0.5, rate guard 0.10, persist 2,
+    // gap 3). Golden: best_k=3.0, event F1 0.444 (tp=2 fp=2 fn=3).
+    // An MLlib ARX is a documented substitution for the LSTM (SURVEY
+    // §2.9 M5) — point forecasts differ, so this is tolerance-based:
+    // the pipeline must find a sweep winner whose event F1 is at least
+    // half the LSTM's, with all five true events present.
+    val cpDir = s"$refRoot/bocpd/realKnownCause__nyc_taxi.csv"
+    val full = spark.read.option("header", "true").csv(s"$cpDir/cp_probs.csv")
+      .withColumn("ts", to_timestamp(col("timestamp")))
+      .withColumn("value", col("value").cast("double"))
+      .withColumn("series_id", lit("s"))
+      .select("series_id", "ts", "value")
+    val ordered = full.orderBy("ts").select("ts").collect().map(_.getTimestamp(0))
+    val labelTs = Seq(5942, 7183, 8526, 8834, 10080).map(ordered(_))
+    import spark.implicits._
+    val labels = labelTs.map(t => ("s", t)).toDF("series_id", "label_ts")
+    val cfg = graft.bench.Pipelines.Config(labelWindowRows = 3)
+    val (_, metrics) = graft.bench.Pipelines.runAutoRegressor(
+      full, labels, "series_id", "ts", "value", cfg, seqLen = 48,
+      onStlResiduals = true, regressor = "ridge")
+    val m = metrics.collect().head
+    info(s"AR-on-STL: best_k=${m.getAs[Double]("best_k")} " +
+      s"f1=${m.getAs[Double]("f1")} tp=${m.getAs[Long]("tp")} " +
+      s"fp=${m.getAs[Long]("fp")} fn=${m.getAs[Long]("fn")}")
+    assert(m.getAs[Long]("n_true_events") === 5L)
+    assert(m.getAs[Double]("f1") >= 0.222,
+      s"event F1 ${m.getAs[Double]("f1")} below half the LSTM golden 0.444")
+  }
+
   test("BOCPD cp_prob matches the reference golden over the full series") {
     assume(available, "reference artifacts not present")
     val dir = s"$refRoot/bocpd/realKnownCause__nyc_taxi.csv"

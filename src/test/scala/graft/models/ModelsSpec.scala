@@ -111,6 +111,27 @@ class ModelsSpec extends SparkSpec {
       s"AR resid var $residVar vs value var $valVar")
   }
 
+  test("GBT autoregressor captures a nonlinear AR map the ridge cannot") {
+    // quadratic map y_t = 1 - 1.4*y_{t-1}^2 (+ small noise): chaotic,
+    // near-zero linear autocorrelation, so a linear ARX learns almost
+    // nothing while trees recover the parabola
+    var a = 0.5
+    val ys = (0 until 600).map { _ =>
+      val y = 1.0 - 1.4 * a * a + rng.nextGaussian() * 0.05
+      a = math.max(math.min(y, 1.5), -1.5); y
+    }
+    def testVar(regressor: String): Double = {
+      val out = AutoRegressor.run(valueSeries(ys), "series_id", "ts",
+        "value", seqLen = 4, trainFrac = 0.5, regressor = regressor)
+        .filter(col("split") === "Test")
+        .select("resid").collect()
+      out.map(r => math.pow(r.getDouble(0), 2)).sum / out.length
+    }
+    val gbt = testVar("gbt"); val ridge = testVar("ridge")
+    assert(gbt < ridge * 0.8,
+      s"GBT resid var $gbt not better than ridge $ridge on nonlinear AR")
+  }
+
   test("stl_lite decomposition reconstructs and extracts the seasonal") {
     val ys = (0 until 240).map(i =>
       10.0 + 5 * math.sin(2 * math.Pi * i / 24.0))
