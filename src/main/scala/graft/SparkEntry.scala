@@ -231,6 +231,19 @@ object SparkEntry {
       SeriesOps.acf(ev(s, dir), "user_id", "ts", "value", Seq(1, 2, 3, 4, 5))
         .select(col("user_id"), col("lag"), round(col("acf"), 6).as("acf"))),
 
+    // S7: residual QQ diagnostic (plotting.py:17-23) — per-series order
+    // statistics of the mean-centered value vs theoretical normal
+    // quantiles at Filliben plotting positions (scipy probplot's osm/osr)
+    "q_qq" -> ((s, dir) => {
+      val centered = ev(s, dir).withColumn("resid",
+        col("value") - avg(col("value")).over(
+          org.apache.spark.sql.expressions.Window.partitionBy("user_id")))
+      Metrics.qqQuantiles(centered, "user_id", "resid")
+        .select(col("user_id"), col("qi"),
+          round(col("theoretical_q"), 6).as("theoretical_q"),
+          round(col("sample_q"), 9).as("sample_q"))
+    }),
+
     // A9: kurtosis (excess, population moments — scipy fisher=True)
     "q_kurtosis" -> ((s, dir) =>
       ev(s, dir).groupBy("user_id")
@@ -515,20 +528,19 @@ object SparkEntry {
           round(col("byte_std"), 6).as("byte_std"), col("head_byte"))
     }),
 
-    // LLM-pipeline: text stats / quality scoring
+    // LLM-pipeline: token counting through the TextAnalysis operators —
+    // whitespace count plus the BPE-ish `\w+|[^\w\s]` pre-tokenizer
+    // cardinality (stop/punct ratios live in q_quality via withQuality)
     "q_text_stats" -> ((s, dir) => {
       val d = tbl(s, dir, "documents")
-        .withColumn("len", length(col("text")))
-        .withColumn("n_tokens",
-          col("len") - length(regexp_replace(col("text"), " ", "")) + lit(1))
-        .withColumn("stop_hits",
-          (col("len") - length(regexp_replace(col("text"), "the", "")))
-            / lit(3))
-      d.select(col("doc_id"), col("len").cast("long").as("len"),
-        col("n_tokens").cast("long").as("n_tokens"),
-        round((col("len") - col("n_tokens") + lit(1))
-          .cast("double") / col("n_tokens"), 6).as("avg_token_len"),
-        round(col("stop_hits") / col("n_tokens"), 6).as("stop_ratio"))
+      val nTok = llm.TextAnalysis.tokenCountWs(col("text"))
+      d.select(col("doc_id"),
+        length(col("text")).cast("long").as("len"),
+        nTok.cast("long").as("n_tokens"),
+        llm.TextAnalysis.tokenCountBpe(col("text")).cast("long")
+          .as("n_tokens_bpe"),
+        round((length(col("text")) - nTok + lit(1)).cast("double") / nTok,
+          6).as("avg_token_len"))
     })
   )
 
@@ -686,6 +698,8 @@ object SparkEntry {
         |FROM d JOIN sc ON d.user_id = sc.user_id AND d.phase = sc.phase""".stripMargin,
 
     "q_acf" -> acfSql,
+
+    "q_qq" -> qqSql,
 
     "q_kurtosis" ->
       """WITH m AS (SELECT user_id, avg(value) AS mu FROM events
@@ -850,14 +864,18 @@ object SparkEntry {
         |FROM documents""".stripMargin,
 
     "q_text_stats" ->
-      """WITH d AS (SELECT doc_id, length(text) AS len,
+      """WITH d AS (SELECT doc_id, text, length(text) AS len,
         |    length(text) - length(replace(text, ' ', '')) + 1 AS n_tokens,
-        |    (length(text) - length(replace(text, 'the', '')))/3 AS stop_hits
+        |    len(list_filter(regexp_split_to_array(text, '[^\p{L}\p{N}]+'),
+        |        x -> x <> ''))
+        |      + len(list_filter(regexp_split_to_array(text,
+        |        '[\p{L}\p{N}\s]+'), x -> x <> '')) AS n_tokens_bpe
         |  FROM documents)
-        |SELECT doc_id, len, n_tokens,
+        |SELECT doc_id, CAST(len AS BIGINT) AS len,
+        |  CAST(n_tokens AS BIGINT) AS n_tokens,
+        |  CAST(n_tokens_bpe AS BIGINT) AS n_tokens_bpe,
         |  round(CAST(len - n_tokens + 1 AS DOUBLE)/n_tokens, 6)
-        |    AS avg_token_len,
-        |  round(CAST(stop_hits AS DOUBLE)/n_tokens, 6) AS stop_ratio
+        |    AS avg_token_len
         |FROM d""".stripMargin
   )
 
@@ -1117,6 +1135,51 @@ object SparkEntry {
       |    AND s.rn BETWEEN a.anchor - 3 AND a.anchor + 3)
       |  THEN 1 ELSE 0 END AS is_anomaly
       |FROM s""".stripMargin
+
+  /** QQ diagnostic oracle: Filliben plotting positions + Acklam probit,
+    * the SAME polynomial nesting as Metrics.probit so doubles agree. */
+  private val qqSql =
+    """WITH c AS (SELECT user_id,
+      |    value - avg(value) OVER (PARTITION BY user_id) AS resid
+      |  FROM events),
+      |r AS (SELECT user_id, resid,
+      |    row_number() OVER (PARTITION BY user_id ORDER BY resid) AS qi,
+      |    count(*) OVER (PARTITION BY user_id) AS n
+      |  FROM c),
+      |m AS (SELECT user_id, qi, resid,
+      |    CASE WHEN qi = 1 THEN 1.0 - pow(0.5, 1.0/n)
+      |         WHEN qi = n THEN pow(0.5, 1.0/n)
+      |         ELSE (qi - 0.3175)/(n + 0.365) END AS p
+      |  FROM r),
+      |q AS (SELECT user_id, qi, resid, p,
+      |    (p - 0.5) AS qc, (p - 0.5)*(p - 0.5) AS rc,
+      |    sqrt(-2*ln(p)) AS ql, sqrt(-2*ln(1 - p)) AS qh
+      |  FROM m)
+      |SELECT user_id, CAST(qi AS BIGINT) AS qi,
+      |  round(CASE WHEN p < 0.02425 THEN
+      |      ((((( -7.784894002430293e-03*ql + -3.223964580411365e-01)*ql
+      |        + -2.400758277161838e+00)*ql + -2.549732539343734e+00)*ql
+      |        + 4.374664141464968e+00)*ql + 2.938163982698783e+00)
+      |      / ((((7.784695709041462e-03*ql + 3.224671290700398e-01)*ql
+      |        + 2.445134137142996e+00)*ql + 3.754408661907416e+00)*ql
+      |        + 1.0)
+      |    WHEN p > 1 - 0.02425 THEN
+      |      0.0 - ((((( -7.784894002430293e-03*qh + -3.223964580411365e-01)*qh
+      |        + -2.400758277161838e+00)*qh + -2.549732539343734e+00)*qh
+      |        + 4.374664141464968e+00)*qh + 2.938163982698783e+00)
+      |      / ((((7.784695709041462e-03*qh + 3.224671290700398e-01)*qh
+      |        + 2.445134137142996e+00)*qh + 3.754408661907416e+00)*qh
+      |        + 1.0)
+      |    ELSE
+      |      ((((( -3.969683028665376e+01*rc + 2.209460984245205e+02)*rc
+      |        + -2.759285104469687e+02)*rc + 1.383577518672690e+02)*rc
+      |        + -3.066479806614716e+01)*rc + 2.506628277459239e+00) * qc
+      |      / ((((( -5.447609879822406e+01*rc + 1.615858368580409e+02)*rc
+      |        + -1.556989798598866e+02)*rc + 6.680131188771972e+01)*rc
+      |        + -1.328068155288572e+01)*rc + 1.0)
+      |    END, 6) AS theoretical_q,
+      |  round(resid, 9) AS sample_q
+      |FROM q""".stripMargin
 
   private val acfSql = {
     val one = (k: Int) =>

@@ -319,10 +319,12 @@ object Pipelines {
     Metrics.leaderboard(runs)
   }
 
-  /** S3/S4 sinks for one run. */
+  /** S3/S4 sinks for one run: predictions go to series-partitioned
+    * parquet (parallel write, no single-task exchange); the metrics
+    * record is tiny and stays a one-file JSON. */
   def persist(outDir: String, predictions: DataFrame,
-              metrics: DataFrame): Unit = {
-    NabIo.writePredictionsCsv(predictions, s"$outDir/predictions")
+              metrics: DataFrame, key: String = "user_id"): Unit = {
+    NabIo.writePredictions(predictions, s"$outDir/predictions", key)
     NabIo.writeMetricsJson(metrics, s"$outDir/metrics")
   }
 }

@@ -58,8 +58,19 @@ object NabIo {
       .withColumn("label_ts", to_timestamp(col("label_ts")))
   }
 
-  /** S3: predictions sink — headered CSV dir per run (`run_gp.py:130-134`).
-    * Parquet alternative for the scaled path. */
+  /** S3: predictions sink. The scale path: parquet partitioned by the
+    * series key, so a 1000-executor run writes one file tree per series
+    * with no single-task exchange, and downstream per-series reads prune
+    * partitions. */
+  def writePredictions(df: DataFrame, dir: String,
+                       partitionCol: String = "series_id"): Unit =
+    df.write.mode("overwrite").partitionBy(partitionCol).parquet(dir)
+
+  /** S3 (compat): headered single-file CSV like the reference's per-run
+    * `predictions.csv` (`run_gp.py:130-134`). The coalesce(1) is the
+    * POINT of this sink (one human-readable file, reference parity) —
+    * it is for per-run artifacts only; use [[writePredictions]] for
+    * anything sized like a dataset. */
   def writePredictionsCsv(df: DataFrame, dir: String): Unit =
     df.coalesce(1).write.mode("overwrite").option("header", "true").csv(dir)
 

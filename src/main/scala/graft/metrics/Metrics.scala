@@ -137,4 +137,56 @@ object Metrics {
     * by event F1 desc (aggregate_metrics.py:55-67). */
   def leaderboard(runs: Seq[DataFrame]): DataFrame =
     runs.reduce(_.unionByName(_)).orderBy(desc("Event_F1"))
+
+  /** Standard-normal inverse CDF (probit) as a pure column expression —
+    * Acklam's rational approximation (|ε| < 1.15e-9), public-domain
+    * constants. Pure arithmetic + log/sqrt, so it stays inside
+    * whole-stage codegen and the same formula is expressible verbatim in
+    * the DuckDB oracle SQL. */
+  def probit(p: Column): Column = {
+    def poly(q: Column, cs: Seq[Double]): Column =
+      cs.tail.foldLeft(lit(cs.head): Column)((acc, c) => acc * q + lit(c))
+    val a = Seq(-3.969683028665376e+01, 2.209460984245205e+02,
+      -2.759285104469687e+02, 1.383577518672690e+02,
+      -3.066479806614716e+01, 2.506628277459239e+00)
+    val b = Seq(-5.447609879822406e+01, 1.615858368580409e+02,
+      -1.556989798598866e+02, 6.680131188771972e+01,
+      -1.328068155288572e+01, 1.0)
+    val c = Seq(-7.784894002430293e-03, -3.223964580411365e-01,
+      -2.400758277161838e+00, -2.549732539343734e+00,
+      4.374664141464968e+00, 2.938163982698783e+00)
+    val d = Seq(7.784695709041462e-03, 3.224671290700398e-01,
+      2.445134137142996e+00, 3.754408661907416e+00, 1.0)
+    val plow = 0.02425
+    val qc = p - lit(0.5)
+    val rc = qc * qc
+    val central = poly(rc, a) * qc / poly(rc, b)
+    val ql = sqrt(lit(-2.0) * log(p))
+    val lower = poly(ql, c) / poly(ql, d)
+    val qh = sqrt(lit(-2.0) * log(lit(1.0) - p))
+    val upper = lit(0.0) - poly(qh, c) / poly(qh, d)
+    when(p < plow, lower).when(p > 1 - plow, upper).otherwise(central)
+  }
+
+  /** S7 diagnostic relation: the data behind `plotting.py:17-23`'s
+    * residual QQ plot — per series, the i-th order statistic of `value`
+    * paired with the theoretical normal quantile at Filliben's plotting
+    * position ((i-0.3175)/(n+0.365); endpoints 1-0.5^(1/n) and 0.5^(1/n)),
+    * exactly scipy.stats.probplot's osm/osr pair. One sort per series.
+    * Output: (keys..., qi, theoretical_q, sample_q). */
+  def qqQuantiles(df: DataFrame, series: String, value: String): DataFrame = {
+    // ties in `value` need no tie-break: swapping tied rows permutes
+    // identical (qi, sample_q) pairs, so the output multiset is invariant
+    val w = Window.partitionBy(series).orderBy(col(value))
+    val wp = Window.partitionBy(series)
+    val ranked = df
+      .withColumn("qi", row_number().over(w).cast("long"))
+      .withColumn("__n", count(lit(1)).over(wp))
+    val n = col("__n").cast("double")
+    val m = when(col("qi") === 1, lit(1.0) - pow(lit(0.5), lit(1.0) / n))
+      .when(col("qi") === col("__n"), pow(lit(0.5), lit(1.0) / n))
+      .otherwise((col("qi") - lit(0.3175)) / (n + lit(0.365)))
+    ranked.select(col(series), col("qi"),
+      probit(m).as("theoretical_q"), col(value).as("sample_q"))
+  }
 }

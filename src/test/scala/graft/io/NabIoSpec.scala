@@ -55,6 +55,24 @@ class NabIoSpec extends SparkSpec {
     assert(df.schema("label_ts").dataType.typeName === "timestamp")
   }
 
+  test("partitioned predictions sink writes one parquet tree per series") {
+    import spark.implicits._
+    val df = Seq(("a", 1, 0.5), ("a", 2, 0.7), ("b", 1, 0.9))
+      .toDF("series_id", "rn", "score")
+    val dir = Files.createTempDirectory("preds").toFile.getAbsolutePath
+    NabIo.writePredictions(df, dir)
+    val parts = new java.io.File(dir).listFiles()
+      .filter(_.getName.startsWith("series_id=")).map(_.getName).sorted
+    assert(parts.toSeq === Seq("series_id=a", "series_id=b"))
+    val back = spark.read.parquet(dir)
+    assert(back.count() === 3)
+    // partition pruning: a per-series read must touch one partition only
+    val plan = back.filter(col("series_id") === "a")
+      .queryExecution.executedPlan.toString
+    assert(back.filter(col("series_id") === "a").count() === 2)
+    assert(!plan.toLowerCase.contains("coalesce"))
+  }
+
   test("metrics tree scan derives Model/Dataset from the path") {
     val root = Files.createTempDirectory("results").toFile
     val d = new java.io.File(root, "kalman/nyc_taxi.csv")
