@@ -863,6 +863,25 @@ object SparkEntry {
         |    (a, b) -> (a * 1000003 + b) % 2147483647) AS rollhash
         |FROM documents""".stripMargin,
 
+    // Fixture oracles: model operators whose math is not SQL-expressible
+    // are pinned by replaying committed sf0.01 parquet generated from the
+    // golden-verified implementations (fixtures/README.md; regenerate via
+    // graft.tools.GenFixtures after intentional behavior changes). Only
+    // valid for the driver's sf0.01 correctness run.
+    "q_bocpd" -> fixtureSql("q_bocpd"),
+    "q_kalman" -> fixtureSql("q_kalman"),
+    "q_bsts" -> fixtureSql("q_bsts"),
+    "q_gp" -> fixtureSql("q_gp"),
+    "q_stl_exact" -> fixtureSql("q_stl_exact"),
+    "q_hybrid" -> fixtureSql("q_hybrid"),
+    "q_minhash" -> fixtureSql("q_minhash"),
+    "q_simhash" -> fixtureSql("q_simhash"),
+    "q_langid" -> fixtureSql("q_langid"),
+    "q_winnow" -> fixtureSql("q_winnow"),
+    "q_multimodal" -> fixtureSql("q_multimodal"),
+    "q_ann_lsh" -> fixtureSql("q_ann_lsh"),
+    "q_embed_neardup" -> fixtureSql("q_embed_neardup"),
+
     "q_text_stats" ->
       """WITH d AS (SELECT doc_id, text, length(text) AS len,
         |    length(text) - length(replace(text, ' ', '')) + 1 AS n_tokens,
@@ -1135,6 +1154,10 @@ object SparkEntry {
       |    AND s.rn BETWEEN a.anchor - 3 AND a.anchor + 3)
       |  THEN 1 ELSE 0 END AS is_anomaly
       |FROM s""".stripMargin
+
+  /** Fixture-oracle SQL (committed sf0.01 parquet, fixtures/README.md). */
+  private def fixtureSql(name: String): String =
+    s"SELECT * FROM read_parquet('/root/repo/fixtures/sf0.01/$name.parquet/*.parquet')"
 
   /** QQ diagnostic oracle: Filliben plotting positions + Acklam probit,
     * the SAME polynomial nesting as Metrics.probit so doubles agree. */

@@ -1,0 +1,39 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+
+/** Regenerates the committed sf0.01 fixture parquet used as oracles for
+  * model queries whose math is not SQL-expressible (see
+  * `fixtures/README.md`). Run after any INTENTIONAL behavior change to a
+  * fixture-oracled operator:
+  *
+  *   sbt "Test/runMain graft.tools.GenFixtures"
+  *
+  * Only queries with fully deterministic plans belong here (mapGroups
+  * per-series recursions, pure column expressions): MLlib solvers whose
+  * float reduction order depends on partitioning (q_ar, q_kmeans) are
+  * deliberately excluded.
+  */
+object GenFixtures {
+  val names: Seq[String] = Seq("q_bocpd", "q_kalman", "q_bsts", "q_gp",
+    "q_stl_exact", "q_hybrid", "q_minhash", "q_simhash", "q_langid",
+    "q_winnow", "q_multimodal", "q_ann_lsh", "q_embed_neardup")
+
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder().master("local[8]")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val sfDir = "/root/testdata/sf0.01"
+    val outRoot = "/root/repo/fixtures/sf0.01"
+    val which = if (args.nonEmpty) args.toSeq else names
+    for (q <- which) {
+      val df = graft.SparkEntry.queries(q)(spark, sfDir)
+      df.coalesce(1).write.mode("overwrite")
+        .parquet(s"$outRoot/$q.parquet")
+      println(s"[fixtures] wrote $q")
+    }
+    spark.stop()
+  }
+}
