@@ -63,6 +63,52 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("rollingStats stream equals batch W1 on a regular grid (48 rows = 24h)") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    // SURVEY §2.10's documented translation: the reference's ROW-count
+    // frames and streaming TIME windows coincide on a regular grid. On a
+    // 30-min grid, the trailing 48-row frame at row T is exactly the
+    // epoch-aligned 24h window ENDING at T+30min (window spans
+    // [T-23.5h, T+30min), i.e. the 48 grid points up to and incl. T).
+    val n = 120
+    val base = Timestamp.valueOf("2024-01-01 00:00:00").getTime
+    val rows = (0 until n).map { i =>
+      ("s", new Timestamp(base + i * 30L * 60 * 1000),
+        math.sin(i / 10.0) * 5 + i * 0.01)
+    }
+    // batch: W1 trailing rolling stats, minPeriods=1 (stdOut carries the
+    // +1e-6 eps floor and the single-row NaN backfill)
+    val batch = graft.core.SeriesOps.withRollingStats(
+      rows.toDF("series_id", "ts", "value"), "series_id", "ts", "value",
+      window = 48, minPeriods = 1, "b_mean", "b_std")
+      .select(col("ts"), col("b_mean"), col("b_std"))
+    // stream: 24h window sliding 30min through MemoryStream
+    val input = MemoryStream[(String, Timestamp, Double)]
+    val stats = StreamingDetect.rollingStats(
+      input.toDF().toDF("series_id", "ts", "value"), "series_id", "ts",
+      "value", "24 hours", "30 minutes")
+    val q = stats.writeStream.format("memory").queryName("roll_parity")
+      .outputMode("complete").start()
+    try {
+      input.addData(rows)
+      q.processAllAvailable()
+      val stream = spark.sql(
+        """select window_end - INTERVAL 30 MINUTES as ts,
+          |  roll_mean, roll_std, n from roll_parity""".stripMargin)
+      val joined = batch.join(stream, "ts").orderBy("ts").collect()
+      assert(joined.length === n)
+      joined.foreach { r =>
+        assert(math.abs(r.getAs[Double]("b_mean") -
+          r.getAs[Double]("roll_mean")) < 1e-9, s"mean mismatch at $r")
+        if (r.getAs[Long]("n") >= 2)
+          // batch b_std = sample std + 1e-6 eps floor
+          assert(math.abs(r.getAs[Double]("b_std") - 1e-6 -
+            r.getAs[Double]("roll_std")) < 1e-9, s"std mismatch at $r")
+      }
+    } finally q.stop()
+  }
+
   test("statefulKalman carries state across micro-batches") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
