@@ -17,8 +17,8 @@ object Bench {
     "q_dedup_exact", "q_text_stats", "q_topk_orders",
     "q_kalman", "q_bocpd", "q_hybrid",
     "q_minhash", "q_ngram_jaccard", "q_simhash", "q_cosine_topk",
-    "q_ann_lsh", "q_quality", "q_langid", "q5_region_revenue",
-    "q_kmeans", "q_session")
+    "q_ann_lsh", "q_embed_neardup", "q_quality", "q_langid",
+    "q5_region_revenue", "q_kmeans", "q_session", "q_qq", "q_bsts")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

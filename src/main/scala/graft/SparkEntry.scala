@@ -453,11 +453,13 @@ object SparkEntry {
         .select(col("id_a"), col("id_b"),
           round(col("est_jaccard"), 6).as("est_jaccard"))),
 
-    // LLM-pipeline: SimHash near-dup; banding is derived from maxDist
-    // (16×4-bit chunks for maxDist=10), so recall within maxDist is exact
+    // LLM-pipeline: SimHash near-dup at the classic 64-bit radius 3
+    // (4×16-bit chunks). Banding derives from maxDist, so recall within
+    // the radius is exact — DedupSpec proves the contract at 3/7/10;
+    // radius>7 trades 16× candidate volume for the wider net.
     "q_simhash" -> ((s, dir) =>
       llm.Dedup.simhashCandidates(tbl(s, dir, "documents"), "doc_id",
-        "text", maxDist = 10)
+        "text", maxDist = 3)
         .select(col("id_a"), col("id_b"), col("hamming"))),
 
     // LLM-pipeline: brute-force cosine top-k (the ANN correctness baseline)
