@@ -62,10 +62,15 @@ object Pipelines {
         SeriesOps.withRollingStats(df, series, ts, "resid",
           cfg.rollingWindow, cfg.minPeriods, "__roll_mean", "__roll_std")
           .join(broadcast(trainStd), Seq(series), "left")
+          // W2 fallback chain: rolling std → train-resid std → 1.0. The
+          // last hop matters for models whose train resid is identically
+          // zero (the GP interpolates its subsample exactly), where a
+          // bare train-std fallback would divide by zero under ANSI.
           .withColumn("__sigma",
-            when(col("__roll_std") <= lit(2e-6),
-              coalesce(col("__train_std"), lit(1.0)))
-              .otherwise(col("__roll_std")))
+            when(col("__roll_std") > lit(2e-6), col("__roll_std"))
+              .when(coalesce(col("__train_std"), lit(0.0)) > lit(2e-6),
+                col("__train_std"))
+              .otherwise(lit(1.0)))
     }
     val scored = barrier(withSigma
       .withColumn("score", SeriesOps.zscore(col("resid"), col("__sigma"))))
@@ -218,9 +223,14 @@ object Pipelines {
     detectAndScore(barrier(joined), key, ts, cfg, tuneSplit = "Test")
   }
 
-  /** M4 pipeline (run_gp.py: predictive-std scoring on test). */
+  /** M4 pipeline (run_gp.py). The reference's detector scores residuals
+    * with the ROLLING sigma like every other pipeline
+    * (run_gp.py:93-99) — that is the default here; `sigmaSource =
+    * "pred_std"` swaps in the GP's own predictive std (a principled
+    * alternative the relational surface also supports). */
   def runGp(series: DataFrame, labels: DataFrame, key: String,
-            ts: String, value: String, cfg: Config)
+            ts: String, value: String, cfg: Config,
+            sigmaSource: String = "rolling")
       : (DataFrame, DataFrame) = {
     val prep = prepared(series, labels, key, ts, cfg)
     val g = GpRegressor.run(prep, key, ts, value, cfg.trainFrac, 1000,
@@ -233,7 +243,7 @@ object Pipelines {
       .drop("__sid").drop(g(ts))
       .withColumn("resid", col(value) - col("pred_mean"))
     detectAndScore(barrier(joined), key, ts, cfg,
-      sigmaSource = "pred_std")
+      sigmaSource = sigmaSource)
   }
 
   /** M8 pipeline (run_hybrid.py: equal-weight mean of model z-scores,

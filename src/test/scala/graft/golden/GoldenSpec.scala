@@ -295,6 +295,37 @@ class GoldenSpec extends SparkSpec {
       s"event F1 ${m.getAs[Double]("f1")} below half the LSTM golden 0.444")
   }
 
+  test("GP pipeline approaches the NYC-Taxi golden (rolling-sigma detector)") {
+    assume(available, "reference artifacts not present")
+    // run_gp.py: last-1000-point subsample, composite-kernel GP, index
+    // forecast over the test half, rolling-sigma sweep (2..10 step 0.5,
+    // rate guard 0.10, persist 2, gap 3). Golden (results/gp):
+    // best_k=3.5, event F1 0.333 (tp=1 fp=0 fn=4). Our GP selects
+    // hyperparameters by LML grid rather than sklearn's L-BFGS restarts,
+    // so this is tolerance-based like the AR golden: the sweep must find
+    // a winner with at least one true event detected and F1 >= 0.2.
+    val cpDir = s"$refRoot/bocpd/realKnownCause__nyc_taxi.csv"
+    val full = spark.read.option("header", "true").csv(s"$cpDir/cp_probs.csv")
+      .withColumn("ts", to_timestamp(col("timestamp")))
+      .withColumn("value", col("value").cast("double"))
+      .withColumn("series_id", lit("s"))
+      .select("series_id", "ts", "value")
+    val ordered = full.orderBy("ts").select("ts").collect().map(_.getTimestamp(0))
+    val labelTs = Seq(5942, 7183, 8526, 8834, 10080).map(ordered(_))
+    import spark.implicits._
+    val labels = labelTs.map(t => ("s", t)).toDF("series_id", "label_ts")
+    val cfg = graft.bench.Pipelines.Config(labelWindowRows = 3, period = 48)
+    val (_, metrics) = graft.bench.Pipelines.runGp(
+      full, labels, "series_id", "ts", "value", cfg)
+    val m = metrics.collect().head
+    info(s"GP: best_k=${m.getAs[Double]("best_k")} f1=${m.getAs[Double]("f1")} " +
+      s"tp=${m.getAs[Long]("tp")} fp=${m.getAs[Long]("fp")} fn=${m.getAs[Long]("fn")}")
+    assert(m.getAs[Long]("n_true_events") === 5L)
+    assert(m.getAs[Long]("tp") >= 1L, "no true event detected")
+    assert(m.getAs[Double]("f1") >= 0.2,
+      s"event F1 ${m.getAs[Double]("f1")} below tolerance vs golden 0.333")
+  }
+
   test("BOCPD cp_prob matches the reference golden over the full series") {
     assume(available, "reference artifacts not present")
     val dir = s"$refRoot/bocpd/realKnownCause__nyc_taxi.csv"
