@@ -483,6 +483,18 @@ object SparkEntry {
           round(col("cosine"), 6).as("cosine"), col("rank"))
     }),
 
+    // LLM-pipeline: IVF ANN top-k (k-means cells + nProbe probing, the
+    // FAISS-style scale path; AnnRecallSpec pins recall 0.98 at
+    // nProbe=8/nList=16 vs brute force). No oracle: MLlib k-means float
+    // reduction order is partitioning-dependent.
+    "q_ann_ivf" -> ((s, dir) => {
+      val emb = tbl(s, dir, "embeddings")
+      llm.Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 5), "vec_id",
+        "embedding", 3, nList = 16, nProbe = 8)
+        .select(col("query_id"), col("corpus_id"),
+          round(col("cosine"), 6).as("cosine"), col("rank"))
+    }),
+
     // LLM-pipeline: embedding cosine near-dup via LSH buckets
     "q_embed_neardup" -> ((s, dir) =>
       // threshold 0.4 sits at the top of this corpus's cosine range (59

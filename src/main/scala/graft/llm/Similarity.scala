@@ -115,6 +115,54 @@ object Similarity {
       .drop("__va", "__vb")
   }
 
+  /** IVF (inverted-file) ANN top-k — the FAISS-style scale path: k-means
+    * the corpus into `nList` cells once (MLlib, seeded), store each
+    * vector under its cell, and probe only the `nProbe` cells nearest to
+    * each query. Exact cosine runs over nProbe/nList of the corpus.
+    *
+    * Scale shape: centroids are tiny and broadcast; the corpus is
+    * shuffled ONCE by cell id (at 100 TB that partitioning is reusable
+    * across query batches); each query's candidate read is
+    * partition-pruned to its probed cells. Recall/cost is tuned by
+    * (nList, nProbe) exactly like an IVF index. */
+  def ivfTopK(df: DataFrame, queries: DataFrame, id: String, vec: String,
+              k: Int, nList: Int = 16, nProbe: Int = 4): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val corpus = df.select(col(id).as("corpus_id"), col(vec).as("__cv"))
+      .withColumn("__feat", array_to_vector(col("__cv")))
+    val model = new KMeans().setK(nList).setMaxIter(10).setSeed(13)
+      .setFeaturesCol("__feat").setPredictionCol("__cell")
+      .fit(corpus)
+    val cells = model.transform(corpus).drop("__feat")
+    // tiny centroid table, broadcast as literals into the query plan
+    val centroids = model.clusterCenters.map(_.toArray)
+    def dist2(v: Column, c: Array[Double]): Column = {
+      val cl = typedlit(c.toSeq)
+      aggregate(zip_with(v, cl, (x, y) => {
+        val d = x.cast("double") - y; d * d
+      }), lit(0.0), (acc, x) => acc + x)
+    }
+    val probeStructs = centroids.zipWithIndex.map { case (c, j) =>
+      struct(dist2(col("__qv"), c).as("d"), lit(j).as("cell"))
+    }
+    val probed = queries.select(col(id).as("query_id"), col(vec).as("__qv"))
+      .withColumn("__probes",
+        slice(array_sort(array(probeStructs: _*)), 1, nProbe))
+      .select(col("query_id"), col("__qv"),
+        explode(col("__probes.cell")).as("__cell"))
+    val cand = cells.join(broadcast(probed), "__cell")
+      .filter(col("query_id") =!= col("corpus_id"))
+      .withColumn("cosine", cosineNative(col("__qv"), col("__cv")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id")
+      .orderBy(col("cosine").desc, col("corpus_id").asc)
+    cand.withColumn("__r", row_number().over(w))
+      .filter(col("__r") <= k)
+      .select(col("query_id"), col("corpus_id"), col("cosine"),
+        col("__r").cast("long").as("rank"))
+  }
+
   /** LSH-accelerated top-k: exact cosine only for bucket-mates of each
     * query. Recall follows the [[bandKeys]] S-curve — more/narrower
     * bands → higher recall and more candidates; wider bands → cheaper

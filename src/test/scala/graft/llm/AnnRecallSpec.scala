@@ -54,6 +54,26 @@ class AnnRecallSpec extends SparkSpec {
     assert(recall >= 0.8, s"near-dup recall $recall < 0.8 (${exact.size} pairs)")
   }
 
+  test("ivfTopK recall vs brute force on sf0.01 embeddings") {
+    assume(haveData)
+    val emb = spark.read.parquet(embPath)
+    val queries = emb.filter(col("vec_id") < 20)
+    val k = 3
+    val truth = Similarity.bruteForceTopK(queries, emb, "vec_id", "embedding", k)
+      .select("query_id", "corpus_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    for ((nProbe, minRecall) <- Seq(8 -> 0.7, 16 -> 0.999)) {
+      val ivf = Similarity.ivfTopK(emb, queries, "vec_id", "embedding", k,
+          nList = 16, nProbe = nProbe)
+        .select("query_id", "corpus_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      val recall = (truth & ivf).size.toDouble / truth.size
+      info(s"IVF nList=16 nProbe=$nProbe recall=$recall")
+      assert(recall >= minRecall,
+        s"IVF recall $recall < $minRecall at nProbe=$nProbe")
+    }
+  }
+
   test("planted near-duplicates are recovered with wide bands") {
     import spark.implicits._
     // a corpus with a REAL similarity gap: 40 base vectors + 10 jittered
