@@ -17,7 +17,7 @@ object Bench {
     "q_dedup_exact", "q_text_stats", "q_topk_orders",
     "q_kalman", "q_bocpd", "q_hybrid",
     "q_minhash", "q_ngram_jaccard", "q_simhash", "q_cosine_topk",
-    "q_ann_lsh", "q_embed_neardup", "q_quality", "q_langid",
+    "q_ann_lsh", "q_ann_ivf", "q_embed_neardup", "q_quality", "q_langid",
     "q5_region_revenue", "q_kmeans", "q_session", "q_qq", "q_bsts")
 
   def main(args: Array[String]): Unit = {

@@ -73,6 +73,21 @@ class NabIoSpec extends SparkSpec {
     assert(!plan.toLowerCase.contains("coalesce"))
   }
 
+  test("metrics JSON sink round-trips a nested metrics record") {
+    import spark.implicits._
+    val m = Seq(("s", 0.5, 2L, 1L)).toDF("series_id", "f1", "tp", "fp")
+      .select(col("series_id"),
+        struct(col("f1"), col("tp"), col("fp")).as("event_level"))
+    val dir = Files.createTempDirectory("metrics").toFile.getAbsolutePath
+    NabIo.writeMetricsJson(m, dir)
+    val back = spark.read.json(dir)
+    val r = back.collect().head
+    assert(r.getAs[String]("series_id") === "s")
+    val ev = r.getStruct(r.fieldIndex("event_level"))
+    assert(ev.getAs[Double]("f1") === 0.5)
+    assert(ev.getAs[Long]("tp") === 2L)
+  }
+
   test("metrics tree scan derives Model/Dataset from the path") {
     val root = Files.createTempDirectory("results").toFile
     val d = new java.io.File(root, "kalman/nyc_taxi.csv")
