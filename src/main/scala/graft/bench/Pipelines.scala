@@ -246,32 +246,10 @@ object Pipelines {
       sigmaSource = sigmaSource)
   }
 
-  /** M8 pipeline (run_hybrid.py: equal-weight mean of model z-scores,
-    * sweep on the combined score). */
-  def runHybrid(series: DataFrame, labels: DataFrame, key: String,
-                ts: String, value: String, cfg: Config)
-      : (DataFrame, DataFrame) = {
-    val prep = prepared(series, labels, key, ts, cfg)
-    // branch A: STL-lite residual / MAD z
-    val stl = StlLite.decompose(prep, key, ts, value, cfg.period)
-    val mad = SeriesOps.madSigma(stl, key, "resid", "__mad")
-    val a = stl.join(broadcast(mad), Seq(key))
-      .withColumn("score_stl",
-        SeriesOps.zscore(col("resid"), col("__mad") + lit(1e-9)))
-      .drop("__mad", "trend", "seasonal", "resid", "rn")
-    // branch B: Kalman one-step z
-    val kal = KalmanLocalLevel.run(prep, key, ts, value, cfg.trainFrac)
-      .withColumnRenamed("series_id", "__sid")
-    val ab = a.join(
-      kal.select(col("__sid"), col(ts).as("__kts"),
-        (abs(col("resid")) / (col("pred_std") + lit(1e-9)))
-          .as("score_kalman")),
-      a(key).cast("string") === col("__sid") && a(ts) === col("__kts"))
-      .drop("__sid", "__kts")
-    val combined = barrier(
-      Hybrid.combineEqual(ab, Seq("score_stl", "score_kalman"))
-        .withColumn("resid", col("combined_score")))
-    // the combined score IS the z-score: sweep directly on it
+  /** Shared ensemble tail: the combined score IS the z — sweep the
+    * threshold on the Test region directly, apply, persist, score. */
+  private def sweepOnCombined(combined: DataFrame, key: String, ts: String,
+                              cfg: Config): (DataFrame, DataFrame) = {
     val tune = combined.filter(col("split") === "Test")
     val truthTune = Events.eventize(tune, Seq(key), ts, "is_anomaly",
       cfg.gap)
@@ -294,6 +272,93 @@ object Pipelines {
     (persisted, metrics)
   }
 
+  /** M8 pipeline: equal-weight mean of STL-MAD and Kalman z-scores,
+    * sweep on the combined score (the lightweight two-member variant). */
+  def runHybrid(series: DataFrame, labels: DataFrame, key: String,
+                ts: String, value: String, cfg: Config)
+      : (DataFrame, DataFrame) = {
+    val prep = prepared(series, labels, key, ts, cfg)
+    // branch A: STL-lite residual / MAD z
+    val stl = StlLite.decompose(prep, key, ts, value, cfg.period)
+    val mad = SeriesOps.madSigma(stl, key, "resid", "__mad")
+    val a = stl.join(broadcast(mad), Seq(key))
+      .withColumn("score_stl",
+        SeriesOps.zscore(col("resid"), col("__mad") + lit(1e-9)))
+      .drop("__mad", "trend", "seasonal", "resid", "rn")
+    // branch B: Kalman one-step z
+    val kal = KalmanLocalLevel.run(prep, key, ts, value, cfg.trainFrac)
+      .withColumnRenamed("series_id", "__sid")
+    val ab = a.join(
+      kal.select(col("__sid"), col(ts).as("__kts"),
+        (abs(col("resid")) / (col("pred_std") + lit(1e-9)))
+          .as("score_kalman")),
+      a(key).cast("string") === col("__sid") && a(ts) === col("__kts"))
+      .drop("__sid", "__kts")
+    val combined = barrier(
+      Hybrid.combineEqual(ab, Seq("score_stl", "score_kalman")))
+    sweepOnCombined(combined, key, ts, cfg)
+  }
+
+  /** M8 reference-recipe ensemble (`src/run_hybrid.py`): equal-thirds
+    * mean of three member z-scores —
+    *  1. robust STL z (exact loess STL residual / MAD sigma),
+    *  2. GP predictive-std z on the test region (0 on train, like the
+    *     reference's nan_to_num padding),
+    *  3. the LSTM-substitute's rolling z on the AR-on-STL second-order
+    *     residual (0 where the lag window is incomplete) —
+    * then the threshold sweep on the combined score. */
+  def runHybridEnsemble(series: DataFrame, labels: DataFrame, key: String,
+                        ts: String, value: String, cfg: Config,
+                        seqLen: Int = 48): (DataFrame, DataFrame) = {
+    val prep = prepared(series, labels, key, ts, cfg)
+    // member 1: exact STL residual, robust z
+    val stlD = StlExact.decompose(prep, key, ts, value, cfg.period)
+      .withColumnRenamed("series_id", "__sid")
+    val withStl = prep.join(
+      stlD.select(col("__sid"), col(ts).as("__sts"),
+        col("resid").as("__stl_resid")),
+      prep(key).cast("string") === col("__sid") && prep(ts) === col("__sts"))
+      .drop("__sid", "__sts")
+    val mad = SeriesOps.madSigma(withStl, key, "__stl_resid", "__mad")
+    val m1 = barrier(withStl.join(broadcast(mad), Seq(key))
+      .withColumn("score_stl",
+        abs(col("__stl_resid")) / (col("__mad") + lit(1e-9)))
+      .drop("__mad"))
+    // member 2: GP predictive-std z on Test, 0 on Train
+    val gp = GpRegressor.run(prep, key, ts, value, cfg.trainFrac, 1000,
+        cfg.period)
+      .withColumnRenamed("series_id", "__gsid")
+    val m2 = m1.join(
+      gp.select(col("__gsid"), col(ts).as("__gts"),
+        col("pred_mean").as("__gm"), col("pred_std").as("__gs"),
+        col("split").as("__gsplit")),
+      m1(key).cast("string") === col("__gsid") && m1(ts) === col("__gts"))
+      .withColumn("score_gp",
+        when(col("__gsplit") === "Test",
+          abs(col(value) - col("__gm")) / (col("__gs") + lit(1e-9)))
+          .otherwise(lit(0.0)))
+      .drop("__gsid", "__gts", "__gm", "__gs", "__gsplit")
+    // member 3: AR forecast of the (scaled) STL residual, rolling z on
+    // the second-order residual; rows without a full lag window score 0
+    val arIn = barrier(SeriesOps.standardScale(
+      m2.select(col(key), col(ts), col("__stl_resid"), col("split")),
+      key, "__stl_resid", "__tn", popStd = true))
+    val arOut = AutoRegressor.run(arIn, key, ts, "__tn", seqLen,
+      cfg.trainFrac)
+    val arScored = SeriesOps.withRollingStats(arOut, key, ts, "resid",
+        cfg.rollingWindow, 1, "__arm", "__ars")
+      .select(col(key).cast("string").as("__asid"), col(ts).as("__ats"),
+        (abs(col("resid")) / (col("__ars") + lit(1e-9))).as("__ar_score"))
+    val m3 = m2.join(arScored,
+        m2(key).cast("string") === col("__asid") && m2(ts) === col("__ats"),
+        "left_outer")
+      .withColumn("score_ar", coalesce(col("__ar_score"), lit(0.0)))
+      .drop("__asid", "__ats", "__ar_score")
+    val combined = barrier(Hybrid.combineEqual(m3,
+      Seq("score_stl", "score_gp", "score_ar")))
+    sweepOnCombined(combined, key, ts, cfg)
+  }
+
   /** E1: the final benchmark — every (model, series) combination, one
     * leaderboard ordered by event F1 (run_final_benchmark.py +
     * aggregate_metrics.py). Per-model failures are isolated like the
@@ -311,6 +376,10 @@ object Pipelines {
           case "bsts" => runBsts(series, labels, key, ts, value, cfg)
           case "gp" => runGp(series, labels, key, ts, value, cfg)
           case "hybrid" => runHybrid(series, labels, key, ts, value, cfg)
+          case "hybrid3" =>
+            runHybridEnsemble(series, labels, key, ts, value, cfg)
+          case "enhanced_bsts" =>
+            runEnhancedBsts(series, labels, key, ts, value, cfg)
         }
         Some(metrics
           .select(lit(m.toUpperCase).as("Model"),

@@ -76,6 +76,23 @@ class PipelinesSpec extends SparkSpec {
     }
   }
 
+  test("three-member hybrid ensemble detects the injected burst") {
+    val (series, labels) = fixture
+    val (pred, metrics) = Pipelines.runHybridEnsemble(series, labels,
+      "series_id", "ts", "value",
+      Pipelines.Config(period = 24, rollingWindow = 24), seqLen = 12)
+    val m = metrics.collect()
+    assert(m.length === 2)
+    m.foreach { r =>
+      assert(r.getAs[Double]("recall") > 0.9,
+        s"series ${r.getAs[String]("series_id")}: recall " +
+          s"${r.getAs[Double]("recall")}")
+      assert(!r.isNullAt(r.fieldIndex("best_k")))
+    }
+    assert(Seq("score_stl", "score_gp", "score_ar", "combined_score",
+      "detected").forall(pred.columns.contains))
+  }
+
   test("final benchmark builds a leaderboard over models x series") {
     val (series, labels) = fixture
     val lb = Pipelines.runFinalBenchmark(series, labels, "series_id", "ts",

@@ -326,6 +326,49 @@ class GoldenSpec extends SparkSpec {
       s"event F1 ${m.getAs[Double]("f1")} below tolerance vs golden 0.333")
   }
 
+  test("hybrid ensemble sweep reproduces the notebook golden exactly") {
+    assume(available, "reference artifacts not present")
+    // notebooks/03: hybrid_score = 0.5|z_bsts| + 0.5|z_lstm| (verified
+    // against the stored hybrid_score column), threshold sweep over
+    // linspace(2,10,20) with NO rate guard, persistence 2, gap-3 events.
+    // Golden: best_threshold 5.368421..., event F1 0.5714285709
+    // (tp=2 fp=3 fn=0, 5 pred events). Replaying from the reference's
+    // own per-member z columns pins our sweep/persist/eventize/metrics
+    // chain bit-for-bit on a THIRD distinct artifact.
+    val dir = "/root/reference/notebooks/results/hybrid/realKnownCause__nyc_taxi.csv"
+    val df = spark.read.option("header", "true").csv(s"$dir/predictions.csv")
+      .withColumn("ts", to_timestamp(col("timestamp")))
+      .withColumn("is_anomaly", col("is_anomaly").cast("int"))
+      .withColumn("score",
+        (abs(col("z_bsts").cast("double")) +
+          abs(col("z_lstm").cast("double"))) / 2)
+      .withColumn("series_id", lit("s"))
+    val ks = (0 until 20).map(i => 2.0 + 8.0 * i / 19.0)
+    val truth = Events.eventize(df, Seq("series_id"), "ts", "is_anomaly", 3)
+    val best = Metrics.sweep(
+      df.select(col("series_id"), col("ts"), col("score")),
+      Seq("series_id"), "ts", "score", ks, 2, 3, truth, maxRate = 1.1)
+      .collect().head
+    assert(math.abs(best.getAs[Double]("best_k") - 5.368421052631579) < 1e-9)
+    val flagged = df.withColumn("flag",
+      graft.core.SeriesOps.thresholdFlag(col("score"),
+        lit(best.getAs[Double]("best_k"))))
+    val persisted = Events.persistFilter(flagged, Seq("series_id"), "ts",
+      "flag", 2, "detected")
+    val m = Events.eventLevelMetrics(
+      Events.eventize(persisted, Seq("series_id"), "ts", "detected", 3),
+      truth, Seq("series_id")).collect().head
+    val gold = goldenEventLevel(dir)
+    def num(c: String): Double = m.get(m.fieldIndex(c)) match {
+      case l: Long => l.toDouble; case d: Double => d
+      case x => x.toString.toDouble
+    }
+    for (k <- Seq("tp", "fp", "fn", "n_pred_events", "n_true_events",
+        "precision", "recall", "f1"))
+      assert(math.abs(num(k) - gold(k)) < 1e-9,
+        s"$k: got ${num(k)} want ${gold(k)}")
+  }
+
   test("BOCPD cp_prob matches the reference golden over the full series") {
     assume(available, "reference artifacts not present")
     val dir = s"$refRoot/bocpd/realKnownCause__nyc_taxi.csv"
