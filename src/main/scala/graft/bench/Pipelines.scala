@@ -196,7 +196,17 @@ object Pipelines {
       prep(key).cast("string") === col("__sid") && prep(ts) === b(ts))
       .drop("__sid").drop(b(ts))
       .withColumn("resid", col(value) - col("bsts_mean"))
-    detectAndScore(barrier(joined), key, ts, cfg,
+    // run_bsts.py:55-57 centers the forecast-region residuals by their
+    // median ("robust against model bias/collapse") before thresholding
+    val med = joined.filter(col("split") =!= "Train")
+      .groupBy(key).agg(median(col("resid")).as("__rmed"))
+    val centered = joined.join(broadcast(med), Seq(key), "left")
+      .withColumn("resid",
+        when(col("split") =!= "Train",
+          col("resid") - coalesce(col("__rmed"), lit(0.0)))
+          .otherwise(col("resid")))
+      .drop("__rmed")
+    detectAndScore(barrier(centered), key, ts, cfg,
       tuneSplit = "Validation")
   }
 

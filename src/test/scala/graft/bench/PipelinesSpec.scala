@@ -8,12 +8,12 @@ import graft.SparkSpec
   * sweep → metrics chain (E1-E3). */
 class PipelinesSpec extends SparkSpec {
 
-  private val rng = new scala.util.Random(5)
-
   /** Two series with seasonal structure and an injected anomaly burst in
-    * each test region. */
+    * each test region. A FRESH seeded RNG per call: a suite-shared
+    * stream would make fixture data depend on test execution order. */
   private def fixture = {
     import spark.implicits._
+    val rng = new scala.util.Random(5)
     val rows = for {
       sid <- Seq("a", "b")
       i <- 0 until 400
@@ -39,6 +39,7 @@ class PipelinesSpec extends SparkSpec {
     // rolling sigma absorbs the burst — faithful to the reference, but
     // not what this model is for
     import spark.implicits._
+    val rng = new scala.util.Random(5)
     val rows = for { sid <- Seq("a", "b"); i <- 0 until 400 } yield {
       val base = 50 + rng.nextGaussian()
       val v = if (i >= 300 && i < 305) base + 20 else base
