@@ -369,6 +369,39 @@ class GoldenSpec extends SparkSpec {
         s"$k: got ${num(k)} want ${gold(k)}")
   }
 
+  test("STL pipeline approaches the notebook NYC-Taxi golden") {
+    assume(available, "reference artifacts not present")
+    // notebook STL baseline: robust STL on the full series, rolling-z
+    // sweep on the test half. Golden: best_k=4.0, event F1 0.0488
+    // (tp=1 fp=35 fn=4 — a weak detector by design). Our loess STL is
+    // not statsmodels bit-for-bit; measured: the sweep lands on the SAME
+    // best_k=4.0 with the same single true-event hit but only 4 false
+    // events instead of 35 (F1 0.20) — cleaner residuals, so the golden
+    // is a floor here, not a target band.
+    val cpDir = s"$refRoot/bocpd/realKnownCause__nyc_taxi.csv"
+    val full = spark.read.option("header", "true").csv(s"$cpDir/cp_probs.csv")
+      .withColumn("ts", to_timestamp(col("timestamp")))
+      .withColumn("value", col("value").cast("double"))
+      .withColumn("series_id", lit("s"))
+      .select("series_id", "ts", "value")
+    val ordered = full.orderBy("ts").select("ts").collect().map(_.getTimestamp(0))
+    val labelTs = Seq(5942, 7183, 8526, 8834, 10080).map(ordered(_))
+    import spark.implicits._
+    val labels = labelTs.map(t => ("s", t)).toDF("series_id", "label_ts")
+    val cfg = graft.bench.Pipelines.Config(labelWindowRows = 3, period = 48)
+    val (_, metrics) = graft.bench.Pipelines.runStl(
+      full, labels, "series_id", "ts", "value", cfg, exact = true)
+    val m = metrics.collect().head
+    info(s"STL: best_k=${m.getAs[Double]("best_k")} f1=${m.getAs[Double]("f1")} " +
+      s"tp=${m.getAs[Long]("tp")} fp=${m.getAs[Long]("fp")} fn=${m.getAs[Long]("fn")}")
+    assert(m.getAs[Long]("n_true_events") === 5L)
+    assert(m.getAs[Long]("tp") >= 1L, "no true event detected")
+    assert(m.getAs[Double]("best_k") === 4.0)
+    val f1 = m.getAs[Double]("f1")
+    assert(f1 >= 0.0488 * 0.5,
+      s"event F1 $f1 below half the golden 0.0488")
+  }
+
   test("BOCPD cp_prob matches the reference golden over the full series") {
     assume(available, "reference artifacts not present")
     val dir = s"$refRoot/bocpd/realKnownCause__nyc_taxi.csv"
