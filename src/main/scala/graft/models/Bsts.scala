@@ -35,10 +35,13 @@ object Bsts {
                  split: String)
 
   /** State-space model for fixed variances. `seasonal` is a list of
-    * (period, harmonics). All hot loops are on raw arrays (row-major P). */
-  private[models] class Model(seasonal: Seq[(Double, Int)],
-                              qLevel: Double, qSlope: Double,
-                              qSeas: Seq[Double], val h: Double) {
+    * (period, harmonics). All hot loops are on raw arrays (row-major P).
+    * Serializable + graft-visible so the streaming variant can capture
+    * one instance in its flatMapGroupsWithState closure. */
+  private[graft] class Model(seasonal: Seq[(Double, Int)],
+                             qLevel: Double, qSlope: Double,
+                             qSeas: Seq[Double], val h: Double)
+      extends Serializable {
     require(seasonal.nonEmpty && seasonal.size == qSeas.size)
     val d: Int = 2 + 2 * seasonal.map(_._2).sum
 

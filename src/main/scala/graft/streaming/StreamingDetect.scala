@@ -87,6 +87,49 @@ object StreamingDetect {
       }
   }
 
+  // ---- M3 streaming: BSTS one-step filter with explicit state ---------
+
+  case class BstsState(a: Array[Double], p: Array[Double])
+  case class BstsOut(series_id: String, ts: Timestamp, value: Double,
+                     bsts_mean: Double, bsts_std: Double, resid: Double)
+
+  /** Stateful BSTS: the full (a, P) state-space posterior is the carried
+    * state (d + d² doubles — e.g. 72 for the default daily config), so
+    * one-step-ahead filtered predictions stream per micro-batch.
+    * Variances are fixed (fit offline via the batch MLE — the same
+    * batch/stream split as statefulKalman). */
+  def statefulBsts(points: Dataset[Point],
+                   seasonal: Seq[(Double, Int)] = Seq((48.0, 3)),
+                   qLevel: Double, qSlope: Double, qSeas: Seq[Double],
+                   h: Double, p0: Double = 1e7): Dataset[BstsOut] = {
+    import points.sparkSession.implicits._
+    val model = new graft.models.Bsts.Model(seasonal, qLevel, qSlope,
+      qSeas, h)
+    points.groupByKey(_.series_id)
+      .flatMapGroupsWithState[BstsState, BstsOut](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (sid: String, it: Iterator[Point], state: GroupState[BstsState]) =>
+          val pts = it.toSeq.sortBy(_.ts.getTime)
+          if (pts.isEmpty) Iterator.empty
+          else {
+            val s = state.getOption.getOrElse {
+              val (a0, pm0) = model.initState(pts.head.value, p0)
+              BstsState(a0, pm0)
+            }
+            val a = s.a.clone(); val p = s.p.clone()
+            val ys = pts.map(_.value).toArray
+            val means = new Array[Double](ys.length)
+            val vars = new Array[Double](ys.length)
+            model.filter(ys, a, p, means, vars)
+            state.update(BstsState(a, p))
+            pts.iterator.zipWithIndex.map { case (pt, i) =>
+              BstsOut(sid, pt.ts, pt.value, means(i), math.sqrt(vars(i)),
+                pt.value - means(i))
+            }
+          }
+      }
+  }
+
   // ---- M6 streaming: BOCPD with bounded run-length state --------------
 
   case class BocpdState(r: Array[Double], mu: Array[Double],

@@ -133,6 +133,44 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("statefulBsts filter is invariant to micro-batch splits") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val rng = new scala.util.Random(3)
+    val xs = (0 until 96).map(i =>
+      10.0 + 0.05 * i + 3 * math.sin(2 * math.Pi * i / 24.0)
+        + rng.nextGaussian() * 0.2)
+    def run(name: String, splits: Seq[Seq[(Double, Int)]]): Array[(Double, Double)] = {
+      val input = MemoryStream[Point]
+      val out = statefulBsts(input.toDS(), Seq((24.0, 2)),
+        qLevel = 0.01, qSlope = 1e-4, qSeas = Seq(1e-3), h = 0.5)
+      val q = out.writeStream.format("memory").queryName(name)
+        .outputMode("append").start()
+      try {
+        splits.foreach { batch =>
+          input.addData(batch.map { case (v, i) => pt(i, v) }: _*)
+          q.processAllAvailable()
+        }
+        spark.sql(s"select * from $name order by ts").collect()
+          .map(r => (r.getAs[Double]("bsts_mean"), r.getAs[Double]("bsts_std")))
+      } finally q.stop()
+    }
+    val indexed = xs.zipWithIndex
+    val oneShot = run("bsts_one", Seq(indexed))
+    val split = run("bsts_split",
+      Seq(indexed.take(30), indexed.slice(30, 70), indexed.drop(70)))
+    assert(oneShot.length === 96 && split.length === 96)
+    oneShot.zip(split).foreach { case ((m1, s1), (m2, s2)) =>
+      assert(math.abs(m1 - m2) < 1e-9, s"mean $m1 vs $m2")
+      assert(math.abs(s1 - s2) < 1e-9, s"std $s1 vs $s2")
+    }
+    // the filter tracks the seasonal signal: late one-step errors are
+    // far below the seasonal swing
+    val lateMae = oneShot.drop(48).zip(xs.drop(48))
+      .map { case ((m, _), v) => math.abs(v - m) }.sum / 48
+    assert(lateMae < 1.0, s"late one-step MAE $lateMae")
+  }
+
   test("statefulBocpd matches the batch recursion across batch splits") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
