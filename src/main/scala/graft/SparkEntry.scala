@@ -453,6 +453,16 @@ object SparkEntry {
         .select(col("id_a"), col("id_b"),
           round(col("est_jaccard"), 6).as("est_jaccard"))),
 
+    // LLM-pipeline: dedup RESOLUTION — near-dup candidate pairs →
+    // connected components (iterative min-label propagation) → keep/drop
+    // decision per document (minimum id of each component kept)
+    "q_dedup_resolve" -> ((s, dir) => {
+      val docs = tbl(s, dir, "documents")
+      val pairs = llm.Dedup.ngramJaccard(docs, "doc_id", "text", n = 3,
+        minJaccard = 0.2, maxDocFreq = 100)
+      llm.Dedup.resolveComponents(docs, pairs, "doc_id")
+    }),
+
     // LLM-pipeline: SimHash near-dup at the classic 64-bit radius 3
     // (4×16-bit chunks). Banding derives from maxDist, so recall within
     // the radius is exact — DedupSpec proves the contract at 3/7/10;
@@ -827,6 +837,36 @@ object SparkEntry {
         |JOIN sizes sa ON sa.doc_id = id_a
         |JOIN sizes sb ON sb.doc_id = id_b
         |WHERE CAST(i AS DOUBLE)/(sa.sz + sb.sz - i) >= 0.2""".stripMargin,
+
+    "q_dedup_resolve" ->
+      """WITH RECURSIVE words AS (SELECT doc_id, string_split(text, ' ') AS w
+        |  FROM documents),
+        |sh AS (SELECT DISTINCT doc_id,
+        |    w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
+        |  FROM (SELECT doc_id, w, unnest(range(1, len(w) - 1)) AS i
+        |        FROM words) wi),
+        |freq AS (SELECT shingle FROM sh GROUP BY shingle
+        |  HAVING count(*) <= 100),
+        |f AS (SELECT sh.doc_id, sh.shingle FROM sh
+        |  JOIN freq USING (shingle)),
+        |sizes AS (SELECT doc_id, count(*) AS sz FROM f GROUP BY doc_id),
+        |inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |    count(*) AS i FROM f a JOIN f b ON a.shingle = b.shingle
+        |    AND a.doc_id < b.doc_id
+        |  GROUP BY a.doc_id, b.doc_id),
+        |pairs AS (SELECT id_a, id_b FROM inter
+        |  JOIN sizes sa ON sa.doc_id = id_a
+        |  JOIN sizes sb ON sb.doc_id = id_b
+        |  WHERE CAST(i AS DOUBLE)/(sa.sz + sb.sz - i) >= 0.2),
+        |edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+        |  UNION ALL SELECT id_b, id_a FROM pairs),
+        |reach(root, node) AS (
+        |  SELECT doc_id, doc_id FROM documents
+        |  UNION
+        |  SELECT r.root, e.dst FROM reach r JOIN edges e ON e.src = r.node)
+        |SELECT node AS doc_id, min(root) AS keep_id,
+        |  (node = min(root)) AS is_kept
+        |FROM reach GROUP BY node""".stripMargin,
 
     "q_cosine_topk" ->
       """WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv

@@ -166,6 +166,45 @@ object Dedup {
       .filter(col("hamming") <= maxDist)
   }
 
+  /** Resolve near-dup candidate PAIRS into keep/drop decisions:
+    * connected components over the similarity graph by iterative
+    * min-label propagation — each round is one distributed join +
+    * aggregate, converging in O(component diameter) rounds (near-dup
+    * components are shallow in practice). The driver loop schedules
+    * ROUNDS, not rows — the same fixpoint structure GraphX/GraphFrames
+    * use; `localCheckpoint` truncates lineage per round (a persisted
+    * table on a cluster). Output: (id, keep_id, is_kept) — keep the
+    * minimum id of each component, like `exact`. */
+  def resolveComponents(docs: DataFrame, pairs: DataFrame, id: String,
+                        maxIters: Int = 20): DataFrame = {
+    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+      .localCheckpoint(true)
+    var labels = docs.select(col(id).as("node"), col(id).as("comp"))
+      .localCheckpoint(true)
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIters) {
+      val neighborMin = edges
+        .join(labels, edges("src") === labels("node"))
+        .groupBy(col("dst")).agg(min("comp").as("ncomp"))
+      val updated = labels
+        .join(neighborMin, labels("node") === neighborMin("dst"), "left")
+        .select(col("node"),
+          least(col("comp"), coalesce(col("ncomp"), col("comp")))
+            .as("comp"))
+        .localCheckpoint(true)
+      converged = updated
+        .join(labels.withColumnRenamed("comp", "__old"), "node")
+        .filter(col("comp") =!= col("__old"))
+        .isEmpty
+      labels = updated
+      i += 1
+    }
+    labels.select(col("node").as(id), col("comp").as("keep_id"),
+      (col("node") === col("comp")).as("is_kept"))
+  }
+
   /** Embedding cosine near-dup: hyperplane-LSH bucket join (Similarity,
     * OR-amplified bands), exact cosine inside buckets, threshold. Recall
     * is probabilistic — pick (planes, bands) from the S-curve for the

@@ -65,6 +65,24 @@ class DedupSpec extends SparkSpec {
       assert(r.getAs[Number]("hamming").longValue() <= 7))
   }
 
+  test("resolveComponents finds transitive components and keeps min ids") {
+    import spark.implicits._
+    // components: {1,2,3,7} via chain 1-2, 2-3, 3-7; {4,5}; {6} isolated
+    val docs = Seq(1L, 2L, 3L, 4L, 5L, 6L, 7L).toDF("doc_id")
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 7L), (4L, 5L))
+      .toDF("id_a", "id_b")
+    val out = Dedup.resolveComponents(docs, pairs, "doc_id")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2)))
+      .toMap
+    assert(out(1L) === ((1L, true)))
+    assert(out(2L) === ((1L, false)))
+    assert(out(3L) === ((1L, false)))
+    assert(out(7L) === ((1L, false)))
+    assert(out(4L) === ((4L, true)))
+    assert(out(5L) === ((4L, false)))
+    assert(out(6L) === ((6L, true)))
+  }
+
   test("exact dedup groups identical fingerprints") {
     import spark.implicits._
     val df = Seq((1L, "a b c"), (2L, "a b c"), (3L, "x y z"))
