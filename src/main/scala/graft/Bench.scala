@@ -16,7 +16,8 @@ object Bench {
     "q_eventize", "q_event_metrics", "q_label_windows", "q_mad",
     "q_dedup_exact", "q_text_stats", "q_topk_orders",
     "q_kalman", "q_bocpd", "q_hybrid",
-    "q_minhash", "q_ngram_jaccard", "q_simhash", "q_cosine_topk",
+    "q_minhash", "q_ngram_jaccard", "q_dedup_resolve", "q_simhash",
+    "q_cosine_topk",
     "q_ann_lsh", "q_ann_ivf", "q_embed_neardup", "q_quality", "q_langid",
     "q5_region_revenue", "q_kmeans", "q_session", "q_qq", "q_bsts")
 
