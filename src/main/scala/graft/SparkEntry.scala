@@ -244,6 +244,17 @@ object SparkEntry {
           round(col("sample_q"), 9).as("sample_q"))
     }),
 
+    // S7: pointwise precision-recall curve data (plotting.py:42-55 /
+    // sklearn precision_recall_curve) — one row per distinct threshold
+    "q_pr_curve" -> ((s, dir) => {
+      val e = ev(s, dir).withColumn("label",
+        when(col("event_type") === "error", 1).otherwise(0))
+      Metrics.prCurve(e, "user_id", "label", "value")
+        .select(col("user_id"), round(col("threshold"), 9).as("threshold"),
+          round(col("precision"), 6).as("precision"),
+          round(col("recall"), 6).as("recall"), col("n_flagged"))
+    }),
+
     // A9: kurtosis (excess, population moments — scipy fisher=True)
     "q_kurtosis" -> ((s, dir) =>
       ev(s, dir).groupBy("user_id")
@@ -724,6 +735,25 @@ object SparkEntry {
     "q_acf" -> acfSql,
 
     "q_qq" -> qqSql,
+
+    "q_pr_curve" ->
+      """WITH l AS (SELECT user_id, value,
+        |    CASE WHEN event_type = 'error' THEN 1 ELSE 0 END AS label
+        |  FROM events),
+        |r AS (SELECT user_id, value, label,
+        |    sum(label) OVER (PARTITION BY user_id ORDER BY value DESC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tp,
+        |    count(*) OVER (PARTITION BY user_id ORDER BY value DESC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS rnk,
+        |    sum(label) OVER (PARTITION BY user_id) AS pos,
+        |    lead(value, 1) OVER (PARTITION BY user_id ORDER BY value DESC)
+        |      AS nxt
+        |  FROM l)
+        |SELECT user_id, round(value, 9) AS threshold,
+        |  round(CAST(cum_tp AS DOUBLE)/rnk, 6) AS precision,
+        |  round(CAST(cum_tp AS DOUBLE)/greatest(pos, 1), 6) AS recall,
+        |  CAST(rnk AS BIGINT) AS n_flagged
+        |FROM r WHERE nxt IS NULL OR nxt < value""".stripMargin,
 
     "q_kurtosis" ->
       """WITH m AS (SELECT user_id, avg(value) AS mu FROM events

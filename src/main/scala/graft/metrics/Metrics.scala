@@ -138,6 +138,33 @@ object Metrics {
   def leaderboard(runs: Seq[DataFrame]): DataFrame =
     runs.reduce(_.unionByName(_)).orderBy(desc("Event_F1"))
 
+  /** S7: pointwise precision-recall curve data (`plotting.py:42-55` /
+    * sklearn `precision_recall_curve` semantics): one row per DISTINCT
+    * score threshold, with precision and recall of the rule
+    * `score >= threshold`. One sort per series: cumulative tp over the
+    * score-descending order, emitted at the last row of each tie group.
+    * Output: (series, threshold, precision, recall, n_flagged). */
+  def prCurve(df: DataFrame, series: String, label: String,
+              score: String): DataFrame = {
+    val w = Window.partitionBy(series)
+      .orderBy(col(score).desc)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val wo = Window.partitionBy(series).orderBy(col(score).desc)
+    val wp = Window.partitionBy(series)
+    val ranked = df
+      .withColumn("__cum_tp", sum(col(label)).over(w))
+      .withColumn("__rank", count(lit(1)).over(w))
+      .withColumn("__pos", sum(col(label)).over(wp))
+      // emit at tie-group ends: the NEXT row has a strictly lower score
+      .withColumn("__next", lead(col(score), 1).over(wo))
+      .filter(col("__next").isNull || col("__next") < col(score))
+    ranked.select(col(series), col(score).as("threshold"),
+      (col("__cum_tp").cast("double") / col("__rank")).as("precision"),
+      (col("__cum_tp").cast("double") /
+        greatest(col("__pos"), lit(1))).as("recall"),
+      col("__rank").as("n_flagged"))
+  }
+
   /** Standard-normal inverse CDF (probit) as a pure column expression —
     * Acklam's rational approximation (|ε| < 1.15e-9), public-domain
     * constants. Pure arithmetic + log/sqrt, so it stays inside
