@@ -80,4 +80,47 @@ class MetricsSpec extends SparkSpec {
     assert(math.abs(b.getAs[Double]("fp_per_day") - 1.0) < 1e-9)
     assert(b.getAs[Any]("median_latency_minutes") === null)
   }
+
+  test("prCurve matches hand-computed sklearn semantics, ties collapsed") {
+    import spark.implicits._
+    // scores 4,3,2,2,1 with labels 1,0,1,0,1: thresholds {4,3,2,1};
+    // at 2 the tie group collapses to one row with cum stats over both
+    val df = Seq(("s", 1, 4.0), ("s", 0, 3.0), ("s", 1, 2.0),
+      ("s", 0, 2.0), ("s", 1, 1.0)).toDF("series_id", "label", "score")
+    val out = Metrics.prCurve(df, "series_id", "label", "score")
+      .orderBy(col("threshold").desc).collect()
+    val rows = out.map(r => (r.getAs[Double]("threshold"),
+      r.getAs[Double]("precision"), r.getAs[Double]("recall"),
+      r.getAs[Long]("n_flagged")))
+    assert(rows.length === 4)
+    assert(rows(0) === ((4.0, 1.0, 1.0 / 3, 1L)))
+    assert(rows(1) === ((3.0, 0.5, 1.0 / 3, 2L)))
+    assert(rows(2) === ((2.0, 0.5, 2.0 / 3, 4L)))
+    assert(rows(3) === ((1.0, 0.6, 1.0, 5L)))
+  }
+
+  test("qqQuantiles emits Filliben positions through an accurate probit") {
+    import spark.implicits._
+    val n = 199
+    val df = (1 to n).map(i => ("s", i.toDouble)).toDF("series_id", "v")
+    val out = Metrics.qqQuantiles(df, "series_id", "v")
+      .orderBy("qi").collect()
+    assert(out.length === n)
+    // middle rank of n=199: Filliben position (100-0.3175)/(199.365) is
+    // almost exactly 0.5 → theoretical quantile ~0; sample_q = 100
+    val mid = out(99)
+    assert(mid.getAs[Double]("sample_q") === 100.0)
+    assert(math.abs(mid.getAs[Double]("theoretical_q")) < 1e-3)
+    // symmetry of the tails (probit(p) = -probit(1-p)) through both the
+    // central and tail branches of the approximation
+    (0 until n / 2).foreach { i =>
+      val lo = out(i).getAs[Double]("theoretical_q")
+      val hi = out(n - 1 - i).getAs[Double]("theoretical_q")
+      assert(math.abs(lo + hi) < 1e-6, s"asymmetry at rank ${i + 1}")
+    }
+    // known value: probit(0.975) = 1.959964 (the 95% CI constant)
+    val p975 = Metrics.probit(lit(0.975))
+    val v = spark.range(1).select(p975.as("x")).collect().head.getDouble(0)
+    assert(math.abs(v - 1.959963985) < 1e-6)
+  }
 }
