@@ -1,0 +1,85 @@
+package graft.core
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+/** Physical-plan shape guards: the scale properties the operators were
+  * designed around (broadcast small sides, no cartesian candidate
+  * generation, bounded sort layers) pinned as assertions, so a future
+  * refactor that silently degrades a plan fails here rather than at
+  * 100 TB. Assertions are on plan-string features that survive AQE.
+  */
+class PlanSpec extends SparkSpec {
+
+  private def plan(df: DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  private def series(n: Int) = {
+    import spark.implicits._
+    (0 until n).map { i =>
+      (if (i % 2 == 0) "a" else "b",
+        new java.sql.Timestamp(1700000000000L + i * 60000L),
+        i.toDouble)
+    }.toDF("series_id", "ts", "value")
+  }
+
+  test("markLabelWindows joins the fact table against a BROADCAST interval set") {
+    import spark.implicits._
+    val labels = Seq(("a", new java.sql.Timestamp(1700000300000L)))
+      .toDF("series_id", "label_ts")
+    val p = plan(SeriesOps.markLabelWindows(series(100), labels,
+      "series_id", "ts", "label_ts", 3))
+    assert(p.contains("Broadcast"), "interval join must broadcast")
+    assert(!p.contains("CartesianProduct"), "no cartesian in J2")
+  }
+
+  test("standardScale broadcasts the per-series stats") {
+    val p = plan(SeriesOps.standardScale(series(100), "series_id",
+      "value", "z"))
+    assert(p.contains("BroadcastHashJoin"), "stats join must broadcast")
+    assert(!p.contains("SortMergeJoin"), "tiny stats side must not SMJ")
+  }
+
+  test("brute-force topK broadcasts the query side, never the corpus") {
+    import spark.implicits._
+    val rng = new scala.util.Random(1)
+    val emb = (0L until 50L).map(i =>
+      (i, Array.fill(8)(rng.nextFloat()))).toDF("vec_id", "embedding")
+    val p = plan(graft.llm.Similarity.bruteForceTopK(
+      emb.filter(col("vec_id") < 3), emb, "vec_id", "embedding", 3))
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      "non-equi pair join must broadcast the small query side")
+    assert(!p.contains("CartesianProduct"), "corpus x corpus is forbidden")
+  }
+
+  test("LSH candidate join is a bucket equi-join, not a cross join") {
+    import spark.implicits._
+    val rng = new scala.util.Random(2)
+    val emb = (0L until 50L).map(i =>
+      (i, Array.fill(8)(rng.nextFloat()))).toDF("vec_id", "embedding")
+    val p = plan(graft.llm.Similarity.lshPairs(emb, "vec_id", "embedding",
+      planes = 16, bands = 4))
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      "LSH candidates must come from the (chunk, key) equi-join")
+  }
+
+  test("rolling stats plans exactly one exchange (the per-series partition)") {
+    val p = plan(SeriesOps.withRollingStats(series(200), "series_id",
+      "ts", "value", 48, 5, "m", "s"))
+    val shuffles = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(shuffles == 1, s"expected 1 shuffle, found $shuffles:\n$p")
+  }
+
+  test("eventize stays within the per-key partitioning (no extra wide shuffles)") {
+    val flagged = series(200)
+      .withColumn("flag", when(col("value") % 7 === 0, 1).otherwise(0))
+    val p = plan(graft.events.Events.eventize(flagged, Seq("series_id"),
+      "ts", "flag", 3))
+    // ordinal window + islands groupBys all hash by series_id (+ island
+    // keys); none may devolve into a cartesian or broadcast of the facts
+    assert(!p.contains("CartesianProduct"))
+    assert(!p.contains("BroadcastNestedLoopJoin"))
+  }
+}
