@@ -369,6 +369,16 @@ object SparkEntry {
           round(col("bsts_lower"), 6).as("bsts_lower"),
           round(col("bsts_upper"), 6).as("bsts_upper"), col("split"))),
 
+    // M3 dummy-seasonal mode (statsmodels `seasonal=period`,
+    // bsts_model.py:36-42): companion-form stochastic seasonal block
+    "q_bsts_dummy" -> ((s, dir) =>
+      models.Bsts.run(ev(s, dir), "user_id", "ts", "value",
+        Seq(models.Bsts.Dummy(24)), trainFrac = 0.5, mle = true)
+        .select(col("series_id"), col("ts"),
+          round(col("bsts_mean"), 6).as("bsts_mean"),
+          round(col("bsts_lower"), 6).as("bsts_lower"),
+          round(col("bsts_upper"), 6).as("bsts_upper"), col("split"))),
+
     // M1 exact mode: per-series loess STL (robust)
     "q_stl_exact" -> ((s, dir) =>
       models.StlExact.decompose(ev(s, dir), "user_id", "ts", "value", 24)
@@ -955,6 +965,7 @@ object SparkEntry {
     "q_bocpd" -> fixtureSql("q_bocpd"),
     "q_kalman" -> fixtureSql("q_kalman"),
     "q_bsts" -> fixtureSql("q_bsts"),
+    "q_bsts_dummy" -> fixtureSql("q_bsts_dummy"),
     "q_gp" -> fixtureSql("q_gp"),
     "q_stl_exact" -> fixtureSql("q_stl_exact"),
     "q_hybrid" -> fixtureSql("q_hybrid"),

@@ -214,11 +214,13 @@ object Pipelines {
     * daily+weekly trigonometric seasonality (periods 48/336, 10 harmonics
     * each), MLE variances, 2-way split, threshold sweep tuned directly on
     * Test with no rate guard — pass `cfg.maxRate > 1` to disable it and
-    * `cfg.ks = 3..12 step 1` for the notebook's grid. */
+    * `cfg.ks = 3..12 step 1` for the notebook's grid. The same shape with
+    * `seasonal = Seq(Bsts.Dummy(48))` is the notebook's daily-only BSTS
+    * pipeline (02_model_comparison cell 4: statsmodels `seasonal=48`). */
   def runEnhancedBsts(series: DataFrame, labels: DataFrame, key: String,
                       ts: String, value: String, cfg: Config,
-                      seasonal: Seq[(Double, Int)] =
-                        Seq((48.0, 10), (336.0, 10)))
+                      seasonal: Seq[Bsts.Seasonal] =
+                        Seq(Bsts.Trig(48.0, 10), Bsts.Trig(336.0, 10)))
       : (DataFrame, DataFrame) = {
     val prep = prepared(series, labels, key, ts, cfg)
     val b = Bsts.run(prep, key, ts, value, seasonal, cfg.trainFrac,

@@ -6,14 +6,19 @@ import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
 /** M3: Bayesian structural time series — local linear trend plus one or
-  * more trigonometric seasonal components, the capability of statsmodels
+  * more seasonal components, the capability of statsmodels
   * UnobservedComponents as configured by the reference
-  * (`src/bsts_model.py:12-50`: level='local linear trend',
-  * freq_seasonal=[{period, harmonics ≤ 10}]; harmonic cap at
-  * bsts_model.py:27-29). Forecast with CI over the test region
+  * (`src/bsts_model.py:12-50`): either trigonometric
+  * (freq_seasonal=[{period, harmonics ≤ 10}], harmonic cap at
+  * bsts_model.py:27-29) or the stochastic dummy-variable seasonal
+  * (`seasonal=period`, bsts_model.py:36-42 — the notebook's daily-only
+  * NYC-Taxi configuration). Forecast with CI over the test region
   * (`dynamic=True` run-out, bsts_model.py:52-71).
   *
-  * State: [level, slope] ⊕ one 2-dim rotation block per harmonic.
+  * State: [level, slope] ⊕ one 2-dim rotation block per harmonic for a
+  * trig component, ⊕ a (period−1)-dim companion block for a dummy
+  * component (s_t = −Σ_{j=1..period−1} s_{t−j} + noise; the remaining
+  * states shift down, noise enters the driving state only).
   * Variance parameters are fitted per series by MLE — coordinate
   * golden-section ascent in log-variance space on the exact filter
   * log-likelihood, the same pattern as [[KalmanLocalLevel.fit]] but over
@@ -34,39 +39,68 @@ object Bsts {
                  bsts_mean: Double, bsts_lower: Double, bsts_upper: Double,
                  split: String)
 
-  /** State-space model for fixed variances. `seasonal` is a list of
-    * (period, harmonics). All hot loops are on raw arrays (row-major P).
-    * Serializable + graft-visible so the streaming variant can capture
-    * one instance in its flatMapGroupsWithState closure. */
-  private[graft] class Model(seasonal: Seq[(Double, Int)],
+  /** Seasonal component spec: statsmodels' two representations
+    * (bsts_model.py:27-42). */
+  sealed trait Seasonal extends Serializable
+  /** Trigonometric (freq_seasonal): `harmonics` 2-dim rotation blocks. */
+  case class Trig(period: Double, harmonics: Int) extends Seasonal
+  /** Stochastic dummy-variable seasonal (`seasonal=period`): one
+    * (period−1)-dim companion block, noise on the driving state. */
+  case class Dummy(period: Int) extends Seasonal {
+    require(period >= 2)
+  }
+
+  private def trig(seasonal: Seq[(Double, Int)]): Seq[Seasonal] =
+    seasonal.map { case (p, h) => Trig(p, h) }
+
+  /** State-space model for fixed variances; one qSeas per component.
+    * All hot loops are on raw arrays (row-major P). Serializable +
+    * graft-visible so the streaming variant can capture one instance in
+    * its flatMapGroupsWithState closure. */
+  private[graft] class Model(components: Seq[Seasonal],
                              qLevel: Double, qSlope: Double,
                              qSeas: Seq[Double], val h: Double)
       extends Serializable {
-    require(seasonal.nonEmpty && seasonal.size == qSeas.size)
-    val d: Int = 2 + 2 * seasonal.map(_._2).sum
+    require(components.nonEmpty && components.size == qSeas.size)
 
-    // per-harmonic rotation blocks: (state index, cos λ, sin λ)
-    private val blocks: Array[(Int, Double, Double)] = {
-      val b = Array.newBuilder[(Int, Double, Double)]
-      var i = 2
-      for ((period, harm) <- seasonal; j <- 1 to harm) {
-        val lam = 2 * math.Pi * j / period
-        b += ((i, math.cos(lam), math.sin(lam)))
-        i += 2
-      }
-      b.result()
-    }
-    // observation picks level + first state of every harmonic block
-    private val zIdx: Array[Int] = 0 +: blocks.map(_._1)
-    private val qDiag: Array[Double] = {
+    def this(seasonal: Seq[(Double, Int)], qLevel: Double, qSlope: Double,
+             qSeas: Seq[Double], h: Double)(implicit d: DummyImplicit) =
+      this(trig(seasonal), qLevel, qSlope, qSeas, h)
+
+    val d: Int = 2 + components.map {
+      case Trig(_, harm) => 2 * harm
+      case Dummy(period) => period - 1
+    }.sum
+
+    // state layout, built in component order:
+    //  - trig: per-harmonic rotation blocks (state index, cos λ, sin λ)
+    //  - dummy: companion blocks (state index, size = period−1)
+    private val (blocks, dumBlocks, zTail, qDiag) = {
+      val tb = Array.newBuilder[(Int, Double, Double)]
+      val db = Array.newBuilder[(Int, Int)]
+      val z = Array.newBuilder[Int]
       val q = new Array[Double](d)
       q(0) = qLevel; q(1) = qSlope
       var i = 2
-      for (((_, harm), qs) <- seasonal.zip(qSeas); _ <- 0 until 2 * harm) {
-        q(i) = qs; i += 1
+      for ((comp, qs) <- components.zip(qSeas)) comp match {
+        case Trig(period, harm) =>
+          for (j <- 1 to harm) {
+            val lam = 2 * math.Pi * j / period
+            tb += ((i, math.cos(lam), math.sin(lam)))
+            z += i
+            q(i) = qs; q(i + 1) = qs
+            i += 2
+          }
+        case Dummy(period) =>
+          db += ((i, period - 1))
+          z += i
+          q(i) = qs // statsmodels puts the seasonal noise on state 0 only
+          i += period - 1
       }
-      q
+      (tb.result(), db.result(), z.result(), q)
     }
+    // observation picks level + the leading state of every seasonal block
+    private val zIdx: Array[Int] = 0 +: zTail
 
     private def tVec(a: Array[Double]): Unit = {
       a(0) += a(1)
@@ -75,6 +109,16 @@ object Bsts {
         val (i, c, s) = blocks(b)
         val x = a(i); val y = a(i + 1)
         a(i) = c * x + s * y; a(i + 1) = -s * x + c * y
+        b += 1
+      }
+      b = 0
+      while (b < dumBlocks.length) {
+        val (i, m) = dumBlocks(b)
+        var sum = 0.0; var j = 0
+        while (j < m) { sum += a(i + j); j += 1 }
+        var k = m - 1
+        while (k >= 1) { a(i + k) = a(i + k - 1); k -= 1 }
+        a(i) = -sum
         b += 1
       }
     }
@@ -95,6 +139,20 @@ object Bsts {
         }
         b += 1
       }
+      b = 0
+      while (b < dumBlocks.length) {
+        val (i, m) = dumBlocks(b)
+        var c = 0
+        while (c < d) {
+          var sum = 0.0; var r = 0
+          while (r < m) { sum += p((i + r) * d + c); r += 1 }
+          var k = m - 1
+          while (k >= 1) { p((i + k) * d + c) = p((i + k - 1) * d + c); k -= 1 }
+          p(i * d + c) = -sum
+          c += 1
+        }
+        b += 1
+      }
     }
 
     /** P := P Tᵀ (right-multiply columns). */
@@ -109,6 +167,21 @@ object Bsts {
           val base = row * d
           val x = p(base + i); val y = p(base + i + 1)
           p(base + i) = c * x + s * y; p(base + i + 1) = -s * x + c * y
+          row += 1
+        }
+        b += 1
+      }
+      b = 0
+      while (b < dumBlocks.length) {
+        val (i, m) = dumBlocks(b)
+        var row = 0
+        while (row < d) {
+          val base = row * d
+          var sum = 0.0; var c = 0
+          while (c < m) { sum += p(base + i + c); c += 1 }
+          var k = m - 1
+          while (k >= 1) { p(base + i + k) = p(base + i + k - 1); k -= 1 }
+          p(base + i) = -sum
           row += 1
         }
         b += 1
@@ -229,7 +302,7 @@ object Bsts {
     * log-variance space (the [[KalmanLocalLevel.fit]] pattern widened to
     * 3 + #seasonal parameters). Start points are the train-variance
     * heuristics the fixed-variance mode used. */
-  private[models] def fit(train: Array[Double], seasonal: Seq[(Double, Int)],
+  private[models] def fit(train: Array[Double], seasonal: Seq[Seasonal],
                           rounds: Int = 2, goldenIters: Int = 12)
       : (Double, Double, Seq[Double], Double) = {
     val m0 = train.sum / train.length
@@ -266,7 +339,7 @@ object Bsts {
     * train region emitting one-step predictions, then dynamically
     * forecast the rest with a 1.96σ CI. */
   def run(df: DataFrame, series: String, ts: String, value: String,
-          seasonal: Seq[(Double, Int)], trainFrac: Double,
+          seasonal: Seq[Seasonal], trainFrac: Double,
           mle: Boolean): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
@@ -312,15 +385,21 @@ object Bsts {
     }.toDF()
   }
 
+  /** Tuple-spec convenience: (period, harmonics) pairs = all-trig. */
+  def run(df: DataFrame, series: String, ts: String, value: String,
+          seasonal: Seq[(Double, Int)], trainFrac: Double, mle: Boolean)(
+          implicit dummy: DummyImplicit): DataFrame =
+    run(df, series, ts, value, trig(seasonal), trainFrac, mle)
+
   /** Single-seasonal convenience (the original M3 surface). */
   def run(df: DataFrame, series: String, ts: String, value: String,
           period: Double = 48, harmonics: Int = 3,
           trainFrac: Double = 0.5): DataFrame =
-    run(df, series, ts, value, Seq((period, harmonics)), trainFrac,
+    run(df, series, ts, value, Seq(Trig(period, harmonics)), trainFrac,
       mle = true)
 
   // expose variance knobs through the Model for tests
   private[models] def model(period: Double, harmonics: Int, qLevel: Double,
                             qSlope: Double, qSeas: Double, h: Double): Model =
-    new Model(Seq((period, harmonics)), qLevel, qSlope, Seq(qSeas), h)
+    new Model(Seq(Trig(period, harmonics)), qLevel, qSlope, Seq(qSeas), h)
 }

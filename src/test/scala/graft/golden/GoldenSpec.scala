@@ -153,6 +153,102 @@ class GoldenSpec extends SparkSpec {
         s"$c: got ${num(c)} want ${gold(k)}")
   }
 
+  test("dummy-seasonal BSTS detector tail reproduces the notebook golden exactly") {
+    assume(available, "reference artifacts not present")
+    // notebooks/02 cell 4: daily-only BSTS with the stochastic DUMMY
+    // seasonal (statsmodels seasonal=48), dynamic forecast over the test
+    // half, rolling-sigma sweep k ∈ 3..12 step 1 (no rate guard),
+    // persistence 2, gap-3 events. Layer 1 replays everything downstream
+    // of the model on the notebook's own pred_mean.
+    //
+    // Golden provenance caveat: the artifact's metrics.json
+    // (n_pred_events=3, F1 0.4999…) predates the reference's current
+    // event-merge rule — running the reference's OWN src/evaluate.py on
+    // its OWN stored detected/is_anomaly columns today yields tp=1 fp=1
+    // n_pred_events=2 F1 0.6666666659555555 (the 4-zero gap between two
+    // runs merges under `s - prev_end <= gap + 1`). The engine must match
+    // the current code, so those are the pinned numbers; the pointwise
+    // block of metrics.json (35/4831/0) is still consistent and pinned
+    // from the artifact itself.
+    val dir = "/root/reference/notebooks/results/bsts/realKnownCause__nyc_taxi.csv"
+    val df = spark.read.option("header", "true").csv(s"$dir/predictions.csv")
+      .withColumn("ts", to_timestamp(col("timestamp")))
+      .withColumn("value", col("value").cast("double"))
+      .withColumn("is_anomaly", col("is_anomaly").cast("int"))
+      .withColumn("pred_mean", col("pred_mean").cast("double"))
+      .withColumn("series_id", lit("s"))
+      .withColumn("resid", col("value") - col("pred_mean"))
+      .withColumn("split", lit("Test"))
+    val cfg = graft.bench.Pipelines.Config(
+      rollingWindow = 48, minPeriods = 5, persistence = 2, gap = 3,
+      ks = (0 until 10).map(i => 3.0 + i), maxRate = 1.1)
+    val (_, metrics) = graft.bench.Pipelines.detectAndScore(
+      df, "series_id", "ts", cfg, tuneSplit = "Test")
+    val m = metrics.collect().head
+    assert(m.getAs[Double]("best_k") === 5.0)
+    def num(c: String): Double = m.get(m.fieldIndex(c)) match {
+      case l: Long => l.toDouble; case d: Double => d
+      case x => x.toString.toDouble
+    }
+    // flags parity with the artifact: the pointwise confusion is exactly
+    // the metrics.json pointwise block
+    assert(num("pt_tp") === 35.0 && num("pt_fp") === 4831.0 &&
+      num("pt_fn") === 0.0,
+      s"pointwise ${num("pt_tp")}/${num("pt_fp")}/${num("pt_fn")}")
+    // event-level parity with the reference's current evaluate.py on the
+    // same flags
+    for ((c, want) <- Seq("tp" -> 1.0, "fp" -> 1.0, "fn" -> 0.0,
+        "n_pred_events" -> 2.0, "n_true_events" -> 5.0,
+        "precision" -> 0.49999999975, "recall" -> 0.9999999998,
+        "f1" -> 0.6666666659555555))
+      assert(math.abs(num(c) - want) < 1e-9,
+        s"$c: got ${num(c)} want $want")
+  }
+
+  test("dummy-seasonal BSTS full pipeline (MLE fit) runs end-to-end on NYC-Taxi") {
+    assume(available, "reference artifacts not present")
+    // Layer 2: the whole daily-only pipeline including our coordinate-MLE
+    // dummy-seasonal fit (Bsts.Dummy(48), d=49 states) on the full
+    // 10,320-point series. The REFERENCE behavior here is a drifting
+    // dynamic forecast: a daily-only dummy seasonal cannot carry NYC
+    // Taxi's weekly structure, so statsmodels' own run saturates
+    // (pointwise fp=4831/5160, 94% of test points flagged) and the event
+    // layer still recovers recall 1.0 because eventize collapses the
+    // saturated region. Our MLE reproduces that qualitative regime —
+    // unlike the trig enhanced fit, which stays healthy. Pinned: 5 true
+    // events, a sweep winner inside the grid, recall 1.0 (fn=0) with at
+    // least one pred-side tp, and the saturation itself (>50% flag rate,
+    // matching the reference's 94%).
+    val cpDir = s"$refRoot/bocpd/realKnownCause__nyc_taxi.csv"
+    val full = spark.read.option("header", "true").csv(s"$cpDir/cp_probs.csv")
+      .withColumn("ts", to_timestamp(col("timestamp")))
+      .withColumn("value", col("value").cast("double"))
+      .withColumn("series_id", lit("s"))
+      .select("series_id", "ts", "value")
+    val ordered = full.orderBy("ts").select("ts").collect().map(_.getTimestamp(0))
+    val labelTs = Seq(5942, 7183, 8526, 8834, 10080).map(ordered(_))
+    import spark.implicits._
+    val labels = labelTs.map(t => ("s", t)).toDF("series_id", "label_ts")
+    val cfg = graft.bench.Pipelines.Config(
+      labelWindowRows = 3, trainFrac = 0.5, valFrac = 0.0,
+      rollingWindow = 48, minPeriods = 5, persistence = 2, gap = 3,
+      ks = (0 until 10).map(i => 3.0 + i), maxRate = 1.1)
+    val (pred, metrics) = graft.bench.Pipelines.runEnhancedBsts(
+      full, labels, "series_id", "ts", "value", cfg,
+      seasonal = Seq(graft.models.Bsts.Dummy(48)))
+    val m = metrics.collect().head
+    assert(m.getAs[Long]("n_true_events") === 5L)
+    val k = m.getAs[Double]("best_k")
+    assert(k >= 3.0 && k <= 12.0, s"best_k $k outside sweep grid")
+    assert(m.getAs[Long]("fn") === 0L, "a true event was missed")
+    assert(m.getAs[Long]("tp") >= 1L, "no true event detected")
+    val flags = pred.agg(
+      sum("detected").cast("double") / count(lit(1))).collect().head.getDouble(0)
+    info(f"dummy-BSTS flag rate $flags%.3f (reference artifact: 0.943)")
+    assert(flags > 0.5,
+      s"flag rate $flags — expected the reference's saturated regime")
+  }
+
   test("enhanced-BSTS full pipeline (MLE fit) runs end-to-end on NYC-Taxi") {
     assume(available, "reference artifacts not present")
     // Layer 2: the WHOLE pipeline including our MLE-fitted multi-seasonal

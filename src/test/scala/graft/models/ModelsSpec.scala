@@ -94,6 +94,28 @@ class ModelsSpec extends SparkSpec {
     assert(cover >= 48, s"CI coverage $cover/60")
   }
 
+  test("BSTS dummy seasonal tracks an arbitrary periodic pattern") {
+    // a period-12 pattern with energy far beyond 1-2 harmonics: the
+    // dummy-variable seasonal (statsmodels `seasonal=12`) must carry it
+    // through a dynamic forecast, trend included
+    val pat = Array(5.0, -2.0, 0.5, 3.0, -4.0, 1.0, -1.5, 2.0, -3.0, -0.5,
+      1.5, -2.0) // sums to 0 over the period
+    val ys = (0 until 360).map(i =>
+      0.02 * i + pat(i % 12) + rng.nextGaussian() * 0.1)
+    val out = Bsts.run(valueSeries(ys), "series_id", "ts", "value",
+      Seq(Bsts.Dummy(12)), trainFrac = 0.8, mle = true)
+      .filter(col("split") === "Test").orderBy("ts").collect()
+    assert(out.length === 72)
+    val mae = out.map(r => math.abs(
+      r.getAs[Double]("value") - r.getAs[Double]("bsts_mean"))).sum / 72
+    val std = {
+      val v = ys.drop(288); val m = v.sum / v.length
+      math.sqrt(v.map(x => (x - m) * (x - m)).sum / v.length)
+    }
+    assert(mae < std * 0.5,
+      s"dummy-seasonal forecast MAE $mae vs naive $std")
+  }
+
   test("AutoRegressor beats the naive predictor on AR(1) data") {
     var x = 0.0
     val ys = (0 until 400).map { _ =>
