@@ -244,6 +244,23 @@ object SparkEntry {
           round(col("sample_q"), 9).as("sample_q"))
     }),
 
+    // S7: residual density histogram (plotting.py:28-39, np.histogram
+    // bins=50 density semantics) — closes the plot-data relation set.
+    // Median-centered residual: the median is an order statistic, so both
+    // engines bin bit-identical doubles (an avg would differ by summation
+    // order and could flip edge-exact bins).
+    "q_hist" -> ((s, dir) => {
+      val centered = ev(s, dir).withColumn("resid",
+        col("value") - median(col("value")).over(
+          org.apache.spark.sql.expressions.Window.partitionBy("user_id")))
+      Metrics.histogram(centered, "user_id", "resid", 50)
+        .select(col("user_id"), col("bin"),
+          round(col("bin_lo"), 6).as("bin_lo"),
+          round(col("bin_hi"), 6).as("bin_hi"),
+          col("count"),
+          round(col("density"), 6).as("density"))
+    }),
+
     // S7: pointwise precision-recall curve data (plotting.py:42-55 /
     // sklearn precision_recall_curve) — one row per distinct threshold
     "q_pr_curve" -> ((s, dir) => {
@@ -745,6 +762,30 @@ object SparkEntry {
     "q_acf" -> acfSql,
 
     "q_qq" -> qqSql,
+
+    "q_hist" ->
+      """WITH r AS (SELECT user_id,
+        |    value - median(value) OVER (PARTITION BY user_id) AS resid
+        |  FROM events),
+        |s AS (SELECT user_id, min(resid) AS mn, max(resid) AS mx,
+        |    count(*) AS n FROM r GROUP BY user_id),
+        |p AS (SELECT user_id, n,
+        |    CASE WHEN mx = mn THEN mn - 0.5 ELSE mn END AS lo,
+        |    CASE WHEN mx = mn THEN 1.0/50 ELSE (mx - mn)/50 END AS w
+        |  FROM s),
+        |c AS (SELECT r.user_id,
+        |    LEAST(CAST(FLOOR((r.resid - p.lo)/p.w) AS BIGINT), 49) AS bin,
+        |    count(*) AS cnt
+        |  FROM r JOIN p USING (user_id) GROUP BY 1, 2),
+        |g AS (SELECT p.user_id, p.lo, p.w, p.n, t.i AS bin
+        |  FROM p CROSS JOIN range(50) AS t(i))
+        |SELECT g.user_id, g.bin,
+        |  round(g.lo + g.bin * g.w, 6) AS bin_lo,
+        |  round(g.lo + (g.bin + 1) * g.w, 6) AS bin_hi,
+        |  COALESCE(c.cnt, 0) AS count,
+        |  round(COALESCE(c.cnt, 0) / (g.n * g.w), 6) AS density
+        |FROM g LEFT JOIN c ON g.user_id = c.user_id AND g.bin = c.bin
+        |""".stripMargin,
 
     "q_pr_curve" ->
       """WITH l AS (SELECT user_id, value,

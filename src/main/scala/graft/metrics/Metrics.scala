@@ -165,6 +165,49 @@ object Metrics {
       col("__rank").as("n_flagged"))
   }
 
+  /** S7: residual-histogram relation — the data behind
+    * `plotting.py:28-39`'s density histogram (np.histogram semantics:
+    * `bins` equal-width buckets over [min, max], the max value folded
+    * into the last bucket, density = count / (n * width); a constant
+    * series takes numpy's degenerate range [min-0.5, max+0.5]). Empty
+    * buckets are emitted with count 0 like np.histogram.
+    *
+    * Scale: one groupBy for the per-series extrema (tiny, broadcast
+    * back), one groupBy for the bucket counts — two shuffles total, no
+    * window, so it holds at any series count and length. Output:
+    * (series, bin, bin_lo, bin_hi, count, density). */
+  def histogram(df: DataFrame, series: String, value: String,
+                bins: Int = 50): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val stats = df.filter(col(value).isNotNull)
+      .groupBy(series)
+      .agg(min(col(value)).as("__mn"), max(col(value)).as("__mx"),
+        count(lit(1)).as("__n"))
+      .withColumn("__lo",
+        when(col("__mx") === col("__mn"), col("__mn") - 0.5)
+          .otherwise(col("__mn")))
+      .withColumn("__w",
+        when(col("__mx") === col("__mn"), lit(1.0) / bins)
+          .otherwise((col("__mx") - col("__mn")) / bins))
+    val counts = df.filter(col(value).isNotNull)
+      .join(broadcast(stats), series)
+      .withColumn("bin",
+        least(floor((col(value) - col("__lo")) / col("__w")),
+          lit(bins - 1L)).cast("long"))
+      .groupBy(col(series), col("bin"))
+      .agg(count(lit(1)).as("count"))
+    val grid = (0 until bins).map(_.toLong).toDF("bin")
+    stats.crossJoin(broadcast(grid))
+      .join(counts, Seq(series, "bin"), "left")
+      .na.fill(0L, Seq("count"))
+      .select(col(series), col("bin"),
+        (col("__lo") + col("bin") * col("__w")).as("bin_lo"),
+        (col("__lo") + (col("bin") + 1) * col("__w")).as("bin_hi"),
+        col("count"),
+        (col("count") / (col("__n") * col("__w"))).as("density"))
+  }
+
   /** Standard-normal inverse CDF (probit) as a pure column expression —
     * Acklam's rational approximation (|ε| < 1.15e-9), public-domain
     * constants. Pure arithmetic + log/sqrt, so it stays inside

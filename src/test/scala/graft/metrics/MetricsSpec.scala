@@ -99,6 +99,43 @@ class MetricsSpec extends SparkSpec {
     assert(rows(3) === ((1.0, 0.6, 1.0, 5L)))
   }
 
+  test("histogram matches np.histogram density semantics") {
+    import spark.implicits._
+    // 10 values over [0, 9]: bins=5 → width 1.8; 9.0 folds into bin 4
+    val vals = Seq(0.0, 0.5, 1.0, 2.0, 3.5, 4.0, 5.5, 7.0, 8.9, 9.0)
+    val df = vals.zipWithIndex.map { case (v, i) =>
+      ("s", java.sql.Timestamp.valueOf(f"2024-01-01 00:00:${i}%02d"), v)
+    }.toDF("series_id", "ts", "v")
+    val h = Metrics.histogram(df, "series_id", "v", 5)
+      .orderBy("bin").collect()
+    assert(h.length === 5)
+    // np.histogram(vals, 5) → counts [3, 2, 1, 2, 2]
+    assert(h.map(_.getAs[Long]("count")).toSeq === Seq(3L, 2L, 1L, 2L, 2L))
+    // edges contiguous over [0, 9], width 1.8
+    assert(math.abs(h.head.getAs[Double]("bin_lo") - 0.0) < 1e-12)
+    assert(math.abs(h.last.getAs[Double]("bin_hi") - 9.0) < 1e-12)
+    h.foreach { r =>
+      assert(math.abs(r.getAs[Double]("bin_hi") -
+        r.getAs[Double]("bin_lo") - 1.8) < 1e-12)
+    }
+    // density integrates to 1: sum(density * width) = 1
+    val integral = h.map(r => r.getAs[Double]("density") * 1.8).sum
+    assert(math.abs(integral - 1.0) < 1e-12)
+  }
+
+  test("histogram degenerate constant series uses numpy's [c-0.5, c+0.5] range") {
+    import spark.implicits._
+    val df = (0 until 8).map(i =>
+      ("s", java.sql.Timestamp.valueOf(f"2024-01-01 00:00:0$i"), 5.0))
+      .toDF("series_id", "ts", "v")
+    val h = Metrics.histogram(df, "series_id", "v", 4).orderBy("bin").collect()
+    assert(h.length === 4)
+    assert(math.abs(h.head.getAs[Double]("bin_lo") - 4.5) < 1e-12)
+    assert(math.abs(h.last.getAs[Double]("bin_hi") - 5.5) < 1e-12)
+    // all mass in the bin containing 5.0: (5.0-4.5)/0.25 = 2
+    assert(h.map(_.getAs[Long]("count")).toSeq === Seq(0L, 0L, 8L, 0L))
+  }
+
   test("qqQuantiles emits Filliben positions through an accurate probit") {
     import spark.implicits._
     val n = 199
