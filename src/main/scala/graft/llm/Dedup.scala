@@ -188,17 +188,19 @@ object Dedup {
       val neighborMin = edges
         .join(labels, edges("src") === labels("node"))
         .groupBy(col("dst")).agg(min("comp").as("ncomp"))
+      // the changed flag rides along in the round's own projection, so
+      // ONE count() both materializes the lazy checkpoint (it scans every
+      // partition) and answers convergence — one scheduled job per round
+      // instead of a separate join+action on top of the checkpoint
       val updated = labels
         .join(neighborMin, labels("node") === neighborMin("dst"), "left")
         .select(col("node"),
           least(col("comp"), coalesce(col("ncomp"), col("comp")))
-            .as("comp"))
-        .localCheckpoint(true)
-      converged = updated
-        .join(labels.withColumnRenamed("comp", "__old"), "node")
-        .filter(col("comp") =!= col("__old"))
-        .isEmpty
-      labels = updated
+            .as("comp"),
+          coalesce(col("ncomp") < col("comp"), lit(false)).as("__chg"))
+        .localCheckpoint(false)
+      converged = updated.filter(col("__chg")).count() == 0
+      labels = updated.drop("__chg")
       i += 1
     }
     labels.select(col("node").as(id), col("comp").as("keep_id"),

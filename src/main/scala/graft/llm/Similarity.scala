@@ -95,15 +95,54 @@ object Similarity {
     }: _*)
   }
 
-  /** Candidate pairs sharing any LSH band bucket (OR-amplified, see
-    * [[bandKeys]]), with exact cosine computed only inside buckets. */
-  def lshPairs(df: DataFrame, id: String, vec: String, planes: Int = 16,
-               bands: Int = 4): DataFrame = {
+  /** Drop (chunk, key) buckets holding more than `cap` rows — the LSH
+    * analogue of `ngramJaccard`'s `maxDocFreq` hot-shingle guard. A
+    * bucket of size s contributes O(s²) candidate pairs, so one hot
+    * bucket (from a bad (planes, bands) choice, or an adversarial corpus
+    * of near-identical vectors) turns the bucket join into n²/buckets. A
+    * cap degrades RECALL gracefully (hot-bucket pairs usually still
+    * collide in another, cooler band) instead of exploding the join.
+    * The bucket-size aggregate is map-side combinable — one cheap pass
+    * over the already-shuffled bucket table. */
+  private def capBuckets(buckets: DataFrame, cap: Int): DataFrame = {
+    if (cap == Int.MaxValue) buckets
+    else {
+      val keep = buckets.groupBy("chunk", "key")
+        .agg(count(lit(1)).as("__bsz"))
+        .filter(col("__bsz") <= cap)
+        .select("chunk", "key")
+      buckets.join(keep, Seq("chunk", "key"))
+    }
+  }
+
+  /** Diagnostic relation for [[lshPairs]]/[[lshTopK]] tuning: one row per
+    * band bucket with its size and the candidate-pair volume it would
+    * generate — run this BEFORE committing a (planes, bands,
+    * maxBucketSize) choice on a new corpus. */
+  def lshBucketStats(df: DataFrame, id: String, vec: String,
+                     planes: Int = 16, bands: Int = 4): DataFrame = {
     val sig = df.select(col(id).as("doc"), col(vec).as("__v"))
       .withColumn("__sig", lshSignature(col("__v"), planes))
-    val buckets = sig.select(col("doc"), col("__v"),
-        explode(bandKeys(col("__sig"), planes, bands)).as("b"))
-      .select(col("doc"), col("__v"), col("b.chunk"), col("b.key"))
+    sig.select(col("doc"), explode(bandKeys(col("__sig"), planes, bands)).as("b"))
+      .select(col("b.chunk"), col("b.key"))
+      .groupBy("chunk", "key")
+      .agg(count(lit(1)).as("bucket_size"))
+      .withColumn("pair_volume",
+        col("bucket_size") * (col("bucket_size") - 1) / 2)
+  }
+
+  /** Candidate pairs sharing any LSH band bucket (OR-amplified, see
+    * [[bandKeys]]), with exact cosine computed only inside buckets.
+    * Buckets larger than `maxBucketSize` are dropped ([[capBuckets]]). */
+  def lshPairs(df: DataFrame, id: String, vec: String, planes: Int = 16,
+               bands: Int = 4, maxBucketSize: Int = 10000): DataFrame = {
+    val sig = df.select(col(id).as("doc"), col(vec).as("__v"))
+      .withColumn("__sig", lshSignature(col("__v"), planes))
+    val buckets = capBuckets(
+      sig.select(col("doc"), col("__v"),
+          explode(bandKeys(col("__sig"), planes, bands)).as("b"))
+        .select(col("doc"), col("__v"), col("b.chunk"), col("b.key")),
+      maxBucketSize)
     val a = buckets.select(col("chunk"), col("key"), col("doc").as("id_a"),
       col("__v").as("__va"))
     val b = buckets.select(col("chunk"), col("key"), col("doc").as("id_b"),
@@ -166,16 +205,22 @@ object Similarity {
   /** LSH-accelerated top-k: exact cosine only for bucket-mates of each
     * query. Recall follows the [[bandKeys]] S-curve — more/narrower
     * bands → higher recall and more candidates; wider bands → cheaper
-    * and sharper (only works when true neighbors are genuinely close). */
+    * and sharper (only works when true neighbors are genuinely close).
+    * Corpus-side buckets larger than `maxBucketSize` are dropped
+    * ([[capBuckets]]) — at corpus scale route to [[ivfTopK]] instead of
+    * raising the cap. */
   def lshTopK(df: DataFrame, queries: DataFrame, id: String, vec: String,
-              k: Int, planes: Int = 16, bands: Int = 4): DataFrame = {
+              k: Int, planes: Int = 16, bands: Int = 4,
+              maxBucketSize: Int = 10000): DataFrame = {
     val sig = df.select(col(id).as("corpus_id"), col(vec).as("__cv"))
       .withColumn("__sig", lshSignature(col("__cv"), planes))
     val qsig = queries.select(col(id).as("query_id"), col(vec).as("__qv"))
       .withColumn("__qsig", lshSignature(col("__qv"), planes))
-    val cb = sig.select(col("corpus_id"), col("__cv"),
-        explode(bandKeys(col("__sig"), planes, bands)).as("b"))
-      .select(col("corpus_id"), col("__cv"), col("b.chunk"), col("b.key"))
+    val cb = capBuckets(
+      sig.select(col("corpus_id"), col("__cv"),
+          explode(bandKeys(col("__sig"), planes, bands)).as("b"))
+        .select(col("corpus_id"), col("__cv"), col("b.chunk"), col("b.key")),
+      maxBucketSize)
     val qb = qsig.select(col("query_id"), col("__qv"),
         explode(bandKeys(col("__qsig"), planes, bands)).as("b"))
       .select(col("query_id"), col("__qv"), col("b.chunk"), col("b.key"))

@@ -74,6 +74,29 @@ class AnnRecallSpec extends SparkSpec {
     }
   }
 
+  test("maxBucketSize bounds candidates under an adversarial constant corpus") {
+    import spark.implicits._
+    // 300 identical vectors: every band bucket holds the whole corpus, so
+    // an uncapped join would generate ~bands * n^2/2 candidate pairs. The
+    // cap must drop the hot buckets (graceful recall loss) instead.
+    val v = Array.fill(32)(1.0f)
+    val df = (0 until 300).map(i => (i.toLong, v)).toDF("vec_id", "embedding")
+    val capped = Similarity.lshPairs(df, "vec_id", "embedding",
+      planes = 16, bands = 8, maxBucketSize = 50)
+    assert(capped.count() === 0L,
+      "hot buckets above the cap must be dropped, not joined")
+    // stats relation shows exactly what the cap removed
+    val stats = Similarity.lshBucketStats(df, "vec_id", "embedding", 16, 8)
+      .agg(max("bucket_size"), sum("pair_volume")).collect().head
+    assert(stats.getLong(0) === 300L)
+    // and an uncapped run on a SMALL slice still works (sanity that the
+    // cap, not the operator, removed the pairs)
+    val small = (0 until 20).map(i => (i.toLong, v)).toDF("vec_id", "embedding")
+    val uncapped = Similarity.lshPairs(small, "vec_id", "embedding",
+      planes = 16, bands = 8, maxBucketSize = Int.MaxValue)
+    assert(uncapped.count() === 190L, "20 identical vectors → C(20,2) pairs")
+  }
+
   test("planted near-duplicates are recovered with wide bands") {
     import spark.implicits._
     // a corpus with a REAL similarity gap: 40 base vectors + 10 jittered
