@@ -2,12 +2,21 @@ package graft
 
 import org.apache.spark.sql.SparkSession
 
-/** Benchmark main: runs the headline queries on SPARK_GRAFT_SF_DIR and
+/** Benchmark main: runs registered queries on SPARK_GRAFT_SF_DIR and
   * prints ONE JSON line. Each query is fully materialized through the
   * built-in `noop` datasource (every column computed and consumed — a
   * bare `.count()` would let Catalyst prune the projections away).
   * Failures are reported per-query as -1 with an error marker instead of
-  * being silently folded into the total. */
+  * being silently folded into the total.
+  *
+  * Coverage + stability: with no args, EVERY registered query runs
+  * (headline family order first, the rest alphabetically) and each is
+  * repeated SPARK_GRAFT_REPS times (default 3) with the MEDIAN reported,
+  * so small regressions are signal rather than run-to-run noise. Queries
+  * whose first run exceeds SPARK_GRAFT_HEAVY_SEC (default 20 s — the
+  * per-series model MLEs) are not repeated; their rep count is recorded
+  * in the `reps` map. Args select a subset by name.
+  */
 object Bench {
 
   /** Headline subset: one per operator family, heaviest first. */
@@ -24,6 +33,8 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "3").toInt
+    val heavySec = sys.env.getOrElse("SPARK_GRAFT_HEAVY_SEC", "20").toDouble
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -31,7 +42,10 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val names = headline.filter(SparkEntry.queries.contains)
+    val names =
+      if (args.nonEmpty) args.toSeq.filter(SparkEntry.queries.contains)
+      else headline.filter(SparkEntry.queries.contains) ++
+        SparkEntry.queries.keys.filterNot(headline.contains).toSeq.sorted
     // untimed warmup: absorb JVM/JIT/codegen startup so the first timed
     // query measures steady-state execution, not session bring-up
     try {
@@ -39,26 +53,34 @@ object Bench {
         .write.format("noop").mode("overwrite").save()
     } catch { case _: Throwable => () }
     val errors = scala.collection.mutable.ListBuffer[String]()
-    val results = names.map { name =>
-      val fn = SparkEntry.queries(name)
+    def once(name: String): Double = {
       val t0 = System.nanoTime()
-      val ok =
-        try {
-          fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-          true
-        } catch {
-          case e: Throwable =>
-            errors += s"$name: ${e.getClass.getSimpleName}"
-            false
-        }
-      name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
+      try {
+        SparkEntry.queries(name)(spark, sfDir)
+          .write.format("noop").mode("overwrite").save()
+        (System.nanoTime() - t0) / 1e9
+      } catch {
+        case e: Throwable =>
+          errors += s"$name: ${e.getClass.getSimpleName}"
+          -1.0
+      }
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    val results = names.map { name =>
+      val first = once(name)
+      val times =
+        if (first < 0 || first > heavySec) Seq(first)
+        else first +: Seq.fill(reps - 1)(once(name)).filter(_ >= 0)
+      val median = times.sorted.apply(times.size / 2)
+      (name, median, times.size)
+    }
+    val qs = results.map { case (k, v, _) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = results.collect { case (_, v) if v >= 0 => v }.sum
-    val errs = errors.map(e => "\"" + e.replace("\"", "'") + "\"")
+    val rp = results.map { case (k, _, n) => "\"" + k + "\":" + n }
+      .mkString("{", ",", "}")
+    val total = results.collect { case (_, v, _) if v >= 0 => v }.sum
+    val errs = errors.distinct.map(e => "\"" + e.replace("\"", "'") + "\"")
       .mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"reps":$rp,"errors":$errs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -369,6 +369,14 @@ object SparkEntry {
         .select(col("series_id"), col("ts"),
           round(col("cp_prob"), 6).as("cp_prob"), col("map_run_length"))),
 
+    // M6 wrapper (changepoint.py:85-107 detect_changepoints + threshold):
+    // changepoint flags are just thresholdFlag over cp_prob
+    "q_cp_flags" -> ((s, dir) =>
+      models.Bocpd.run(ev(s, dir), "user_id", "ts", "value")
+        .select(col("series_id"), col("ts"),
+          round(col("cp_prob"), 6).as("cp_prob"),
+          SeriesOps.thresholdFlag(col("cp_prob"), lit(0.5)).as("cp_flag"))),
+
     // M4: GP regression with composite periodic kernel
     "q_gp" -> ((s, dir) =>
       models.GpRegressor.run(ev(s, dir), "user_id", "ts", "value",
@@ -1004,6 +1012,7 @@ object SparkEntry {
     // graft.tools.GenFixtures after intentional behavior changes). Only
     // valid for the driver's sf0.01 correctness run.
     "q_bocpd" -> fixtureSql("q_bocpd"),
+    "q_cp_flags" -> fixtureSql("q_cp_flags"),
     "q_kalman" -> fixtureSql("q_kalman"),
     "q_bsts" -> fixtureSql("q_bsts"),
     "q_bsts_dummy" -> fixtureSql("q_bsts_dummy"),

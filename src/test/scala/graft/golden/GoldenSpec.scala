@@ -498,6 +498,54 @@ class GoldenSpec extends SparkSpec {
       s"event F1 $f1 below half the golden 0.0488")
   }
 
+  test("E1 final-benchmark leaderboard on real NYC-Taxi vs the README table") {
+    assume(available, "reference artifacts not present")
+    // run_final_benchmark.py composes the four README models per dataset
+    // (GP, LSTM, Hybrid ensemble, enhanced BSTS) and aggregates one
+    // leaderboard (README.md:14-19, NYC Taxi column: BSTS-enh 1.00,
+    // Hybrid 0.33, GP 0.33, LSTM 0.25). Each component model already has
+    // its own golden; this pins the E1 COMPOSITION — four pipelines, one
+    // ordered leaderboard — on the real series. Tolerances per documented
+    // substitutions: the LSTM is an MLlib ARX (SURVEY §2.9 M5), and the
+    // README's enhanced-BSTS 1.00 comes from an unconverged statsmodels
+    // fit whose collapsed forecast flags 99% of points (see the
+    // enhanced-BSTS layer-1 golden); our converged MLE scores like a real
+    // detector instead of inheriting the degenerate F1.
+    val cpDir = s"$refRoot/bocpd/realKnownCause__nyc_taxi.csv"
+    val full = spark.read.option("header", "true").csv(s"$cpDir/cp_probs.csv")
+      .withColumn("ts", to_timestamp(col("timestamp")))
+      .withColumn("value", col("value").cast("double"))
+      .withColumn("series_id", lit("s"))
+      .select("series_id", "ts", "value")
+    val ordered = full.orderBy("ts").select("ts").collect().map(_.getTimestamp(0))
+    val labelTs = Seq(5942, 7183, 8526, 8834, 10080).map(ordered(_))
+    import spark.implicits._
+    val labels = labelTs.map(t => ("s", t)).toDF("series_id", "label_ts")
+    val cfg = graft.bench.Pipelines.Config(labelWindowRows = 3, period = 48)
+    val lb = graft.bench.Pipelines.runFinalBenchmark(
+      full, labels, "series_id", "ts", "value", cfg,
+      models = Seq("gp", "ar", "hybrid3", "enhanced_bsts")).collect()
+    lb.foreach(r => info(s"${r.getAs[String]("Model")} " +
+      f"F1=${r.getAs[Double]("Event_F1")}%.4f " +
+      f"P=${r.getAs[Double]("Precision")}%.4f " +
+      f"R=${r.getAs[Double]("Recall")}%.4f"))
+    assert(lb.length === 4, s"expected 4 leaderboard rows, got ${lb.length}")
+    // leaderboard contract: ordered by event F1 descending
+    val f1s = lb.map(_.getAs[Double]("Event_F1"))
+    assert(f1s.sliding(2).forall(p => p(0) >= p(1) - 1e-12),
+      s"leaderboard not F1-ordered: ${f1s.mkString(", ")}")
+    val byModel = lb.map(r =>
+      r.getAs[String]("Model") -> r.getAs[Double]("Event_F1")).toMap
+    // per-model floors: half the reference's NYC-Taxi figure for the
+    // directly comparable models (GP 0.33, LSTM→AR 0.25, Hybrid 0.33)
+    assert(byModel("GP") >= 0.165, s"GP ${byModel("GP")}")
+    assert(byModel("AR") >= 0.125, s"AR ${byModel("AR")}")
+    assert(byModel("HYBRID3") >= 0.165, s"HYBRID3 ${byModel("HYBRID3")}")
+    // enhanced BSTS: a real (non-degenerate) score — present and nonzero
+    assert(byModel("ENHANCED_BSTS") > 0.0,
+      s"ENHANCED_BSTS ${byModel("ENHANCED_BSTS")}")
+  }
+
   test("BOCPD cp_prob matches the reference golden over the full series") {
     assume(available, "reference artifacts not present")
     val dir = s"$refRoot/bocpd/realKnownCause__nyc_taxi.csv"

@@ -15,7 +15,7 @@ import org.apache.spark.sql.SparkSession
   * deliberately excluded.
   */
 object GenFixtures {
-  val names: Seq[String] = Seq("q_bocpd", "q_kalman", "q_bsts",
+  val names: Seq[String] = Seq("q_bocpd", "q_cp_flags", "q_kalman", "q_bsts",
     "q_bsts_dummy", "q_gp",
     "q_stl_exact", "q_hybrid", "q_minhash", "q_simhash", "q_langid",
     "q_winnow", "q_multimodal", "q_ann_lsh", "q_embed_neardup")
