@@ -97,13 +97,15 @@ object StreamingDetect {
     * state (d + d² doubles — e.g. 72 for the default daily config), so
     * one-step-ahead filtered predictions stream per micro-batch.
     * Variances are fixed (fit offline via the batch MLE — the same
-    * batch/stream split as statefulKalman). */
+    * batch/stream split as statefulKalman). Components may mix trig and
+    * dummy seasonals ([[graft.models.Bsts.Seasonal]]); the tuple overload
+    * keeps the original all-trig surface. */
   def statefulBsts(points: Dataset[Point],
-                   seasonal: Seq[(Double, Int)] = Seq((48.0, 3)),
+                   components: Seq[graft.models.Bsts.Seasonal],
                    qLevel: Double, qSlope: Double, qSeas: Seq[Double],
-                   h: Double, p0: Double = 1e7): Dataset[BstsOut] = {
+                   h: Double, p0: Double): Dataset[BstsOut] = {
     import points.sparkSession.implicits._
-    val model = new graft.models.Bsts.Model(seasonal, qLevel, qSlope,
+    val model = new graft.models.Bsts.Model(components, qLevel, qSlope,
       qSeas, h)
     points.groupByKey(_.series_id)
       .flatMapGroupsWithState[BstsState, BstsOut](
@@ -129,6 +131,16 @@ object StreamingDetect {
           }
       }
   }
+
+  /** Tuple-spec convenience: (period, harmonics) pairs = all-trig. */
+  def statefulBsts(points: Dataset[Point],
+                   seasonal: Seq[(Double, Int)] = Seq((48.0, 3)),
+                   qLevel: Double, qSlope: Double, qSeas: Seq[Double],
+                   h: Double, p0: Double = 1e7)(
+                   implicit dummy: DummyImplicit): Dataset[BstsOut] =
+    statefulBsts(points,
+      seasonal.map { case (p, hm) => graft.models.Bsts.Trig(p, hm) },
+      qLevel, qSlope, qSeas, h, p0)
 
   // ---- M6 streaming: BOCPD with bounded run-length state --------------
 

@@ -171,6 +171,41 @@ class StreamingSpec extends SparkSpec {
     assert(lateMae < 1.0, s"late one-step MAE $lateMae")
   }
 
+  test("statefulBsts dummy-seasonal component is split-invariant and tracks the pattern") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val pat = Array(3.0, -1.0, 0.5, 2.0, -2.5, 1.0, -1.0, -2.0) // sums to 0
+    val rng = new scala.util.Random(11)
+    val xs = (0 until 96).map(i =>
+      10.0 + pat(i % 8) + rng.nextGaussian() * 0.1)
+    def run(name: String, splits: Seq[Seq[(Double, Int)]]): Array[Double] = {
+      val input = MemoryStream[Point]
+      val out = statefulBsts(input.toDS(),
+        Seq(graft.models.Bsts.Dummy(8)),
+        qLevel = 0.01, qSlope = 1e-5, qSeas = Seq(1e-3), h = 0.1, p0 = 1e7)
+      val q = out.writeStream.format("memory").queryName(name)
+        .outputMode("append").start()
+      try {
+        splits.foreach { batch =>
+          input.addData(batch.map { case (v, i) => pt(i, v) }: _*)
+          q.processAllAvailable()
+        }
+        spark.sql(s"select * from $name order by ts").collect()
+          .map(_.getAs[Double]("bsts_mean"))
+      } finally q.stop()
+    }
+    val indexed = xs.zipWithIndex
+    val oneShot = run("bstsd_one", Seq(indexed))
+    val split = run("bstsd_split",
+      Seq(indexed.take(17), indexed.slice(17, 60), indexed.drop(60)))
+    assert(oneShot.length === 96 && split.length === 96)
+    oneShot.zip(split).foreach { case (m1, m2) =>
+      assert(math.abs(m1 - m2) < 1e-9, s"mean $m1 vs $m2") }
+    val lateMae = oneShot.drop(48).zip(xs.drop(48))
+      .map { case (m, v) => math.abs(v - m) }.sum / 48
+    assert(lateMae < 0.6, s"late one-step MAE $lateMae vs pattern swing ~2.5")
+  }
+
   test("statefulBocpd matches the batch recursion across batch splits") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
