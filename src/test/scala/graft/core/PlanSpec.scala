@@ -65,6 +65,30 @@ class PlanSpec extends SparkSpec {
       "LSH candidates must come from the (chunk, key) equi-join")
   }
 
+  test("histogram plans two aggregates with broadcast stat/grid joins") {
+    val p = plan(graft.metrics.Metrics.histogram(series(200), "series_id",
+      "value", 50))
+    // extrema + bucket counts are the only wide aggregations; the
+    // per-series stats and the 50-row bin grid must both broadcast
+    assert(!p.contains("CartesianProduct"))
+    assert(!p.contains("SortMergeJoin"),
+      "tiny stats/grid sides must broadcast, not SMJ")
+    val aggShuffles = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(aggShuffles <= 3, s"histogram grew $aggShuffles shuffles:\n$p")
+  }
+
+  test("capped LSH keeps the bucket equi-join shape") {
+    import spark.implicits._
+    val rng = new scala.util.Random(5)
+    val emb = (0L until 50L).map(i =>
+      (i, Array.fill(8)(rng.nextFloat()))).toDF("vec_id", "embedding")
+    val p = plan(graft.llm.Similarity.lshPairs(emb, "vec_id", "embedding",
+      planes = 16, bands = 4, maxBucketSize = 10))
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      "bucket cap must not change the equi-join shape")
+  }
+
   test("rolling stats plans exactly one exchange (the per-series partition)") {
     val p = plan(SeriesOps.withRollingStats(series(200), "series_id",
       "ts", "value", 48, 5, "m", "s"))
