@@ -198,8 +198,10 @@ object Metrics {
       .groupBy(col(series), col("bin"))
       .agg(count(lit(1)).as("count"))
     val grid = (0 until bins).map(_.toLong).toDF("bin")
+    // counts is bounded by #series * bins — broadcast it so the final
+    // join never sorts (static plans pick SMJ off parquet estimates)
     stats.crossJoin(broadcast(grid))
-      .join(counts, Seq(series, "bin"), "left")
+      .join(broadcast(counts), Seq(series, "bin"), "left")
       .na.fill(0L, Seq("count"))
       .select(col(series), col("bin"),
         (col("__lo") + col("bin") * col("__w")).as("bin_lo"),
