@@ -168,13 +168,17 @@ object Dedup {
 
   /** Resolve near-dup candidate PAIRS into keep/drop decisions:
     * connected components over the similarity graph by iterative
-    * min-label propagation — each round is one distributed join +
-    * aggregate, converging in O(component diameter) rounds (near-dup
-    * components are shallow in practice). The driver loop schedules
-    * ROUNDS, not rows — the same fixpoint structure GraphX/GraphFrames
-    * use; `localCheckpoint` truncates lineage per round (a persisted
-    * table on a cluster). Output: (id, keep_id, is_kept) — keep the
-    * minimum id of each component, like `exact`. */
+    * min-label propagation WITH pointer jumping — each round propagates
+    * the neighborhood minimum one hop AND shortcuts every label to its
+    * label's label (path halving), so convergence takes O(log diameter)
+    * rounds rather than O(diameter): a 10⁶-node duplicate chain resolves
+    * in ~20 rounds instead of 10⁶. The driver loop schedules ROUNDS, not
+    * rows — the same fixpoint structure GraphX/GraphFrames use;
+    * `localCheckpoint` truncates lineage per round (a persisted table on
+    * a cluster). Throws if `maxIters` rounds do not converge — a
+    * silently-partial component labeling would merge/keep the wrong
+    * documents. Output: (id, keep_id, is_kept) — keep the minimum id of
+    * each component, like `exact`. */
   def resolveComponents(docs: DataFrame, pairs: DataFrame, id: String,
                         maxIters: Int = 20): DataFrame = {
     val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
@@ -188,21 +192,36 @@ object Dedup {
       val neighborMin = edges
         .join(labels, edges("src") === labels("node"))
         .groupBy(col("dst")).agg(min("comp").as("ncomp"))
-      // the changed flag rides along in the round's own projection, so
-      // ONE count() both materializes the lazy checkpoint (it scans every
-      // partition) and answers convergence — one scheduled job per round
-      // instead of a separate join+action on top of the checkpoint
-      val updated = labels
+      val prop = labels
         .join(neighborMin, labels("node") === neighborMin("dst"), "left")
         .select(col("node"),
           least(col("comp"), coalesce(col("ncomp"), col("comp")))
             .as("comp"),
           coalesce(col("ncomp") < col("comp"), lit(false)).as("__chg"))
+      // pointer jumping: comp := prevComp(comp) — doubling through the
+      // PREVIOUS round's (checkpointed) labels, so nothing recomputes and
+      // the round stays one job. Labels only decrease, so the lookup is
+      // monotone-safe; a root label is a no-op (join miss keeps comp).
+      val jump = labels.select(col("node").as("__jn"), col("comp").as("__jc"))
+      // the changed flag rides along in the round's own projection, so
+      // ONE count() both materializes the lazy checkpoint (it scans every
+      // partition) and answers convergence — one scheduled job per round
+      // instead of a separate join+action on top of the checkpoint
+      val updated = prop
+        .join(jump, prop("comp") === jump("__jn"), "left")
+        .select(col("node"),
+          coalesce(col("__jc"), col("comp")).as("comp"),
+          (col("__chg") || coalesce(col("__jc") < col("comp"), lit(false)))
+            .as("__chg"))
         .localCheckpoint(false)
       converged = updated.filter(col("__chg")).count() == 0
       labels = updated.drop("__chg")
       i += 1
     }
+    if (!converged)
+      throw new IllegalStateException(
+        s"resolveComponents did not converge in $maxIters rounds — " +
+          "component labels would be partial; raise maxIters")
     labels.select(col("node").as(id), col("comp").as("keep_id"),
       (col("node") === col("comp")).as("is_kept"))
   }

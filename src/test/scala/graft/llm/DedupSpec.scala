@@ -83,6 +83,33 @@ class DedupSpec extends SparkSpec {
     assert(out(6L) === ((6L, true)))
   }
 
+  test("resolveComponents converges logarithmically on a deep chain") {
+    import spark.implicits._
+    // a 200-node chain has diameter 199: plain min-label propagation
+    // needs ~200 rounds, pointer jumping needs ~log2(200)+slack. maxIters
+    // = 12 passes ONLY if the doubling works; non-convergence now throws
+    // instead of silently returning a partial labeling.
+    val n = 200
+    val docs = (0L until n).toDF("doc_id")
+    val pairs = (0L until n - 1).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val out = Dedup.resolveComponents(docs, pairs, "doc_id", maxIters = 12)
+      .collect()
+    assert(out.length === n)
+    assert(out.forall(_.getLong(1) === 0L), "all nodes label to the chain head")
+    assert(out.count(_.getBoolean(2)) === 1)
+  }
+
+  test("resolveComponents throws instead of returning partial labels") {
+    import spark.implicits._
+    val n = 64
+    val docs = (0L until n).toDF("doc_id")
+    val pairs = (0L until n - 1).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val e = intercept[IllegalStateException] {
+      Dedup.resolveComponents(docs, pairs, "doc_id", maxIters = 2).collect()
+    }
+    assert(e.getMessage.contains("did not converge"))
+  }
+
   test("exact dedup groups identical fingerprints") {
     import spark.implicits._
     val df = Seq((1L, "a b c"), (2L, "a b c"), (3L, "x y z"))
