@@ -598,6 +598,18 @@ object SparkEntry {
           round(col("byte_std"), 6).as("byte_std"), col("head_byte"))
     }),
 
+    // LLM-pipeline: resize plumbing — payload resampled to a target
+    // resolution with the new dims in meta (stub resampler; the batch
+    // shape and schema contract are the operator)
+    "q_mm_resize" -> ((s, dir) => {
+      val media = llm.Multimodal.synthesize(tbl(s, dir, "documents"),
+        "doc_id", "text")
+      llm.Multimodal.resize(media, 8, 4)
+        .select(col("media_id"), length(col("payload")).as("new_len"),
+          col("meta.width").as("width"), col("meta.height").as("height"),
+          col("meta.mime").as("mime"))
+    }),
+
     // LLM-pipeline: token counting through the TextAnalysis operators —
     // whitespace count plus the BPE-ish `\w+|[^\w\s]` pre-tokenizer
     // cardinality (stop/punct ratios live in q_quality via withQuality)
@@ -1024,6 +1036,7 @@ object SparkEntry {
     "q_langid" -> fixtureSql("q_langid"),
     "q_winnow" -> fixtureSql("q_winnow"),
     "q_multimodal" -> fixtureSql("q_multimodal"),
+    "q_mm_resize" -> fixtureSql("q_mm_resize"),
     "q_ann_lsh" -> fixtureSql("q_ann_lsh"),
     "q_embed_neardup" -> fixtureSql("q_embed_neardup"),
 

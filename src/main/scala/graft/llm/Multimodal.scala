@@ -71,6 +71,35 @@ object Multimodal {
       .toDF("media_id", "byte_len", "byte_mean", "byte_std", "head_byte")
   }
 
+  /** Resize plumbing: payload → payload' with the target dimensions
+    * recorded in meta. STUB resampler (builder brief: no codecs in this
+    * container): a deterministic stride subsample of the bytes stands in
+    * for pixel resampling; the contract — batched mapPartitions, payload
+    * out, meta carrying the new (width, height) — is the real part. */
+  def resize(df: DataFrame, width: Int, height: Int): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val target = width * height
+    df.select(col("media_id"), col("payload"), col("meta.mime").as("__mime"),
+        col("meta.duration_ms").as("__dur"))
+      .as[(Long, Array[Byte], String, Option[Long])]
+      .mapPartitions(_.map { case (id, bytes, mime, dur) =>
+        val out =
+          if (bytes == null || bytes.isEmpty) Array.empty[Byte]
+          else if (bytes.length <= target) bytes
+          else {
+            val stride = bytes.length.toDouble / target
+            Array.tabulate(target)(i => bytes((i * stride).toInt))
+          }
+        (id, out, mime, dur)
+      })
+      .toDF("media_id", "payload", "__mime", "__dur")
+      .select(col("media_id"), col("payload"),
+        struct(col("__mime").as("mime"), lit(width).as("width"),
+          lit(height).as("height"), col("__dur").as("duration_ms"))
+          .as("meta"))
+  }
+
   /** Frame sampling plumbing: slice the payload into `frames` fixed
     * windows (a video decoder would substitute real frame extraction);
     * output one row per (media_id, frame_idx, frame_bytes). */

@@ -42,6 +42,27 @@ class MultimodalSpec extends SparkSpec {
     assert(r2.getAs[Double]("byte_mean") === 0.0)
   }
 
+  test("resize caps the payload at width*height and stamps meta dims") {
+    import spark.implicits._
+    val long = "x" * 100
+    val df = Multimodal.synthesize(
+      Seq((1L, long), (2L, "ab"), (3L, "")).toDF("doc_id", "text"),
+      "doc_id", "text")
+    val out = Multimodal.resize(df, 4, 3).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    // schema round-trips: same canonical shape as the input media table
+    val schema = Multimodal.resize(df, 4, 3).schema
+    assert(schema.fieldNames.toSeq === Seq("media_id", "payload", "meta"))
+    // 100 bytes resampled down to 12; short/empty payloads pass through
+    assert(out(1L).getAs[Array[Byte]]("payload").length === 12)
+    assert(out(2L).getAs[Array[Byte]]("payload").length === 2)
+    assert(out(3L).getAs[Array[Byte]]("payload").length === 0)
+    val meta = out(1L).getStruct(2)
+    assert(meta.getAs[Int]("width") === 4)
+    assert(meta.getAs[Int]("height") === 3)
+    assert(meta.getAs[String]("mime") === "application/octet-stream")
+  }
+
   test("sampleFrames yields one bounded slice per frame index") {
     import spark.implicits._
     val df = Multimodal.synthesize(
