@@ -45,10 +45,20 @@ object Pipelines {
       period: Int = 48)
 
   /** Shared detector tail: given a frame with `resid` (+ optional
-    * per-row `pred_std`), build the z-score from a rolling sigma (or the
-    * model's predictive std), sweep k on the tuning split, apply the
-    * winner, and assemble the metrics record per series.
-    * Returns (annotated predictions, metrics). */
+    * per-row `pred_std`), build the z-score, sweep k on the tuning
+    * split, apply the winner, and assemble the metrics record per
+    * series. Returns (annotated predictions, metrics).
+    *
+    * `sigmaSource` selects the reference's two rolling detectors:
+    *  - "rolling" (default): `detect_anomalies_by_residual`
+    *    (kalman_model.py:55-97, the notebook pipelines) — score
+    *    |resid| / rolling σ with the train-std zero-σ fallback;
+    *  - "rolling_centered": `rolling_sigma_threshold` (utils.py:40-73,
+    *    the src/run_*.py pipelines) — score |resid − rolling μ| /
+    *    (rolling σ + 1e-6), NO train fallback, and the window restarts
+    *    at each split boundary (the reference applies it to each
+    *    region's residual slice separately);
+    *  - "pred_std": the model's own predictive std. */
   def detectAndScore(df: DataFrame, series: String, ts: String,
                      cfg: Config, tuneSplit: String = "Test",
                      sigmaSource: String = "rolling"): (DataFrame, DataFrame) = {
@@ -58,6 +68,13 @@ object Pipelines {
     val withSigma = sigmaSource match {
       case "pred_std" =>
         df.withColumn("__sigma", col("pred_std") + lit(1e-6))
+          .withColumn("__center", lit(0.0))
+      case "rolling_centered" =>
+        SeriesOps.withRollingStatsKeys(df, Seq(series, "split"), ts,
+          "resid", cfg.rollingWindow, cfg.minPeriods, "__roll_mean",
+          "__roll_std")
+          .withColumn("__sigma", col("__roll_std")) // eps already added
+          .withColumn("__center", col("__roll_mean"))
       case _ =>
         SeriesOps.withRollingStats(df, series, ts, "resid",
           cfg.rollingWindow, cfg.minPeriods, "__roll_mean", "__roll_std")
@@ -71,9 +88,11 @@ object Pipelines {
               .when(coalesce(col("__train_std"), lit(0.0)) > lit(2e-6),
                 col("__train_std"))
               .otherwise(lit(1.0)))
+          .withColumn("__center", lit(0.0))
     }
     val scored = barrier(withSigma
-      .withColumn("score", SeriesOps.zscore(col("resid"), col("__sigma"))))
+      .withColumn("score",
+        SeriesOps.zscore(col("resid") - col("__center"), col("__sigma"))))
     val tune = scored.filter(col("split") === tuneSplit)
     val truthTune = Events.eventize(tune, Seq(series), ts, "is_anomaly",
       cfg.gap)
@@ -206,8 +225,11 @@ object Pipelines {
           col("resid") - coalesce(col("__rmed"), lit(0.0)))
           .otherwise(col("resid")))
       .drop("__rmed")
+    // run_bsts.py's detector is rolling_sigma_threshold (mean-centered,
+    // per-region window restart) — pinned exactly by the results/bsts
+    // detector-tail goldens on all three NAB datasets
     detectAndScore(barrier(centered), key, ts, cfg,
-      tuneSplit = "Validation")
+      tuneSplit = "Validation", sigmaSource = "rolling_centered")
   }
 
   /** M3 enhanced pipeline (notebooks/02 `run_enhanced_bsts_pipeline`):
@@ -235,14 +257,15 @@ object Pipelines {
     detectAndScore(barrier(joined), key, ts, cfg, tuneSplit = "Test")
   }
 
-  /** M4 pipeline (run_gp.py). The reference's detector scores residuals
-    * with the ROLLING sigma like every other pipeline
-    * (run_gp.py:93-99) — that is the default here; `sigmaSource =
-    * "pred_std"` swaps in the GP's own predictive std (a principled
-    * alternative the relational surface also supports). */
+  /** M4 pipeline (run_gp.py). The reference's detector is
+    * `rolling_sigma_threshold` on the test-region residuals
+    * (run_gp.py:96,117 — the mean-centered rolling score, pinned exactly
+    * by the results/gp machine-temp golden); `sigmaSource = "pred_std"`
+    * swaps in the GP's own predictive std (a principled alternative the
+    * relational surface also supports). */
   def runGp(series: DataFrame, labels: DataFrame, key: String,
             ts: String, value: String, cfg: Config,
-            sigmaSource: String = "rolling")
+            sigmaSource: String = "rolling_centered")
       : (DataFrame, DataFrame) = {
     val prep = prepared(series, labels, key, ts, cfg)
     val g = GpRegressor.run(prep, key, ts, value, cfg.trainFrac, 1000,

@@ -68,13 +68,25 @@ object SeriesOps {
   def withRollingStats(df: DataFrame, series: String, ts: String,
                        value: String, window: Int, minPeriods: Int,
                        meanOut: String, stdOut: String,
-                       eps: Double = 1e-6): DataFrame = {
-    val frame = bySeries(series, ts).rowsBetween(-(window - 1), 0)
+                       eps: Double = 1e-6): DataFrame =
+    withRollingStatsKeys(df, Seq(series), ts, value, window, minPeriods,
+      meanOut, stdOut, eps)
+
+  /** Multi-key variant: partitioning by (series, region) makes the
+    * rolling window RESTART at region boundaries — the reference's
+    * `rolling_sigma_threshold` is applied to each split's residual slice
+    * separately (run_bsts.py:78,98), so its window never crosses the
+    * validation/test boundary. */
+  def withRollingStatsKeys(df: DataFrame, keys: Seq[String], ts: String,
+                           value: String, window: Int, minPeriods: Int,
+                           meanOut: String, stdOut: String,
+                           eps: Double = 1e-6): DataFrame = {
+    val frame = byKeys(keys, ts).rowsBetween(-(window - 1), 0)
     val cnt = count(col(value)).over(frame)
     val mu = when(cnt >= minPeriods, avg(col(value)).over(frame))
     val sd = when(cnt >= minPeriods,
       nanvl(stddev_samp(col(value)).over(frame), lit(null).cast("double")))
-    val bfill = bySeries(series, ts).rowsBetween(0, Window.unboundedFollowing)
+    val bfill = byKeys(keys, ts).rowsBetween(0, Window.unboundedFollowing)
     df.withColumn(meanOut, mu).withColumn(stdOut, sd)
       .withColumn(meanOut, first(col(meanOut), ignoreNulls = true).over(bfill))
       .withColumn(stdOut,

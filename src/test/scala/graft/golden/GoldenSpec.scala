@@ -394,12 +394,14 @@ class GoldenSpec extends SparkSpec {
   test("GP pipeline approaches the NYC-Taxi golden (rolling-sigma detector)") {
     assume(available, "reference artifacts not present")
     // run_gp.py: last-1000-point subsample, composite-kernel GP, index
-    // forecast over the test half, rolling-sigma sweep (2..10 step 0.5,
-    // rate guard 0.10, persist 2, gap 3). Golden (results/gp):
+    // forecast over the test half, rolling_sigma_threshold sweep (2..10
+    // step 0.5, rate guard 0.10, persist 2, gap 3). Golden (results/gp):
     // best_k=3.5, event F1 0.333 (tp=1 fp=0 fn=4). Our GP selects
-    // hyperparameters by LML grid rather than sklearn's L-BFGS restarts,
-    // so this is tolerance-based like the AR golden: the sweep must find
-    // a winner with at least one true event detected and F1 >= 0.2.
+    // hyperparameters by LML grid rather than sklearn's L-BFGS restarts —
+    // yet with the correct mean-centered detector tail the full pipeline
+    // lands on the SAME sweep winner and the SAME event confusion as the
+    // reference (measured: best_k=3.5, tp=1 fp=0 fn=4, F1 0.3333333329),
+    // so this pins equality, with a documented fallback floor only on F1.
     val cpDir = s"$refRoot/bocpd/realKnownCause__nyc_taxi.csv"
     val full = spark.read.option("header", "true").csv(s"$cpDir/cp_probs.csv")
       .withColumn("ts", to_timestamp(col("timestamp")))
@@ -417,9 +419,12 @@ class GoldenSpec extends SparkSpec {
     info(s"GP: best_k=${m.getAs[Double]("best_k")} f1=${m.getAs[Double]("f1")} " +
       s"tp=${m.getAs[Long]("tp")} fp=${m.getAs[Long]("fp")} fn=${m.getAs[Long]("fn")}")
     assert(m.getAs[Long]("n_true_events") === 5L)
-    assert(m.getAs[Long]("tp") >= 1L, "no true event detected")
+    assert(m.getAs[Double]("best_k") === 3.5)
+    assert(m.getAs[Long]("tp") === 1L)
+    assert(m.getAs[Long]("fp") === 0L)
+    assert(m.getAs[Long]("fn") === 4L)
     assert(m.getAs[Double]("f1") >= 0.2,
-      s"event F1 ${m.getAs[Double]("f1")} below tolerance vs golden 0.333")
+      s"event F1 ${m.getAs[Double]("f1")} below the documented floor vs golden 0.333")
   }
 
   test("hybrid ensemble sweep reproduces the notebook golden exactly") {
@@ -496,6 +501,87 @@ class GoldenSpec extends SparkSpec {
     val f1 = m.getAs[Double]("f1")
     assert(f1 >= 0.0488 * 0.5,
       s"event F1 $f1 below half the golden 0.0488")
+  }
+
+  test("run_bsts detector tail (rolling_sigma_threshold) reproduces all three results/bsts artifacts") {
+    assume(available, "reference artifacts not present")
+    // src/run_bsts.py's detector differs from the notebooks': it is
+    // utils.py:40-73 `rolling_sigma_threshold` — score
+    // |resid − rolling μ| / (rolling σ + 1e-6), median-centered residuals
+    // over the whole forecast region (run_bsts.py:55-57), the rolling
+    // window applied to each split's slice SEPARATELY (restarting at the
+    // val/test boundary), sweep k ∈ 2..10 step 0.5 on Validation with the
+    // 0.10 rate guard, persistence 2, gap-3 events. Replaying the
+    // detectAndScore "rolling_centered" mode on each artifact's own
+    // bsts_mean reproduces the stored `detected` flags bit-for-bit
+    // (verified offline against the reference's own code: 0 flag diffs on
+    // all three datasets) — pinned here via best_k and the full test-side
+    // event confusion recomputed by the CURRENT evaluate.py.
+    val cases = Seq(
+      ("nyc", "realKnownCause__nyc_taxi.csv",
+        2.5, Seq(1L, 9L, 2L, 10L, 3L)),
+      ("twitter", "realTweets__Twitter_volume_AMZN.csv",
+        2.0, Seq(0L, 42L, 0L, 42L, 0L)),
+      ("machine_temp",
+        "realKnownCause__machine_temperature_system_failure.csv",
+        2.5, Seq(0L, 33L, 1L, 33L, 1L)))
+    for ((tag, name, wantK, wantCounts) <- cases) {
+      val dir = s"$refRoot/bsts/$name"
+      val raw = spark.read.option("header", "true").csv(s"$dir/predictions.csv")
+        .withColumn("ts", to_timestamp(col("timestamp")))
+        .withColumn("value", col("value").cast("double"))
+        .withColumn("is_anomaly", col("is_anomaly").cast("int"))
+        .withColumn("bsts_mean", col("bsts_mean").cast("double"))
+        .withColumn("series_id", lit("s"))
+        .withColumn("resid", col("value") - col("bsts_mean"))
+      val med = raw.agg(median(col("resid"))).collect().head.getDouble(0)
+      val df = raw.withColumn("resid", col("resid") - lit(med))
+      val (_, metrics) = graft.bench.Pipelines.detectAndScore(
+        df, "series_id", "ts", graft.bench.Pipelines.Config(),
+        tuneSplit = "Validation", sigmaSource = "rolling_centered")
+      val m = metrics.collect().head
+      assert(m.getAs[Double]("best_k") === wantK, s"$tag best_k")
+      val got = Seq("tp", "fp", "fn", "n_pred_events", "n_true_events")
+        .map(c => m.get(m.fieldIndex(c)) match {
+          case l: Long => l; case i: Int => i.toLong
+          case x => x.toString.toDouble.toLong
+        })
+      assert(got === wantCounts, s"$tag confusion: got $got want $wantCounts")
+    }
+  }
+
+  test("run_gp detector tail reproduces the machine-temp artifact exactly") {
+    assume(available, "reference artifacts not present")
+    // run_gp.py: 2-way split, residuals = test region vs the GP
+    // forecast, rolling_sigma_threshold (NO median centering), sweep
+    // 2..10 step 0.5 ON the test region with the 0.10 rate guard,
+    // persistence 2, gap 3. The machine-temp artifact's stored flags
+    // reproduce bit-for-bit (verified offline: 0 diffs), and its
+    // metrics.json agrees with the current evaluate.py: best_k=2.0,
+    // tp=1 fp=168 fn=1 over 169 pred / 2 true events, F1 0.0116959064.
+    val dir = s"$refRoot/gp/realKnownCause__machine_temperature_system_failure.csv"
+    val df = spark.read.option("header", "true").csv(s"$dir/predictions.csv")
+      .withColumn("ts", to_timestamp(col("timestamp")))
+      .withColumn("value", col("value").cast("double"))
+      .withColumn("is_anomaly", col("is_anomaly").cast("int"))
+      .withColumn("pred_mean", col("pred_mean").cast("double"))
+      .withColumn("series_id", lit("s"))
+      .withColumn("resid", col("value") - col("pred_mean"))
+      .withColumn("split", lit("Test"))
+    val (_, metrics) = graft.bench.Pipelines.detectAndScore(
+      df, "series_id", "ts", graft.bench.Pipelines.Config(),
+      tuneSplit = "Test", sigmaSource = "rolling_centered")
+    val m = metrics.collect().head
+    assert(m.getAs[Double]("best_k") === 2.0)
+    val gold = goldenEventLevel(dir)
+    def num(c: String): Double = m.get(m.fieldIndex(c)) match {
+      case l: Long => l.toDouble; case d: Double => d
+      case x => x.toString.toDouble
+    }
+    for (k <- Seq("tp", "fp", "fn", "n_pred_events", "n_true_events",
+        "precision", "recall", "f1"))
+      assert(math.abs(num(k) - gold(k)) < 1e-9,
+        s"$k: got ${num(k)} want ${gold(k)}")
   }
 
   test("E1 final-benchmark leaderboard on real NYC-Taxi vs the README table") {
