@@ -26,4 +26,17 @@ object Hybrid {
   def combineEqual(df: DataFrame, scores: Seq[String],
                    out: String = "combined_score"): DataFrame =
     combine(df, scores.map(_ -> 1.0), out)
+
+  /** Flag-level voting combiner: emit 1 where at least `minVotes` of the
+    * member 0/1 flag columns agree (`minVotes = flags.size` is the
+    * conjunction the reference's stored ensemble artifact uses —
+    * `results/ensemble` has detected ≡ flags_bsts AND flags_gp;
+    * `minVotes = 1` is the union). Null flags count as 0. */
+  def voteFlags(df: DataFrame, flags: Seq[String], minVotes: Int,
+                out: String = "detected"): DataFrame = {
+    require(flags.nonEmpty && minVotes >= 1 && minVotes <= flags.size)
+    val votes: Column = flags.map(c => coalesce(col(c), lit(0)))
+      .reduce(_ + _)
+    df.withColumn(out, when(votes >= minVotes, 1).otherwise(0))
+  }
 }

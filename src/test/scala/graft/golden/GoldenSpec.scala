@@ -550,6 +550,41 @@ class GoldenSpec extends SparkSpec {
     }
   }
 
+  test("conjunction-vote ensemble reproduces the stored ensemble artifact") {
+    assume(available, "reference artifacts not present")
+    // results/ensemble's detected column is the CONJUNCTION of its two
+    // member flag columns (verified: detected ≡ flags_bsts AND flags_gp
+    // on all 5160 rows; no current reference script emits this artifact —
+    // it is an earlier vote-combination mode). Hybrid.voteFlags with
+    // minVotes = all must reproduce it row-for-row, and the event chain
+    // on the voted flags must match the artifact's metrics.json.
+    val dir = s"$refRoot/ensemble/realKnownCause__nyc_taxi.csv"
+    val df = spark.read.option("header", "true").csv(s"$dir/predictions.csv")
+      .withColumn("ts", to_timestamp(col("timestamp")))
+      .withColumn("is_anomaly", col("is_anomaly").cast("int"))
+      .withColumn("flags_bsts", col("flags_bsts").cast("int"))
+      .withColumn("flags_gp", col("flags_gp").cast("int"))
+      .withColumn("detected", col("detected").cast("int"))
+      .withColumn("series_id", lit("s"))
+    val voted = graft.ensemble.Hybrid.voteFlags(df,
+      Seq("flags_bsts", "flags_gp"), minVotes = 2, out = "__voted")
+    assert(voted.filter(col("__voted") =!= col("detected")).count() === 0L,
+      "voteFlags(AND) must reproduce the stored detected column")
+    val pred = Events.eventize(voted, Seq("series_id"), "ts", "__voted", 3)
+    val truth = Events.eventize(voted, Seq("series_id"), "ts", "is_anomaly", 3)
+    val m = Events.eventLevelMetrics(pred, truth, Seq("series_id"))
+      .collect().head
+    val gold = goldenEventLevel(dir)
+    def num(c: String): Double = m.get(m.fieldIndex(c)) match {
+      case l: Long => l.toDouble; case d: Double => d
+      case x => x.toString.toDouble
+    }
+    for (k <- Seq("tp", "fp", "fn", "n_pred_events", "n_true_events",
+        "precision", "recall", "f1"))
+      assert(math.abs(num(k) - gold(k)) < 1e-9,
+        s"$k: got ${num(k)} want ${gold(k)}")
+  }
+
   test("run_gp detector tail reproduces the machine-temp artifact exactly") {
     assume(available, "reference artifacts not present")
     // run_gp.py: 2-way split, residuals = test region vs the GP
