@@ -182,7 +182,8 @@ object Pipelines {
   def runAutoRegressor(series: DataFrame, labels: DataFrame, key: String,
                        ts: String, value: String, cfg: Config,
                        seqLen: Int = 48, onStlResiduals: Boolean = true,
-                       regressor: String = "ridge")
+                       regressor: String = "ridge",
+                       sigmaSource: String = "rolling")
       : (DataFrame, DataFrame) = {
     val prep = prepared(series, labels, key, ts, cfg)
     val base =
@@ -198,7 +199,10 @@ object Pipelines {
       popStd = true)
     val ar = AutoRegressor.run(barrier(scaled), key, ts, "__tn", seqLen,
       cfg.trainFrac, regressor)
-    detectAndScore(barrier(ar.drop("__target", "__tn")), key, ts, cfg)
+    // default "rolling" = the notebook LSTM recipe the golden replays;
+    // pass "rolling_centered" for src/run_lstm.py's tail
+    detectAndScore(barrier(ar.drop("__target", "__tn")), key, ts, cfg,
+      sigmaSource = sigmaSource)
   }
 
   /** M3 pipeline (run_bsts.py: val-tuned 3-way split). */
