@@ -585,6 +585,43 @@ class GoldenSpec extends SparkSpec {
         s"$k: got ${num(k)} want ${gold(k)}")
   }
 
+  test("notebook GP pred_std detector tail reproduces its artifact exactly") {
+    assume(available, "reference artifacts not present")
+    // notebooks/02 cell 10: the GP variant thresholds against the GP's
+    // own per-step predictive std — |y − mean| > k·std, persistence 2,
+    // sweep 2..10 step 0.5 with NO rate guard, and gap-1 events (the one
+    // pipeline using gap=1). detectAndScore's pred_std mode on the
+    // artifact's own (pred_mean, pred_std) reproduces the stored flags
+    // bit-for-bit (verified offline, eps-form included) and the
+    // metrics.json numbers: best_k=5.0, tp=2 fp=1 fn=3, F1 0.4999999994.
+    // With this, all three sigmaSource modes are artifact-pinned.
+    val dir = "/root/reference/notebooks/results/gp/realKnownCause__nyc_taxi.csv"
+    val df = spark.read.option("header", "true").csv(s"$dir/predictions.csv")
+      .withColumn("ts", to_timestamp(col("timestamp")))
+      .withColumn("value", col("value").cast("double"))
+      .withColumn("is_anomaly", col("is_anomaly").cast("int"))
+      .withColumn("pred_mean", col("pred_mean").cast("double"))
+      .withColumn("pred_std", col("pred_std").cast("double"))
+      .withColumn("series_id", lit("s"))
+      .withColumn("resid", col("value") - col("pred_mean"))
+      .withColumn("split", lit("Test"))
+    val cfg = graft.bench.Pipelines.Config(gap = 1, maxRate = 1.1)
+    val (_, metrics) = graft.bench.Pipelines.detectAndScore(
+      df, "series_id", "ts", cfg, tuneSplit = "Test",
+      sigmaSource = "pred_std")
+    val m = metrics.collect().head
+    assert(m.getAs[Double]("best_k") === 5.0)
+    val gold = goldenEventLevel(dir)
+    def num(c: String): Double = m.get(m.fieldIndex(c)) match {
+      case l: Long => l.toDouble; case d: Double => d
+      case x => x.toString.toDouble
+    }
+    for (k <- Seq("tp", "fp", "fn", "n_pred_events", "n_true_events",
+        "precision", "recall", "f1"))
+      assert(math.abs(num(k) - gold(k)) < 1e-9,
+        s"$k: got ${num(k)} want ${gold(k)}")
+  }
+
   test("run_gp detector tail reproduces the machine-temp artifact exactly") {
     assume(available, "reference artifacts not present")
     // run_gp.py: 2-way split, residuals = test region vs the GP
