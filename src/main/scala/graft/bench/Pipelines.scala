@@ -99,12 +99,17 @@ object Pipelines {
     val best = Metrics.sweep(tune.select(col(series), col(ts), col("score")),
       Seq(series), ts, "score", cfg.ks, cfg.persistence, cfg.gap,
       truthTune, cfg.maxRate)
-    // apply the winning k on the Test split
+    // apply the winning k on the Test split; a series where EVERY
+    // candidate failed the rate guard has no sweep row — the reference
+    // scripts then keep their initial k = 3.0 (run_gp.py:90 et al.), so
+    // the join is left + coalesce rather than inner (which would
+    // silently drop the series from the predictions)
     val test = scored.filter(col("split") === "Test")
       .join(broadcast(barrier(best).select(col(series), col("best_k"))),
-        series)
+        Seq(series), "left")
       .withColumn("flag",
-        SeriesOps.thresholdFlag(col("score"), col("best_k")))
+        SeriesOps.thresholdFlag(col("score"),
+          coalesce(col("best_k"), lit(3.0))))
     val persisted = Events.persistFilter(test, Seq(series), ts, "flag",
       cfg.persistence, "detected")
     val pred = Events.eventize(persisted, Seq(series), ts, "detected",
@@ -296,10 +301,14 @@ object Pipelines {
       tune.select(col(key), col(ts), col("combined_score")), Seq(key), ts,
       "combined_score", cfg.ks, cfg.persistence, cfg.gap, truthTune,
       cfg.maxRate)
+    // left + coalesce: the reference's initial best_thresh = 3.0 applies
+    // when the rate guard rejects every candidate (run_hybrid.py:145)
     val test = tune
-      .join(broadcast(barrier(best).select(col(key), col("best_k"))), key)
+      .join(broadcast(barrier(best).select(col(key), col("best_k"))),
+        Seq(key), "left")
       .withColumn("flag",
-        SeriesOps.thresholdFlag(col("combined_score"), col("best_k")))
+        SeriesOps.thresholdFlag(col("combined_score"),
+          coalesce(col("best_k"), lit(3.0))))
     val persisted = Events.persistFilter(test, Seq(key), ts, "flag",
       cfg.persistence, "detected")
     val pred = Events.eventize(persisted, Seq(key), ts, "detected", cfg.gap)

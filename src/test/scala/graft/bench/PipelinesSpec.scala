@@ -94,6 +94,33 @@ class PipelinesSpec extends SparkSpec {
       "detected").forall(pred.columns.contains))
   }
 
+  test("rate-guard wipeout falls back to the reference's k=3.0") {
+    import spark.implicits._
+    // a frame whose score flags >10% of rows at EVERY k in the grid:
+    // the sweep rejects all candidates, so the apply step must fall back
+    // to k=3.0 (the run scripts' initial best_k) rather than dropping
+    // the series from the predictions
+    val rows = (0 until 100).map { i =>
+      ("s", java.sql.Timestamp.valueOf(
+        f"2024-01-01 ${i / 60}%02d:${i % 60}%02d:00"),
+        if (i % 3 == 0) 100.0 else 0.0, // 33% extreme at any k <= 10
+        i % 7 == 0)
+    }.toDF("series_id", "ts", "resid", "lab")
+      .withColumn("is_anomaly", when(col("lab"), 1).otherwise(0))
+      .withColumn("split", lit("Test"))
+      .withColumn("pred_std", lit(1.0))
+    val cfg = Pipelines.Config(persistence = 1, maxRate = 0.10)
+    val (pred, metrics) = Pipelines.detectAndScore(
+      rows, "series_id", "ts", cfg, tuneSplit = "Test",
+      sigmaSource = "pred_std")
+    val m = metrics.collect().head
+    assert(m.get(m.fieldIndex("best_k")) == null, "no candidate may win")
+    // fallback applied: flags exist (score 100/1.0 > 3.0 on extremes)
+    val flagged = pred.agg(sum("detected")).collect().head.getLong(0)
+    assert(flagged > 0L, "k=3.0 fallback must still flag the test rows")
+    assert(pred.count() === 100L, "series must not be dropped")
+  }
+
   test("final benchmark builds a leaderboard over models x series") {
     val (series, labels) = fixture
     val lb = Pipelines.runFinalBenchmark(series, labels, "series_id", "ts",
