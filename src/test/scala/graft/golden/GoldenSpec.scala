@@ -547,6 +547,24 @@ class GoldenSpec extends SparkSpec {
           case x => x.toString.toDouble.toLong
         })
       assert(got === wantCounts, s"$tag confusion: got $got want $wantCounts")
+      // business block parity (A7 on the same flags): fp/day and latency
+      // must match each artifact's stored metrics.json
+      val biz = ujsonLite(java.nio.file.Files.readString(
+        java.nio.file.Paths.get(s"$dir/metrics.json")))("business")
+        .asInstanceOf[Map[String, Any]]
+      def bnum(k: String): Double = biz(k).toString.toDouble
+      assert(m.getAs[Long]("fp_count") === bnum("fp_count").toLong, s"$tag fp_count")
+      assert(math.abs(m.getAs[Double]("duration_days") -
+        bnum("duration_days")) < 1e-9, s"$tag duration_days")
+      assert(math.abs(m.getAs[Double]("fp_per_day") -
+        bnum("fp_per_day")) < 1e-9, s"$tag fp_per_day")
+      val goldLat = bnum("median_latency_minutes")
+      val gotLat = m.get(m.fieldIndex("median_latency_minutes"))
+      if (goldLat.isNaN) // no detected true event → reference stores NaN
+        assert(gotLat == null, s"$tag latency: got $gotLat want null")
+      else
+        assert(math.abs(gotLat.toString.toDouble - goldLat) < 1e-9,
+          s"$tag latency: got $gotLat want $goldLat")
     }
   }
 
@@ -654,6 +672,14 @@ class GoldenSpec extends SparkSpec {
         "precision", "recall", "f1"))
       assert(math.abs(num(k) - gold(k)) < 1e-9,
         s"$k: got ${num(k)} want ${gold(k)}")
+    // business parity: fp/day 4.264, latency -70 min per the artifact
+    val biz = ujsonLite(java.nio.file.Files.readString(
+      java.nio.file.Paths.get(s"$dir/metrics.json")))("business")
+      .asInstanceOf[Map[String, Any]]
+    assert(math.abs(m.getAs[Double]("fp_per_day") -
+      biz("fp_per_day").toString.toDouble) < 1e-9)
+    assert(math.abs(m.getAs[Double]("median_latency_minutes") -
+      biz("median_latency_minutes").toString.toDouble) < 1e-9)
   }
 
   test("E1 final-benchmark leaderboard on real NYC-Taxi vs the README table") {
