@@ -363,6 +363,19 @@ object SparkEntry {
           round(col("pred_std"), 6).as("pred_std"),
           round(col("resid"), 6).as("resid"), col("split"))),
 
+    // M2/M7 interval detector (kalman_model.py:48-53
+    // detect_anomalies_from_intervals): flag where the actual falls
+    // outside the forecast's 95% CI — pure column predicate on the bounds
+    "q_ci_flags" -> ((s, dir) =>
+      models.KalmanLocalLevel.run(ev(s, dir), "user_id", "ts", "value", 0.5)
+        .withColumn("lower", col("pred_mean") - lit(1.96) * col("pred_std"))
+        .withColumn("upper", col("pred_mean") + lit(1.96) * col("pred_std"))
+        .select(col("series_id"), col("ts"),
+          round(col("lower"), 6).as("lower"),
+          round(col("upper"), 6).as("upper"),
+          when(col("value") < col("lower") || col("value") > col("upper"), 1)
+            .otherwise(0).as("ci_flag"))),
+
     // M6: BOCPD changepoint probabilities + run-length MAP
     "q_bocpd" -> ((s, dir) =>
       models.Bocpd.run(ev(s, dir), "user_id", "ts", "value")
@@ -1026,6 +1039,7 @@ object SparkEntry {
     "q_bocpd" -> fixtureSql("q_bocpd"),
     "q_cp_flags" -> fixtureSql("q_cp_flags"),
     "q_kalman" -> fixtureSql("q_kalman"),
+    "q_ci_flags" -> fixtureSql("q_ci_flags"),
     "q_bsts" -> fixtureSql("q_bsts"),
     "q_bsts_dummy" -> fixtureSql("q_bsts_dummy"),
     "q_gp" -> fixtureSql("q_gp"),
