@@ -91,6 +91,41 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("resolveComponents equals a union-find oracle on random graphs") {
+    import spark.implicits._
+    (1 to 5).foreach { _ =>
+      val n = 30 + rng.nextInt(40)
+      val nEdges = rng.nextInt(n)
+      val edges = Seq.fill(nEdges)(
+        (rng.nextInt(n).toLong, rng.nextInt(n).toLong))
+        .filter { case (a, b) => a != b }
+      // driver-side union-find oracle
+      val parent = Array.tabulate(n)(identity)
+      def find(x: Int): Int = {
+        var r = x
+        while (parent(r) != r) r = parent(r)
+        r
+      }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a.toInt), find(b.toInt))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val expected = (0 until n).map { i =>
+        // min node id of the component = fully-compressed root under
+        // min-merge union
+        var r = find(i)
+        (i.toLong, r.toLong)
+      }.toMap
+      val docs = (0L until n).toDF("doc_id")
+      val pairs =
+        if (edges.isEmpty) Seq((0L, 0L)).toDF("id_a", "id_b").limit(0)
+        else edges.toDF("id_a", "id_b")
+      val got = graft.llm.Dedup.resolveComponents(docs, pairs, "doc_id")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got === expected)
+    }
+  }
+
   test("MAD sigma is invariant to a single gross outlier") {
     val base = Seq.fill(51)(10 + rng.nextGaussian())
     val clean = SeriesOps.madSigma(valueSeries(base), "series_id", "value")
