@@ -315,6 +315,22 @@ object SparkEntry {
           round(avg("l_discount"), 9).as("avg_disc"),
           count(lit(1)).as("count_order"))),
 
+    // TPC-H Q14-flavored promo revenue: lineitem ⋈ broadcast part, with
+    // a conditional-sum promo ratio per brand (completes table coverage —
+    // every driver table is now exercised by at least one query)
+    "q_part_revenue" -> ((s, dir) => {
+      val l = tbl(s, dir, "lineitem")
+      val p = tbl(s, dir, "part")
+      val rev = col("l_extendedprice") * (lit(1) - col("l_discount"))
+      l.join(broadcast(p), l("l_partkey") === p("p_partkey"))
+        .groupBy(col("p_brand"))
+        .agg(
+          round(sum(rev), 2).as("revenue"),
+          round(sum(when(col("p_type") === "PROMO", rev).otherwise(0)), 2)
+            .as("promo_revenue"),
+          count(lit(1)).as("n_items"))
+    }),
+
     // join + agg (orders ⋈ lineitem)
     "q_join_agg" -> ((s, dir) =>
       tbl(s, dir, "lineitem")
@@ -883,6 +899,16 @@ object SparkEntry {
         |FROM lineitem
         |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
         |GROUP BY l_returnflag, l_linestatus""".stripMargin,
+
+    "q_part_revenue" ->
+      """SELECT p_brand,
+        |  round(sum(l_extendedprice*(1-l_discount)), 2) AS revenue,
+        |  round(sum(CASE WHEN p_type = 'PROMO'
+        |    THEN l_extendedprice*(1-l_discount) ELSE 0 END), 2)
+        |    AS promo_revenue,
+        |  count(*) AS n_items
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |GROUP BY p_brand""".stripMargin,
 
     "q_join_agg" ->
       """SELECT o_orderpriority,
