@@ -116,8 +116,7 @@ object Bsts {
         val (i, m) = dumBlocks(b)
         var sum = 0.0; var j = 0
         while (j < m) { sum += a(i + j); j += 1 }
-        var k = m - 1
-        while (k >= 1) { a(i + k) = a(i + k - 1); k -= 1 }
+        System.arraycopy(a, i, a, i + 1, m - 1) // shift states down one
         a(i) = -sum
         b += 1
       }
@@ -142,15 +141,19 @@ object Bsts {
       b = 0
       while (b < dumBlocks.length) {
         val (i, m) = dumBlocks(b)
-        var c = 0
-        while (c < d) {
-          var sum = 0.0; var r = 0
-          while (r < m) { sum += p((i + r) * d + c); r += 1 }
-          var k = m - 1
-          while (k >= 1) { p((i + k) * d + c) = p((i + k - 1) * d + c); k -= 1 }
-          p(i * d + c) = -sum
-          c += 1
+        // column sums over rows i..i+m-1, then shift the whole row block
+        // down by one row in a single overlapping arraycopy
+        val s = new Array[Double](d)
+        var r = 0
+        while (r < m) {
+          val base = (i + r) * d
+          var c = 0
+          while (c < d) { s(c) += p(base + c); c += 1 }
+          r += 1
         }
+        System.arraycopy(p, i * d, p, (i + 1) * d, (m - 1) * d)
+        var c = 0
+        while (c < d) { p(i * d + c) = -s(c); c += 1 }
         b += 1
       }
     }
@@ -179,8 +182,7 @@ object Bsts {
           val base = row * d
           var sum = 0.0; var c = 0
           while (c < m) { sum += p(base + i + c); c += 1 }
-          var k = m - 1
-          while (k >= 1) { p(base + i + k) = p(base + i + k - 1); k -= 1 }
+          System.arraycopy(p, base + i, p, base + i + 1, m - 1)
           p(base + i) = -sum
           row += 1
         }
