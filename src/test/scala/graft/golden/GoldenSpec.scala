@@ -360,14 +360,15 @@ class GoldenSpec extends SparkSpec {
 
   test("AR-on-STL-residuals pipeline approaches the LSTM NYC-Taxi golden") {
     assume(available, "reference artifacts not present")
-    // The reference's LSTM pipeline (run_lstm.py): STL on the full
-    // series, forecast the residual, score the second-order residual,
-    // sweep k on Test (2..10 step 0.5, rate guard 0.10, persist 2,
-    // gap 3). Golden: best_k=3.0, event F1 0.444 (tp=2 fp=2 fn=3).
-    // An MLlib ARX is a documented substitution for the LSTM (SURVEY
-    // §2.9 M5) — point forecasts differ, so this is tolerance-based:
-    // the pipeline must find a sweep winner whose event F1 is at least
-    // half the LSTM's, with all five true events present.
+    // The notebook's LSTM pipeline (02 cell 8): STL on the full
+    // series, forecast the residual, score the second-order residual
+    // with the abs-z rolling detector, sweep k ∈ 3..12 step 1 on Test
+    // with NO rate guard, persist 2, gap 3. Golden: best_k=3.0, event
+    // F1 0.444 (tp=2 fp=2 fn=3). An MLlib ARX is a documented
+    // substitution for the LSTM (SURVEY §2.9 M5) — point forecasts
+    // differ, so this is tolerance-based: the pipeline must find a
+    // sweep winner whose event F1 is at least half the LSTM's, with
+    // all five true events present.
     val cpDir = s"$refRoot/bocpd/realKnownCause__nyc_taxi.csv"
     val full = spark.read.option("header", "true").csv(s"$cpDir/cp_probs.csv")
       .withColumn("ts", to_timestamp(col("timestamp")))
@@ -378,7 +379,8 @@ class GoldenSpec extends SparkSpec {
     val labelTs = Seq(5942, 7183, 8526, 8834, 10080).map(ordered(_))
     import spark.implicits._
     val labels = labelTs.map(t => ("s", t)).toDF("series_id", "label_ts")
-    val cfg = graft.bench.Pipelines.Config(labelWindowRows = 3)
+    val cfg = graft.bench.Pipelines.Config(labelWindowRows = 3,
+      ks = (0 until 10).map(i => 3.0 + i), maxRate = 1.1)
     val (_, metrics) = graft.bench.Pipelines.runAutoRegressor(
       full, labels, "series_id", "ts", "value", cfg, seqLen = 48,
       onStlResiduals = true, regressor = "ridge")
