@@ -45,7 +45,7 @@ object NabIo {
     * kalman_model.py:159). */
   def readLabelsJson(spark: SparkSession, path: String): DataFrame = {
     val raw = spark.read.option("multiLine", "true").json(path)
-    val keyCols = raw.schema.fieldNames
+    val keyCols = raw.schema.fieldNames.toIndexedSeq
     val stacked = raw.select(keyCols.map(k =>
       struct(lit(k).as("series_id"), col(s"`$k`").as("tss")).as(k)): _*)
     // NAB keys contain dots — every reference must be backtick-quoted

@@ -187,7 +187,7 @@ object Similarity {
     }
     val probed = queries.select(col(id).as("query_id"), col(vec).as("__qv"))
       .withColumn("__probes",
-        slice(array_sort(array(probeStructs: _*)), 1, nProbe))
+        slice(array_sort(array(probeStructs.toIndexedSeq: _*)), 1, nProbe))
       .select(col("query_id"), col("__qv"),
         explode(col("__probes.cell")).as("__cell"))
     val cand = cells.join(broadcast(probed), "__cell")
