@@ -66,6 +66,11 @@ object Bench {
       }
     }
     val results = names.map { name =>
+      // full-GC fence between queries: heavy MLlib/MLE neighbors leave
+      // enough young-gen debris to inflate the next query's median 3-6×
+      // (r4: q_pointwise 4.0 s in-suite vs 0.6 s isolated), so pay the
+      // collection OUTSIDE the timed region
+      System.gc()
       val first = once(name)
       val times =
         if (first < 0 || first > heavySec) Seq(first)
@@ -73,14 +78,18 @@ object Bench {
       val median = times.sorted.apply(times.size / 2)
       (name, median, times.size)
     }
-    val qs = results.map { case (k, v, _) => "\"" + k + "\":" + v }
+    // keep the line SHORT: the driver captures only a tail of stdout, so a
+    // verbose line gets clipped mid-JSON and parses as null (round 4).
+    // 3-decimal times, and reps only where a query deviated from the default.
+    def r3(v: Double): String = "%.3f".format(v)
+    val qs = results.map { case (k, v, _) => "\"" + k + "\":" + r3(v) }
       .mkString("{", ",", "}")
-    val rp = results.map { case (k, _, n) => "\"" + k + "\":" + n }
+    val rp = results.collect { case (k, _, n) if n != reps => "\"" + k + "\":" + n }
       .mkString("{", ",", "}")
     val total = results.collect { case (_, v, _) if v >= 0 => v }.sum
     val errs = errors.distinct.map(e => "\"" + e.replace("\"", "'") + "\"")
       .mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"reps":$rp,"errors":$errs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"reps":$reps,"reps_other":$rp,"errors":$errs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -38,6 +38,28 @@ object SparkEntry {
   private def tbl(s: SparkSession, dir: String, name: String): DataFrame =
     s.read.parquet(s"$dir/$name.parquet")
 
+  /** Fan a small scan out to the full core count. The driver testdata is
+    * one row group per table, so the scan — and every map-side op until
+    * the first exchange — otherwise runs on a single core; on a real
+    * multi-split layout the partition guard makes this a no-op (never
+    * add a shuffle to an input that is already parallel). Applied ONLY
+    * to queries whose math is exact per row (hashes, set counts,
+    * per-pair cosines): repartitioning an input to a float AGGREGATION
+    * would change partial-sum order and could flip rounded digits vs
+    * the oracle. */
+  private def spread(df: DataFrame): DataFrame = {
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+  }
+
+  /** documents scan, fanned out (text operators are CPU-bound per row). */
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    spread(tbl(s, dir, "documents"))
+
+  /** embeddings scan, fanned out (signature/cosine math per row/pair). */
+  private def emb(s: SparkSession, dir: String): DataFrame =
+    spread(tbl(s, dir, "embeddings"))
+
   // shared flag definitions for the detector queries
   private val predFlag = when(col("value") > 150, 1).otherwise(0)
   private val truthFlag =
@@ -441,27 +463,37 @@ object SparkEntry {
           round(col("seasonal"), 6).as("seasonal"),
           round(col("resid"), 6).as("resid"))),
 
-    // A11/O2/S5: leaderboard — per-model global event metrics, F1 desc
+    // A11/O2/S5: leaderboard — per-model global event metrics, F1 desc.
+    // The model thresholds are a grid dimension: ONE eventize pass over
+    // the threshold-multiplied flagged slice scores every model, instead
+    // of a full pipeline (scan + windows + joins) per model row.
     "q_leaderboard" -> ((s, dir) => {
+      import s.implicits._
       val base = ev(s, dir)
-      val truth = truthEvents(base)
-      def modelRow(th: Double, name: String): DataFrame = {
-        val pred = Events.eventize(base.withColumn("f",
-          when(col("value") > th, 1).otherwise(0)), Seq("user_id"), "ts",
-          "f", 3)
-        Events.eventLevelMetrics(pred, truth, Seq("user_id"))
-          .agg(sum("tp").as("tp"), sum("n_pred_events").as("np"),
-            sum(col("n_true_events") - col("fn")).as("tpt"),
-            sum("n_true_events").as("nt"))
-          .withColumn("p", col("tp") / (col("np") + lit(1e-9)))
-          .withColumn("r", col("tpt") / (col("nt") + lit(1e-9)))
-          .select(lit(name).as("Model"), lit("events").as("Dataset"),
-            round(lit(2) * col("p") * col("r") /
-              (col("p") + col("r") + lit(1e-9)), 6).as("Event_F1"),
-            round(col("p"), 6).as("Precision"),
-            round(col("r"), 6).as("Recall"))
-      }
-      modelRow(150, "T150").unionByName(modelRow(200, "T200"))
+      val grid = Seq((150.0, "T150"), (200.0, "T200")).toDF("__th", "Model")
+      val withRn = SeriesOps.withRowNumberKeys(base, Seq("user_id"), "ts",
+        "__srn")
+      // rn is computed on the FULL series before the threshold filter, so
+      // run adjacency is preserved for every model's flagged slice
+      val flagged = withRn.crossJoin(broadcast(grid))
+        .filter(col("value") > col("__th"))
+        .withColumn("f", lit(1))
+      val kk = Seq("user_id", "__th", "Model")
+      val pred = Events.eventize(flagged, kk, "ts", "f", 3,
+        rnCol = Some("__srn"))
+      val truth = truthEvents(base).crossJoin(broadcast(grid))
+      Events.eventLevelMetrics(pred, truth, kk)
+        .groupBy("__th", "Model")
+        .agg(sum("tp").as("tp"), sum("n_pred_events").as("np"),
+          sum(col("n_true_events") - col("fn")).as("tpt"),
+          sum("n_true_events").as("nt"))
+        .withColumn("p", col("tp") / (col("np") + lit(1e-9)))
+        .withColumn("r", col("tpt") / (col("nt") + lit(1e-9)))
+        .select(col("Model"), lit("events").as("Dataset"),
+          round(lit(2) * col("p") * col("r") /
+            (col("p") + col("r") + lit(1e-9)), 6).as("Event_F1"),
+          round(col("p"), 6).as("Precision"),
+          round(col("r"), 6).as("Recall"))
         .orderBy(desc("Event_F1"))
     }),
 
@@ -505,25 +537,25 @@ object SparkEntry {
 
     // LLM-pipeline: exact dedup groups (hash-groupBy)
     "q_dedup_exact" -> ((s, dir) =>
-      tbl(s, dir, "documents")
+      docs(s, dir)
         .groupBy("lang", "n_chars")
         .agg(min("doc_id").as("keep_id"), count(lit(1)).as("n_dups"))),
 
     // LLM-pipeline: content fingerprint (md5)
     "q_fingerprint" -> ((s, dir) =>
-      tbl(s, dir, "documents")
+      docs(s, dir)
         .select(col("doc_id"), md5(col("text")).as("fp"))),
 
     // LLM-pipeline: exact n-gram Jaccard near-dup (shingle-bucketed join)
     "q_ngram_jaccard" -> ((s, dir) =>
-      llm.Dedup.ngramJaccard(tbl(s, dir, "documents"), "doc_id", "text",
+      llm.Dedup.ngramJaccard(docs(s, dir), "doc_id", "text",
         n = 3, minJaccard = 0.2, maxDocFreq = 100)
         .select(col("id_a"), col("id_b"),
           round(col("jaccard"), 6).as("jaccard"))),
 
     // LLM-pipeline: MinHash LSH near-dup candidates (banded, no crossJoin)
     "q_minhash" -> ((s, dir) =>
-      llm.Dedup.minhashCandidates(tbl(s, dir, "documents"), "doc_id",
+      llm.Dedup.minhashCandidates(docs(s, dir), "doc_id",
         "text", shingleN = 3, numHashes = 32, bands = 8, minEst = 0.4)
         .select(col("id_a"), col("id_b"),
           round(col("est_jaccard"), 6).as("est_jaccard"))),
@@ -532,10 +564,10 @@ object SparkEntry {
     // connected components (iterative min-label propagation) → keep/drop
     // decision per document (minimum id of each component kept)
     "q_dedup_resolve" -> ((s, dir) => {
-      val docs = tbl(s, dir, "documents")
-      val pairs = llm.Dedup.ngramJaccard(docs, "doc_id", "text", n = 3,
+      val docsDf = docs(s, dir)
+      val pairs = llm.Dedup.ngramJaccard(docsDf, "doc_id", "text", n = 3,
         minJaccard = 0.2, maxDocFreq = 100)
-      llm.Dedup.resolveComponents(docs, pairs, "doc_id")
+      llm.Dedup.resolveComponents(docsDf, pairs, "doc_id")
     }),
 
     // LLM-pipeline: SimHash near-dup at the classic 64-bit radius 3
@@ -543,27 +575,27 @@ object SparkEntry {
     // the radius is exact — DedupSpec proves the contract at 3/7/10;
     // radius>7 trades 16× candidate volume for the wider net.
     "q_simhash" -> ((s, dir) =>
-      llm.Dedup.simhashCandidates(tbl(s, dir, "documents"), "doc_id",
+      llm.Dedup.simhashCandidates(docs(s, dir), "doc_id",
         "text", maxDist = 3)
         .select(col("id_a"), col("id_b"), col("hamming"))),
 
     // LLM-pipeline: brute-force cosine top-k (the ANN correctness baseline)
     "q_cosine_topk" -> ((s, dir) => {
-      val emb = tbl(s, dir, "embeddings")
-      val queries = emb.filter(col("vec_id") < 5)
-      llm.Similarity.bruteForceTopK(queries, emb, "vec_id", "embedding", 3)
+      val embDf = emb(s, dir)
+      val queries = embDf.filter(col("vec_id") < 5)
+      llm.Similarity.bruteForceTopK(queries, embDf, "vec_id", "embedding", 3)
         .select(col("query_id"), col("corpus_id"),
           round(col("cosine"), 6).as("cosine"), col("rank"))
     }),
 
     // LLM-pipeline: hyperplane-LSH ANN top-k (bucketed scale path)
     "q_ann_lsh" -> ((s, dir) => {
-      val emb = tbl(s, dir, "embeddings")
+      val embDf = emb(s, dir)
       // planes=16, bands=8 (2-bit bands): the synthetic embeddings are
       // diffuse (top neighbors at cosine 0.26-0.40), so recall needs
       // narrow bands; AnnRecallSpec pins recall >= 0.8 vs brute force.
-      llm.Similarity.lshTopK(emb, emb.filter(col("vec_id") < 5), "vec_id",
-        "embedding", 3, planes = 16, bands = 8)
+      llm.Similarity.lshTopK(embDf, embDf.filter(col("vec_id") < 5),
+        "vec_id", "embedding", 3, planes = 16, bands = 8)
         .select(col("query_id"), col("corpus_id"),
           round(col("cosine"), 6).as("cosine"), col("rank"))
     }),
@@ -573,9 +605,9 @@ object SparkEntry {
     // nProbe=8/nList=16 vs brute force). No oracle: MLlib k-means float
     // reduction order is partitioning-dependent.
     "q_ann_ivf" -> ((s, dir) => {
-      val emb = tbl(s, dir, "embeddings")
-      llm.Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 5), "vec_id",
-        "embedding", 3, nList = 16, nProbe = 8)
+      val embDf = emb(s, dir)
+      llm.Similarity.ivfTopK(embDf, embDf.filter(col("vec_id") < 5),
+        "vec_id", "embedding", 3, nList = 16, nProbe = 8)
         .select(col("query_id"), col("corpus_id"),
           round(col("cosine"), 6).as("cosine"), col("rank"))
     }),
@@ -585,14 +617,14 @@ object SparkEntry {
       // threshold 0.4 sits at the top of this corpus's cosine range (59
       // true pairs at sf0.01; the max pairwise cosine is 0.51, so 0.8
       // would be vacuously empty regardless of recall)
-      llm.Dedup.embeddingNearDup(tbl(s, dir, "embeddings"), "vec_id",
+      llm.Dedup.embeddingNearDup(emb(s, dir), "vec_id",
         "embedding", minCosine = 0.4, planes = 16, bands = 8)
         .select(col("id_a"), col("id_b"),
           round(col("cosine"), 6).as("cosine"))),
 
     // LLM-pipeline: quality scoring (C4/Gopher-style heuristics)
     "q_quality" -> ((s, dir) =>
-      llm.TextAnalysis.withQuality(tbl(s, dir, "documents"), "text")
+      llm.TextAnalysis.withQuality(docs(s, dir), "text")
         .select(col("doc_id"), col("n_tokens"),
           round(col("avg_token_len"), 6).as("avg_token_len"),
           round(col("stop_ratio"), 6).as("stop_ratio"),
@@ -601,25 +633,25 @@ object SparkEntry {
 
     // LLM-pipeline: language id (stopword voting + CJK ratio)
     "q_langid" -> ((s, dir) =>
-      llm.TextAnalysis.withLangId(tbl(s, dir, "documents"), "text")
+      llm.TextAnalysis.withLangId(docs(s, dir), "text")
         .select(col("doc_id"), col("lang"), col("lang_pred"))),
 
     // LLM-pipeline: polynomial rolling-hash document fingerprint
     "q_rollhash" -> ((s, dir) =>
-      tbl(s, dir, "documents")
+      docs(s, dir)
         .select(col("doc_id"),
           llm.TextAnalysis.rollingHash(col("text")).as("rollhash"))),
 
     // LLM-pipeline: winnowing fingerprint sketch
     "q_winnow" -> ((s, dir) =>
-      llm.TextAnalysis.winnowing(tbl(s, dir, "documents"), "doc_id",
+      llm.TextAnalysis.winnowing(docs(s, dir), "doc_id",
         "text", k = 8, w = 4)
         .groupBy("doc_id").agg(count(lit(1)).as("n_fingerprints"),
           min("fingerprint").as("min_fp"))),
 
     // LLM-pipeline: multimodal plumbing (binary payload → stub features)
     "q_multimodal" -> ((s, dir) => {
-      val media = llm.Multimodal.synthesize(tbl(s, dir, "documents"),
+      val media = llm.Multimodal.synthesize(docs(s, dir),
         "doc_id", "text")
       llm.Multimodal.extractFeatures(media)
         .select(col("media_id"), col("byte_len"),
@@ -631,7 +663,7 @@ object SparkEntry {
     // resolution with the new dims in meta (stub resampler; the batch
     // shape and schema contract are the operator)
     "q_mm_resize" -> ((s, dir) => {
-      val media = llm.Multimodal.synthesize(tbl(s, dir, "documents"),
+      val media = llm.Multimodal.synthesize(docs(s, dir),
         "doc_id", "text")
       llm.Multimodal.resize(media, 8, 4)
         .select(col("media_id"), length(col("payload")).as("new_len"),
@@ -643,7 +675,7 @@ object SparkEntry {
     // whitespace count plus the BPE-ish `\w+|[^\w\s]` pre-tokenizer
     // cardinality (stop/punct ratios live in q_quality via withQuality)
     "q_text_stats" -> ((s, dir) => {
-      val d = tbl(s, dir, "documents")
+      val d = docs(s, dir)
       val nTok = llm.TextAnalysis.tokenCountWs(col("text"))
       d.select(col("doc_id"),
         length(col("text")).cast("long").as("len"),

@@ -133,25 +133,33 @@ object Similarity {
 
   /** Candidate pairs sharing any LSH band bucket (OR-amplified, see
     * [[bandKeys]]), with exact cosine computed only inside buckets.
-    * Buckets larger than `maxBucketSize` are dropped ([[capBuckets]]). */
+    * Buckets larger than `maxBucketSize` are dropped ([[capBuckets]]).
+    *
+    * The OR-amplified candidate stream (one row per band collision) is
+    * deduplicated on the ID PAIR ALONE and the vectors joined back for
+    * the single post-dedup cosine — carrying both embeddings through the
+    * distinct() exchange would multiply its shuffle volume by the vector
+    * payload (~30× at dim 64) for rows that mostly collapse. */
   def lshPairs(df: DataFrame, id: String, vec: String, planes: Int = 16,
                bands: Int = 4, maxBucketSize: Int = 10000): DataFrame = {
     val sig = df.select(col(id).as("doc"), col(vec).as("__v"))
       .withColumn("__sig", lshSignature(col("__v"), planes))
     val buckets = capBuckets(
-      sig.select(col("doc"), col("__v"),
+      sig.select(col("doc"),
           explode(bandKeys(col("__sig"), planes, bands)).as("b"))
-        .select(col("doc"), col("__v"), col("b.chunk"), col("b.key")),
+        .select(col("doc"), col("b.chunk"), col("b.key")),
       maxBucketSize)
-    val a = buckets.select(col("chunk"), col("key"), col("doc").as("id_a"),
-      col("__v").as("__va"))
-    val b = buckets.select(col("chunk"), col("key"), col("doc").as("id_b"),
-      col("__v").as("__vb"))
-    a.join(b, Seq("chunk", "key")).filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"), col("__va"), col("__vb"))
+    val a = buckets.select(col("chunk"), col("key"), col("doc").as("id_a"))
+    val b = buckets.select(col("chunk"), col("key"), col("doc").as("id_b"))
+    val pairs = a.join(b, Seq("chunk", "key"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"))
       .distinct()
+    val va = df.select(col(id).as("id_a"), col(vec).as("__va"))
+    val vb = df.select(col(id).as("id_b"), col(vec).as("__vb"))
+    pairs.join(va, "id_a").join(vb, "id_b")
       .withColumn("cosine", cosineNative(col("__va"), col("__vb")))
-      .drop("__va", "__vb")
+      .select(col("id_a"), col("id_b"), col("cosine"))
   }
 
   /** IVF (inverted-file) ANN top-k — the FAISS-style scale path: k-means
@@ -224,9 +232,18 @@ object Similarity {
     val qb = qsig.select(col("query_id"), col("__qv"),
         explode(bandKeys(col("__qsig"), planes, bands)).as("b"))
       .select(col("query_id"), col("__qv"), col("b.chunk"), col("b.key"))
-    val cand = cb.join(broadcast(qb), Seq("chunk", "key"))
+    // dedup band collisions on the ID pair alone (see lshPairs) and
+    // re-attach the vectors afterwards: the query side is tiny
+    // (broadcast) and the corpus-vector join is linear in the deduped
+    // candidate set instead of shuffling embeddings per collision
+    val cand = cb.select("corpus_id", "chunk", "key")
+      .join(broadcast(qb.select("query_id", "chunk", "key")),
+        Seq("chunk", "key"))
       .filter(col("query_id") =!= col("corpus_id"))
-      .select("query_id", "corpus_id", "__qv", "__cv").distinct()
+      .select(col("query_id"), col("corpus_id")).distinct()
+      .join(df.select(col(id).as("corpus_id"), col(vec).as("__cv")),
+        "corpus_id")
+      .join(broadcast(qsig.select(col("query_id"), col("__qv"))), "query_id")
       .withColumn("cosine", cosineNative(col("__qv"), col("__cv")))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("query_id")

@@ -91,29 +91,41 @@ object TextAnalysis {
 
   /** Winnowing-style shingle fingerprints: k-char shingles hashed, the
     * minimum hash per window of w shingles — a document sketch for
-    * near-dup lookup. Returns (id, fingerprint) rows.
+    * near-dup lookup. Returns distinct (id, fingerprint) rows.
     *
-    * Fully relational formulation: one row per shingle position
-    * (posexplode), `substring` for the shingle (O(k), no char arrays),
-    * and a w-row sliding window min — codegen'd and linear in document
-    * length, where nested array HOFs would re-evaluate the inner array
-    * per element (quadratic). */
+    * Shuffle-free formulation: the shingle hashes and sliding-window
+    * minima are per-document array expressions, and `array_distinct`
+    * dedups within the document BEFORE the explode — since the document
+    * id is part of the output key, that per-doc dedup makes a global
+    * `distinct()` redundant, so the whole operator runs in the scan
+    * stage with no exchange at all. (An earlier posexplode+window
+    * version spent its time sorting 10M shingle rows per series.)
+    *
+    * Two optimizer traps, both of which re-derive the O(n) hash array
+    * per window position (quadratic — observed as a wedged scan stage on
+    * ~300-char docs):
+    *  - `array_min(slice(hs, ...))` over a SINGLE-USE alias:
+    *    CollapseProject inlines a once-referenced projection into the
+    *    consuming lambda. The `least`-of-`element_at` form references
+    *    the alias w times, which keeps the projection boundary.
+    *  - plain `explode`: InferFiltersFromGenerate synthesizes
+    *    `size(fps) > 0` and predicate pushdown substitutes the FULL
+    *    nested expression through both projections into the scan filter.
+    *    `explode_outer` admits no inferred filter, and the length guard
+    *    already proves every kept document yields >= 1 fingerprint, so
+    *    the outer variant emits identical rows. */
   def winnowing(df: DataFrame, id: String, text: String, k: Int = 8,
                 w: Int = 4): DataFrame = {
-    val positions = df
-      .filter(length(col(text)) >= k + w - 1)
-      .select(col(id), col(text),
-        posexplode(sequence(lit(0), length(col(text)) - k))
-          .as(Seq("__i", "__dummy")))
-      .select(col(id), col("__i"),
-        xxhash64(col(text).substr(col("__i") + 1, lit(k))).as("__h"))
-    val win = org.apache.spark.sql.expressions.Window
-      .partitionBy(id).orderBy("__i").rowsBetween(0, w - 1)
-    positions
-      .withColumn("__n", max(col("__i")).over(
-        org.apache.spark.sql.expressions.Window.partitionBy(id)))
-      .withColumn("fingerprint", min(col("__h")).over(win))
-      .filter(col("__i") <= col("__n") - w + 1)
-      .select(col(id), col("fingerprint")).distinct()
+    require(w >= 2, s"window w=$w must be >= 2 (w=1 is the identity sketch)")
+    val n = length(col(text))
+    val hashes = transform(sequence(lit(0), n - k),
+      i => xxhash64(col(text).substr(i + 1, lit(k))))
+    df.filter(n >= k + w - 1)
+      .select(col(id), hashes.as("__hs"), (n - k - w + 1).as("__m"))
+      .select(col(id),
+        array_distinct(transform(sequence(lit(0), col("__m")),
+          j => least((1 to w).map(o => element_at(col("__hs"), j + o)): _*)))
+          .as("__fps"))
+      .select(col(id), explode_outer(col("__fps")).as("fingerprint"))
   }
 }

@@ -102,13 +102,29 @@ object Metrics {
     // the |ks|x-multiplied table (within a (series, k) partition the
     // per-series ordinal orders identically)
     val withRn = graft.core.SeriesOps.withRowNumberKeys(df, keys, ts, "__srn")
+    // only rows with z > k can ever be flagged, and run adjacency lives
+    // in the PRE-COMPUTED ordinal, so the heavy windowed ops (persistence
+    // islands, eventize) run over the flagged slice alone — at k-grids
+    // anchored above ~2σ that is a few percent of |ks| × |df| instead of
+    // all of it. Rate needs the full denominator, which is a tiny
+    // per-series count joined back in.
     val flagged = withRn.crossJoin(broadcast(grid))
-      .withColumn("__f", when(col(z) > col("k"), 1).otherwise(0))
+      .filter(col(z) > col("k"))
+      .withColumn("__f", lit(1))
     val kk = keys :+ "k"
     val persisted = Events.persistFilter(flagged, kk, ts, "__f", persistence,
       "__fp", rnCol = Some("__srn"))
-    val rates = persisted.groupBy(kk.map(col): _*)
-      .agg(avg(col("__fp")).as("rate"))
+    val nPerSeries = df.groupBy(keys.map(col): _*)
+      .agg(count(lit(1)).as("__n"))
+    val survived = persisted.groupBy(kk.map(col): _*)
+      .agg(sum(col("__fp")).as("__nf"))
+    val rates = nPerSeries.crossJoin(broadcast(grid))
+      .join(survived, kk, "left")
+      .na.fill(0L, Seq("__nf"))
+      // sum/count in double division — identical to avg() over the 0/1
+      // flag column on the unfiltered frame
+      .withColumn("rate", col("__nf").cast("double") / col("__n"))
+      .select((kk.map(col) :+ col("rate")): _*)
     val predEvents = Events.eventize(persisted, kk, ts, "__fp", gap,
       rnCol = Some("__srn"))
     val truthK = truthEvents.crossJoin(broadcast(grid))
