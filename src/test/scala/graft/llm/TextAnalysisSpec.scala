@@ -1,0 +1,123 @@
+package graft.llm
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+/** TextAnalysis operator contracts. Winnowing gets a brute-force
+  * reference check because its array-expression formulation dodges two
+  * optimizer traps (see the operator's Scaladoc) — the spec pins the
+  * semantics independently of the plan shape that happens to survive
+  * optimization.
+  */
+class TextAnalysisSpec extends SparkSpec {
+
+  private def docs(rows: Seq[(Long, String)]) = {
+    import spark.implicits._
+    rows.toDF("doc_id", "text")
+  }
+
+  /** Brute-force winnowing reference: hash every k-shingle THROUGH THE
+    * SAME ENGINE HASH (one xxhash64 column per position — no window, no
+    * arrays), then slide the w-min in plain Scala. */
+  private def winnowReference(rows: Seq[(Long, String)], k: Int,
+                              w: Int): Set[(Long, Long)] = {
+    import spark.implicits._
+    val shingles = rows.flatMap { case (id, t) =>
+      (0 to t.length - k).map(i => (id, i, t.substring(i, i + k)))
+    }
+    val hashed = shingles.toDF("doc_id", "pos", "shingle")
+      .select(col("doc_id"), col("pos"), xxhash64(col("shingle")).as("h"))
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    hashed.groupBy(_._1).toSeq.flatMap { case (id, hs) =>
+      val byPos = hs.sortBy(_._2).map(_._3)
+      if (byPos.length < w) Seq.empty
+      else byPos.sliding(w).map(win => (id, win.min)).toSeq
+    }.toSet
+  }
+
+  test("winnowing matches the brute-force sliding-min reference") {
+    val rows = Seq(
+      1L -> "the quick brown fox jumps over the lazy dog",
+      2L -> "the quick brown fox jumps over the lazy cat",
+      3L -> "completely different content with other words here",
+      4L -> "aaaaaaaaaaaaaaaa", // constant doc: all shingles equal
+      5L -> "exactly11ch") // length k+w-1 = 11: exactly one window
+    val k = 8; val w = 4
+    val got = TextAnalysis.winnowing(docs(rows), "doc_id", "text", k, w)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val want = winnowReference(rows, k, w)
+    assert(want.nonEmpty)
+    assert(got === want)
+  }
+
+  test("winnowing drops documents shorter than k + w - 1") {
+    val got = TextAnalysis.winnowing(
+      docs(Seq(1L -> "too short", 2L -> "this one is long enough to sketch")),
+      "doc_id", "text", 8, 4)
+    assert(got.select("doc_id").distinct().collect().map(_.getLong(0)).toSet
+      === Set(2L))
+  }
+
+  test("winnowing emits each (doc, fingerprint) at most once") {
+    val got = TextAnalysis.winnowing(
+      docs(Seq(1L -> ("ab" * 40))), "doc_id", "text", 8, 4)
+    val rows = got.collect()
+    assert(rows.length === rows.distinct.length)
+    // a periodic doc repeats shingles, so dedup must actually bite:
+    // 80 chars -> 70 windows but only 2 distinct shingle hashes
+    assert(rows.length <= 2)
+  }
+
+  test("token counts: whitespace and BPE-ish pre-tokenizer") {
+    val d = docs(Seq(1L -> "Hello, world! It's 2024.", 2L -> "one two"))
+      .select(col("doc_id"),
+        TextAnalysis.tokenCountWs(col("text")).as("ws"),
+        TextAnalysis.tokenCountBpe(col("text")).as("bpe"))
+      .collect().map(r => r.getLong(0) -> (r.getInt(1), r.getInt(2))).toMap
+    assert(d(1L)._1 === 4) // 3 spaces + 1
+    // pieces: Hello , world ! It ' s 2024 .  -> words=5 (Hello world It
+    // s 2024), punct runs = , ! ' . = 4  -> 9
+    assert(d(1L)._2 === 9)
+    assert(d(2L) === ((2, 2)))
+  }
+
+  test("quality ratios on a crafted document") {
+    val text = "the cat sat on the mat" // 6 tokens, 2 stopwords ("the" x2)
+    val row = TextAnalysis.withQuality(docs(Seq(1L -> text)), "text")
+      .select("n_tokens", "avg_token_len", "stop_ratio", "punct_ratio")
+      .head()
+    assert(row.getLong(0) === 6L)
+    // 22 chars - 6 tokens + 1 = 17 / 6
+    assert(math.abs(row.getDouble(1) - 17.0 / 6) < 1e-12)
+    assert(math.abs(row.getDouble(2) - 2.0 / 6) < 1e-12)
+    assert(row.getDouble(3) === 0.0)
+  }
+
+  test("language id picks the profile with the most stopword hits") {
+    val samples = Seq(
+      1L -> "the cat is in the house and it was good",
+      2L -> "der hund ist nicht mit der katze auf dem dach",
+      3L -> "el perro es un animal que vive en la casa",
+      4L -> "le chat est dans la maison et il est content",
+      5L -> "zzz qqq xxx www") // no hits anywhere
+    val got = TextAnalysis.withLangId(docs(samples), "text")
+      .select("doc_id", "lang_pred").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got(1L) === "en")
+    assert(got(2L) === "de")
+    assert(got(3L) === "es")
+    assert(got(4L) === "fr")
+    assert(got(5L) === "und")
+  }
+
+  test("rolling hash matches a driver-side polynomial evaluation") {
+    val text = "hash me"
+    def ref(s: String): Long =
+      s.foldLeft(0L)((acc, c) =>
+        java.lang.Math.floorMod(acc * 1000003L + c.toLong, 2147483647L))
+    val got = docs(Seq(1L -> text))
+      .select(TextAnalysis.rollingHash(col("text"))).head().getLong(0)
+    assert(got === ref(text))
+  }
+}
