@@ -29,6 +29,33 @@ class VecDotSpec extends SparkSpec {
       .getAs[Double]("native") - 32.0) < 1e-6)
   }
 
+  test("GraftExtensions injects vec_dot at session build (SQL path)") {
+    import org.apache.spark.sql.SparkSession
+    // build a sibling session over the SAME SparkContext with the
+    // extensions applied (the spark.sql.extensions deployment path);
+    // clear the builder's session cache first or getOrCreate would hand
+    // back the shared fixture session untouched
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    try {
+      val withExt = SparkSession.builder()
+        .master("local[2]")
+        .withExtensions(new GraftExtensions()(_))
+        .getOrCreate()
+      assert(withExt ne spark, "expected a fresh session")
+      assert(withExt.catalog.functionExists("vec_dot"))
+      val got = withExt
+        .sql("SELECT vec_dot(array(1.0D, 2.0D), array(3.0D, 4.0D)) AS d")
+        .head().getDouble(0)
+      assert(math.abs(got - 11.0) < 1e-12)
+    } finally {
+      // restore the shared fixture session for the other suites; the
+      // sibling session shares its SparkContext, so no stop() here
+      SparkSession.setDefaultSession(spark)
+      SparkSession.setActiveSession(spark)
+    }
+  }
+
   test("vec_dot agrees with Similarity.cosine on real embeddings shape") {
     import spark.implicits._
     VecDot.register(spark)
