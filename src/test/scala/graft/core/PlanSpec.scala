@@ -89,6 +89,41 @@ class PlanSpec extends SparkSpec {
       "bucket cap must not change the equi-join shape")
   }
 
+  test("winnowing is map-only: no exchange, no window sort") {
+    import spark.implicits._
+    val docs = (0L until 20L)
+      .map(i => (i, s"document number $i with some shared text payload"))
+      .toDF("doc_id", "text")
+    val p = plan(graft.llm.TextAnalysis.winnowing(docs, "doc_id", "text",
+      8, 4))
+    assert(!p.contains("Exchange"),
+      s"winnowing must stay in the scan stage:\n$p")
+    assert(!p.contains("Window"), "sliding min must be an array expression")
+    // the quadratic trap: an inferred size()>0 filter re-deriving the
+    // hash array below the projection boundary (see winnowing Scaladoc)
+    assert(!p.contains("(size("),
+      s"InferFiltersFromGenerate leaked a size() filter into the plan:\n$p")
+  }
+
+  test("lshPairs dedups candidates on bare id pairs (no vector payload)") {
+    import spark.implicits._
+    val rng = new scala.util.Random(7)
+    val emb = (0L until 50L).map(i =>
+      (i, Array.fill(8)(rng.nextFloat()))).toDF("vec_id", "embedding")
+    val p = plan(graft.llm.Similarity.lshPairs(emb, "vec_id", "embedding",
+      planes = 16, bands = 4))
+    // the distinct aggregate must group by the two ids alone — an
+    // embedding column in its grouping key means the candidate exchange
+    // is shuffling vector payloads again
+    val dedupAggs = p.linesIterator.filter(l =>
+      l.contains("HashAggregate") && l.contains("id_a"))
+    assert(dedupAggs.nonEmpty, s"no id-pair dedup aggregate found:\n$p")
+    dedupAggs.foreach { l =>
+      assert(!l.contains("__v"),
+        s"candidate dedup carries vector payload:\n$l")
+    }
+  }
+
   test("rolling stats plans exactly one exchange (the per-series partition)") {
     val p = plan(SeriesOps.withRollingStats(series(200), "series_id",
       "ts", "value", 48, 5, "m", "s"))
