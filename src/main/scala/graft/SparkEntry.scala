@@ -475,7 +475,8 @@ object SparkEntry {
         "__srn")
       // rn is computed on the FULL series before the threshold filter, so
       // run adjacency is preserved for every model's flagged slice
-      val flagged = withRn.crossJoin(broadcast(grid))
+      val flagged = withRn.filter(col("value") > 150.0) // min grid threshold
+        .crossJoin(broadcast(grid))
         .filter(col("value") > col("__th"))
         .withColumn("f", lit(1))
       val kk = Seq("user_id", "__th", "Model")

@@ -108,7 +108,8 @@ object Metrics {
     // anchored above ~2σ that is a few percent of |ks| × |df| instead of
     // all of it. Rate needs the full denominator, which is a tiny
     // per-series count joined back in.
-    val flagged = withRn.crossJoin(broadcast(grid))
+    val flagged = withRn.filter(col(z) > lit(ks.min)) // before the multiply
+      .crossJoin(broadcast(grid))
       .filter(col(z) > col("k"))
       .withColumn("__f", lit(1))
     val kk = keys :+ "k"
