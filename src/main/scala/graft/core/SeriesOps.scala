@@ -254,17 +254,25 @@ object SeriesOps {
 
   /** W9: autocorrelation of `value` at each requested lag, per series —
     * `corr(x_t, x_{t-k})` over the overlapping rows (notebooks/01 cell 7).
-    * Output: (series, lag, acf). */
+    * Output: (series, lag, acf).
+    *
+    * Single-pass: every lag column comes from ONE ordered window and all
+    * correlations from ONE aggregation (`corr` skips null pairs, which is
+    * exactly the per-lag overlap filter), then `stack` unpivots — a
+    * per-lag union would scan and shuffle the fact table |lags| times. */
   def acf(df: DataFrame, series: String, ts: String, value: String,
           lags: Seq[Int]): DataFrame = {
     val w = bySeries(series, ts)
-    val perLag = lags.map { k =>
-      df.withColumn("__l", lag(col(value), k).over(w))
-        .filter(col("__l").isNotNull)
-        .groupBy(series)
-        .agg(corr(col(value), col("__l")).as("acf"))
-        .withColumn("lag", lit(k))
+    val withL = lags.foldLeft(df) { (d, k) =>
+      d.withColumn(s"__l$k", lag(col(value), k).over(w))
     }
-    perLag.reduce(_.unionByName(_)).select(col(series), col("lag"), col("acf"))
+    val wide = withL.groupBy(series)
+      .agg(corr(col(value), col(s"__l${lags.head}")).as(s"__acf${lags.head}"),
+        lags.tail.map(k =>
+          corr(col(value), col(s"__l$k")).as(s"__acf$k")): _*)
+    wide.select(col(series),
+      expr(s"stack(${lags.size}, " +
+        lags.map(k => s"$k, __acf$k").mkString(", ") + ") AS (lag, acf)"))
+      .select(col(series), col("lag"), col("acf"))
   }
 }
