@@ -259,20 +259,31 @@ object SeriesOps {
     * Single-pass: every lag column comes from ONE ordered window and all
     * correlations from ONE aggregation (`corr` skips null pairs, which is
     * exactly the per-lag overlap filter), then `stack` unpivots — a
-    * per-lag union would scan and shuffle the fact table |lags| times. */
+    * per-lag union would scan and shuffle the fact table |lags| times.
+    *
+    * Cardinality contract (matches the per-lag union form): a (series,
+    * lag) row is emitted iff the series has >= 1 overlapping pair at that
+    * lag; `acf` may still be null there (< 2 pairs or zero variance),
+    * exactly as `corr` is in SQL. Lags must be positive and distinct —
+    * duplicates would collide in the agg column names and non-positive
+    * lags have no ACF meaning. */
   def acf(df: DataFrame, series: String, ts: String, value: String,
           lags: Seq[Int]): DataFrame = {
+    require(lags.nonEmpty && lags.forall(_ > 0) && lags.distinct == lags,
+      s"acf lags must be positive and distinct, got $lags")
     val w = bySeries(series, ts)
     val withL = lags.foldLeft(df) { (d, k) =>
       d.withColumn(s"__l$k", lag(col(value), k).over(w))
     }
-    val wide = withL.groupBy(series)
-      .agg(corr(col(value), col(s"__l${lags.head}")).as(s"__acf${lags.head}"),
-        lags.tail.map(k =>
-          corr(col(value), col(s"__l$k")).as(s"__acf$k")): _*)
+    val aggs = lags.flatMap(k => Seq(
+      corr(col(value), col(s"__l$k")).as(s"__acf$k"),
+      count(col(s"__l$k")).as(s"__n$k")))
+    val wide = withL.groupBy(series).agg(aggs.head, aggs.tail: _*)
     wide.select(col(series),
       expr(s"stack(${lags.size}, " +
-        lags.map(k => s"$k, __acf$k").mkString(", ") + ") AS (lag, acf)"))
+        lags.map(k => s"$k, __acf$k, __n$k").mkString(", ") +
+        ") AS (lag, acf, __n)"))
+      .filter(col("__n") > 0)
       .select(col(series), col("lag"), col("acf"))
   }
 }

@@ -1,5 +1,9 @@
 package graft.llm
 
+import java.awt.image.BufferedImage
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
+import javax.imageio.ImageIO
+
 import org.apache.spark.sql.{DataFrame, Row}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -9,13 +13,19 @@ import org.apache.spark.sql.types._
   * mapPartitions (the Scala analogue of `mapInPandas` — batched,
   * schema-declared, partition-parallel).
   *
-  * The DECODERS ARE STUBS (this container has no image/audio codecs —
-  * builder brief): `decodeStub` derives deterministic fake features from
-  * the bytes so the Spark-side plumbing (schema, batching, partitioning,
-  * output shape) is real and testable; swap `decodeStub` for a codec
-  * call in production.
+  * IMAGE decode is REAL: payloads whose magic bytes identify a
+  * PNG/JPEG/BMP/GIF are decoded with the JDK's built-in `javax.imageio`
+  * (no native codecs required) into width/height/luma statistics, and
+  * `resize` resamples actual pixels. Non-image payloads (and audio/video,
+  * for which the container has no codecs) fall back to `decodeStub`'s
+  * deterministic byte features, so the batch plumbing stays exercisable
+  * on any binary column.
   */
 object Multimodal {
+
+  // in-memory decode of small byte arrays — the default disk-backed
+  // ImageIO cache would create a temp file per task invocation
+  ImageIO.setUseCache(false)
 
   /** Canonical multimodal schema: payload + typed metadata struct. */
   val mediaSchema: StructType = StructType(Seq(
@@ -39,10 +49,86 @@ object Multimodal {
         lit(null).cast("int").as("height"),
         lit(null).cast("long").as("duration_ms")).as("meta"))
 
+  /** Wrap any table with REAL PNG payloads: each row's source text is
+    * rendered into a small deterministic RGB image (text bytes cycled
+    * through the pixel channels) and PNG-encoded in the executors. This
+    * exercises the genuine decode path end-to-end — the driver data has
+    * no media, but these payloads are real images, not pseudo-binary.
+    * Downstream stats are decode-side, so they are stable even if a JDK
+    * swap re-encodes the identical pixels differently (PNG is lossless). */
+  def synthesizeImages(df: DataFrame, id: String, src: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(id).cast("long").as("media_id"),
+        encode(col(src), "UTF-8").as("__bytes"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (mid, bytes) =>
+        val n = if (bytes == null) 0 else bytes.length
+        val w = 4 + (n % 9)  // 4..12
+        val h = 3 + (n % 6)  // 3..8
+        val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+        var i = 0
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            def b(k: Int): Int = if (n == 0) 0 else bytes((k + i) % n) & 0xff
+            img.setRGB(x, y, (b(0) << 16) | (b(1) << 8) | b(2))
+            i += 3; x += 1
+          }
+          y += 1
+        }
+        val baos = new ByteArrayOutputStream()
+        ImageIO.write(img, "png", baos)
+        (mid, baos.toByteArray, w, h)
+      })
+      .toDF("media_id", "payload", "__w", "__h")
+      .select(col("media_id"), col("payload"),
+        struct(lit("image/png").as("mime"), col("__w").as("width"),
+          col("__h").as("height"),
+          lit(null).cast("long").as("duration_ms")).as("meta"))
+  }
+
+  /** Magic-byte MIME sniff for the formats `javax.imageio` ships decoders
+    * for. Sniffing the payload (not trusting `meta.mime`) is the 100 TB
+    * posture: crawled corpora lie about content types. */
+  def sniffImageMime(bytes: Array[Byte]): Option[String] = {
+    if (bytes == null || bytes.length < 4) None
+    else {
+      val b = bytes
+      def u(i: Int) = b(i) & 0xff
+      if (u(0) == 0x89 && u(1) == 0x50 && u(2) == 0x4e && u(3) == 0x47)
+        Some("image/png")
+      else if (u(0) == 0xff && u(1) == 0xd8 && u(2) == 0xff)
+        Some("image/jpeg")
+      else if (u(0) == 0x42 && u(1) == 0x4d) Some("image/bmp")
+      else if (u(0) == 0x47 && u(1) == 0x49 && u(2) == 0x46 && u(3) == 0x38)
+        Some("image/gif")
+      else None
+    }
+  }
+
+  /** Real image decode (JDK `ImageIO`, no native codecs): None for
+    * non-image or corrupt payloads — callers fall back to the stub. */
+  def decodeImage(bytes: Array[Byte]): Option[BufferedImage] =
+    sniffImageMime(bytes).flatMap { _ =>
+      try Option(ImageIO.read(new ByteArrayInputStream(bytes)))
+      catch { case _: Throwable => None }
+    }
+
+  /** Rec.601 luma of a packed ARGB pixel — the deterministic scalar the
+    * pixel statistics are computed over. */
+  private def luma(argb: Int): Double = {
+    val r = (argb >> 16) & 0xff
+    val g = (argb >> 8) & 0xff
+    val bl = argb & 0xff
+    0.299 * r + 0.587 * g + 0.114 * bl
+  }
+
   /** STUB decoder: deterministic pseudo-features from raw bytes (byte
-    * length, simple moments, head/tail hash). Replace with a real codec
-    * for production use — the signature and batch shape are the real
-    * contract. */
+    * length, simple moments, head/tail hash). The fallback for payloads
+    * that are not decodable images (audio/video have no codecs in this
+    * container) — the signature and batch shape are the real contract. */
   private def decodeStub(bytes: Array[Byte]): Array[Double] = {
     if (bytes == null || bytes.isEmpty) Array(0.0, 0.0, 0.0, 0.0)
     else {
@@ -57,8 +143,13 @@ object Multimodal {
   }
 
   /** Batch feature extraction: mapPartitions over the binary payloads,
-    * emitting a fixed-width feature vector per media row. Partition-
-    * parallel; no driver collection. */
+    * emitting a fixed-width feature row per media row. Partition-
+    * parallel; no driver collection.
+    *
+    * Image payloads (sniffed by magic bytes) get REAL decoded features —
+    * pixel dimensions and luma mean/std from `ImageIO` — with
+    * `decoded=true`; everything else keeps the stub byte features with
+    * null image columns, so the schema is fixed regardless of content. */
   def extractFeatures(df: DataFrame): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
@@ -66,16 +157,57 @@ object Multimodal {
       .as[(Long, Array[Byte])]
       .mapPartitions(_.map { case (id, bytes) =>
         val f = decodeStub(bytes)
-        (id, f(0), f(1), f(2), f(3))
+        decodeImage(bytes) match {
+          case Some(img) =>
+            val (w, h) = (img.getWidth, img.getHeight)
+            var s = 0.0; var s2 = 0.0
+            var y = 0
+            while (y < h) {
+              var x = 0
+              while (x < w) {
+                val l = luma(img.getRGB(x, y)); s += l; s2 += l * l; x += 1
+              }
+              y += 1
+            }
+            val n = (w * h).toDouble
+            val mean = s / n
+            (id, f(0), f(1), f(2), f(3), Some(w), Some(h), Some(mean),
+              Some(math.sqrt(math.max(s2 / n - mean * mean, 0))), true)
+          case None =>
+            (id, f(0), f(1), f(2), f(3), Option.empty[Int],
+              Option.empty[Int], Option.empty[Double],
+              Option.empty[Double], false)
+        }
       })
-      .toDF("media_id", "byte_len", "byte_mean", "byte_std", "head_byte")
+      .toDF("media_id", "byte_len", "byte_mean", "byte_std", "head_byte",
+        "width", "height", "px_mean", "px_std", "decoded")
   }
 
-  /** Resize plumbing: payload → payload' with the target dimensions
-    * recorded in meta. STUB resampler (builder brief: no codecs in this
-    * container): a deterministic stride subsample of the bytes stands in
-    * for pixel resampling; the contract — batched mapPartitions, payload
-    * out, meta carrying the new (width, height) — is the real part. */
+  /** Nearest-neighbor pixel resample — deliberately manual (no
+    * `Graphics2D` rendering pipeline) so the result is bit-deterministic
+    * across JVMs and headless configs. */
+  private def resamplePixels(img: BufferedImage, w: Int, h: Int)
+      : BufferedImage = {
+    val out = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+    val (sw, sh) = (img.getWidth, img.getHeight)
+    var y = 0
+    while (y < h) {
+      val sy = math.min(y * sh / h, sh - 1)
+      var x = 0
+      while (x < w) {
+        out.setRGB(x, y, img.getRGB(math.min(x * sw / w, sw - 1), sy))
+        x += 1
+      }
+      y += 1
+    }
+    out
+  }
+
+  /** Resize: payload → payload' with the target dimensions recorded in
+    * meta. Image payloads are REALLY resampled (nearest-neighbor over
+    * decoded pixels, re-encoded as PNG, mime updated); non-image payloads
+    * keep the deterministic stride-subsample stand-in so the operator is
+    * total over any binary column. Batched mapPartitions either way. */
   def resize(df: DataFrame, width: Int, height: Int): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
@@ -84,14 +216,21 @@ object Multimodal {
         col("meta.duration_ms").as("__dur"))
       .as[(Long, Array[Byte], String, Option[Long])]
       .mapPartitions(_.map { case (id, bytes, mime, dur) =>
-        val out =
-          if (bytes == null || bytes.isEmpty) Array.empty[Byte]
-          else if (bytes.length <= target) bytes
-          else {
-            val stride = bytes.length.toDouble / target
-            Array.tabulate(target)(i => bytes((i * stride).toInt))
-          }
-        (id, out, mime, dur)
+        decodeImage(bytes) match {
+          case Some(img) =>
+            val baos = new ByteArrayOutputStream()
+            ImageIO.write(resamplePixels(img, width, height), "png", baos)
+            (id, baos.toByteArray, "image/png", dur)
+          case None =>
+            val out =
+              if (bytes == null || bytes.isEmpty) Array.empty[Byte]
+              else if (bytes.length <= target) bytes
+              else {
+                val stride = bytes.length.toDouble / target
+                Array.tabulate(target)(i => bytes((i * stride).toInt))
+              }
+            (id, out, mime, dur)
+        }
       })
       .toDF("media_id", "payload", "__mime", "__dur")
       .select(col("media_id"), col("payload"),

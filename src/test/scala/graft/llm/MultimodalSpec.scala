@@ -63,6 +63,88 @@ class MultimodalSpec extends SparkSpec {
     assert(meta.getAs[String]("mime") === "application/octet-stream")
   }
 
+  // ---- real image decode path (javax.imageio, JDK built-in codecs) ----
+
+  /** A 4x3 PNG with known pixels: row y is a flat gray level 10+40y. */
+  private def knownPng(): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(4, 3,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 3; x <- 0 until 4) {
+      val v = 10 + 40 * y
+      img.setRGB(x, y, (v << 16) | (v << 8) | v)
+    }
+    val baos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", baos)
+    baos.toByteArray
+  }
+
+  test("sniffImageMime identifies PNG magic and rejects text") {
+    assert(Multimodal.sniffImageMime(knownPng()) === Some("image/png"))
+    assert(Multimodal.sniffImageMime("plain text".getBytes) === None)
+    assert(Multimodal.sniffImageMime(null) === None)
+    assert(Multimodal.sniffImageMime(Array[Byte](0x42, 0x4d, 0, 0)) ===
+      Some("image/bmp"))
+  }
+
+  test("extractFeatures decodes a real PNG to dims + exact luma stats") {
+    import spark.implicits._
+    val df = Seq((9L, knownPng()), (10L, "not an image".getBytes))
+      .toDF("media_id", "payload")
+    val out = Multimodal.extractFeatures(df)
+      .collect().map(r => r.getAs[Long]("media_id") -> r).toMap
+    val img = out(9L)
+    assert(img.getAs[Boolean]("decoded"))
+    assert(img.getAs[Int]("width") === 4)
+    assert(img.getAs[Int]("height") === 3)
+    // gray rows 10/50/90: luma == gray level, mean 50, pop std sqrt(3200/3)
+    assert(math.abs(img.getAs[Double]("px_mean") - 50.0) < 1e-9)
+    assert(math.abs(img.getAs[Double]("px_std") -
+      math.sqrt(3200.0 / 3)) < 1e-9)
+    // non-image payload: stub features, null image columns, decoded=false
+    val txt = out(10L)
+    assert(!txt.getAs[Boolean]("decoded"))
+    assert(txt.isNullAt(txt.fieldIndex("width")))
+    assert(txt.getAs[Double]("byte_len") === 12.0)
+  }
+
+  test("resize really resamples image pixels and re-encodes as PNG") {
+    import spark.implicits._
+    val df = Seq((1L, knownPng())).toDF("media_id", "payload")
+      .select(col("media_id"), col("payload"),
+        struct(lit("image/png").as("mime"), lit(4).as("width"),
+          lit(3).as("height"),
+          lit(null).cast("long").as("duration_ms")).as("meta"))
+    val out = Multimodal.resize(df, 2, 2).collect()(0)
+    val meta = out.getStruct(out.fieldIndex("meta"))
+    assert(meta.getAs[String]("mime") === "image/png")
+    assert(meta.getAs[Int]("width") === 2)
+    val decoded = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(out.getAs[Array[Byte]]("payload")))
+    assert(decoded.getWidth === 2 && decoded.getHeight === 2)
+    // nearest-neighbor from 4x3: target rows 0,1 sample source rows 0,1
+    assert((decoded.getRGB(0, 0) & 0xff) === 10)
+    assert((decoded.getRGB(0, 1) & 0xff) === 50)
+  }
+
+  test("synthesizeImages emits decodable PNGs whose dims match meta") {
+    import spark.implicits._
+    val df = Multimodal.synthesizeImages(
+      Seq((1L, "hello world"), (2L, "")).toDF("doc_id", "text"),
+      "doc_id", "text")
+    val feats = Multimodal.extractFeatures(df)
+      .collect().map(r => r.getAs[Long]("media_id") -> r).toMap
+    val metas = df.select(col("media_id"), col("meta.width"),
+      col("meta.height")).collect()
+      .map(r => r.getLong(0) -> ((r.getInt(1), r.getInt(2)))).toMap
+    for (id <- Seq(1L, 2L)) {
+      assert(feats(id).getAs[Boolean]("decoded"))
+      assert(feats(id).getAs[Int]("width") === metas(id)._1)
+      assert(feats(id).getAs[Int]("height") === metas(id)._2)
+    }
+    // "hello world" has 11 bytes -> 4+11%9=6 wide, 3+11%6=8 tall
+    assert(metas(1L) === ((6, 8)))
+  }
+
   test("sampleFrames yields one bounded slice per frame index") {
     import spark.implicits._
     val df = Multimodal.synthesize(
