@@ -261,12 +261,31 @@ object SeriesOps {
     * exactly the per-lag overlap filter), then `stack` unpivots — a
     * per-lag union would scan and shuffle the fact table |lags| times.
     *
-    * Cardinality contract (matches the per-lag union form): a (series,
-    * lag) row is emitted iff the series has >= 1 overlapping pair at that
-    * lag; `acf` may still be null there (< 2 pairs or zero variance),
-    * exactly as `corr` is in SQL. Lags must be positive and distinct —
-    * duplicates would collide in the agg column names and non-positive
-    * lags have no ACF meaning. */
+    * The pairs are unpivoted BEFORE the aggregation, not after: a
+    * one-corr-column-per-lag aggregate carries a 6-field Pearson buffer
+    * per lag (n, xAvg, yAvg, ck, xMk, yMk) — 300 buffer fields at 50
+    * lags, which trips `spark.sql.codegen.maxFields` (=100) and drops
+    * the whole HashAggregate out of whole-stage codegen (the round-6
+    * 9.78 s q_acf). Exploding each row into narrow (lag, x, y) tuples
+    * feeds ONE `corr` + ONE `count` (7 buffer fields) grouped by
+    * (series, lag); the 50x row multiply never materializes — the
+    * generate is consumed by the map-side partial aggregate inside the
+    * same codegen stage, and the post-partial exchange carries at most
+    * |series|x|lags| tiny partial buffers (PlanSpec pins the codegen).
+    *
+    * Cardinality contract (matches the per-lag union form
+    * `... WHERE l_k IS NOT NULL GROUP BY series`): a (series, lag) row is
+    * emitted iff the series has >= 1 non-null lagged value at that lag
+    * (`count(y) > 0`); `acf` is null there when < 2 overlapping pairs or
+    * zero variance, exactly as `corr` is in ANSI SQL. The correlation is
+    * assembled from `covar_samp` and pair-guarded `stddev_samp` (the
+    * (n-1)s cancel: cov/(sx*sy) == Pearson) behind an explicit
+    * `when(sx > 0 && sy > 0)` guard rather than calling `corr` directly:
+    * under Spark's default ANSI mode `corr` THROWS DIVIDE_BY_ZERO on a
+    * degenerate group instead of returning SQL NULL — a crash a library
+    * operator must not inherit from its input data. Lags must be
+    * positive and distinct — duplicates would double-count pair groups
+    * and non-positive lags have no ACF meaning. */
   def acf(df: DataFrame, series: String, ts: String, value: String,
           lags: Seq[Int]): DataFrame = {
     require(lags.nonEmpty && lags.forall(_ > 0) && lags.distinct == lags,
@@ -275,15 +294,24 @@ object SeriesOps {
     val withL = lags.foldLeft(df) { (d, k) =>
       d.withColumn(s"__l$k", lag(col(value), k).over(w))
     }
-    val aggs = lags.flatMap(k => Seq(
-      corr(col(value), col(s"__l$k")).as(s"__acf$k"),
-      count(col(s"__l$k")).as(s"__n$k")))
-    val wide = withL.groupBy(series).agg(aggs.head, aggs.tail: _*)
-    wide.select(col(series),
-      expr(s"stack(${lags.size}, " +
-        lags.map(k => s"$k, __acf$k, __n$k").mkString(", ") +
-        ") AS (lag, acf, __n)"))
+    // __px/__py null out HALF-pairs so the stddevs run over exactly the
+    // overlapping pairs corr would use; __y stays unguarded because the
+    // emit condition counts non-null lagged values irrespective of x
+    val pairs = withL.select(col(series), col(value).as("__x"),
+        explode(array(lags.map(k =>
+          struct(lit(k).as("lag"), col(s"__l$k").as("y"))): _*)).as("__p"))
+      .select(col(series), col("__p.lag").as("lag"),
+        when(col("__p.y").isNotNull, col("__x")).as("__px"),
+        when(col("__x").isNotNull, col("__p.y")).as("__py"),
+        col("__p.y").as("__y"))
+    pairs.groupBy(col(series), col("lag"))
+      .agg(covar_samp(col("__px"), col("__py")).as("__cov"),
+        stddev_samp(col("__px")).as("__sx"),
+        stddev_samp(col("__py")).as("__sy"),
+        count(col("__y")).as("__n"))
       .filter(col("__n") > 0)
-      .select(col(series), col("lag"), col("acf"))
+      .select(col(series), col("lag"),
+        when(col("__sx") > 0 && col("__sy") > 0,
+          col("__cov") / (col("__sx") * col("__sy"))).as("acf"))
   }
 }

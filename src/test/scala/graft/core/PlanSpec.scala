@@ -131,6 +131,34 @@ class PlanSpec extends SparkSpec {
     assert(shuffles == 1, s"expected 1 shuffle, found $shuffles:\n$p")
   }
 
+  test("acf 50-lag aggregate stays inside whole-stage codegen") {
+    // 50 lags used to emit one corr per lag = 300 Pearson buffer fields,
+    // tripping spark.sql.codegen.maxFields (=100) and dropping the
+    // HashAggregate to interpreted mode (round-6 q_acf 9.78s). The
+    // unpivot-first form aggregates ONE guarded covariance over
+    // (series, lag) groups (~11 buffer fields); codegen'd operators
+    // print a `*(n)` stage prefix. The query must RUN first: with AQE
+    // the pre-execution plan string shows no codegen stages at all.
+    val df = SeriesOps.acf(series(300), "series_id", "ts", "value",
+      (1 to 50).toSeq)
+    df.collect()
+    // keep only the AQE final plan: toString appends an "== Initial
+    // Plan ==" section whose nodes are never codegen-annotated
+    val p = plan(df).split("== Initial Plan ==")(0)
+    val aggLines = p.linesIterator
+      .filter(l => l.contains("HashAggregate") && l.contains("covar_samp"))
+      .toSeq
+    assert(aggLines.nonEmpty, s"no covariance HashAggregate found:\n$p")
+    aggLines.foreach { l =>
+      assert(l.trim.matches("""^[+:\-\s]*\*\(\d+\).*"""),
+        s"acf aggregate fell out of whole-stage codegen:\n$l")
+    }
+    // the series partitioning also satisfies the (series, lag) grouping,
+    // so the whole query is ONE exchange (window) + in-stage aggregation
+    val shuffles = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(shuffles == 1, s"acf grew to $shuffles shuffles:\n$p")
+  }
+
   test("eventize stays within the per-key partitioning (no extra wide shuffles)") {
     val flagged = series(200)
       .withColumn("flag", when(col("value") % 7 === 0, 1).otherwise(0))

@@ -133,4 +133,51 @@ class SeriesOpsSpec extends SparkSpec {
       .map(_.getDouble(0)).sorted.toSeq
     assert(out === Seq(8.0, 9.0, 10.0))
   }
+
+  // --- W9 acf: cardinality contract + SQL null semantics ---------------
+
+  private def acfRows(vals: Seq[java.lang.Double], lags: Seq[Int]) = {
+    import spark.implicits._
+    val df = vals.zipWithIndex.map { case (v, i) =>
+      ("s", java.sql.Timestamp.valueOf(f"2024-01-01 00:00:${i}%02d"),
+        Option(v).map(_.doubleValue))
+    }.toDF("series_id", "ts", "value")
+    SeriesOps.acf(df, "series_id", "ts", "value", lags)
+      .orderBy("lag").collect()
+      .map(r => (r.getInt(1), if (r.isNullAt(2)) None else Some(r.getDouble(2))))
+      .toSeq
+  }
+
+  test("acf emits a (series, lag) row iff a non-null lagged value exists") {
+    // 5 rows: lag 4 has exactly 1 lagged row, lag 5 has none → lag 5
+    // absent, lags 1..4 present (matching `WHERE l_k IS NOT NULL`)
+    val out = acfRows(Seq[java.lang.Double](1.0, 3.0, 2.0, 5.0, 4.0), 1 to 6)
+    assert(out.map(_._1) === Seq(1, 2, 3, 4))
+  }
+
+  test("acf is null (not NaN) for a 1-pair lag and for zero variance") {
+    // lag 4 → single overlapping pair: corr undefined → SQL NULL
+    val one = acfRows(Seq[java.lang.Double](1.0, 3.0, 2.0, 5.0, 4.0), Seq(4))
+    assert(one === Seq((4, None)))
+    // constant series → zero variance at every lag → SQL NULL
+    val const = acfRows(Seq[java.lang.Double](7.0, 7.0, 7.0, 7.0), Seq(1, 2))
+    assert(const === Seq((1, None), (2, None)))
+  }
+
+  test("acf emit condition is exact under leading nulls") {
+    // values: null, null, 1, 2 → first non-null at ordinal 3, n=4:
+    // lag 1 emitted (3 <= 4-1), lag 2 absent (3 > 4-2) — exactly the
+    // rows `WHERE l_k IS NOT NULL` keeps after lagging the null head
+    val out = acfRows(Seq[java.lang.Double](null, null, 1.0, 2.0), Seq(1, 2))
+    assert(out.map(_._1) === Seq(1))
+  }
+
+  test("acf value matches the direct per-lag corr") {
+    import spark.implicits._
+    val vals = Seq(1.0, 4.0, 2.0, 8.0, 5.0, 7.0, 3.0, 6.0)
+    val out = acfRows(vals.map(java.lang.Double.valueOf), Seq(2)).head
+    val expected = vals.drop(2).zip(vals.dropRight(2))
+      .toDF("x", "y").agg(corr(col("x"), col("y"))).head.getDouble(0)
+    assert(math.abs(out._2.get - expected) < 1e-12)
+  }
 }
