@@ -13,11 +13,13 @@ import org.apache.spark.sql.functions._
   * (the O(N³) guard of run_gp.py:62-67 — kept, it is semantics), predict
   * mean + std on the test region.
   *
-  * Hyperparameters are selected by exact log-marginal likelihood over a
-  * small deterministic grid (the ML-II objective sklearn optimizes by
-  * gradient with restarts — documented delta per SURVEY §7.4(2);
-  * `optimize = false` pins the fixed default). y is normalized (sklearn
-  * `normalize_y=True`) and x scaled to the subsample index.
+  * Hyperparameters are ML-II fitted: exact log-marginal likelihood over
+  * a small deterministic grid picks the basin, then Nelder-Mead in
+  * log-space polishes from three deterministic restarts — the behavioral
+  * twin of sklearn's gradient optimizer with `n_restarts_optimizer=3`
+  * (gp_model.py:31; closes the SURVEY §7.4(2) delta; `optimize = false`
+  * pins the fixed default). y is normalized (sklearn `normalize_y=True`)
+  * and x scaled to the subsample index.
   *
   * Scale: per-series driver-side math inside `mapGroups` — the subsample
   * cap bounds each fit at O(subsample³) regardless of series length;
@@ -74,6 +76,119 @@ object GpRegressor {
                                    yTrain: Array[Double],
                                    candidates: Seq[Kernel]): Kernel =
     candidates.maxBy(k => (logMarginal(xTrain, yTrain, k), -candidates.indexOf(k)))
+
+  // ---- ML-II hyperparameter fit (Nelder-Mead on the exact LML) ---------
+
+  /** sklearn-style log-space bounds (default (1e-5, 1e5) per kernel
+    * hyperparameter in gp_model.py's kernels). */
+  private val LogLo = math.log(1e-5)
+  private val LogHi = math.log(1e5)
+
+  private def clamp(v: Double): Double = math.min(LogHi, math.max(LogLo, v))
+
+  /** θ (log-space) → Kernel with the periods held fixed. 5 free params
+    * without a second seasonal, 7 with. */
+  private def thetaToKernel(theta: Array[Double], period: Double,
+                            period2: Double): Kernel = {
+    val t = theta.map(clamp)
+    Kernel(cRbf = math.exp(t(0)), lRbf = math.exp(t(1)),
+      cPer = math.exp(t(2)), lPer = math.exp(t(3)), period = period,
+      cPer2 = if (period2 > 0) math.exp(t(5)) else 0.0,
+      lPer2 = if (period2 > 0) math.exp(t(6)) else 1.0,
+      period2 = period2, white = math.exp(t(4)))
+  }
+
+  private def kernelToTheta(k: Kernel): Array[Double] = {
+    val base = Array(math.log(k.cRbf), math.log(k.lRbf), math.log(k.cPer),
+      math.log(k.lPer), math.log(k.white))
+    if (k.period2 > 0)
+      base ++ Array(math.log(math.max(k.cPer2, 1e-5)), math.log(k.lPer2))
+    else base
+  }
+
+  /** Deterministic Nelder-Mead MINIMIZING `f` (standard α=1 γ=2 ρ=0.5
+    * σ=0.5 coefficients, axis-step initial simplex). No RNG — restarts
+    * come from distinct deterministic seeds, so per-series fits are
+    * reproducible regardless of partitioning (fixture-oracle safe). */
+  private[models] def nelderMead(f: Array[Double] => Double,
+                                 x0: Array[Double], step: Double = 0.4,
+                                 maxIter: Int = 60, tol: Double = 1e-3)
+      : (Array[Double], Double) = {
+    val d = x0.length
+    var pts = (x0 +: (0 until d).map { i =>
+      val x = x0.clone(); x(i) += step; x
+    }).toArray
+    var fv = pts.map(f)
+    var iter = 0
+    while (iter < maxIter && {
+      val sorted = fv.sorted
+      sorted.last - sorted.head > tol
+    }) {
+      val order = fv.zipWithIndex.sortBy(_._1).map(_._2)
+      pts = order.map(pts)
+      fv = order.map(fv)
+      val worst = d
+      val centroid = new Array[Double](d)
+      for (j <- 0 until d; i <- 0 until d) centroid(i) += pts(j)(i) / d
+      def at(coef: Double): Array[Double] =
+        Array.tabulate(d)(i => centroid(i) + coef * (pts(worst)(i) - centroid(i)))
+      val xr = at(-1.0); val fr = f(xr)
+      if (fr < fv(0)) {
+        val xe = at(-2.0); val fe = f(xe)
+        if (fe < fr) { pts(worst) = xe; fv(worst) = fe }
+        else { pts(worst) = xr; fv(worst) = fr }
+      } else if (fr < fv(worst - 1)) {
+        pts(worst) = xr; fv(worst) = fr
+      } else {
+        val xc = at(if (fr < fv(worst)) -0.5 else 0.5)
+        val fc = f(xc)
+        if (fc < math.min(fr, fv(worst))) { pts(worst) = xc; fv(worst) = fc }
+        else { // shrink toward best
+          for (j <- 1 to d) {
+            for (i <- 0 until d) pts(j)(i) = pts(0)(i) + 0.5 * (pts(j)(i) - pts(0)(i))
+            fv(j) = f(pts(j))
+          }
+        }
+      }
+      iter += 1
+    }
+    val bi = fv.indexOf(fv.min)
+    (pts(bi), fv(bi))
+  }
+
+  /** ML-II fit: maximize the exact LML over log-hyperparameters with
+    * Nelder-Mead from deterministic restarts — the grid winner, the
+    * gp_model.py:25-27 defaults, and a perturbed grid winner — the
+    * behavioral twin of sklearn's gradient optimizer with
+    * `n_restarts_optimizer=3` (gp_model.py:31; SURVEY §7.4(2) delta
+    * closed). Periods stay fixed: the reference pins periodicity to ±1
+    * of the configured value (periodicity_bounds=(47,49)), a sliver the
+    * optimizer never meaningfully leaves. A failed Cholesky inside a
+    * trial step scores -∞ and the step is rejected. */
+  private[models] def fitKernel(xTrain: Array[Double], yTrain: Array[Double],
+                                candidates: Seq[Kernel], period: Double,
+                                period2: Double): Kernel = {
+    def lml(k: Kernel): Double =
+      try logMarginal(xTrain, yTrain, k)
+      catch { case _: Exception => Double.NegativeInfinity }
+    def neg(theta: Array[Double]): Double = {
+      val v = -lml(thetaToKernel(theta, period, period2))
+      if (v.isNaN) Double.PositiveInfinity else v
+    }
+    val gridBest = selectKernel(xTrain, yTrain, candidates)
+    val defaults = Kernel(cRbf = 1.0, lRbf = 50.0, cPer = 0.5, lPer = 1.0,
+      period = period, cPer2 = if (period2 > 0) 0.5 else 0.0, lPer2 = 1.0,
+      period2 = period2, white = 0.1)
+    val seeds = Seq(
+      kernelToTheta(gridBest),
+      kernelToTheta(defaults),
+      kernelToTheta(gridBest).map(_ + 0.5))
+    val (bestTheta, bestNeg) = seeds.map(nelderMead(neg, _))
+      .minBy(_._2)
+    // never regress below the grid winner (NM from a bad basin could)
+    if (-bestNeg >= lml(gridBest)) thetaToKernel(bestTheta, period, period2)
+    else gridBest
+  }
 
   /** Exact GP posterior on a 1-D ordinal grid. */
   private[models] def predict(xTrain: Array[Double], yTrain: Array[Double],
@@ -166,7 +281,8 @@ object GpRegressor {
         val yTr = rows.slice(s0, trainEnd).map(_._3)
         val xTe = (trainEnd until n).map(_.toDouble).toArray
         val chosen =
-          if (optimize) selectKernel(xTr, yTr, candidates) else kernel
+          if (optimize) fitKernel(xTr, yTr, candidates, period, period2)
+          else kernel
         val (mean, std) = predict(xTr, yTr, xTe, chosen)
         rows.indices.iterator.map { i =>
           if (i < trainEnd)

@@ -72,6 +72,29 @@ class ModelsSpec extends SparkSpec {
     assert(out.forall(_.getAs[Double]("pred_std") > 0))
   }
 
+  test("GP ML-II fit lands OFF the grid and improves the exact LML") {
+    // kernel echo: the fitted hyperparameters must be Nelder-Mead output,
+    // not a grid corner, and never score below the grid winner's LML
+    val ys = (0 until 160).map(i =>
+      math.sin(2 * math.Pi * i / 24.0) * 3 + 0.1 * i % 2).toArray
+    val xs = ys.indices.map(_.toDouble).toArray
+    def mk(l: Double, w: Double) = GpRegressor.Kernel(1.0, l, 0.5, 1.0,
+      24.0, 0.0, 1.0, 0.0, w)
+    val grid = for (l <- Seq(20.0, 50.0, 100.0); w <- Seq(0.01, 0.1, 0.5))
+      yield mk(l, w)
+    val gridBest = GpRegressor.selectKernel(xs, ys, grid)
+    val fitted = GpRegressor.fitKernel(xs, ys, grid, 24.0, 0.0)
+    val gridLengths = Set(20.0, 50.0, 100.0)
+    assert(!gridLengths.contains(fitted.lRbf) || fitted.white != gridBest.white,
+      s"fitted kernel $fitted is exactly a grid corner — optimizer inert")
+    val lmlGrid = GpRegressor.logMarginal(xs, ys, gridBest)
+    val lmlFit = GpRegressor.logMarginal(xs, ys, fitted)
+    assert(lmlFit >= lmlGrid - 1e-9,
+      s"ML-II fit $lmlFit regressed below grid winner $lmlGrid")
+    assert(lmlFit > lmlGrid + 1e-3,
+      s"ML-II fit $lmlFit did not improve on the grid $lmlGrid")
+  }
+
   test("BSTS forecasts trend + seasonal structure") {
     val ys = (0 until 300).map(i =>
       0.05 * i + 4 * math.sin(2 * math.Pi * i / 24.0)
