@@ -49,11 +49,20 @@ object SparkEntry {
     * the oracle. */
   private def spread(df: DataFrame): DataFrame = {
     val target = df.sparkSession.sparkContext.defaultParallelism
-    // file-count metadata, NOT df.rdd.getNumPartitions: the .rdd probe
-    // forces a full analysis + RDD conversion inside the query-build path
-    // on every invocation. inputFiles is resolved from the scan relation;
-    // a multi-split layout (files >= cores) keeps its native parallelism.
-    if (df.inputFiles.length < target) df.repartition(target) else df
+    // metadata only, NOT df.rdd.getNumPartitions: the .rdd probe forces
+    // physical planning + RDD conversion inside the query-build path on
+    // every invocation. Parallelism is estimated as max(file count,
+    // size-derived split count) — one LARGE splittable parquet file
+    // already scans as bytes/maxPartitionBytes native splits and must
+    // not pay a full shuffle; a non-file-backed plan (no scan relation)
+    // is left untouched since its parallelism is unknowable from here.
+    val files = df.inputFiles.length
+    if (files == 0) return df
+    val conf = df.sparkSession.sessionState.conf
+    val bytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
+    val estSplits = (bytes / conf.filesMaxPartitionBytes).toLong + 1
+    if (math.max(files.toLong, estSplits) < target) df.repartition(target)
+    else df
   }
 
   /** documents scan, fanned out (text operators are CPU-bound per row). */
@@ -587,6 +596,30 @@ object SparkEntry {
         "text", maxDist = 3)
         .select(col("id_a"), col("id_b"), col("hamming"))),
 
+    // LLM-pipeline: multi-index SimHash (Manku-style q-of-b block
+    // tables) — the wide-radius scheme whose buckets stay cool where the
+    // single-block chunking degenerates to 4-bit keys (see
+    // Dedup.simhashCandidatesMulti Scaladoc). Same exact-recall
+    // pigeonhole contract, proven at radius 10/12 in DedupSpec.
+    "q_simhash_multi" -> ((s, dir) =>
+      llm.Dedup.simhashCandidatesMulti(docs(s, dir), "doc_id",
+        "text", maxDist = 10)
+        .select(col("id_a"), col("id_b"), col("hamming"))),
+
+    // LLM-pipeline: batch face of the streaming minhash dedup — the
+    // per-row signature expression (StreamingDedup.rowMinhash, proven
+    // value-identical to the groupBy signatures in StreamingSpec) keyed
+    // to one 64-bit state word, resolved keep/drop by min id. The
+    // streaming twin rides dropDuplicatesWithinWatermark on the same
+    // key; StreamingSpec pins batch≡stream keep-set parity.
+    "q_sig_dedup" -> ((s, dir) =>
+      llm.Dedup.exact(
+        docs(s, dir).select(col("doc_id"), xxhash64(
+          streaming.StreamingDedup.rowMinhash(col("text"), 3, 16))
+          .as("sig_key")),
+        "doc_id", Seq("sig_key"))
+        .select(col("sig_key"), col("keep_id"), col("n_dups"))),
+
     // LLM-pipeline: brute-force cosine top-k (the ANN correctness baseline)
     "q_cosine_topk" -> ((s, dir) => {
       val embDf = emb(s, dir)
@@ -624,7 +657,22 @@ object SparkEntry {
     "q_embed_neardup" -> ((s, dir) =>
       // threshold 0.4 sits at the top of this corpus's cosine range (59
       // true pairs at sf0.01; the max pairwise cosine is 0.51, so 0.8
-      // would be vacuously empty regardless of recall)
+      // would be vacuously empty regardless of recall).
+      //
+      // (planes=16, bands=8) = 2-bit bands, and the hyperplane S-curve
+      // P[band match] = (1 - acos(cos)/π)^(planes/bands) at 2 bits keeps
+      // collision probability high even for unrelated pairs (~0.44 at
+      // cosine 0.2) — DELIBERATE here, because recall at this corpus's
+      // diffuse 0.4-0.51 target range needs it, and it is why this
+      // query's bench cost tracks near-all-pairs candidate volume on
+      // synthetic data. A production near-dup corpus (target cosine
+      // ≥0.9) uses the WIDE-band setting (planes=64, bands=8 → 8-bit
+      // bands): per-band collision drops to 0.5^8 ≈ 0.004 at cosine 0
+      // and ~0.01 at cosine 0.2 (vs 0.77 per band at 2 bits), while a
+      // true pair at cosine 0.9 still collides with prob ≈ 1-(1-0.76)^8
+      // ≈ 1.0 after OR-amplification — AnnRecallSpec pins candidate
+      // volume <5% of all-pairs at that setting on these embeddings. Do
+      // not read this bench number as the operator's scale behavior.
       llm.Dedup.embeddingNearDup(emb(s, dir), "vec_id",
         "embedding", minCosine = 0.4, planes = 16, bands = 8)
         .select(col("id_a"), col("id_b"),
@@ -1127,6 +1175,8 @@ object SparkEntry {
     "q_hybrid" -> fixtureSql("q_hybrid"),
     "q_minhash" -> fixtureSql("q_minhash"),
     "q_simhash" -> fixtureSql("q_simhash"),
+    "q_simhash_multi" -> fixtureSql("q_simhash_multi"),
+    "q_sig_dedup" -> fixtureSql("q_sig_dedup"),
     "q_langid" -> fixtureSql("q_langid"),
     "q_winnow" -> fixtureSql("q_winnow"),
     "q_multimodal" -> fixtureSql("q_multimodal"),

@@ -138,32 +138,137 @@ object Dedup {
     * maxDist=7 → 8×8; maxDist=10 → 16×4.
     *
     * Scale note: high maxDist → narrow chunks → hot buckets (a 4-bit
-    * chunk has 16 buckets). For maxDist > 7 at corpus scale prefer the
-    * multi-index permuted-table scheme; the candidate join here is still
+    * chunk has 16 buckets). For maxDist > 7 at corpus scale use
+    * [[simhashCandidatesMulti]] — same exact-recall pigeonhole, keys wide
+    * enough to stay cool; the candidate join here is still
     * bucket-partitioned, never all-pairs. */
   def simhashCandidates(df: DataFrame, id: String, text: String,
                         maxDist: Int = 3): DataFrame = {
     require(maxDist >= 0 && maxDist < 64, s"maxDist=$maxDist out of [0,64)")
     val fps = simhash(df, id, text)
+      .select(col(id).as("doc"), col("simhash").as("fp"))
     val nChunks = Seq(1, 2, 4, 8, 16, 32, 64).find(_ > maxDist).get
     val width = 64 / nChunks
     val mask = if (width == 64) -1L else (1L << width) - 1
     val chunks = (0 until nChunks).map { c =>
-      struct(lit(c).as("chunk"),
-        shiftright(col("simhash"), c * width).bitwiseAND(mask).as("key"))
+      struct(lit(c).as("tbl"),
+        shiftright(col("fp"), c * width).bitwiseAND(mask).as("key"))
     }
-    val buckets = fps.select(col(id).as("doc"), col("simhash"),
+    val buckets = fps.select(col("doc"), col("fp"),
         explode(array(chunks: _*)).as("b"))
-      .select(col("doc"), col("simhash"), col("b.chunk"), col("b.key"))
-    val a = buckets.select(col("chunk"), col("key"), col("doc").as("id_a"),
-      col("simhash").as("fp_a"))
-    val b = buckets.select(col("chunk"), col("key"), col("doc").as("id_b"),
-      col("simhash").as("fp_b"))
-    a.join(b, Seq("chunk", "key")).filter(col("id_a") < col("id_b"))
+      .select(col("doc"), col("fp"), col("b.tbl"), col("b.key"))
+    hammingPairs(buckets, maxDist)
+  }
+
+  /** Bucket-join tail shared by the SimHash candidate schemes: pairs
+    * sharing any (table, key) bucket, exact hamming, ID-pair dedup. */
+  private def hammingPairs(buckets: DataFrame, maxDist: Int): DataFrame = {
+    val a = buckets.select(col("tbl"), col("key"), col("doc").as("id_a"),
+      col("fp").as("fp_a"))
+    val b = buckets.select(col("tbl"), col("key"), col("doc").as("id_b"),
+      col("fp").as("fp_b"))
+    a.join(b, Seq("tbl", "key")).filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
         bit_count(col("fp_a").bitwiseXOR(col("fp_b"))).as("hamming"))
       .distinct()
       .filter(col("hamming") <= maxDist)
+  }
+
+  /** Multi-index SimHash candidates — the radius > 7 scheme
+    * [[simhashCandidates]]'s Scaladoc points to (the block-permutation
+    * construction of Manku-Jain-Sarma, WWW'07 §3, re-expressed as a
+    * bucket equi-join).
+    *
+    * The 64-bit fingerprint splits into `blocks` nearly-even bit blocks;
+    * every q-subset of blocks (q = blocks − maxDist) is one TABLE whose
+    * concatenated block values (hashed) form the bucket key. A pair
+    * within maxDist dirties at most maxDist blocks, leaving ≥ q intact,
+    * so at least one table keys entirely on intact blocks — recall at
+    * radius ≤ maxDist is EXACT, like the single-block scheme, but the
+    * key is q blocks wide instead of one: at maxDist=10 the single-block
+    * scheme degenerates to 4-bit chunks (16 possible buckets — every
+    * table goes hot on any corpus beyond a few hundred docs) while
+    * blocks=12, q=2 keys on ~11 bits (C(12,2) = 66 tables of ~2k buckets).
+    *
+    * Costs that buy the exact recall: the bucket relation replicates
+    * each doc C(blocks, q) times (66× at the default — bounded, bare
+    * (id, fp, tbl, key) rows), and `maxBucketSize` (off by default to
+    * preserve the recall proof) caps pathological buckets exactly like
+    * `Similarity.capBuckets` — capped buckets degrade recall gracefully
+    * since hot-bucket pairs usually still collide in a cooler table. */
+  def simhashCandidatesMulti(df: DataFrame, id: String, text: String,
+                             maxDist: Int = 10, blocks: Int = 0,
+                             maxBucketSize: Int = Int.MaxValue): DataFrame = {
+    require(maxDist >= 1 && maxDist < 63, s"maxDist=$maxDist out of [1,63)")
+    val fps = simhash(df, id, text)
+      .select(col(id).as("doc"), col("simhash").as("fp"))
+    simhashCandidatesFromFps(fps, maxDist, blocks, maxBucketSize)
+  }
+
+  /** Multi-index (table, key) bucket columns for a fingerprint column:
+    * one struct per q-subset of blocks, key = xxhash64 of the subset's
+    * block values (hash collisions only ADD candidates — the exact
+    * hamming filter removes them, so recall is unaffected). */
+  private def multiIndexKeys(fp: Column, nb: Int, q: Int): Seq[Column] = {
+    val tables = (0 until nb).combinations(q).toSeq
+    require(tables.size <= 512,
+      s"C($nb,$q)=${tables.size} tables — lower `blocks` toward maxDist+2")
+    val widths = Array.tabulate(nb)(i => 64 / nb + (if (i < 64 % nb) 1 else 0))
+    val offsets = widths.scanLeft(0)(_ + _)
+    def block(i: Int): Column = {
+      val mask = if (widths(i) == 64) -1L else (1L << widths(i)) - 1
+      shiftright(fp, offsets(i)).bitwiseAND(lit(mask))
+    }
+    tables.zipWithIndex.map { case (s, t) =>
+      struct(lit(t).as("tbl"),
+        xxhash64((lit(t) +: s.map(block)): _*).as("key"))
+    }
+  }
+
+  private def resolveBlocks(maxDist: Int, blocks: Int): Int = {
+    val nb = if (blocks > 0) blocks else maxDist + 2
+    require(nb > maxDist && nb <= 32,
+      s"blocks=$nb must exceed maxDist=$maxDist (pigeonhole) and fit 2-bit blocks")
+    nb
+  }
+
+  /** [[simhashCandidatesMulti]] over a precomputed (doc, fp) relation —
+    * the candidate-generation contract in isolation (also what a corpus
+    * with persisted fingerprints calls directly). */
+  private[llm] def simhashCandidatesFromFps(fps: DataFrame, maxDist: Int,
+                                            blocks: Int = 0,
+                                            maxBucketSize: Int = Int.MaxValue
+                                           ): DataFrame = {
+    val nb = resolveBlocks(maxDist, blocks)
+    val keys = multiIndexKeys(col("fp"), nb, nb - maxDist)
+    val buckets = fps.select(col("doc"), col("fp"),
+        explode(array(keys: _*)).as("b"))
+      .select(col("doc"), col("fp"), col("b.tbl"), col("b.key"))
+    val capped =
+      if (maxBucketSize == Int.MaxValue) buckets
+      else {
+        val keep = buckets.groupBy("tbl", "key")
+          .agg(count(lit(1)).as("__bsz"))
+          .filter(col("__bsz") <= maxBucketSize)
+          .select("tbl", "key")
+        buckets.join(keep, Seq("tbl", "key"))
+      }
+    hammingPairs(capped, maxDist)
+  }
+
+  /** Diagnostic twin of `Similarity.lshBucketStats` for the multi-index
+    * scheme: one row per (table, key) bucket with its size and candidate
+    * pair volume — run on a (doc, fp) sample BEFORE committing
+    * (maxDist, blocks, maxBucketSize) on a new corpus. */
+  def simhashBucketStats(fps: DataFrame, maxDist: Int = 10,
+                         blocks: Int = 0): DataFrame = {
+    val nb = resolveBlocks(maxDist, blocks)
+    val keys = multiIndexKeys(col("fp"), nb, nb - maxDist)
+    fps.select(explode(array(keys: _*)).as("b"))
+      .groupBy(col("b.tbl").as("tbl"), col("b.key").as("key"))
+      .agg(count(lit(1)).as("bucket_size"))
+      .withColumn("pair_volume",
+        col("bucket_size") * (col("bucket_size") - 1) / 2)
   }
 
   /** Resolve near-dup candidate PAIRS into keep/drop decisions:

@@ -85,10 +85,12 @@ object Similarity {
     * A single wide band (the round-2 default) has ~2% recall even at
     * cosine 0.8 — never do that. */
   private def bandKeys(sigCol: Column, planes: Int, bands: Int): Column = {
-    require(planes % bands == 0 && planes <= 63,
-      s"planes=$planes must be a multiple of bands=$bands and <= 63")
+    require(planes % bands == 0 && planes <= 64,
+      s"planes=$planes must be a multiple of bands=$bands and <= 64")
     val width = planes / bands
-    val mask = (1L << width) - 1
+    // width == 64 (a single full-word band): (1L << 64) wraps to 1, so
+    // the all-ones mask must be spelled -1
+    val mask = if (width == 64) -1L else (1L << width) - 1
     array((0 until bands).map { c =>
       struct(lit(c).as("chunk"),
         shiftright(sigCol, c * width).bitwiseAND(mask).as("key"))

@@ -116,4 +116,24 @@ class AnnRecallSpec extends SparkSpec {
     assert((expected & found).size >= 9,
       s"planted-dup recall ${(expected & found).size}/10 < 9")
   }
+
+  test("production wide-band setting keeps candidate volume < 5% of all-pairs") {
+    assume(haveData)
+    // the registered q_embed_neardup runs 2-bit bands (planes=16,
+    // bands=8) because THIS corpus's near-dup range is a diffuse
+    // 0.4-0.51 — its bench cost is a data artifact, not the operator's
+    // scale behavior. The production setting for a real near-dup corpus
+    // (target cosine >= 0.9) is 8-bit bands (planes=64, bands=8): pin
+    // via lshBucketStats that its candidate volume on 500 diffuse
+    // vectors stays under 5% of C(500,2) — the selectivity a 100 TB run
+    // rides on.
+    val emb = spark.read.parquet(embPath)
+    val n = emb.count()
+    val allPairs = n * (n - 1) / 2
+    val vol = Similarity.lshBucketStats(emb, "vec_id", "embedding",
+        planes = 64, bands = 8)
+      .agg(sum("pair_volume").cast("double")).collect().head.getDouble(0)
+    assert(vol < allPairs / 20.0,
+      s"wide-band candidate volume $vol >= 5% of $allPairs all-pairs")
+  }
 }

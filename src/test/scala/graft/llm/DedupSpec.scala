@@ -56,6 +56,61 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("simhashCandidatesMulti misses no pair within radius 10 (pigeonhole)") {
+    val docs = corpus()
+    for (maxDist <- Seq(10, 12)) {
+      val truth = exhaustivePairs(docs, maxDist)
+      val cand = Dedup.simhashCandidatesMulti(docs, "doc_id", "text", maxDist)
+        .select("id_a", "id_b").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(truth.nonEmpty, s"test corpus has no pairs within $maxDist")
+      assert(truth.subsetOf(cand),
+        s"maxDist=$maxDist missed ${(truth -- cand).size}/${truth.size} pairs")
+      // and nothing beyond the radius leaks through the hamming filter
+      assert(cand.subsetOf(exhaustivePairs(docs, maxDist)))
+    }
+  }
+
+  test("multi-index buckets stay cool on an adversarial near-constant corpus") {
+    import spark.implicits._
+    // 400 synthetic fingerprints sharing a base pattern, each with up to
+    // 16 bits flipped at scattered positions — the bulk of pairs sit at
+    // hamming ~20-32, yet in the single-block scheme (radius 10 → 16
+    // chunks of 4 bits) the 16-value key space makes near-all-pairs
+    // collide. The 66-table multi-index must (a) emit EXACTLY the pairs
+    // within radius 10 (the handful of coincidentally-close ones; exact
+    // recall by pigeonhole, exact precision by the hamming filter),
+    // (b) keep every bucket far below corpus size.
+    val rng = new scala.util.Random(13)
+    val base = rng.nextLong()
+    val fps = (0 until 400).map { i =>
+      var f = base
+      (0 until 16).foreach(_ => f ^= 1L << rng.nextInt(64))
+      (i.toLong, f)
+    }.toDF("doc", "fp")
+    val a = fps.select(col("doc").as("id_a"), col("fp").as("fa"))
+    val b = fps.select(col("doc").as("id_b"), col("fp").as("fb"))
+    val truth = a.join(b, col("id_a") < col("id_b"))
+      .filter(bit_count(col("fa").bitwiseXOR(col("fb"))) <= 10)
+      .select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val out = Dedup.simhashCandidatesFromFps(fps, maxDist = 10)
+      .select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(out === truth,
+      s"missed ${(truth -- out).size}, leaked ${(out -- truth).size}")
+    // bucket histogram: with ~11-bit keys over 400 docs no table bucket
+    // should exceed a small fraction of the corpus (the 4-bit chunk
+    // scheme puts ~25 docs in EVERY bucket and hundreds in hot ones)
+    // expected hottest bucket: the all-clean-blocks key holds ~400 ×
+    // (48/64)^10 ≈ 23 docs (two 5-bit blocks), tail-bounded well under
+    // 60; the 4-bit chunk scheme's base bucket holds ~126 and EVERY
+    // bucket ~25 (16-value key space)
+    val maxBucket = Dedup.simhashBucketStats(fps, maxDist = 10)
+      .agg(max("bucket_size")).collect().head.getLong(0)
+    assert(maxBucket <= 60, s"hot bucket of $maxBucket/400 docs")
+  }
+
   test("simhashCandidates emits only pairs within maxDist") {
     val docs = corpus()
     val out = Dedup.simhashCandidates(docs, "doc_id", "text", maxDist = 7)

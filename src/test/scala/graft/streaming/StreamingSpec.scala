@@ -240,4 +240,81 @@ class StreamingSpec extends SparkSpec {
       assert(streamed(21)._2 <= 3)
     } finally q.stop()
   }
+
+  // ---- streaming dedup: batch ≡ stream keep/drop parity ----------------
+
+  private val corpus = Seq(
+    // (id, text) — 1&3 exact clones, 2&5 clones, 4&6 unique
+    (1L, "the quick brown fox jumps over the lazy dog"),
+    (2L, "pack my box with five dozen liquor jugs today"),
+    (3L, "the quick brown fox jumps over the lazy dog"),
+    (4L, "sphinx of black quartz judge my vow tonight"),
+    (5L, "pack my box with five dozen liquor jugs today"),
+    (6L, "how vexingly quick daft zebras jump around"))
+
+  private def docAt(i: Int): Timestamp =
+    Timestamp.valueOf(f"2024-01-01 00:00:${i}%02d")
+
+  test("rowMinhash is value-identical to the batch groupBy signatures") {
+    import spark.implicits._
+    val df = corpus.toDF("doc_id", "text")
+    val batch = graft.llm.Dedup.minhashSignatures(df, "doc_id", "text",
+      shingleN = 3, numHashes = 16).collect()
+      .map(r => r.getLong(0) -> (1 to 16).map(r.getLong).toSeq).toMap
+    val rowForm = df.select(col("doc_id"),
+        StreamingDedup.rowMinhash(col("text"), 3, 16).as("sig"))
+      .collect()
+      .map(r => r.getLong(0) ->
+        (0 until 16).map(r.getStruct(1).getLong).toSeq).toMap
+    assert(rowForm === batch)
+  }
+
+  test("streaming minhash dedup keeps exactly the batch keep-set") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[(Long, Timestamp, String)]
+    val kept = StreamingDedup.minhashDedup(
+      input.toDF().toDF("doc_id", "ts", "text"), "ts", "text",
+      shingleN = 3, numHashes = 16)
+    val q = kept.writeStream.format("memory").queryName("mdedup")
+      .outputMode("append").start()
+    try {
+      // split mid-clone-pair across micro-batches: 3 (clone of 1) and
+      // 5 (clone of 2) arrive in the SECOND batch — state must carry over
+      input.addData(corpus.take(2).zipWithIndex.map { case ((i, t), k) =>
+        (i, docAt(k), t) }: _*)
+      q.processAllAvailable()
+      input.addData(corpus.drop(2).zipWithIndex.map { case ((i, t), k) =>
+        (i, docAt(k + 2), t) }: _*)
+      q.processAllAvailable()
+      val streamKept = spark.sql("select doc_id from mdedup").collect()
+        .map(_.getLong(0)).toSet
+      // batch equivalent: first/min id per signature group
+      val batchKept = graft.llm.Dedup.exact(
+        corpus.toDF("doc_id", "text").select(col("doc_id"),
+          StreamingDedup.rowMinhash(col("text"), 3, 16).as("sig")),
+        "doc_id", Seq("sig")).collect().map(_.getAs[Long]("keep_id")).toSet
+      assert(streamKept === batchKept)
+      assert(streamKept === Set(1L, 2L, 4L, 6L))
+    } finally q.stop()
+  }
+
+  test("streaming exact dedup drops re-arrivals within the watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[(Long, Timestamp, String)]
+    val kept = StreamingDedup.exactDedup(
+      input.toDF().toDF("doc_id", "ts", "text"), "ts", Seq("text"))
+    val q = kept.writeStream.format("memory").queryName("ededup")
+      .outputMode("append").start()
+    try {
+      input.addData((1L, docAt(1), "aaa"), (2L, docAt(2), "bbb"))
+      q.processAllAvailable()
+      input.addData((3L, docAt(3), "aaa"), (4L, docAt(4), "ccc"))
+      q.processAllAvailable()
+      val ids = spark.sql("select doc_id from ededup").collect()
+        .map(_.getLong(0)).toSet
+      assert(ids === Set(1L, 2L, 4L))
+    } finally q.stop()
+  }
 }

@@ -17,7 +17,8 @@ import org.apache.spark.sql.SparkSession
 object GenFixtures {
   val names: Seq[String] = Seq("q_bocpd", "q_cp_flags", "q_kalman",
     "q_ci_flags", "q_bsts", "q_bsts_dummy", "q_gp",
-    "q_stl_exact", "q_hybrid", "q_minhash", "q_simhash", "q_langid",
+    "q_stl_exact", "q_hybrid", "q_minhash", "q_simhash", "q_simhash_multi",
+    "q_sig_dedup", "q_langid",
     "q_winnow", "q_multimodal", "q_mm_resize", "q_mm_decode", "q_ann_lsh",
     "q_embed_neardup")
 
