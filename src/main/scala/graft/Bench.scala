@@ -109,7 +109,11 @@ object Bench {
     val total = results.collect { case (_, v, _) if v >= 0 => v }.sum
     val errs = errors.distinct.map(e => "\"" + e.replace("\"", "'") + "\"")
       .mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"reps":$rp,"errors":$errs,"contended":$loadavg,"sf":"$sfDir"}""")
+    // `reps` stays the configured int (the rounds-1..5 meaning); per-query
+    // deviations live in `reps_dev`, and `protocol` names the measurement
+    // scheme so cross-round consumers know r6+ numbers are warm medians
+    // while r1-5 were cold medians — not an apples-to-apples series.
+    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"reps":$reps,"reps_dev":$rp,"protocol":"warmup-median-r6","errors":$errs,"contended":$loadavg,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

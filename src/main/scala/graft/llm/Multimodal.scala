@@ -209,6 +209,10 @@ object Multimodal {
     * keep the deterministic stride-subsample stand-in so the operator is
     * total over any binary column. Batched mapPartitions either way. */
   def resize(df: DataFrame, width: Int, height: Int): DataFrame = {
+    // fail at plan-build time, not as a BufferedImage constructor throw
+    // deep inside an executor task (only the image path would hit it)
+    require(width > 0 && height > 0,
+      s"resize dimensions must be positive, got ${width}x$height")
     val spark = df.sparkSession
     import spark.implicits._
     val target = width * height
