@@ -124,6 +124,43 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("multi-index SimHash candidates come from a (tbl, key) equi-join") {
+    import spark.implicits._
+    val docs = (0L until 30L)
+      .map(i => (i, s"document number $i sharing a text payload base"))
+      .toDF("doc_id", "text")
+    val p = plan(graft.llm.Dedup.simhashCandidatesMulti(docs, "doc_id",
+      "text", maxDist = 10))
+    // 66 tables notwithstanding, candidates must still be a bucket
+    // equi-join — a cross join here is n² × 66 at corpus scale
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"multi-index candidates must bucket-join:\n$p")
+  }
+
+  test("signature dedup is one map-side-combined aggregate pass") {
+    import spark.implicits._
+    val docs = (0L until 30L)
+      .map(i => (i, s"document number ${i % 7} payload"))
+      .toDF("doc_id", "text")
+    val keyed = docs.select(col("doc_id"), xxhash64(
+      graft.streaming.StreamingDedup.rowMinhash(col("text"), 3, 16))
+      .as("sig_key"))
+    val df = graft.llm.Dedup.exact(keyed, "doc_id", Seq("sig_key"))
+    df.collect()
+    val p = plan(df).split("== Initial Plan ==")(0)
+    // scan → signature project → partial agg → ONE exchange → final agg;
+    // the shuffle carries only (sig_key, partial min/count), never text
+    val shuffles = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(shuffles == 1, s"sig dedup grew to $shuffles shuffles:\n$p")
+    assert(!p.contains("Sort "), s"no sort belongs in a hash dedup:\n$p")
+    val partials = p.linesIterator.filter(l =>
+      l.contains("HashAggregate") && l.contains("partial_"))
+    assert(partials.nonEmpty, s"no map-side partial aggregate:\n$p")
+    partials.foreach(l => assert(!l.contains("text"),
+      s"partial aggregate still carries the text column:\n$l"))
+  }
+
   test("rolling stats plans exactly one exchange (the per-series partition)") {
     val p = plan(SeriesOps.withRollingStats(series(200), "series_id",
       "ts", "value", 48, 5, "m", "s"))
