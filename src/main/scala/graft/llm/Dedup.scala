@@ -157,21 +157,88 @@ object Dedup {
     val buckets = fps.select(col("doc"), col("fp"),
         explode(array(chunks: _*)).as("b"))
       .select(col("doc"), col("fp"), col("b.tbl"), col("b.key"))
-    hammingPairs(buckets, maxDist)
+    // chunk keys are raw block values, so key equality IS value equality
+    // and the min-match emit predicate is exact (no distinct needed)
+    val geometry = (0 until nChunks).map(c => Seq(c))
+    val widths = Array.fill(nChunks)(width)
+    hammingPairs(buckets, maxDist,
+      Some(emitOnceTbl(geometry, widths, widths.scanLeft(0)(_ + _))))
+  }
+
+  /** True iff `tbl` is the lexicographically FIRST table whose key
+    * blocks are all VALUE-intact between the two fingerprints — the one
+    * occurrence of the pair to emit. Because tables enumerate q-subsets
+    * in lexicographic order, the first intact table is exactly "the q
+    * lowest-indexed clean blocks", so the test is pure bitwise math on
+    * fp_a ^ fp_b: a clean-block bitmap, q lowest-bit extractions, and a
+    * literal-mask lookup by table id. (An earlier form materialized a
+    * boolean column per table and array_position'd over it — a 66-branch
+    * expression per joined row that ran 8× SLOWER than the distinct it
+    * replaced. Keep this row-local test O(blocks), not O(tables).)
+    *
+    * This is what lets the bucket join emit each pair EXACTLY ONCE
+    * (keep the min-match occurrence, drop the rest) instead of
+    * shuffling every duplicate occurrence through a distinct: on a
+    * template-skewed corpus the bucket join emits tens of millions of
+    * occurrences for a few hundred thousand pairs, and this predicate
+    * deletes that exchange entirely. Rows with fewer than q clean
+    * blocks (hash-collision candidates beyond the radius) get a short
+    * mask that equals no table mask — rejected, as they should be. */
+  private def emitOnceTbl(tables: Seq[Seq[Int]], widths: Array[Int],
+                          offsets: Array[Int])
+                         (fpA: Column, fpB: Column, tbl: Column): Column = {
+    val nb = widths.length
+    val x = fpA.bitwiseXOR(fpB)
+    // bit i set iff block i of the xor is all-zero (value-intact)
+    val cleanBits = (0 until nb).map { i =>
+      val mask = if (widths(i) == 64) -1L else (1L << widths(i)) - 1
+      when(shiftright(x, offsets(i)).bitwiseAND(lit(mask)) === 0,
+        lit(1L << i)).otherwise(lit(0L))
+    }.reduce(_.bitwiseOR(_))
+    // "tbl's blocks are the q lowest clean blocks" collapses to ONE
+    // masked compare: clean ∩ [0..max(tbl's blocks)] == tbl's blocks —
+    // i.e. tbl's blocks are clean and nothing below their maximum is.
+    // Per-table masks are literals, so the whole test is the cleanBits
+    // tree (referenced once) + a lookup + an AND + a compare, and it
+    // stays codegen-friendly even when the optimizer folds it into the
+    // bucket join's condition. (Iterative lowest-bit extraction, the
+    // obvious formulation, self-references and DOUBLES the tree per
+    // step — folded into the join condition it knocked the join out of
+    // whole-stage codegen and ran slower than the distinct it replaces.)
+    val tableMask = tables.map(s => s.map(i => 1L << i).sum)
+    val belowMask = tables.map(s => (1L << (s.max + 1)) - 1)
+    cleanBits.bitwiseAND(
+      element_at(array(belowMask.map(lit): _*), (tbl + 1).cast("int"))) ===
+      element_at(array(tableMask.map(lit): _*), (tbl + 1).cast("int"))
   }
 
   /** Bucket-join tail shared by the SimHash candidate schemes: pairs
-    * sharing any (table, key) bucket, exact hamming, ID-pair dedup. */
-  private def hammingPairs(buckets: DataFrame, maxDist: Int): DataFrame = {
+    * sharing any (table, key) bucket, exact hamming filter, then one
+    * emit per pair — via the row-local `minMatch` predicate when given
+    * (every within-radius pair provably has a value-intact table, and a
+    * value-intact table is always a shared bucket), via a distinct
+    * otherwise (the capped path, where the min-match table's bucket may
+    * have been DROPPED by the cap and the predicate would lose pairs
+    * that still co-occur in a cooler table). */
+  private def hammingPairs(buckets: DataFrame, maxDist: Int,
+                           emitOnce: Option[(Column, Column, Column) => Column]
+                          ): DataFrame = {
     val a = buckets.select(col("tbl"), col("key"), col("doc").as("id_a"),
       col("fp").as("fp_a"))
     val b = buckets.select(col("tbl"), col("key"), col("doc").as("id_b"),
       col("fp").as("fp_b"))
-    a.join(b, Seq("tbl", "key")).filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"),
-        bit_count(col("fp_a").bitwiseXOR(col("fp_b"))).as("hamming"))
-      .distinct()
+    val joined = a.join(b, Seq("tbl", "key"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("hamming",
+        bit_count(col("fp_a").bitwiseXOR(col("fp_b"))))
       .filter(col("hamming") <= maxDist)
+    emitOnce match {
+      case Some(eo) =>
+        joined.filter(eo(col("fp_a"), col("fp_b"), col("tbl")))
+          .select("id_a", "id_b", "hamming")
+      case None =>
+        joined.select("id_a", "id_b", "hamming").distinct()
+    }
   }
 
   /** Multi-index SimHash candidates — the radius > 7 scheme
@@ -209,12 +276,19 @@ object Dedup {
     * one struct per q-subset of blocks, key = xxhash64 of the subset's
     * block values (hash collisions only ADD candidates — the exact
     * hamming filter removes them, so recall is unaffected). */
-  private def multiIndexKeys(fp: Column, nb: Int, q: Int): Seq[Column] = {
-    val tables = (0 until nb).combinations(q).toSeq
+  /** Block geometry shared by key construction and the min-match
+    * predicate: q-subsets of `nb` nearly-even bit blocks. */
+  private def blockGeometry(nb: Int, q: Int)
+      : (Seq[Seq[Int]], Array[Int], Array[Int]) = {
+    val tables = (0 until nb).combinations(q).map(_.toSeq).toSeq
     require(tables.size <= 512,
       s"C($nb,$q)=${tables.size} tables — lower `blocks` toward maxDist+2")
     val widths = Array.tabulate(nb)(i => 64 / nb + (if (i < 64 % nb) 1 else 0))
-    val offsets = widths.scanLeft(0)(_ + _)
+    (tables, widths, widths.scanLeft(0)(_ + _))
+  }
+
+  private def multiIndexKeys(fp: Column, nb: Int, q: Int): Seq[Column] = {
+    val (tables, widths, offsets) = blockGeometry(nb, q)
     def block(i: Int): Column = {
       val mask = if (widths(i) == 64) -1L else (1L << widths(i)) - 1
       shiftright(fp, offsets(i)).bitwiseAND(lit(mask))
@@ -244,16 +318,21 @@ object Dedup {
     val buckets = fps.select(col("doc"), col("fp"),
         explode(array(keys: _*)).as("b"))
       .select(col("doc"), col("fp"), col("b.tbl"), col("b.key"))
-    val capped =
-      if (maxBucketSize == Int.MaxValue) buckets
-      else {
-        val keep = buckets.groupBy("tbl", "key")
-          .agg(count(lit(1)).as("__bsz"))
-          .filter(col("__bsz") <= maxBucketSize)
-          .select("tbl", "key")
-        buckets.join(keep, Seq("tbl", "key"))
-      }
-    hammingPairs(capped, maxDist)
+    if (maxBucketSize == Int.MaxValue) {
+      // uncapped (exact) mode: hash collisions in the xxhash64 keys can
+      // only ADD join rows, and a within-radius pair always shares its
+      // min value-intact table's bucket — so the min-match predicate
+      // both dedups and sheds collision rows without an exchange
+      val (tables, widths, offsets) = blockGeometry(nb, nb - maxDist)
+      hammingPairs(buckets, maxDist,
+        Some(emitOnceTbl(tables, widths, offsets)))
+    } else {
+      val keep = buckets.groupBy("tbl", "key")
+        .agg(count(lit(1)).as("__bsz"))
+        .filter(col("__bsz") <= maxBucketSize)
+        .select("tbl", "key")
+      hammingPairs(buckets.join(keep, Seq("tbl", "key")), maxDist, None)
+    }
   }
 
   /** Diagnostic twin of `Similarity.lshBucketStats` for the multi-index

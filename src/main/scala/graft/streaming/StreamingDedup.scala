@@ -26,16 +26,7 @@ import org.apache.spark.sql.functions._
   */
 object StreamingDedup {
 
-  /** Per-row word-shingle array (DISTINCT — set semantics for Jaccard),
-    * the column-expression twin of [[graft.llm.Dedup.shingles]]. */
-  private def shingleArr(text: Column, n: Int): Column = {
-    val words = split(text, " ")
-    // guard: Spark sequence(0, -1) yields a DESCENDING [0,-1], not empty
-    when(size(words) >= n,
-      array_distinct(transform(sequence(lit(0), size(words) - n),
-        i => concat_ws(" ", slice(words, i + 1, lit(n))))))
-      .otherwise(array().cast("array<string>"))
-  }
+  import graft.functions.ColumnLet.bind
 
   /** Per-row minhash signature: struct of `numHashes` minima, each the
     * min over the shingle set of xxhash64 seeded by the hash index —
@@ -44,13 +35,24 @@ object StreamingDedup {
     * shorter document has an EMPTY shingle set: the batch groupBy form
     * drops it from the signature relation entirely, this row form yields
     * an all-null struct (all such docs mutually collide — filter them
-    * upstream if short docs must survive dedup). */
+    * upstream if short docs must survive dedup).
+    *
+    * The word and shingle arrays are [[bind]]-bound so the whole
+    * signature costs one split + one shingle pass + numHashes×|shingles|
+    * hashes per row; naive nesting re-splits the text for every shingle
+    * and re-shingles for every hash function — quadratic per document
+    * (measured 30 s on 5,000 sf0.1 docs vs ~1 s bound). */
   def rowMinhash(text: Column, shingleN: Int = 3,
-                 numHashes: Int = 32): Column = {
-    val sh = shingleArr(text, shingleN)
-    struct((0 until numHashes).map(i =>
-      array_min(transform(sh, s => xxhash64(lit(i), s))).as(s"mh$i")): _*)
-  }
+                 numHashes: Int = 32): Column =
+    bind(split(text, " "), words =>
+      bind(
+        // guard: sequence(0, -1) yields a DESCENDING [0,-1], not empty
+        when(size(words) >= shingleN,
+          array_distinct(transform(sequence(lit(0), size(words) - shingleN),
+            i => concat_ws(" ", slice(words, i + 1, lit(shingleN))))))
+          .otherwise(array().cast("array<string>")),
+        sh => struct((0 until numHashes).map(i =>
+          array_min(transform(sh, s => xxhash64(lit(i), s))).as(s"mh$i")): _*)))
 
   /** Exact streaming dedup: keep the FIRST arrival per `fingerprintCols`
     * key within the watermark horizon, drop later re-arrivals. Batch
