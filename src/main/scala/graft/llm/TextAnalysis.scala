@@ -39,7 +39,11 @@ object TextAnalysis {
       .withColumn("avg_token_len",
         (length(t) - nTok + 1).cast("double") / nTok)
       .withColumn("stop_ratio", stopHits.cast("double") / nTok)
-      .withColumn("punct_ratio", punct.cast("double") / length(t))
+      // empty text → ANSI division throws; SQL semantics say NULL
+      // (tokenCountWs is >= 1 by construction, so the nTok ratios are
+      // safe without a guard)
+      .withColumn("punct_ratio",
+        when(length(t) =!= 0, punct.cast("double") / length(t)))
     d.withColumn("quality_score",
       (when(col("n_tokens").between(10, 1000), lit(0.4)).otherwise(lit(0.0))
         + when(col("avg_token_len").between(2.0, 12.0), lit(0.3))

@@ -69,7 +69,12 @@ object Metrics {
       .join(fpEvents, keys, "left")
       .join(lat, keys, "left")
       .na.fill(0, Seq("fp_count"))
-      .withColumn("fp_per_day", col("fp_count") / col("duration_days"))
+      // a single-point (or single-instant) series has a zero-day span;
+      // ANSI division THROWS there (even for doubles — same hazard the
+      // acf corr fix covers), and the SQL answer is NULL, not a crash
+      .withColumn("fp_per_day",
+        when(col("duration_days") =!= 0,
+          col("fp_count") / col("duration_days")))
   }
 
   /** A10 + P6: event-F1 threshold sweep (run_gp.py:89-118,

@@ -94,6 +94,16 @@ class TextAnalysisSpec extends SparkSpec {
     assert(row.getDouble(3) === 0.0)
   }
 
+  test("quality is total on an empty document (NULL punct_ratio, no crash)") {
+    // empty text → length 0 → an unguarded ratio division THROWS under
+    // ANSI; the operator must stay total over any legal corpus
+    val row = TextAnalysis.withQuality(docs(Seq(1L -> "")), "text")
+      .select("n_tokens", "punct_ratio", "quality_score").head()
+    assert(row.getLong(0) === 1L)
+    assert(row.isNullAt(1))
+    assert(!row.isNullAt(2))
+  }
+
   test("language id picks the profile with the most stopword hits") {
     val samples = Seq(
       1L -> "the cat is in the house and it was good",

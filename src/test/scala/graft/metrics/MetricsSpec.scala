@@ -81,6 +81,23 @@ class MetricsSpec extends SparkSpec {
     assert(b.getAs[Any]("median_latency_minutes") === null)
   }
 
+  test("business metrics: zero-duration series yields NULL fp/day, not a crash") {
+    // a single-instant series has duration 0; under ANSI mode an
+    // unguarded division would THROW, and SQL semantics want NULL
+    import spark.implicits._
+    val series = Seq(("s", java.sql.Timestamp.valueOf("2024-01-01 00:00:00"), 1.0))
+      .toDF("series_id", "ts", "value")
+    val flagged = series.withColumn("f", lit(1))
+    val pred = Events.eventize(flagged, Seq("series_id"), "ts", "f", 0)
+    val truth = Events.eventize(series.withColumn("f", lit(0)),
+      Seq("series_id"), "ts", "f", 0)
+    val b = Metrics.business(series, Seq("series_id"), "ts", pred, truth)
+      .collect().head
+    assert(b.getAs[Double]("duration_days") === 0.0)
+    assert(b.getAs[Long]("fp_count") === 1)
+    assert(b.getAs[Any]("fp_per_day") === null)
+  }
+
   test("prCurve matches hand-computed sklearn semantics, ties collapsed") {
     import spark.implicits._
     // scores 4,3,2,2,1 with labels 1,0,1,0,1: thresholds {4,3,2,1};
