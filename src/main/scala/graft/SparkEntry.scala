@@ -653,6 +653,19 @@ object SparkEntry {
           round(col("cosine"), 6).as("cosine"), col("rank"))
     }),
 
+    // LLM-pipeline: int8-quantized two-stage top-k — coarse rank on
+    // 4×-smaller byte vectors (native vec_dot byte loop), exact float
+    // re-rank of the oversampled survivors. AnnRecallSpec pins recall
+    // >= 0.95 vs brute force; deterministic (global absmax scale +
+    // id tie-breaks), so fixture-oracled.
+    "q_ann_q8" -> ((s, dir) => {
+      val embDf = emb(s, dir)
+      llm.Quantize.quantizedTopK(embDf.filter(col("vec_id") < 5), embDf,
+        "vec_id", "embedding", 3)
+        .select(col("query_id"), col("corpus_id"),
+          round(col("cosine"), 6).as("cosine"), col("rank"))
+    }),
+
     // LLM-pipeline: embedding cosine near-dup via LSH buckets
     "q_embed_neardup" -> ((s, dir) =>
       // threshold 0.4 sits at the top of this corpus's cosine range (59
@@ -1183,6 +1196,7 @@ object SparkEntry {
     "q_mm_resize" -> fixtureSql("q_mm_resize"),
     "q_mm_decode" -> fixtureSql("q_mm_decode"),
     "q_ann_lsh" -> fixtureSql("q_ann_lsh"),
+    "q_ann_q8" -> fixtureSql("q_ann_q8"),
     "q_embed_neardup" -> fixtureSql("q_embed_neardup"),
 
     "q_text_stats" ->

@@ -9,9 +9,11 @@ import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCo
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types._
 
-/** `vec_dot(a, b)`: dot product of two float/double array columns,
-  * accumulated in double — a native Catalyst expression with
-  * whole-stage-codegen support.
+/** `vec_dot(a, b)`: dot product of two numeric array columns
+  * (tinyint/smallint/float/double, mixable), accumulated in double — a
+  * native Catalyst expression with whole-stage-codegen support. Byte
+  * arrays make the int8-quantized ANN coarse stage a primitive loop
+  * over packed bytes (see `llm.Quantize`).
   *
   * Rationale (builder brief: custom Expression beats UDF beats HOF in
   * the hot path): the equivalent
@@ -29,33 +31,41 @@ case class VecDot(left: Expression, right: Expression)
   override def checkInputDataTypes()
       : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
     def ok(dt: DataType) = dt match {
-      case ArrayType(FloatType | DoubleType, _) => true
+      case ArrayType(ByteType | ShortType | FloatType | DoubleType, _) =>
+        true
       case _ => false
     }
     if (ok(left.dataType) && ok(right.dataType))
       org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
     else
       org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
-        s"vec_dot expects array<float|double>, got " +
+        s"vec_dot expects array<tinyint|smallint|float|double>, got " +
           s"${left.dataType.catalogString}, ${right.dataType.catalogString}")
   }
 
-  private def elemIsFloat(e: Expression): Boolean = e.dataType match {
-    case ArrayType(FloatType, _) => true
-    case _ => false
+  /** ArrayData accessor name for the element type (codegen + eval). */
+  private def getter(e: Expression): String = e.dataType match {
+    case ArrayType(ByteType, _) => "getByte"
+    case ArrayType(ShortType, _) => "getShort"
+    case ArrayType(FloatType, _) => "getFloat"
+    case _ => "getDouble"
   }
 
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
     val n = math.min(x.numElements(), y.numElements())
-    val lf = elemIsFloat(left); val rf = elemIsFloat(right)
+    def get(d: ArrayData, g: String, i: Int): Double = g match {
+      case "getByte" => d.getByte(i).toDouble
+      case "getShort" => d.getShort(i).toDouble
+      case "getFloat" => d.getFloat(i).toDouble
+      case _ => d.getDouble(i)
+    }
+    val lg = getter(left); val rg = getter(right)
     var s = 0.0
     var i = 0
     while (i < n) {
-      val xv = if (lf) x.getFloat(i).toDouble else x.getDouble(i)
-      val yv = if (rf) y.getFloat(i).toDouble else y.getDouble(i)
-      s += xv * yv
+      s += get(x, lg, i) * get(y, rg, i)
       i += 1
     }
     s
@@ -63,8 +73,8 @@ case class VecDot(left: Expression, right: Expression)
 
   override protected def doGenCode(ctx: CodegenContext,
                                    ev: ExprCode): ExprCode = {
-    val lGet = if (elemIsFloat(left)) "getFloat" else "getDouble"
-    val rGet = if (elemIsFloat(right)) "getFloat" else "getDouble"
+    val lGet = getter(left)
+    val rGet = getter(right)
     nullSafeCodeGen(ctx, ev, (a, b) => {
       val i = ctx.freshName("i")
       val n = ctx.freshName("n")

@@ -74,4 +74,25 @@ class VecDotSpec extends SparkSpec {
       assert(math.abs(r.getDouble(0) - r.getDouble(1)) < 1e-9)
     }
   }
+
+  test("vec_dot runs natively on tinyint arrays (quantized coarse stage)") {
+    import spark.implicits._
+    VecDot.register(spark)
+    // Seq[Byte], not Array[Byte]: the latter encodes as BINARY
+    val df = Seq(
+      (1L, Seq[Byte](1, -2, 3), Seq[Byte](4, 5, -6)),
+      (2L, Seq[Byte](127, -127), Seq[Byte](127, 127))
+    ).toDF("id", "a", "b")
+    val out = df.select(col("id"),
+        call_function("vec_dot", col("a"), col("b")).as("d"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(out(1L) === (4 - 10 - 18).toDouble)
+    assert(out(2L) === (127 * 127 - 127 * 127).toDouble)
+    // mixed byte × float also types
+    val mixed = Seq((Seq[Byte](2, 3), Array(0.5f, 2.0f)))
+      .toDF("a", "b")
+      .select(call_function("vec_dot", col("a"), col("b")))
+      .head().getDouble(0)
+    assert(math.abs(mixed - 7.0) < 1e-12)
+  }
 }

@@ -117,6 +117,43 @@ class AnnRecallSpec extends SparkSpec {
       s"planted-dup recall ${(expected & found).size}/10 < 9")
   }
 
+  test("quantizedTopK recall >= 0.95 vs bruteForceTopK (int8 coarse + exact re-rank)") {
+    assume(haveData)
+    val emb = spark.read.parquet(embPath)
+    val queries = emb.filter(col("vec_id") < 20)
+    val k = 3
+    val truth = Similarity.bruteForceTopK(queries, emb, "vec_id",
+        "embedding", k)
+      .select("query_id", "corpus_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val q8 = Quantize.quantizedTopK(queries, emb, "vec_id", "embedding", k)
+      .select("query_id", "corpus_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(truth.nonEmpty)
+    val recall = (truth & q8).size.toDouble / truth.size
+    assert(recall >= 0.95, s"quantized recall $recall < 0.95")
+  }
+
+  test("quantized vectors are tinyint arrays clamped to ±127") {
+    assume(haveData)
+    val emb = spark.read.parquet(embPath)
+    val scale = Quantize.fitScale(emb, "embedding")
+    val q = emb.select(Quantize.quantized(col("embedding"), scale).as("q8"))
+    assert(q.schema("q8").dataType ===
+      org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.ByteType, true))
+    val mx = q.select(max(aggregate(col("q8"), lit(0),
+      (acc, x) => greatest(acc, abs(x.cast("int")))))).head().getInt(0)
+    assert(mx <= 127 && mx > 0)
+    // a vector beyond the fitted range saturates instead of overflowing
+    import spark.implicits._
+    val hot = Seq(Tuple1(Array(scale.toFloat * 2, -scale.toFloat * 2)))
+      .toDF("embedding")
+    val sat = hot.select(Quantize.quantized(col("embedding"), scale))
+      .head().getSeq[Byte](0)
+    assert(sat === Seq[Byte](127, -127))
+  }
+
   test("production wide-band setting keeps candidate volume < 5% of all-pairs") {
     assume(haveData)
     // the registered q_embed_neardup runs 2-bit bands (planes=16,
