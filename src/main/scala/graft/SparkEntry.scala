@@ -601,6 +601,15 @@ object SparkEntry {
     // single-block chunking degenerates to 4-bit keys (see
     // Dedup.simhashCandidatesMulti Scaladoc). Same exact-recall
     // pigeonhole contract, proven at radius 10/12 in DedupSpec.
+    //
+    // Bench context: the synthetic template-generated docs are DENSE at
+    // radius 10 — 364k true pairs (2.9% of all pairs) at sf0.1, 28.6M
+    // bucket-join occurrences — so this query's cost tracks genuine
+    // output volume, not plan waste: the join stays a codegen'd bucket
+    // equi-join and the emit-once predicate dedups without an exchange.
+    // blocks=13 (3-block keys) was measured WORSE here: true pairs
+    // multiply occurrences (C(clean,3) tables each) faster than wider
+    // keys split the hot buckets.
     "q_simhash_multi" -> ((s, dir) =>
       llm.Dedup.simhashCandidatesMulti(docs(s, dir), "doc_id",
         "text", maxDist = 10)
