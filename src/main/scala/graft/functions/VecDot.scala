@@ -51,21 +51,30 @@ case class VecDot(left: Expression, right: Expression)
     case _ => "getDouble"
   }
 
+  // dispatch hoisted OUT of the element loop: interpreted eval calls
+  // nullSafeEval per row, and a per-element type test would dominate
+  // the loop for 64-1024-dim vectors
+  @transient private lazy val leftGet: (ArrayData, Int) => Double =
+    accessor(left)
+  @transient private lazy val rightGet: (ArrayData, Int) => Double =
+    accessor(right)
+
+  private def accessor(e: Expression): (ArrayData, Int) => Double =
+    e.dataType match {
+      case ArrayType(ByteType, _) => (d, i) => d.getByte(i).toDouble
+      case ArrayType(ShortType, _) => (d, i) => d.getShort(i).toDouble
+      case ArrayType(FloatType, _) => (d, i) => d.getFloat(i).toDouble
+      case _ => (d, i) => d.getDouble(i)
+    }
+
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
     val n = math.min(x.numElements(), y.numElements())
-    def get(d: ArrayData, g: String, i: Int): Double = g match {
-      case "getByte" => d.getByte(i).toDouble
-      case "getShort" => d.getShort(i).toDouble
-      case "getFloat" => d.getFloat(i).toDouble
-      case _ => d.getDouble(i)
-    }
-    val lg = getter(left); val rg = getter(right)
     var s = 0.0
     var i = 0
     while (i < n) {
-      s += get(x, lg, i) * get(y, rg, i)
+      s += leftGet(x, i) * rightGet(y, i)
       i += 1
     }
     s
