@@ -164,18 +164,20 @@ object Similarity {
       .select(col("id_a"), col("id_b"), col("cosine"))
   }
 
-  /** IVF (inverted-file) ANN top-k — the FAISS-style scale path: k-means
-    * the corpus into `nList` cells once (MLlib, seeded), store each
-    * vector under its cell, and probe only the `nProbe` cells nearest to
-    * each query. Exact cosine runs over nProbe/nList of the corpus.
-    *
-    * Scale shape: centroids are tiny and broadcast; the corpus is
-    * shuffled ONCE by cell id (at 100 TB that partitioning is reusable
-    * across query batches); each query's candidate read is
-    * partition-pruned to its probed cells. Recall/cost is tuned by
-    * (nList, nProbe) exactly like an IVF index. */
-  def ivfTopK(df: DataFrame, queries: DataFrame, id: String, vec: String,
-              k: Int, nList: Int = 16, nProbe: Int = 4): DataFrame = {
+  /** A built IVF index: the corpus assigned to its cells
+    * (`corpus_id, __cv, __cell`) and the tiny centroid table. Build
+    * once, search many — see [[ivfBuild]]/[[ivfSearch]]. */
+  case class IvfIndex(cells: DataFrame, centroids: Seq[Seq[Double]])
+
+  /** Build an IVF (inverted-file) index — the FAISS-style scale path:
+    * k-means the corpus into `nList` cells (MLlib, seeded), store each
+    * vector under its cell. The expensive parts (the k-means passes and
+    * the corpus shuffle by cell id) happen HERE, once; at 100 TB the
+    * cell assignment is written with [[writeIvf]] and every subsequent
+    * query batch reads it back partition-pruned — never re-clustering,
+    * never re-shuffling the corpus. */
+  def ivfBuild(df: DataFrame, id: String, vec: String,
+               nList: Int = 16): IvfIndex = {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
     val corpus = df.select(col(id).as("corpus_id"), col(vec).as("__cv"))
@@ -183,16 +185,44 @@ object Similarity {
     val model = new KMeans().setK(nList).setMaxIter(10).setSeed(13)
       .setFeaturesCol("__feat").setPredictionCol("__cell")
       .fit(corpus)
-    val cells = model.transform(corpus).drop("__feat")
-    // tiny centroid table, broadcast as literals into the query plan
-    val centroids = model.clusterCenters.map(_.toArray)
-    def dist2(v: Column, c: Array[Double]): Column = {
-      val cl = typedlit(c.toSeq)
+    IvfIndex(model.transform(corpus).drop("__feat"),
+      model.clusterCenters.map(_.toArray.toSeq).toSeq)
+  }
+
+  /** Persist an index: cells as parquet PARTITIONED BY cell id (a
+    * query batch's candidate read is pruned to its probed cells at the
+    * file-listing level), centroids as a tiny sidecar table. */
+  def writeIvf(index: IvfIndex, path: String): Unit = {
+    index.cells.write.mode("overwrite").partitionBy("__cell")
+      .parquet(s"$path/cells")
+    val spark = index.cells.sparkSession
+    import spark.implicits._
+    index.centroids.zipWithIndex.map { case (c, j) => (j, c) }
+      .toDF("cell", "centroid")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")
+  }
+
+  def readIvf(spark: org.apache.spark.sql.SparkSession,
+              path: String): IvfIndex = {
+    val cents = spark.read.parquet(s"$path/centroids")
+      .orderBy("cell").collect()
+      .map(_.getSeq[Double](1)).toSeq
+    IvfIndex(spark.read.parquet(s"$path/cells"), cents)
+  }
+
+  /** Search a built index: probe only the `nProbe` cells nearest each
+    * query (centroids are plan literals — no join for the probe
+    * decision), exact cosine over nProbe/nList of the corpus. Recall vs
+    * cost is tuned by (nList, nProbe) exactly like a FAISS IVF index. */
+  def ivfSearch(index: IvfIndex, queries: DataFrame, id: String,
+                vec: String, k: Int, nProbe: Int = 4): DataFrame = {
+    def dist2(v: Column, c: Seq[Double]): Column = {
+      val cl = typedlit(c)
       aggregate(zip_with(v, cl, (x, y) => {
         val d = x.cast("double") - y; d * d
       }), lit(0.0), (acc, x) => acc + x)
     }
-    val probeStructs = centroids.zipWithIndex.map { case (c, j) =>
+    val probeStructs = index.centroids.zipWithIndex.map { case (c, j) =>
       struct(dist2(col("__qv"), c).as("d"), lit(j).as("cell"))
     }
     val probed = queries.select(col(id).as("query_id"), col(vec).as("__qv"))
@@ -200,7 +230,7 @@ object Similarity {
         slice(array_sort(array(probeStructs.toIndexedSeq: _*)), 1, nProbe))
       .select(col("query_id"), col("__qv"),
         explode(col("__probes.cell")).as("__cell"))
-    val cand = cells.join(broadcast(probed), "__cell")
+    val cand = index.cells.join(broadcast(probed), "__cell")
       .filter(col("query_id") =!= col("corpus_id"))
       .withColumn("cosine", cosineNative(col("__qv"), col("__cv")))
     val w = org.apache.spark.sql.expressions.Window
@@ -211,6 +241,11 @@ object Similarity {
       .select(col("query_id"), col("corpus_id"), col("cosine"),
         col("__r").cast("long").as("rank"))
   }
+
+  /** One-shot build + search (the registered `q_ann_ivf` form). */
+  def ivfTopK(df: DataFrame, queries: DataFrame, id: String, vec: String,
+              k: Int, nList: Int = 16, nProbe: Int = 4): DataFrame =
+    ivfSearch(ivfBuild(df, id, vec, nList), queries, id, vec, k, nProbe)
 
   /** LSH-accelerated top-k: exact cosine only for bucket-mates of each
     * query. Recall follows the [[bandKeys]] S-curve — more/narrower

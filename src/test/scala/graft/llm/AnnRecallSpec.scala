@@ -117,6 +117,34 @@ class AnnRecallSpec extends SparkSpec {
       s"planted-dup recall ${(expected & found).size}/10 < 9")
   }
 
+  test("persisted IVF index round-trips and searches identically") {
+    assume(haveData)
+    val emb = spark.read.parquet(embPath)
+    val queries = emb.filter(col("vec_id") < 10)
+    val k = 3
+    val index = Similarity.ivfBuild(emb, "vec_id", "embedding", nList = 16)
+    val direct = Similarity.ivfSearch(index, queries, "vec_id",
+        "embedding", k, nProbe = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(3))).toSet
+    val dir = java.nio.file.Files.createTempDirectory("ivf").toString
+    try {
+      Similarity.writeIvf(index, dir)
+      val reread = Similarity.readIvf(spark, dir)
+      assert(reread.centroids === index.centroids)
+      val fromDisk = Similarity.ivfSearch(reread, queries, "vec_id",
+          "embedding", k, nProbe = 8)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(3))).toSet
+      assert(fromDisk === direct)
+      // the cell layout on disk is partitioned by cell id, so a probe's
+      // candidate read prunes at file-listing level
+      val cellDirs = new java.io.File(s"$dir/cells").listFiles()
+        .filter(_.getName.startsWith("__cell=")).map(_.getName)
+      assert(cellDirs.length == 16, s"expected 16 cell partitions: ${cellDirs.toSeq}")
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+    }
+  }
+
   test("quantizedTopK recall >= 0.95 vs bruteForceTopK (int8 coarse + exact re-rank)") {
     assume(haveData)
     val emb = spark.read.parquet(embPath)
