@@ -206,7 +206,11 @@ object Dedup {
     // step — folded into the join condition it knocked the join out of
     // whole-stage codegen and ran slower than the distinct it replaces.)
     val tableMask = tables.map(s => s.map(i => 1L << i).sum)
-    val belowMask = tables.map(s => (1L << (s.max + 1)) - 1)
+    // s.max == 63 (reachable only at the degenerate maxDist = 63, where
+    // blocks are single bits) would wrap `1L << 64` to 1 — spell the
+    // full mask out, same as the width == 64 case above.
+    val belowMask = tables.map(s =>
+      if (s.max == 63) -1L else (1L << (s.max + 1)) - 1)
     cleanBits.bitwiseAND(
       element_at(array(belowMask.map(lit): _*), (tbl + 1).cast("int"))) ===
       element_at(array(tableMask.map(lit): _*), (tbl + 1).cast("int"))

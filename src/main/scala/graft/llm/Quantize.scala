@@ -22,10 +22,13 @@ object Quantize {
     * aggregate pass; per-row absmax folds inside the scan, the global
     * max is a tiny all-reduce. */
   def fitScale(df: DataFrame, vec: String): Double = {
-    val s = df.agg(max(aggregate(col(vec), lit(0.0),
-      (acc, x) => greatest(acc, abs(x.cast("double")))))).head().getDouble(0)
-    require(s > 0, "cannot quantize an all-zero corpus")
-    s
+    val row = df.agg(max(aggregate(col(vec), lit(0.0),
+      (acc, x) => greatest(acc, abs(x.cast("double")))))).head()
+    // max() over an empty corpus (or all-null vectors) aggregates to
+    // null — fold that into the require instead of NPE-ing on getDouble
+    require(!row.isNullAt(0) && row.getDouble(0) > 0,
+      "cannot quantize an empty, all-null, or all-zero corpus")
+    row.getDouble(0)
   }
 
   /** `array<tinyint>` quantized copy of `vec`: round(v / scale * 127),

@@ -15,8 +15,9 @@ import org.apache.spark.sql.functions._
   *
   * Hyperparameters are ML-II fitted: exact log-marginal likelihood over
   * a small deterministic grid picks the basin, then Nelder-Mead in
-  * log-space polishes from three deterministic restarts — the behavioral
-  * twin of sklearn's gradient optimizer with `n_restarts_optimizer=3`
+  * log-space polishes from two deterministic restarts (grid winner +
+  * sklearn defaults; see `fitKernel`) — the behavioral twin of
+  * sklearn's restarted gradient optimizer (`n_restarts_optimizer=3`)
   * (gp_model.py:31; closes the SURVEY §7.4(2) delta; `optimize = false`
   * pins the fixed default). y is normalized (sklearn `normalize_y=True`)
   * and x scaled to the subsample index.

@@ -34,8 +34,9 @@ object StreamingDedup {
     * seeded hash, same min) for any document with >= shingleN words. A
     * shorter document has an EMPTY shingle set: the batch groupBy form
     * drops it from the signature relation entirely, this row form yields
-    * an all-null struct (all such docs mutually collide — filter them
-    * upstream if short docs must survive dedup).
+    * an all-null struct (all such docs mutually collide — [[minhashDedup]]
+    * routes them around its key for exactly this reason; any other caller
+    * keying on the signature must do the same).
     *
     * The word and shingle arrays are [[bind]]-bound so the whole
     * signature costs one split + one shingle pass + numHashes×|shingles|
@@ -86,13 +87,19 @@ object StreamingDedup {
   def minhashDedup(df: DataFrame, ts: String, text: String,
                    shingleN: Int = 3, numHashes: Int = 32,
                    watermark: String = "1 hour"): DataFrame = {
-    val keyed = df.withColumn("__sig_key",
+    // Documents shorter than shingleN words have an EMPTY shingle set and
+    // share the one all-null signature — keying them would silently drop
+    // every short doc after the first. They bypass dedup instead (the
+    // word-count filter is cheap; the signature is only computed on the
+    // dedup branch, so short docs never pay the minhash loop either).
+    val isShort = size(split(col(text), " ")) < shingleN
+    val keyed = df.filter(!isShort).withColumn("__sig_key",
       xxhash64(rowMinhash(col(text), shingleN, numHashes)))
     val kept =
       if (keyed.isStreaming)
         keyed.withWatermark(ts, watermark)
           .dropDuplicatesWithinWatermark(Seq("__sig_key"))
       else keyed.dropDuplicates(Seq("__sig_key"))
-    kept.drop("__sig_key")
+    kept.drop("__sig_key").unionByName(df.filter(isShort))
   }
 }

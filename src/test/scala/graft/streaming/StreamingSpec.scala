@@ -299,6 +299,35 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("minhash dedup keeps every doc shorter than shingleN words") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    // 7-9 are all sub-shingle (< 3 words) — they share the all-null
+    // signature; an unguarded key would keep only the first of them
+    val withShort = corpus ++ Seq((7L, "hi"), (8L, "ok bye"), (9L, "hi"))
+    val input = MemoryStream[(Long, Timestamp, String)]
+    val kept = StreamingDedup.minhashDedup(
+      input.toDF().toDF("doc_id", "ts", "text"), "ts", "text",
+      shingleN = 3, numHashes = 16)
+    val q = kept.writeStream.format("memory").queryName("sdedup")
+      .outputMode("append").start()
+    try {
+      input.addData(withShort.zipWithIndex.map { case ((i, t), k) =>
+        (i, docAt(k), t) }: _*)
+      q.processAllAvailable()
+      val streamKept = spark.sql("select doc_id from sdedup").collect()
+        .map(_.getLong(0)).toSet
+      assert(streamKept === Set(1L, 2L, 4L, 6L, 7L, 8L, 9L))
+      // batch face agrees
+      val batchKept = StreamingDedup.minhashDedup(
+        withShort.zipWithIndex.map { case ((i, t), k) => (i, docAt(k), t) }
+          .toDF("doc_id", "ts", "text"), "ts", "text",
+        shingleN = 3, numHashes = 16)
+        .collect().map(_.getLong(0)).toSet
+      assert(batchKept === streamKept)
+    } finally q.stop()
+  }
+
   test("streaming exact dedup drops re-arrivals within the watermark") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
