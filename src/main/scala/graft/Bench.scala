@@ -18,9 +18,18 @@ import org.apache.spark.sql.SparkSession
   * A first timed run exceeding SPARK_GRAFT_HEAVY_SEC (default 20 s — the
   * per-series model MLEs) is re-run once and the MIN of the two kept, so
   * a single contention spike cannot masquerade as a regression; deviating
-  * rep counts are recorded in the per-query `reps` map. The machine's
-  * 1-min loadavg is sampled before the run into `contended` so a busy
-  * host is visible in the record. Args select a subset by name.
+  * rep counts are recorded in the per-query `reps` map.
+  *
+  * Cross-rep outlier rejection: host contention can hit any LATER rep
+  * just as easily as the first (round 7: q_sweep's reps 2-3 ran ~100 s
+  * under mid-run contention vs 6 s quiet, and the MEDIAN recorded a
+  * phantom 16× regression). Contention only ever inflates a wall time,
+  * so when max/min across a query's timed reps exceeds 3× the MIN is the
+  * trustworthy statistic: it is kept, and the query lands in `flagged`
+  * with its [min, max] so the record shows both the number and the
+  * evidence of contention. The machine's 1-min loadavg is sampled before
+  * the run into `contended` AND after it into `load_end` — mid-run
+  * contention is visible even when the host was quiet at launch. Args select a subset by name.
   */
 object Bench {
 
@@ -72,10 +81,21 @@ object Bench {
     }
     // loadavg sampled BEFORE the run: a contended host inflates every
     // number, and the judge needs to see that in the record itself
-    val loadavg = try {
+    def loadavg(): String = try {
       val src = scala.io.Source.fromFile("/proc/loadavg")
       try src.getLines().next().split(" ")(0) finally src.close()
     } catch { case _: Throwable => "-1" }
+    val loadStart = loadavg()
+    // queries whose reps spread >3×: (min kept, max seen) — contention
+    // evidence, recorded instead of silently laundered into the median
+    val flagged = scala.collection.mutable.LinkedHashMap[String, (Double, Double)]()
+    def minOrMedian(name: String, times: Seq[Double]): Double = {
+      val mn = times.min
+      if (mn > 0 && times.max / mn > 3.0) {
+        flagged += name -> (mn, times.max)
+        mn // contention only inflates — the min is the honest statistic
+      } else times.sorted.apply(times.size / 2)
+    }
     val results = names.map { name =>
       // full-GC fence between queries: heavy MLlib/MLE neighbors leave
       // enough young-gen debris to inflate the next query's median 3-6×
@@ -89,13 +109,15 @@ object Bench {
         else if (first > heavySec) {
           // genuinely heavy OR a contention spike: one retry, keep the min
           val second = once(name)
-          if (second < 0) (first, 1) else (math.min(first, second), 2)
+          if (second < 0) (first, 1)
+          else (minOrMedian(name, Seq(first, second)), 2)
         } else {
           val times = first +: Seq.fill(reps - 1)(once(name)).filter(_ >= 0)
-          (times.sorted.apply(times.size / 2), times.size)
+          (minOrMedian(name, times), times.size)
         }
       (name, value, n)
     }
+    val loadEnd = loadavg()
     // keep the line SHORT: the driver captures only a tail of stdout, so a
     // verbose line gets clipped mid-JSON and parses as null (round 4).
     // 3-decimal times, and reps only where a query deviated from the default.
@@ -109,11 +131,15 @@ object Bench {
     val total = results.collect { case (_, v, _) if v >= 0 => v }.sum
     val errs = errors.distinct.map(e => "\"" + e.replace("\"", "'") + "\"")
       .mkString("[", ",", "]")
+    val fl = flagged.map { case (k, (mn, mx)) =>
+      "\"" + k + "\":[" + r3(mn) + "," + r3(mx) + "]"
+    }.mkString("{", ",", "}")
     // `reps` stays the configured int (the rounds-1..5 meaning); per-query
     // deviations live in `reps_dev`, and `protocol` names the measurement
     // scheme so cross-round consumers know r6+ numbers are warm medians
     // while r1-5 were cold medians — not an apples-to-apples series.
-    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"reps":$reps,"reps_dev":$rp,"protocol":"warmup-median-r6","errors":$errs,"contended":$loadavg,"sf":"$sfDir"}""")
+    // r8+: `flagged` queries report the MIN of a >3×-spread rep set.
+    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"reps":$reps,"reps_dev":$rp,"flagged":$fl,"protocol":"warmup-minmedian-r8","errors":$errs,"contended":$loadStart,"load_end":$loadEnd,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
