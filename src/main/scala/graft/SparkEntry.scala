@@ -514,7 +514,11 @@ object SparkEntry {
         .orderBy(desc("Event_F1"))
     }),
 
-    // M5: MLlib autoregressor on lag features (LSTM capability mapping)
+    // M5: per-series ridge autoregressor on lag features (LSTM capability
+    // mapping). Deterministic since r8 — each series' normal equations
+    // accumulate in timestamp order inside one mapGroups task, so the
+    // fixture oracle applies (the r7 MLlib global solve was partitioning-
+    // dependent and had to run no_oracle).
     "q_ar" -> ((s, dir) =>
       models.AutoRegressor.run(ev(s, dir), "user_id", "ts", "value",
         seqLen = 12, trainFrac = 0.5)
@@ -1186,6 +1190,7 @@ object SparkEntry {
     // golden-verified implementations (fixtures/README.md; regenerate via
     // graft.tools.GenFixtures after intentional behavior changes). Only
     // valid for the driver's sf0.01 correctness run.
+    "q_ar" -> fixtureSql("q_ar"),
     "q_bocpd" -> fixtureSql("q_bocpd"),
     "q_cp_flags" -> fixtureSql("q_cp_flags"),
     "q_kalman" -> fixtureSql("q_kalman"),

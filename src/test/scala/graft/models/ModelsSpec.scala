@@ -156,6 +156,24 @@ class ModelsSpec extends SparkSpec {
       s"AR resid var $residVar vs value var $valVar")
   }
 
+  test("ridge AR fit is bit-identical under different partitioning") {
+    // the per-series normal equations accumulate in timestamp order
+    // inside one mapGroups task, so the fit (and thus the fixture
+    // oracle) must not depend on shuffle layout — red if anyone brings
+    // back a distributed solver whose float reduction order floats
+    var x = 1.0
+    val ys = (0 until 300).map { _ => x = 0.8 * x + rng.nextGaussian(); x }
+    def fp(parts: String): Seq[String] = {
+      spark.conf.set("spark.sql.shuffle.partitions", parts)
+      try AutoRegressor.run(valueSeries(ys), "series_id", "ts", "value",
+          seqLen = 6, trainFrac = 0.5)
+        .select("ts", "pred_mean", "resid").orderBy("ts")
+        .collect().map(_.toString).toSeq
+      finally spark.conf.set("spark.sql.shuffle.partitions", "2")
+    }
+    assert(fp("3") === fp("17"))
+  }
+
   test("GBT autoregressor captures a nonlinear AR map the ridge cannot") {
     // quadratic map y_t = 1 - 1.4*y_{t-1}^2 (+ small noise): chaotic,
     // near-zero linear autocorrelation, so a linear ARX learns almost

@@ -11,11 +11,12 @@ import org.apache.spark.sql.SparkSession
   *
   * Only queries with fully deterministic plans belong here (mapGroups
   * per-series recursions, pure column expressions): MLlib solvers whose
-  * float reduction order depends on partitioning (q_ar, q_kmeans) are
-  * deliberately excluded.
+  * float reduction order depends on partitioning (q_kmeans) are
+  * deliberately excluded. q_ar joined in r8 when its ridge fit became a
+  * per-series in-order normal-equations solve.
   */
 object GenFixtures {
-  val names: Seq[String] = Seq("q_bocpd", "q_cp_flags", "q_kalman",
+  val names: Seq[String] = Seq("q_ar", "q_bocpd", "q_cp_flags", "q_kalman",
     "q_ci_flags", "q_bsts", "q_bsts_dummy", "q_gp",
     "q_stl_exact", "q_hybrid", "q_minhash", "q_simhash", "q_simhash_multi",
     "q_sig_dedup", "q_langid",
