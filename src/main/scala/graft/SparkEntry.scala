@@ -666,6 +666,19 @@ object SparkEntry {
           round(col("cosine"), 6).as("cosine"), col("rank"))
     }),
 
+    // LLM-pipeline: the full FAISS-style stack — IVF cells, int8 coarse
+    // scan WITHIN the probed cells (4×-smaller byte column, floats never
+    // enter the coarse read), float re-rank of the oversampled
+    // survivors. Same no_oracle reason as q_ann_ivf (MLlib k-means);
+    // AnnRecallSpec pins recall >= 0.95 vs brute force.
+    "q_ann_ivf_q8" -> ((s, dir) => {
+      val embDf = emb(s, dir)
+      llm.Similarity.ivfTopKQ8(embDf, embDf.filter(col("vec_id") < 5),
+        "vec_id", "embedding", 3, nList = 16, nProbe = 8)
+        .select(col("query_id"), col("corpus_id"),
+          round(col("cosine"), 6).as("cosine"), col("rank"))
+    }),
+
     // LLM-pipeline: int8-quantized two-stage top-k — coarse rank on
     // 4×-smaller byte vectors (native vec_dot byte loop), exact float
     // re-rank of the oversampled survivors. AnnRecallSpec pins recall

@@ -13,8 +13,9 @@ import org.apache.spark.sql.functions._
   * the cosine — the coarse stage ranks on quantized vectors directly,
   * never dequantizing, losing only rounding noise. The standard
   * production recipe (coarse-quantized scan → exact float re-rank of a
-  * small oversampled candidate set) composes with [[Similarity.ivfTopK]]
-  * (quantize within probed cells) for the full FAISS-style stack.
+  * small oversampled candidate set) composes with the IVF index for the
+  * full FAISS-style stack — [[Similarity.ivfSearchQ8]] runs this
+  * two-stage scheme within the probed cells only.
   */
 object Quantize {
 

@@ -165,9 +165,13 @@ object Similarity {
   }
 
   /** A built IVF index: the corpus assigned to its cells
-    * (`corpus_id, __cv, __cell`) and the tiny centroid table. Build
+    * (`corpus_id, __cv, __cell`, plus `__cq` when quantized) and the
+    * tiny centroid table. `q8Scale` is the global absmax the `__cq`
+    * int8 column was quantized with — fitted ONCE at build time and
+    * persisted, so a search never scans the corpus to learn it. Build
     * once, search many — see [[ivfBuild]]/[[ivfSearch]]. */
-  case class IvfIndex(cells: DataFrame, centroids: Seq[Seq[Double]])
+  case class IvfIndex(cells: DataFrame, centroids: Seq[Seq[Double]],
+                      q8Scale: Option[Double] = None)
 
   /** Build an IVF (inverted-file) index — the FAISS-style scale path:
     * k-means the corpus into `nList` cells (MLlib, seeded), store each
@@ -175,47 +179,61 @@ object Similarity {
     * the corpus shuffle by cell id) happen HERE, once; at 100 TB the
     * cell assignment is written with [[writeIvf]] and every subsequent
     * query batch reads it back partition-pruned — never re-clustering,
-    * never re-shuffling the corpus. */
+    * never re-shuffling the corpus. `quantize = true` additionally
+    * stores a global-absmax int8 copy of each vector (`__cq`) and its
+    * scale — the [[ivfSearchQ8]] coarse stage then scans 4×-smaller
+    * bytes instead of floats. */
   def ivfBuild(df: DataFrame, id: String, vec: String,
-               nList: Int = 16): IvfIndex = {
+               nList: Int = 16, quantize: Boolean = false): IvfIndex = {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
-    val corpus = df.select(col(id).as("corpus_id"), col(vec).as("__cv"))
+    val scale = if (quantize) Some(Quantize.fitScale(df, vec)) else None
+    val base = df.select(col(id).as("corpus_id"), col(vec).as("__cv"))
+    val corpus = scale.fold(base)(s =>
+        base.withColumn("__cq", Quantize.quantized(col("__cv"), s)))
       .withColumn("__feat", array_to_vector(col("__cv")))
     val model = new KMeans().setK(nList).setMaxIter(10).setSeed(13)
       .setFeaturesCol("__feat").setPredictionCol("__cell")
       .fit(corpus)
     IvfIndex(model.transform(corpus).drop("__feat"),
-      model.clusterCenters.map(_.toArray.toSeq).toSeq)
+      model.clusterCenters.map(_.toArray.toSeq).toSeq, scale)
   }
 
   /** Persist an index: cells as parquet PARTITIONED BY cell id (a
     * query batch's candidate read is pruned to its probed cells at the
-    * file-listing level), centroids as a tiny sidecar table. */
+    * file-listing level), centroids as a tiny sidecar table carrying
+    * the int8 scale (null when the index is float-only). */
   def writeIvf(index: IvfIndex, path: String): Unit = {
     index.cells.write.mode("overwrite").partitionBy("__cell")
       .parquet(s"$path/cells")
     val spark = index.cells.sparkSession
     import spark.implicits._
-    index.centroids.zipWithIndex.map { case (c, j) => (j, c) }
-      .toDF("cell", "centroid")
+    index.centroids.zipWithIndex.map { case (c, j) => (j, c, index.q8Scale) }
+      .toDF("cell", "centroid", "q8_scale")
       .coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")
   }
 
   def readIvf(spark: org.apache.spark.sql.SparkSession,
               path: String): IvfIndex = {
-    val cents = spark.read.parquet(s"$path/centroids")
-      .orderBy("cell").collect()
-      .map(_.getSeq[Double](1)).toSeq
-    IvfIndex(spark.read.parquet(s"$path/cells"), cents)
+    val cdf = spark.read.parquet(s"$path/centroids")
+    val rows = cdf.orderBy("cell").collect()
+    val cents = rows.map(_.getSeq[Double](1)).toSeq
+    // pre-r8 indexes have no q8_scale column; treat them as float-only
+    val scale =
+      if (cdf.columns.contains("q8_scale"))
+        rows.headOption.flatMap(r =>
+          Option(r.getAs[java.lang.Double]("q8_scale")).map(_.doubleValue))
+      else None
+    IvfIndex(spark.read.parquet(s"$path/cells"), cents, scale)
   }
 
-  /** Search a built index: probe only the `nProbe` cells nearest each
-    * query (centroids are plan literals — no join for the probe
-    * decision), exact cosine over nProbe/nList of the corpus. Recall vs
-    * cost is tuned by (nList, nProbe) exactly like a FAISS IVF index. */
-  def ivfSearch(index: IvfIndex, queries: DataFrame, id: String,
-                vec: String, k: Int, nProbe: Int = 4): DataFrame = {
+  /** One row per (query, probed cell): each query joined to the ids of
+    * its `nProbe` nearest centroids. Centroids are plan LITERALS — the
+    * probe decision costs no join, and the cell ids it emits drive
+    * partition pruning of a persisted index read. */
+  private def probedQueries(index: IvfIndex, queries: DataFrame,
+                            id: String, vec: String,
+                            nProbe: Int): DataFrame = {
     def dist2(v: Column, c: Seq[Double]): Column = {
       val cl = typedlit(c)
       aggregate(zip_with(v, cl, (x, y) => {
@@ -225,12 +243,33 @@ object Similarity {
     val probeStructs = index.centroids.zipWithIndex.map { case (c, j) =>
       struct(dist2(col("__qv"), c).as("d"), lit(j).as("cell"))
     }
-    val probed = queries.select(col(id).as("query_id"), col(vec).as("__qv"))
+    queries.select(col(id).as("query_id"), col(vec).as("__qv"))
       .withColumn("__probes",
         slice(array_sort(array(probeStructs.toIndexedSeq: _*)), 1, nProbe))
       .select(col("query_id"), col("__qv"),
         explode(col("__probes.cell")).as("__cell"))
-    val cand = index.cells.join(broadcast(probed), "__cell")
+  }
+
+  /** Restrict `cells` to the union of cell ids this query batch probes,
+    * as plan LITERALS: one tiny job over the (small, broadcast-side)
+    * query batch buys deterministic file-listing-level partition
+    * pruning of a persisted index read — `nProbe/nList` of the corpus
+    * is never even listed, rather than hoping the runtime DPP heuristic
+    * fires on the broadcast join. PlanSpec pins the pruned scan shape. */
+  private def pruneCells(cells: DataFrame, probed: DataFrame): DataFrame = {
+    val ids = probed.select("__cell").distinct().collect()
+      .map(_.getInt(0)).sorted
+    cells.filter(col("__cell").isin(ids.map(Integer.valueOf).toSeq: _*))
+  }
+
+  /** Search a built index: probe only the `nProbe` cells nearest each
+    * query (centroids are plan literals — no join for the probe
+    * decision), exact cosine over nProbe/nList of the corpus. Recall vs
+    * cost is tuned by (nList, nProbe) exactly like a FAISS IVF index. */
+  def ivfSearch(index: IvfIndex, queries: DataFrame, id: String,
+                vec: String, k: Int, nProbe: Int = 4): DataFrame = {
+    val probed = probedQueries(index, queries, id, vec, nProbe)
+    val cand = pruneCells(index.cells, probed).join(broadcast(probed), "__cell")
       .filter(col("query_id") =!= col("corpus_id"))
       .withColumn("cosine", cosineNative(col("__qv"), col("__cv")))
     val w = org.apache.spark.sql.expressions.Window
@@ -242,10 +281,69 @@ object Similarity {
         col("__r").cast("long").as("rank"))
   }
 
+  /** Quantized IVF search — the full FAISS-style stack (IVF cells ×
+    * int8 coarse scan × float re-rank):
+    *
+    *  1. PROBE — `nProbe` nearest centroids per query, as [[ivfSearch]].
+    *  2. COARSE — int8 cosine over the probed cells' `__cq` column only
+    *     (queries quantized with the index's persisted build-time
+    *     scale); keep `k × oversample` per query. The scan reads the
+    *     4×-smaller byte column and never touches `__cv` — column
+    *     pruning keeps the floats out of the read path entirely.
+    *  3. EXACT — join the survivors' float vectors back by
+    *     (__cell, corpus_id) — leading with the partition column keeps
+    *     a persisted-index read prunable — and re-rank for the final k.
+    *
+    * Ties break by corpus id in both stages. Recall loss vs
+    * [[ivfSearch]] is only coarse rounding inversions near the k
+    * boundary; oversampling covers it (AnnRecallSpec pins ≥ 0.95 vs
+    * brute force at the registered setting). */
+  def ivfSearchQ8(index: IvfIndex, queries: DataFrame, id: String,
+                  vec: String, k: Int, nProbe: Int = 4,
+                  oversample: Int = 4): DataFrame = {
+    require(k > 0 && oversample > 0, s"k=$k, oversample=$oversample")
+    val scale = index.q8Scale.getOrElse(throw new IllegalArgumentException(
+      "index has no int8 column - build with ivfBuild(quantize = true)"))
+    val probed = probedQueries(index, queries, id, vec, nProbe)
+      .withColumn("__qq", Quantize.quantized(col("__qv"), scale))
+    val cells = pruneCells(index.cells, probed)
+    val wc = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id")
+      .orderBy(col("__coarse").desc, col("corpus_id").asc)
+    val survivors = cells.select("corpus_id", "__cq", "__cell")
+      .join(broadcast(probed.select("query_id", "__qq", "__cell")), "__cell")
+      .filter(col("query_id") =!= col("corpus_id"))
+      .withColumn("__coarse", cosineNative(col("__qq"), col("__cq")))
+      .withColumn("__r", row_number().over(wc))
+      .filter(col("__r") <= k * oversample)
+      .select("query_id", "corpus_id", "__cell")
+    val wx = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id")
+      .orderBy(col("cosine").desc, col("corpus_id").asc)
+    broadcast(survivors)
+      .join(cells.select("corpus_id", "__cv", "__cell"),
+        Seq("__cell", "corpus_id"))
+      .join(broadcast(queries.select(col(id).as("query_id"),
+        col(vec).as("__qv"))), "query_id")
+      .withColumn("cosine", cosineNative(col("__qv"), col("__cv")))
+      .withColumn("__r", row_number().over(wx))
+      .filter(col("__r") <= k)
+      .select(col("query_id"), col("corpus_id"), col("cosine"),
+        col("__r").cast("long").as("rank"))
+  }
+
   /** One-shot build + search (the registered `q_ann_ivf` form). */
   def ivfTopK(df: DataFrame, queries: DataFrame, id: String, vec: String,
               k: Int, nList: Int = 16, nProbe: Int = 4): DataFrame =
     ivfSearch(ivfBuild(df, id, vec, nList), queries, id, vec, k, nProbe)
+
+  /** One-shot quantized build + search (the registered `q_ann_ivf_q8`
+    * form). */
+  def ivfTopKQ8(df: DataFrame, queries: DataFrame, id: String, vec: String,
+                k: Int, nList: Int = 16, nProbe: Int = 4,
+                oversample: Int = 4): DataFrame =
+    ivfSearchQ8(ivfBuild(df, id, vec, nList, quantize = true),
+      queries, id, vec, k, nProbe, oversample)
 
   /** LSH-accelerated top-k: exact cosine only for bucket-mates of each
     * query. Recall follows the [[bandKeys]] S-curve — more/narrower

@@ -196,6 +196,72 @@ class PlanSpec extends SparkSpec {
     assert(shuffles == 1, s"acf grew to $shuffles shuffles:\n$p")
   }
 
+  test("persisted IVF search prunes the cells scan to the probed partitions") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    val rng = new scala.util.Random(11)
+    val emb = (0L until 200L).map(i =>
+      (i, Array.fill(8)(rng.nextFloat()))).toDF("vec_id", "embedding")
+    val index = graft.llm.Similarity.ivfBuild(emb, "vec_id", "embedding",
+      nList = 16, quantize = true)
+    val dir = java.nio.file.Files.createTempDirectory("ivfplan").toString
+    try {
+      graft.llm.Similarity.writeIvf(index, dir)
+      val reread = graft.llm.Similarity.readIvf(spark, dir)
+      val nCells = new java.io.File(s"$dir/cells").listFiles()
+        .count(_.getName.startsWith("__cell="))
+      assert(nCells > 2, s"pruning test needs >2 cell partitions, got $nCells")
+      val one = emb.filter(col("vec_id") === 0L)
+      // cells-file scans of the EXECUTED (post-AQE) plan. AQE wraps
+      // materialized stages as LEAF nodes (QueryStageExec), so a plain
+      // collect stops at stage boundaries — descend into them explicitly.
+      def cellScans(df: DataFrame): Seq[FileSourceScanExec] = {
+        df.collect()
+        def go(p: SparkPlan): Seq[FileSourceScanExec] = {
+          val here = p match { case f: FileSourceScanExec => Seq(f)
+                               case _ => Nil }
+          val wrapped = p match {
+            case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+            case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+              Seq(q.plan)
+            case r: org.apache.spark.sql.execution.exchange
+                     .ReusedExchangeExec => Seq(r.child)
+            case _ => Nil
+          }
+          here ++ (p.children ++ wrapped).flatMap(go)
+        }
+        go(df.queryExecution.executedPlan)
+          .filter(_.relation.location.rootPaths
+            .exists(_.toString.contains("cells")))
+      }
+      val fs = cellScans(graft.llm.Similarity.ivfSearch(reread, one,
+        "vec_id", "embedding", 3, nProbe = 2))
+      assert(fs.nonEmpty, "no cells scan in the ivfSearch plan")
+      fs.foreach { f =>
+        assert(f.partitionFilters.nonEmpty,
+          "cells scan lost its partition filter — did partitionBy(__cell) " +
+            "or pruneCells go missing?")
+        assert(f.selectedPartitions.partitionCount === 2,
+          s"nProbe=2 must read 2 of $nCells cell partitions, " +
+            s"read ${f.selectedPartitions.partitionCount}")
+      }
+      val qs = cellScans(graft.llm.Similarity.ivfSearchQ8(reread, one,
+        "vec_id", "embedding", 3, nProbe = 2))
+      assert(qs.nonEmpty, "no cells scan in the ivfSearchQ8 plan")
+      qs.foreach(f => assert(f.selectedPartitions.partitionCount === 2))
+      // the coarse stage must read the byte column only — column pruning
+      // keeps the 4×-larger float vectors out of its scan entirely
+      val coarse = qs.filter(_.requiredSchema.fieldNames.contains("__cq"))
+      assert(coarse.nonEmpty, "no coarse int8 cells scan found")
+      coarse.foreach(f => assert(
+        !f.requiredSchema.fieldNames.contains("__cv"),
+        s"coarse scan reads floats: ${f.requiredSchema.fieldNames.toSeq}"))
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+    }
+  }
+
   test("eventize stays within the per-key partitioning (no extra wide shuffles)") {
     val flagged = series(200)
       .withColumn("flag", when(col("value") % 7 === 0, 1).otherwise(0))

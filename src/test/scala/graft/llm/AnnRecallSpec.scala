@@ -145,6 +145,62 @@ class AnnRecallSpec extends SparkSpec {
     }
   }
 
+  test("ivfTopKQ8 recall >= 0.95 vs brute force; int8 coarse loses nothing vs float IVF") {
+    assume(haveData)
+    val emb = spark.read.parquet(embPath)
+    val queries = emb.filter(col("vec_id") < 20)
+    val k = 3
+    def ids(df: org.apache.spark.sql.DataFrame) =
+      df.select("query_id", "corpus_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val truth = ids(Similarity.bruteForceTopK(queries, emb, "vec_id",
+      "embedding", k))
+    // full-probe: quantization is the only approximation left, and the
+    // oversampled re-rank must absorb it (measured 1.0)
+    val q8Full = ids(Similarity.ivfTopKQ8(emb, queries, "vec_id",
+      "embedding", k, nList = 16, nProbe = 16))
+    val rFull = (truth & q8Full).size.toDouble / truth.size
+    assert(rFull >= 0.95, s"ivfTopKQ8 full-probe recall $rFull < 0.95")
+    // at the registered nProbe=8: whatever the float IVF returns, the
+    // int8 coarse stage must return the same (probing, not rounding, is
+    // the approximation)
+    val float8 = ids(Similarity.ivfTopK(emb, queries, "vec_id",
+      "embedding", k, nList = 16, nProbe = 8))
+    val q88 = ids(Similarity.ivfTopKQ8(emb, queries, "vec_id",
+      "embedding", k, nList = 16, nProbe = 8))
+    val rVsFloat = (float8 & q88).size.toDouble / float8.size
+    info(s"q8 vs float IVF at nProbe=8: $rVsFloat")
+    assert(rVsFloat >= 0.95, s"int8 coarse diverges from float IVF: $rVsFloat")
+  }
+
+  test("quantized IVF index round-trips with its scale and searches identically") {
+    assume(haveData)
+    val emb = spark.read.parquet(embPath)
+    val queries = emb.filter(col("vec_id") < 10)
+    val index = Similarity.ivfBuild(emb, "vec_id", "embedding",
+      nList = 16, quantize = true)
+    assert(index.q8Scale.exists(_ > 0))
+    assert(index.cells.columns.contains("__cq"))
+    val direct = Similarity.ivfSearchQ8(index, queries, "vec_id",
+        "embedding", 3, nProbe = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(3))).toSet
+    val dir = java.nio.file.Files.createTempDirectory("ivfq8").toString
+    try {
+      Similarity.writeIvf(index, dir)
+      val reread = Similarity.readIvf(spark, dir)
+      assert(reread.q8Scale === index.q8Scale,
+        "build-time scale must survive persistence — a search must never " +
+          "rescan the corpus to learn it")
+      assert(reread.cells.columns.contains("__cq"))
+      val fromDisk = Similarity.ivfSearchQ8(reread, queries, "vec_id",
+          "embedding", 3, nProbe = 8)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(3))).toSet
+      assert(fromDisk === direct)
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+    }
+  }
+
   test("quantizedTopK recall >= 0.95 vs bruteForceTopK (int8 coarse + exact re-rank)") {
     assume(haveData)
     val emb = spark.read.parquet(embPath)
