@@ -80,10 +80,89 @@ object StreamingDedup {
     *
     * Semantic delta vs the batch banded-LSH pipeline (minhashCandidates →
     * resolveComponents), documented by design: banded candidates at
-    * est_jaccard < 1 need a PAIR join and component resolution — cross-row
-    * state Structured Streaming cannot bound; the incremental path
-    * catches exact-signature dups online and the periodic batch
-    * compaction sweeps the near-dup tail. */
+    * est_jaccard < 1 need a PAIR join — a stream-stream self-join whose
+    * state Structured Streaming cannot bound. This operator catches
+    * exact-signature dups online; [[nearDupCandidates]] emits the
+    * sub-1.0 candidate pairs incrementally via a stream-STATIC join
+    * against the persisted signature table, and the periodic batch
+    * compaction resolves components. */
+  /** Streaming NEAR-dup candidate emission — the sub-1.0-Jaccard tier
+    * [[minhashDedup]] cannot reach (banded candidates need a PAIR join;
+    * stream-stream self-joins with unbounded state are exactly what
+    * Structured Streaming forbids). The trick is a STREAM-STATIC join:
+    * incoming docs' band buckets ([[rowMinhash]] → the same banding and
+    * bucket hash as `Dedup.minhashCandidates`) probe a persisted
+    * signature table (the output of `Dedup.minhashSignatures` over the
+    * compacted corpus, refreshed by the periodic batch sweep), emitting
+    * `(id_a, id_b, est_jaccard)` candidates incrementally for the next
+    * batch `Dedup.resolveComponents` run.
+    *
+    * Coverage contract: a new doc is paired against everything in the
+    * signature table — pairs BETWEEN two docs of the same increment
+    * (neither yet in the table) surface at the next table refresh, the
+    * same periodic sweep that resolves components. Docs shorter than
+    * `shingleN` words have no shingles and emit nothing (the batch form
+    * drops them from the signature relation identically).
+    *
+    * State: band collisions repeat across bands, so candidates pass
+    * through `dropDuplicatesWithinWatermark` keyed on the ID PAIR — the
+    * only stateful op in the plan, bounded by the watermark. The join
+    * itself is stateless (static side), and the static band table is a
+    * projection the caller can persist alongside the signature table.
+    * StreamingSpec pins stream-emitted ≡ `minhashCandidates` on the
+    * same corpus slice. */
+  def nearDupCandidates(df: DataFrame, signatures: DataFrame, id: String,
+                        ts: String, text: String, shingleN: Int = 3,
+                        numHashes: Int = 32, bands: Int = 8,
+                        minEst: Double = 0.5,
+                        watermark: String = "1 hour"): DataFrame = {
+    require(numHashes % bands == 0,
+      s"numHashes=$numHashes must be a multiple of bands=$bands")
+    val rows = numHashes / bands
+    // static side: same band struct + murmur bucket hash as the batch
+    // candidate generator, so bucket keys agree value-for-value
+    val statBands = (0 until bands).map { b =>
+      val cs = (b * rows until (b + 1) * rows).map(i => col(s"mh$i"))
+      struct(lit(b).as("band"), hash(cs: _*).as("bucket"))
+    }
+    val stat = signatures.select(col(id).as("__id_s"),
+        array((0 until numHashes).map(i => col(s"mh$i")): _*).as("__sig_s"),
+        explode(array(statBands: _*)).as("__b"))
+      .select(col("__id_s"), col("__sig_s"),
+        col("__b.band").as("band"), col("__b.bucket").as("bucket"))
+    // stream side: per-row signature; short docs emit no candidates
+    val sigged = df
+      .withColumn("__sig", rowMinhash(col(text), shingleN, numHashes))
+      .filter(col("__sig.mh0").isNotNull)
+    val strBands = (0 until bands).map { b =>
+      val cs = (b * rows until (b + 1) * rows).map(i => col(s"__sig.mh$i"))
+      struct(lit(b).as("band"), hash(cs: _*).as("bucket"))
+    }
+    val str = sigged.select(col(id).as("__id_a"), col(ts),
+        array((0 until numHashes).map(i => col(s"__sig.mh$i")): _*)
+          .as("__sig_a"),
+        explode(array(strBands: _*)).as("__b"))
+      .select(col("__id_a"), col(ts), col("__sig_a"),
+        col("__b.band").as("band"), col("__b.bucket").as("bucket"))
+    val agree = aggregate(
+      zip_with(col("__sig_a"), col("__sig_s"),
+        (x, y) => when(x === y, 1).otherwise(0)),
+      lit(0), (acc, v) => acc + v)
+    val cand = str.join(stat, Seq("band", "bucket"))
+      .filter(col("__id_a") =!= col("__id_s"))
+      .withColumn("est_jaccard", agree.cast("double") / lit(numHashes))
+      .filter(col("est_jaccard") >= minEst)
+      .select(least(col("__id_a"), col("__id_s")).as("id_a"),
+        greatest(col("__id_a"), col("__id_s")).as("id_b"),
+        col("est_jaccard"), col(ts))
+    val once =
+      if (cand.isStreaming)
+        cand.withWatermark(ts, watermark)
+          .dropDuplicatesWithinWatermark(Seq("id_a", "id_b"))
+      else cand.dropDuplicates(Seq("id_a", "id_b"))
+    once.select("id_a", "id_b", "est_jaccard")
+  }
+
   def minhashDedup(df: DataFrame, ts: String, text: String,
                    shingleN: Int = 3, numHashes: Int = 32,
                    watermark: String = "1 hour"): DataFrame = {

@@ -299,6 +299,47 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-static near-dup candidates equal batch minhashCandidates") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    // clones (est 1.0) plus a one-word edit of doc 1 (est < 1.0) and a
+    // sub-shingle doc that must emit nothing
+    val slice = corpus ++ Seq(
+      (7L, "the quick brown fox jumps over the lazy cat"),
+      (8L, "too short"))
+    val df = slice.toDF("doc_id", "text")
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getLong(1),
+        math.round(r.getDouble(2) * 1e6))
+    val batch = graft.llm.Dedup.minhashCandidates(df, "doc_id", "text",
+        shingleN = 3, numHashes = 16, bands = 8, minEst = 0.5)
+      .collect().map(key).toSet
+    assert(batch.exists(_._3 < 1000000L),
+      "test slice must contain a sub-1.0 candidate pair")
+    // static side: the persisted signature table over the same slice;
+    // stream side: the docs arriving across two micro-batches
+    val sigs = graft.llm.Dedup.minhashSignatures(df, "doc_id", "text",
+      shingleN = 3, numHashes = 16)
+    val input = MemoryStream[(Long, Timestamp, String)]
+    val cand = StreamingDedup.nearDupCandidates(
+      input.toDF().toDF("doc_id", "ts", "text"), sigs, "doc_id", "ts",
+      "text", shingleN = 3, numHashes = 16, bands = 8, minEst = 0.5)
+    val q = cand.writeStream.format("memory").queryName("ndcand")
+      .outputMode("append").start()
+    try {
+      input.addData(slice.take(3).zipWithIndex.map { case ((i, t), k) =>
+        (i, docAt(k), t) }: _*)
+      q.processAllAvailable()
+      input.addData(slice.drop(3).zipWithIndex.map { case ((i, t), k) =>
+        (i, docAt(k + 3), t) }: _*)
+      q.processAllAvailable()
+      val streamed = spark.sql(
+          "select id_a, id_b, est_jaccard from ndcand")
+        .collect().map(key).toSet
+      assert(streamed === batch)
+    } finally q.stop()
+  }
+
   test("minhash dedup keeps every doc shorter than shingleN words") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
