@@ -245,8 +245,21 @@ class GoldenSpec extends SparkSpec {
     val flags = pred.agg(
       sum("detected").cast("double") / count(lit(1))).collect().head.getDouble(0)
     info(f"dummy-BSTS flag rate $flags%.3f (reference artifact: 0.943)")
-    assert(flags > 0.5,
-      s"flag rate $flags — expected the reference's saturated regime")
+    // Why 0.99 and not the artifact's 0.943 — adjudicated in round 8
+    // (see graft.models.BstsFitProbe, Test/runMain): the flag rate is
+    // INSENSITIVE to the MLE optimum. Coordinate rounds 2/3/4 and a
+    // 108-point basin grid reach optima with h spanning 144.8 → 9e-4
+    // (LML -42796.7 → -42742.4, a 0.13% ridge) and every one of them
+    // produces the identical 0.9895 rate, best_k=4, tp=1, fn=0 through
+    // the real detection tail. The residual 0.05 delta vs statsmodels
+    // is the drift phase of two different optimizers' forecasts inside
+    // the SAME saturated regime (the reference's own run flags 94%) —
+    // not a worse likelihood, and not closable by initialization (no
+    // optimum in the searched space moves the rate at all). The
+    // detector tail itself is bit-exact on the reference's forecast
+    // (layer-1 test above).
+    assert(flags > 0.95 && flags <= 1.0,
+      s"flag rate $flags left the pinned saturated regime [0.95, 1.0]")
   }
 
   test("enhanced-BSTS full pipeline (MLE fit) runs end-to-end on NYC-Taxi") {
