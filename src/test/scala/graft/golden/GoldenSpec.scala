@@ -518,6 +518,35 @@ class GoldenSpec extends SparkSpec {
       s"event F1 $f1 below half the golden 0.0488")
   }
 
+  test("exact STL matches the stored statsmodels decomposition per-point") {
+    assume(available, "reference artifacts not present")
+    // The netlib-port decomposition against the notebook's own stored
+    // statsmodels STL(period=48, robust=True) output on NYC-Taxi: every
+    // trend/seasonal value within 1e-6 absolute on a ~20,000-amplitude
+    // series (measured max delta 2e-8 — float64 round-off, see
+    // StlCalibProbe). This is the round-8 upgrade of the STL golden
+    // from tolerance to exact (SURVEY §7.4(3) delta closed).
+    val dir = "/root/reference/notebooks/results/stl/realKnownCause__nyc_taxi.csv"
+    val ref = spark.read.option("header", "true").csv(s"$dir/stl_results.csv")
+      .withColumn("ts", to_timestamp(col("timestamp")))
+      .withColumn("value", col("value").cast("double"))
+      .withColumn("ref_trend", col("trend").cast("double"))
+      .withColumn("ref_seasonal", col("seasonal").cast("double"))
+      .withColumn("series_id", lit("s"))
+    val ours = graft.models.StlExact.decompose(
+      ref.select("series_id", "ts", "value"), "series_id", "ts", "value", 48)
+    val d = ours.join(ref.select("ts", "ref_trend", "ref_seasonal"), "ts")
+      .agg(max(abs(col("trend") - col("ref_trend"))).as("dt"),
+        max(abs(col("seasonal") - col("ref_seasonal"))).as("ds"),
+        count(lit(1)).as("n"))
+      .collect().head
+    assert(d.getAs[Long]("n") === 10320L)
+    assert(d.getAs[Double]("dt") < 1e-6,
+      s"trend delta ${d.getAs[Double]("dt")} vs statsmodels")
+    assert(d.getAs[Double]("ds") < 1e-6,
+      s"seasonal delta ${d.getAs[Double]("ds")} vs statsmodels")
+  }
+
   test("run_bsts detector tail (rolling_sigma_threshold) reproduces all three results/bsts artifacts") {
     assume(available, "reference artifacts not present")
     // src/run_bsts.py's detector differs from the notebooks': it is

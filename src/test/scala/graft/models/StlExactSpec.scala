@@ -53,7 +53,7 @@ class StlExactSpec extends SparkSpec {
       10 + 4 * math.sin(2 * math.Pi * i / period)
         + rng.nextGaussian() * 0.3)
     ys(100) = 100.0 // single gross outlier
-    val (trend, seasonal) = StlExact.stl(ys, period, robustIters = 1)
+    val (trend, seasonal) = StlExact.stl(ys, period, outerIters = 15)
     val resid = Array.tabulate(n)(i => ys(i) - trend(i) - seasonal(i))
     // the outlier's influence on NEIGHBORING residuals stays bounded
     val neighbors = Seq(97, 98, 99, 101, 102, 103)
