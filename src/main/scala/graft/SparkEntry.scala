@@ -526,7 +526,9 @@ object SparkEntry {
           round(col("pred_mean"), 6).as("pred_mean"),
           round(col("resid"), 6).as("resid"), col("split"))),
 
-    // MLlib clustering anomaly scorer (BASELINE north-star approach)
+    // Clustering anomaly scorer (BASELINE north-star approach).
+    // Deterministic since r8 (DetKMeans fixed-shape reductions replace
+    // MLlib's arrival-order float merges), so the fixture oracle applies.
     "q_kmeans" -> ((s, dir) =>
       models.KMeansDetector.run(ev(s, dir), "user_id", "ts", "value")
         .select(col("user_id"), col("ts"), col("cluster"),
@@ -655,9 +657,9 @@ object SparkEntry {
     }),
 
     // LLM-pipeline: IVF ANN top-k (k-means cells + nProbe probing, the
-    // FAISS-style scale path; AnnRecallSpec pins recall 0.98 at
-    // nProbe=8/nList=16 vs brute force). No oracle: MLlib k-means float
-    // reduction order is partitioning-dependent.
+    // FAISS-style scale path; AnnRecallSpec pins recall vs brute
+    // force). Fixture-oracled since r8: DetKMeans clustering is
+    // deterministic for any partitioning.
     "q_ann_ivf" -> ((s, dir) => {
       val embDf = emb(s, dir)
       llm.Similarity.ivfTopK(embDf, embDf.filter(col("vec_id") < 5),
@@ -669,8 +671,8 @@ object SparkEntry {
     // LLM-pipeline: the full FAISS-style stack — IVF cells, int8 coarse
     // scan WITHIN the probed cells (4×-smaller byte column, floats never
     // enter the coarse read), float re-rank of the oversampled
-    // survivors. Same no_oracle reason as q_ann_ivf (MLlib k-means);
-    // AnnRecallSpec pins recall >= 0.95 vs brute force.
+    // survivors. Fixture-oracled since r8 (deterministic DetKMeans
+    // cells); AnnRecallSpec pins recall vs brute force.
     "q_ann_ivf_q8" -> ((s, dir) => {
       val embDf = emb(s, dir)
       llm.Similarity.ivfTopKQ8(embDf, embDf.filter(col("vec_id") < 5),
@@ -1204,6 +1206,9 @@ object SparkEntry {
     // graft.tools.GenFixtures after intentional behavior changes). Only
     // valid for the driver's sf0.01 correctness run.
     "q_ar" -> fixtureSql("q_ar"),
+    "q_kmeans" -> fixtureSql("q_kmeans"),
+    "q_ann_ivf" -> fixtureSql("q_ann_ivf"),
+    "q_ann_ivf_q8" -> fixtureSql("q_ann_ivf_q8"),
     "q_bocpd" -> fixtureSql("q_bocpd"),
     "q_cp_flags" -> fixtureSql("q_cp_flags"),
     "q_kalman" -> fixtureSql("q_kalman"),

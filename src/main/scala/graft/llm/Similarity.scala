@@ -174,29 +174,32 @@ object Similarity {
                       q8Scale: Option[Double] = None)
 
   /** Build an IVF (inverted-file) index — the FAISS-style scale path:
-    * k-means the corpus into `nList` cells (MLlib, seeded), store each
-    * vector under its cell. The expensive parts (the k-means passes and
-    * the corpus shuffle by cell id) happen HERE, once; at 100 TB the
-    * cell assignment is written with [[writeIvf]] and every subsequent
-    * query batch reads it back partition-pruned — never re-clustering,
-    * never re-shuffling the corpus. `quantize = true` additionally
-    * stores a global-absmax int8 copy of each vector (`__cq`) and its
-    * scale — the [[ivfSearchQ8]] coarse stage then scans 4×-smaller
-    * bytes instead of floats. */
+    * k-means the corpus into `nList` cells
+    * ([[graft.models.DetKMeans]]: deterministic for any partitioning,
+    * which is what lets `q_ann_ivf`/`q_ann_ivf_q8` carry fixture
+    * oracles), store each vector under its cell. The expensive parts
+    * (the k-means passes and the corpus shuffle by cell id) happen
+    * HERE, once; at 100 TB the cell assignment is written with
+    * [[writeIvf]] and every subsequent query batch reads it back
+    * partition-pruned — never re-clustering, never re-shuffling the
+    * corpus. `quantize = true` additionally stores a global-absmax
+    * int8 copy of each vector (`__cq`) and its scale — the
+    * [[ivfSearchQ8]] coarse stage then scans 4×-smaller bytes instead
+    * of floats. `id` must be numeric-unique (it orders the
+    * deterministic reduction). */
   def ivfBuild(df: DataFrame, id: String, vec: String,
                nList: Int = 16, quantize: Boolean = false): IvfIndex = {
-    import org.apache.spark.ml.clustering.KMeans
-    import org.apache.spark.ml.functions.array_to_vector
     val scale = if (quantize) Some(Quantize.fitScale(df, vec)) else None
     val base = df.select(col(id).as("corpus_id"), col(vec).as("__cv"))
     val corpus = scale.fold(base)(s =>
         base.withColumn("__cq", Quantize.quantized(col("__cv"), s)))
-      .withColumn("__feat", array_to_vector(col("__cv")))
-    val model = new KMeans().setK(nList).setMaxIter(10).setSeed(13)
-      .setFeaturesCol("__feat").setPredictionCol("__cell")
-      .fit(corpus)
-    IvfIndex(model.transform(corpus).drop("__feat"),
-      model.clusterCenters.map(_.toArray.toSeq).toSeq, scale)
+      .withColumn("__dv", col("__cv").cast("array<double>"))
+    val model = graft.models.DetKMeans.fit(corpus, "__dv", "corpus_id",
+      nList, maxIter = 10, seed = 13L)
+    IvfIndex(
+      corpus.withColumn("__cell", model.assignExpr(col("__dv")))
+        .drop("__dv"),
+      model.centroids.map(_.toSeq).toSeq, scale)
   }
 
   /** Persist an index: cells as parquet PARTITIONED BY cell id (a

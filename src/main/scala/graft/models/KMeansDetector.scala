@@ -1,9 +1,5 @@
 package graft.models
 
-import org.apache.spark.ml.clustering.KMeans
-import org.apache.spark.ml.feature.{StandardScaler, VectorAssembler}
-import org.apache.spark.ml.linalg.Vector
-import org.apache.spark.ml.Pipeline
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
@@ -11,12 +7,18 @@ import graft.core.SeriesOps
 
 /** Clustering-based anomaly scorer (the BASELINE north-star's "MLlib
   * clustering" approach): embed each point as (value, lag_1..lag_m),
-  * fit KMeans on the train split, score every point by the Euclidean
-  * distance to its nearest centroid — large distance = anomalous.
+  * standardize on the train split, fit k-means on it, score every
+  * point by the Euclidean distance to its nearest centroid — large
+  * distance = anomalous.
   *
-  * Fully distributed: lag features are one window pass, KMeans is
-  * MLlib's parallel Lloyd's, scoring is a deterministic model transform.
-  * Seeded for reproducibility.
+  * Deterministic since round 8: both the standardization moments and
+  * the k-means fit ride [[DetKMeans]]' fixed-shape reductions, so the
+  * output (including the discrete `cluster` column) is bit-identical
+  * for any partitioning and `q_kmeans` carries a fixture oracle —
+  * MLlib's StandardScaler+KMeans merged float partials in
+  * shuffle-arrival order and could flip near-boundary assignments
+  * between runs. Scoring is a codegen'd column expression
+  * (d² = v·v − 2·v·c + c·c over literal centroids, native `vec_dot`).
   */
 object KMeansDetector {
 
@@ -27,37 +29,29 @@ object KMeansDetector {
     val lagCols = (1 to lags).map(i => s"${value}_lag$i")
     val complete = lagged.na.drop(lagCols)
     val split = SeriesOps.withSplit(complete, series, ts, trainFrac)
-    val pipeline = new Pipeline().setStages(Array(
-      new VectorAssembler()
-        .setInputCols((value +: lagCols).toArray)
-        .setOutputCol("__feat"),
-      new StandardScaler().setInputCol("__feat").setOutputCol("__scaled")
-        .setWithMean(true).setWithStd(true),
-      new KMeans().setK(k).setSeed(seed).setFeaturesCol("__scaled")
-        .setMaxIter(10).setTol(1e-3)
-        .setPredictionCol("cluster")))
-    val model = pipeline.fit(split.filter(col("split") === "Train"))
-    val kmeans = model.stages.last
-      .asInstanceOf[org.apache.spark.ml.clustering.KMeansModel]
-    val centers = kmeans.clusterCenters
-    // UDF-free distance: d^2 = v.v - 2 v.c + c.c with the centroid as a
-    // literal array and the native vec_dot expression (codegen'd)
-    if (!df.sparkSession.catalog.functionExists("vec_dot"))
-      graft.functions.VecDot.register(df.sparkSession)
-    import org.apache.spark.ml.functions.vector_to_array
-    val varr = vector_to_array(col("__scaled"))
-    val vv = call_function("vec_dot", varr, varr)
-    val d2 = centers.zipWithIndex.map { case (c, i) =>
-      val cArr = typedlit(c.toArray)
-      val vc = call_function("vec_dot", varr, cArr)
-      val cc = c.toArray.map(x => x * x).sum
-      (i, vv - lit(2.0) * vc + lit(cc))
-    }.foldLeft(lit(Double.NaN)) { case (acc, (i, expr)) =>
-      when(col("cluster") === i, expr).otherwise(acc)
+    val featCols = (value +: lagCols).map(c => col(c).cast("double"))
+    val withVec = split
+      .withColumn("__rawf", array(featCols: _*))
+      .withColumn("__ord", xxhash64(col(series).cast("string"), col(ts)))
+    val train = withVec.filter(col("split") === "Train")
+    // standardize with train moments (sample std, zero-variance → 0)
+    val (n, sums, sqs) = DetKMeans.moments(train, "__rawf", "__ord")
+    val mu = sums.map(_ / n)
+    val inv = mu.indices.map { j =>
+      val v = (sqs(j) - n * mu(j) * mu(j)) / (n - 1)
+      if (v > 0) 1.0 / math.sqrt(v) else 0.0
     }
-    model.transform(split)
-      .withColumn("km_score", sqrt(greatest(d2, lit(0.0))))
-      .drop("__feat", "__scaled")
+    val scaled = array(mu.indices.map(j =>
+      (element_at(col("__rawf"), j + 1) - lit(mu(j))) * lit(inv(j))): _*)
+    val withScaled = withVec.withColumn("__scaled", scaled)
+    val model = DetKMeans.fit(
+      withScaled.filter(col("split") === "Train"), "__scaled", "__ord",
+      k, maxIter = 10, seed = seed)
+    withScaled
+      .withColumn("cluster", model.assignExpr(col("__scaled")))
+      .withColumn("km_score", sqrt(greatest(
+        model.dist2Expr(col("__scaled"), col("cluster")), lit(0.0))))
+      .drop("__rawf", "__scaled", "__ord")
       .drop(lagCols: _*)
   }
 }

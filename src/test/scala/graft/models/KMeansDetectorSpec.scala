@@ -35,4 +35,22 @@ class KMeansDetectorSpec extends SparkSpec {
       .agg(sum("km_score")).collect().head.getDouble(0)
     assert(math.abs(a - b) < 1e-9)
   }
+
+  test("fit is bit-identical under different partitioning (incl. cluster ids)") {
+    // the DetKMeans contract that makes q_kmeans/q_ann_ivf fixture-
+    // oracle-able: every reduction has a fixed shape, so shuffle layout
+    // cannot move a single ulp — red if anyone brings back an
+    // arrival-order merge (MLlib KMeans/StandardScaler)
+    val rng = new scala.util.Random(5)
+    val ys = (0 until 300).map(i =>
+      math.sin(i / 8.0) * 4 + rng.nextGaussian())
+    def fp(parts: String): Seq[String] = {
+      spark.conf.set("spark.sql.shuffle.partitions", parts)
+      try KMeansDetector.run(valueSeries(ys), "series_id", "ts", "value")
+        .select("ts", "cluster", "km_score").orderBy("ts")
+        .collect().map(_.toString).toSeq
+      finally spark.conf.set("spark.sql.shuffle.partitions", "2")
+    }
+    assert(fp("3") === fp("17"))
+  }
 }

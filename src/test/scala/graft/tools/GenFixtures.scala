@@ -10,13 +10,15 @@ import org.apache.spark.sql.SparkSession
   *   sbt "Test/runMain graft.tools.GenFixtures"
   *
   * Only queries with fully deterministic plans belong here (mapGroups
-  * per-series recursions, pure column expressions): MLlib solvers whose
-  * float reduction order depends on partitioning (q_kmeans) are
-  * deliberately excluded. q_ar joined in r8 when its ridge fit became a
-  * per-series in-order normal-equations solve.
+  * per-series recursions, pure column expressions, fixed-shape
+  * reductions). As of r8 that is EVERY registered model query: q_ar
+  * joined when its ridge fit became a per-series in-order
+  * normal-equations solve, and q_kmeans/q_ann_ivf/q_ann_ivf_q8 when
+  * DetKMeans replaced MLlib's arrival-order float merges.
   */
 object GenFixtures {
-  val names: Seq[String] = Seq("q_ar", "q_bocpd", "q_cp_flags", "q_kalman",
+  val names: Seq[String] = Seq("q_ar", "q_kmeans", "q_ann_ivf",
+    "q_ann_ivf_q8", "q_bocpd", "q_cp_flags", "q_kalman",
     "q_ci_flags", "q_bsts", "q_bsts_dummy", "q_gp",
     "q_stl_exact", "q_hybrid", "q_minhash", "q_simhash", "q_simhash_multi",
     "q_sig_dedup", "q_langid",
