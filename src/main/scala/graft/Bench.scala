@@ -107,10 +107,17 @@ object Bench {
       val (value, n) =
         if (first < 0) (first, 1)
         else if (first > heavySec) {
-          // genuinely heavy OR a contention spike: one retry, keep the min
+          // genuinely heavy OR a contention spike: one retry, keep the
+          // MIN always (a 2-element "median" would be the max), flag
+          // when the two reps spread past the outlier threshold
           val second = once(name)
           if (second < 0) (first, 1)
-          else (minOrMedian(name, Seq(first, second)), 2)
+          else {
+            val mn = math.min(first, second)
+            val mx = math.max(first, second)
+            if (mn > 0 && mx / mn > 3.0) flagged += name -> (mn, mx)
+            (mn, 2)
+          }
         } else {
           val times = first +: Seq.fill(reps - 1)(once(name)).filter(_ >= 0)
           (minOrMedian(name, times), times.size)
