@@ -569,6 +569,38 @@ object SparkEntry {
       docs(s, dir)
         .select(col("doc_id"), md5(col("text")).as("fp"))),
 
+    // LLM-pipeline: corpus-mixture sampling — per-language keep rates
+    // over a portable Park-Miller id bucket, so the exact subset is
+    // reproducible by the oracle (and any other engine) with plain
+    // 64-bit integer arithmetic. Pure pushed-down filter.
+    "q_sample" -> ((s, dir) =>
+      llm.Sampling.stratifiedSample(docs(s, dir), "doc_id", "lang",
+        Map("en" -> 1.0, "de" -> 0.5, "es" -> 0.5, "fr" -> 0.25,
+          "zh" -> 0.125))
+        .select(col("doc_id"), col("lang"), col("source"))),
+
+    // LLM-pipeline: GPT-style sequence packing — deterministic id-bucket
+    // shards, docs concatenated in id order within each shard, token
+    // stream chunked into 256-token training sequences. One window pass
+    // per shard; shards bound the sort (no global single-task window).
+    "q_pack" -> ((s, dir) =>
+      llm.Sampling.packSequences(docs(s, dir), "doc_id",
+        size(split(col("text"), " ")), 256,
+        llm.Sampling.idBucket(col("doc_id"), 8))
+        .select(col("doc_id"), col("shard"), col("seq_id"),
+          col("seq_offset"))),
+
+    // LLM-pipeline: pretraining decontamination — train docs sharing
+    // >= 2 distinct 3-gram shingles with the held-out benchmark slice
+    // (doc_id % 20 == 0), hot benchmark shingles capped at df 100.
+    "q_decontam" -> ((s, dir) => {
+      val d = docs(s, dir)
+      llm.Dedup.decontaminate(d.filter(col("doc_id") % 20 =!= 0),
+        d.filter(col("doc_id") % 20 === 0), "doc_id", "text",
+        n = 3, minShared = 2, maxDocFreq = 100)
+        .select(col("doc_id"), col("n_shared"))
+    }),
+
     // LLM-pipeline: exact n-gram Jaccard near-dup (shingle-bucketed join)
     "q_ngram_jaccard" -> ((s, dir) =>
       llm.Dedup.ngramJaccard(docs(s, dir), "doc_id", "text",
@@ -1097,6 +1129,40 @@ object SparkEntry {
 
     "q_fingerprint" ->
       """SELECT doc_id, md5(text) AS fp FROM documents""".stripMargin,
+
+    "q_sample" ->
+      """SELECT doc_id, lang, source FROM documents
+        |WHERE (doc_id % 2147483647) * 48271 % 2147483647 % 1000000 <
+        |  CASE lang WHEN 'en' THEN 1000000 WHEN 'de' THEN 500000
+        |            WHEN 'es' THEN 500000 WHEN 'fr' THEN 250000
+        |            WHEN 'zh' THEN 125000 ELSE 0 END""".stripMargin,
+
+    "q_pack" ->
+      """WITH t AS (SELECT doc_id,
+        |    (doc_id % 2147483647) * 48271 % 2147483647 % 8 AS shard,
+        |    len(string_split(text, ' ')) AS toks
+        |  FROM documents),
+        |c AS (SELECT doc_id, shard,
+        |    sum(toks) OVER (PARTITION BY shard ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - toks
+        |      AS strt
+        |  FROM t)
+        |SELECT doc_id, shard, CAST(strt // 256 AS BIGINT) AS seq_id,
+        |  CAST(strt % 256 AS BIGINT) AS seq_offset FROM c""".stripMargin,
+
+    "q_decontam" ->
+      """WITH words AS (SELECT doc_id, string_split(text, ' ') AS w
+        |  FROM documents),
+        |sh AS (SELECT DISTINCT doc_id,
+        |    w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
+        |  FROM (SELECT doc_id, w, unnest(range(1, len(w) - 1)) AS i
+        |        FROM words) wi),
+        |bsh AS (SELECT shingle FROM sh WHERE doc_id % 20 = 0
+        |  GROUP BY shingle HAVING count(*) <= 100)
+        |SELECT t.doc_id, count(*) AS n_shared
+        |FROM sh t JOIN bsh USING (shingle)
+        |WHERE t.doc_id % 20 <> 0
+        |GROUP BY t.doc_id HAVING count(*) >= 2""".stripMargin,
 
     "q_ngram_jaccard" ->
       """WITH words AS (SELECT doc_id, string_split(text, ' ') AS w

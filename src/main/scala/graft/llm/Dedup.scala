@@ -110,6 +110,33 @@ object Dedup {
       .select("id_a", "id_b", "jaccard")
   }
 
+  /** Train/benchmark decontamination — the standard pretraining step:
+    * a training document sharing at least `minShared` distinct word
+    * n-gram shingles with ANY benchmark document is contaminated.
+    * Returns one row per contaminated train doc with its shared count
+    * (callers anti-join to drop them; the relation itself is the audit
+    * artifact a data pipeline wants to keep).
+    *
+    * Shape: shingle-bucketed equi-join like every candidate join here —
+    * never train×bench. `maxDocFreq` caps hot shingles on the BENCHMARK
+    * side (a stopword shingle would "contaminate" the entire corpus
+    * and blow the join up); the benchmark shingle set after the cap is
+    * deduplicated, so each (train doc, shingle) pair counts once no
+    * matter how many benchmark docs contain it. */
+  def decontaminate(train: DataFrame, bench: DataFrame, id: String,
+                    text: String, n: Int = 3, minShared: Int = 2,
+                    maxDocFreq: Int = 100): DataFrame = {
+    val benchSh = shingles(bench, id, text, n)
+    val hot = benchSh.groupBy("shingle").agg(count(lit(1)).as("__bdf"))
+      .filter(col("__bdf") <= maxDocFreq)
+      .select("shingle") // already distinct via the groupBy
+    shingles(train, id, text, n)
+      .join(hot, "shingle")
+      .groupBy(col(id))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+  }
+
   /** 64-bit SimHash per document over whitespace tokens: bit b of the
     * fingerprint is the sign of Σ_token (±1 by bit b of xxhash64(token)).
     * One explode + one groupBy with 64 codegen'd conditional sums. */
