@@ -262,6 +262,40 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("sampling is a shuffle-free scan-stage filter; packing is one exchange") {
+    import spark.implicits._
+    val docs = (0L until 100L)
+      .map(i => (i, if (i % 2 == 0) "en" else "de",
+        s"some text payload number $i with words"))
+      .toDF("doc_id", "lang", "text")
+    val ps = plan(graft.llm.Sampling.stratifiedSample(docs, "doc_id",
+      "lang", Map("en" -> 1.0, "de" -> 0.5)))
+    assert(!ps.contains("Exchange"),
+      s"sampling must stay in the scan stage:\n$ps")
+    val pp = plan(graft.llm.Sampling.packSequences(docs, "doc_id",
+      size(split(col("text"), " ")), 64,
+      graft.llm.Sampling.idBucket(col("doc_id"), 4)))
+    val shuffles = "Exchange hashpartitioning".r.findAllIn(pp).size
+    assert(shuffles == 1,
+      s"packing must shuffle once (by shard), found $shuffles:\n$pp")
+    assert(!pp.contains("Exchange SinglePartition") &&
+      !pp.contains("rangepartitioning"),
+      s"packing must never serialize into a global sort:\n$pp")
+  }
+
+  test("decontamination joins through shingle buckets, never train x bench") {
+    import spark.implicits._
+    val docs = (0L until 60L)
+      .map(i => (i, s"document number $i sharing a text payload base"))
+      .toDF("doc_id", "text")
+    val p = plan(graft.llm.Dedup.decontaminate(
+      docs.filter(col("doc_id") % 10 =!= 0),
+      docs.filter(col("doc_id") % 10 === 0), "doc_id", "text"))
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"decontamination must be a shingle equi-join:\n$p")
+  }
+
   test("eventize stays within the per-key partitioning (no extra wide shuffles)") {
     val flagged = series(200)
       .withColumn("flag", when(col("value") % 7 === 0, 1).otherwise(0))
