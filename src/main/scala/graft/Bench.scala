@@ -91,10 +91,17 @@ object Bench {
     val flagged = scala.collection.mutable.LinkedHashMap[String, (Double, Double)]()
     def minOrMedian(name: String, times: Seq[Double]): Double = {
       val mn = times.min
-      if (mn > 0 && times.max / mn > 3.0) {
+      val med = times.sorted.apply(times.size / 2)
+      if (mn > 0 && med / mn > 3.0) {
+        // MOST reps are slow: a real bimodal/slow path, not a spike —
+        // the median is the honest statistic; one fast rep must not
+        // launder a consistent regression into the headline total
+        flagged += name -> (mn, times.max)
+        med
+      } else if (mn > 0 && times.max / mn > 3.0) {
         flagged += name -> (mn, times.max)
         mn // contention only inflates — the min is the honest statistic
-      } else times.sorted.apply(times.size / 2)
+      } else med
     }
     val results = names.map { name =>
       // full-GC fence between queries: heavy MLlib/MLE neighbors leave
@@ -146,7 +153,7 @@ object Bench {
     // scheme so cross-round consumers know r6+ numbers are warm medians
     // while r1-5 were cold medians — not an apples-to-apples series.
     // r8+: `flagged` queries report the MIN of a >3×-spread rep set.
-    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"reps":$reps,"reps_dev":$rp,"flagged":$fl,"protocol":"warmup-minmedian-r8","errors":$errs,"contended":$loadStart,"load_end":$loadEnd,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"reps":$reps,"reps_dev":$rp,"flagged":$fl,"protocol":"warmup-minmedian-r9","errors":$errs,"contended":$loadStart,"load_end":$loadEnd,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -579,6 +579,16 @@ object SparkEntry {
           "zh" -> 0.125))
         .select(col("doc_id"), col("lang"), col("source"))),
 
+    // LLM-pipeline: epoch-style mixture UPSAMPLING — de ×2.5, zh ×0.5;
+    // integer replication + MCG-bucket fractional remainder, each copy
+    // tagged with a distinct epoch. Same portable integer arithmetic
+    // as q_sample (the oracle reproduces it in plain SQL).
+    "q_sample_up" -> ((s, dir) =>
+      llm.Sampling.stratifiedUpsample(docs(s, dir), "doc_id", "lang",
+        Map("en" -> 1.0, "de" -> 2.5, "zh" -> 0.5))
+        .select(col("doc_id"), col("lang"), col("source"),
+          col("epoch"))),
+
     // LLM-pipeline: GPT-style sequence packing — deterministic id-bucket
     // shards, docs concatenated in id order within each shard, token
     // stream chunked into 256-token training sequences. One window pass
@@ -589,6 +599,18 @@ object SparkEntry {
         llm.Sampling.idBucket(col("doc_id"), 8))
         .select(col("doc_id"), col("shard"), col("seq_id"),
           col("seq_offset"))),
+
+    // LLM-pipeline: doc-spanning pack slices — one row per
+    // (doc, sequence) piece with in-doc offset and length, the exploded
+    // form a training loader consumes when documents cross the
+    // 256-token sequence boundary. Sum of slice_len per doc ≡ its
+    // token count (property-tested in SamplingSpec).
+    "q_pack_slices" -> ((s, dir) =>
+      llm.Sampling.packSlices(docs(s, dir), "doc_id",
+        size(split(col("text"), " ")), 256,
+        llm.Sampling.idBucket(col("doc_id"), 8))
+        .select(col("doc_id"), col("shard"), col("seq_id"),
+          col("slice_start"), col("slice_len"))),
 
     // LLM-pipeline: pretraining decontamination — train docs sharing
     // >= 2 distinct 3-gram shingles with the held-out benchmark slice
@@ -1132,14 +1154,29 @@ object SparkEntry {
 
     "q_sample" ->
       """SELECT doc_id, lang, source FROM documents
-        |WHERE (doc_id % 2147483647) * 48271 % 2147483647 % 1000000 <
+        |WHERE ((doc_id % 2147483646) + 1) * 48271 % 2147483647 % 1000000 <
         |  CASE lang WHEN 'en' THEN 1000000 WHEN 'de' THEN 500000
         |            WHEN 'es' THEN 500000 WHEN 'fr' THEN 250000
         |            WHEN 'zh' THEN 125000 ELSE 0 END""".stripMargin,
 
+    "q_sample_up" ->
+      """WITH t AS (SELECT doc_id, lang, source,
+        |    CASE lang WHEN 'en' THEN 1000000 WHEN 'de' THEN 2500000
+        |              WHEN 'zh' THEN 500000 ELSE 0 END AS ratem,
+        |    ((doc_id % 2147483646) + 1) * 48271 % 2147483647 % 1000000
+        |      AS b
+        |  FROM documents),
+        |c AS (SELECT doc_id, lang, source,
+        |    ratem // 1000000 +
+        |      CASE WHEN b < ratem % 1000000 THEN 1 ELSE 0 END AS copies
+        |  FROM t)
+        |SELECT doc_id, lang, source, CAST(unnest(range(copies)) AS BIGINT)
+        |  AS epoch
+        |FROM c WHERE copies > 0""".stripMargin,
+
     "q_pack" ->
       """WITH t AS (SELECT doc_id,
-        |    (doc_id % 2147483647) * 48271 % 2147483647 % 8 AS shard,
+        |    ((doc_id % 2147483646) + 1) * 48271 % 2147483647 % 8 AS shard,
         |    len(string_split(text, ' ')) AS toks
         |  FROM documents),
         |c AS (SELECT doc_id, shard,
@@ -1149,6 +1186,26 @@ object SparkEntry {
         |  FROM t)
         |SELECT doc_id, shard, CAST(strt // 256 AS BIGINT) AS seq_id,
         |  CAST(strt % 256 AS BIGINT) AS seq_offset FROM c""".stripMargin,
+
+    "q_pack_slices" ->
+      """WITH t AS (SELECT doc_id,
+        |    ((doc_id % 2147483646) + 1) * 48271 % 2147483647 % 8 AS shard,
+        |    len(string_split(text, ' ')) AS toks
+        |  FROM documents),
+        |c AS (SELECT doc_id, shard, toks,
+        |    CAST(sum(toks) OVER (PARTITION BY shard ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - toks
+        |      AS BIGINT) AS strt
+        |  FROM t WHERE toks > 0),
+        |s AS (SELECT doc_id, shard, toks, strt,
+        |    CAST(unnest(range(strt // 256, (strt + toks - 1) // 256 + 1))
+        |      AS BIGINT) AS seq_id
+        |  FROM c)
+        |SELECT doc_id, shard, seq_id,
+        |  greatest(0, seq_id * 256 - strt) AS slice_start,
+        |  least(strt + toks, (seq_id + 1) * 256)
+        |    - greatest(strt, seq_id * 256) AS slice_len
+        |FROM s""".stripMargin,
 
     "q_decontam" ->
       """WITH words AS (SELECT doc_id, string_split(text, ' ') AS w

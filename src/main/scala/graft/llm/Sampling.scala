@@ -15,17 +15,20 @@ object Sampling {
   private val M = 2147483647L // 2^31 − 1
 
   /** Portable pseudo-random bucket of a numeric id: Park–Miller
-    * multiplicative congruential `(id mod M)·48271 mod M`, reduced to
-    * `buckets`. Chosen over xxhash64 DELIBERATELY: every engine
-    * (Spark, DuckDB, any warehouse) computes it exactly with plain
-    * 64-bit integer ops — no overflow (48271·(M−1) < 2^63 keeps ANSI
-    * happy), no engine-specific hash — so a sample drawn here is
+    * multiplicative congruential `((id mod (M−1)) + 1)·48271 mod M`,
+    * reduced to `buckets`. Chosen over xxhash64 DELIBERATELY: every
+    * engine (Spark, DuckDB, any warehouse) computes it exactly with
+    * plain 64-bit integer ops — no overflow (48271·(M−1) < 2^63 keeps
+    * ANSI happy), no engine-specific hash — so a sample drawn here is
     * reproducible bit-for-bit by the DuckDB oracle or any downstream
-    * system. Full-period MCG: id-sequential corpora still spread
-    * uniformly. */
+    * system. The `+1` pre-map keeps the multiplier's input inside the
+    * MCG's full-period domain [1, M−1]: without it, any id ≡ 0 mod M
+    * (notably doc_id 0) is the MCG's fixed point and lands in bucket 0
+    * under every rate, biasing tiny samples. */
   def idBucket(id: Column, buckets: Int): Column = {
     require(buckets > 0)
-    pmod(pmod(id.cast("long"), lit(M)) * lit(48271L), lit(M)) % buckets
+    pmod((pmod(id.cast("long"), lit(M - 1)) + 1L) * lit(48271L), lit(M)) %
+      buckets
   }
 
   /** Deterministic Bernoulli-style subsample: keep a row iff its id
@@ -55,6 +58,38 @@ object Sampling {
     df.filter(idBucket(col(id), den) < threshold)
   }
 
+  /** Mixture weighting with rates above 1 — the epoch-style
+    * "books ×2.5" upsampling a pretraining mixture needs. Each row is
+    * replicated `floor(rate)` times, plus one more copy iff its id
+    * bucket falls below the fractional remainder — the SAME bucket
+    * test as [[stratifiedSample]], so rates ≤ 1 reduce to it exactly
+    * and the kept set still nests monotonically in the rate. Every
+    * copy carries a distinct `epoch` (0-based), so `(id, epoch)` stays
+    * unique downstream. All threshold arithmetic is driver-side
+    * integer math on `floor(rate·den)`; the executor-side work is a
+    * literal CASE plus `explode(sequence(...))` — no shuffle, no RNG
+    * state, reproducible by any engine. Strata absent from `rates`
+    * drop (rate 0), as in [[stratifiedSample]]. */
+  def stratifiedUpsample(df: DataFrame, id: String, stratum: String,
+                         rates: Map[String, Double],
+                         den: Int = 1000000): DataFrame = {
+    require(rates.values.forall(_ >= 0), "rates must be non-negative")
+    val scaled = rates.map { case (s, r) => s -> (r * den).toLong }
+    val full = scaled.foldLeft(lit(0L)) { case (acc, (s, ri)) =>
+      when(col(stratum) === s, lit(ri / den)).otherwise(acc)
+    }
+    val frac = scaled.foldLeft(lit(0L)) { case (acc, (s, ri)) =>
+      when(col(stratum) === s, lit(ri % den)).otherwise(acc)
+    }
+    val copies = full +
+      when(idBucket(col(id), den) < frac, 1L).otherwise(0L)
+    df.withColumn("__copies", copies)
+      .filter(col("__copies") > 0)
+      .withColumn("epoch",
+        explode(sequence(lit(0L), col("__copies") - 1L)))
+      .drop("__copies")
+  }
+
   /** GPT-style greedy sequence packing: within each shard, documents
     * are concatenated in id order and the token stream is chunked
     * every `budget` tokens; each document reports the training
@@ -64,17 +99,60 @@ object Sampling {
     * `shard` bounds the window sort — a global unpartitioned
     * cumulative sum would serialize 100 TB through one task, and real
     * pipelines pack per shard/worker anyway ([[idBucket]] of the doc
-    * id gives deterministic shards; a domain column works too). */
+    * id gives deterministic shards; a domain column works too).
+    *
+    * `id` must be unique within each shard: the running sum uses an
+    * explicit ROWS frame, so duplicate ids would get distinct (but
+    * order-arbitrary) starts instead of the documented concatenation
+    * semantics. */
   def packSequences(df: DataFrame, id: String, tokens: Column,
                     budget: Int, shard: Column): DataFrame = {
     require(budget > 0)
+    // explicit ROWS frame — the default RANGE frame would hand ORDER
+    // BY peers (duplicate ids) one shared cumulative value, silently
+    // diverging from the per-row concatenation contract
     val w = Window.partitionBy(shard).orderBy(col(id))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     df.withColumn("__shard", shard)
       .withColumn("__start", sum(tokens).over(w) - tokens)
       // integral `div`, not floor(double /): exact past 2^53 tokens
       .withColumn("seq_id", expr(s"__start div ${budget}L"))
       .withColumn("seq_offset", pmod(col("__start"), lit(budget.toLong)))
       .drop("__start")
+      .withColumnRenamed("__shard", "shard")
+  }
+
+  /** Exploded form of [[packSequences]]: one row per (document,
+    * training-sequence) SLICE. A doc whose token interval
+    * `[start, start+toks)` crosses sequence boundaries contributes one
+    * row per sequence it touches, with `slice_start` (offset of the
+    * slice within the DOC) and `slice_len` — exactly the pieces a
+    * training loader materializes when a document spans sequences.
+    * Sum of `slice_len` over a doc ≡ its token count; `slice_len` is
+    * in `[1, budget]`. Same single window pass as [[packSequences]]
+    * plus a per-row explode over the touched sequence range — the
+    * fan-out is `ceil(toks/budget)+1` rows max per doc, data-bounded,
+    * no shuffle beyond the shard window. Zero-token docs produce no
+    * slices. */
+  def packSlices(df: DataFrame, id: String, tokens: Column,
+                 budget: Int, shard: Column): DataFrame = {
+    require(budget > 0)
+    val b = lit(budget.toLong)
+    val w = Window.partitionBy(shard).orderBy(col(id))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.withColumn("__shard", shard)
+      .withColumn("__toks", tokens.cast("long"))
+      .withColumn("__start", sum(col("__toks")).over(w) - col("__toks"))
+      .filter(col("__toks") > 0L)
+      .withColumn("seq_id", explode(sequence(
+        expr(s"__start div ${budget}L"),
+        expr(s"(__start + __toks - 1) div ${budget}L"))))
+      .withColumn("slice_start",
+        greatest(lit(0L), col("seq_id") * b - col("__start")))
+      .withColumn("slice_len",
+        least(col("__start") + col("__toks"), (col("seq_id") + 1L) * b) -
+          greatest(col("__start"), col("seq_id") * b))
+      .drop("__toks", "__start")
       .withColumnRenamed("__shard", "shard")
   }
 }

@@ -86,7 +86,14 @@ object AutoRegressor {
         (col("split") === "Train").as("train"))
       .as[ArRow]
     val fits = rows.groupByKey(_.sk).mapGroups { (k, it) =>
-      val train = it.filter(_.train).toArray.sortBy(r => (r.ord, r.y))
+      // content-total order: duplicate (timestamp, value) rows with
+      // different lag vectors would otherwise leave the normal-equation
+      // accumulation order partition-dependent, voiding bit-determinism
+      val train = it.filter(_.train).toArray.sortWith { (a, b) =>
+        if (a.ord != b.ord) a.ord < b.ord
+        else if (a.y != b.y) a.y < b.y
+        else lexLt(a.lags, b.lags)
+      }
       if (train.isEmpty) ArFit(k, Nil, Double.NaN)
       else { val cs = fitOne(train); ArFit(k, cs.init, cs.last) }
     }.toDF()
@@ -171,5 +178,14 @@ object AutoRegressor {
     val pipeline = new Pipeline().setStages(Array(assembler, reg))
     val model = pipeline.fit(split.filter(col("split") === "Train"))
     model.transform(split).drop("features")
+  }
+
+  private def lexLt(a: Seq[Double], b: Seq[Double]): Boolean = {
+    var i = 0
+    while (i < a.length && i < b.length) {
+      if (a(i) != b(i)) return a(i) < b(i)
+      i += 1
+    }
+    a.length < b.length
   }
 }

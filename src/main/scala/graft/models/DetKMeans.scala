@@ -209,30 +209,52 @@ object DetKMeans {
     * vector column — the same fixed-shape two-level reduction as the
     * Lloyd update, for callers that need standardization stats whose
     * last ulp does not depend on shuffle arrival order (an ulp in a
-    * scale factor flips discrete assignments downstream). */
+    * scale factor flips discrete assignments downstream).
+    *
+    * Same streaming shape as [[fit]]: ONE shuffle into bucket-hashed,
+    * content-sorted partitions, then a constant-memory per-partition
+    * fold — no bucket is ever materialized as an in-task Array, so a
+    * bucket's row count bounds nothing (the fold state is one
+    * (sum, sq) pair of `dim` doubles per OPEN bucket, i.e. one). */
   def moments(df: DataFrame, vec: String, ord: String, buckets: Int = 64)
       : (Long, Array[Double], Array[Double]) = {
     val spark = df.sparkSession
     import spark.implicits._
     val rows = df.select(
-      pmod(xxhash64(col(ord)), lit(buckets)).cast("int").as("bucket"),
-      xxhash64(lit(1L), col(ord)).as("hash"),
-      col(ord).cast("long").as("ord"),
-      col(vec).cast("array<double>").as("vec")).as[MomRow]
-    val partials = rows.groupByKey(_.bucket).mapGroups { (b, it) =>
-      val sorted = it.toArray.sortWith { (x, y) =>
-        if (x.hash != y.hash) x.hash < y.hash
-        else if (x.ord != y.ord) x.ord < y.ord
-        else lexLt(x.vec, y.vec)
-      }
-      val dim = sorted(0).vec.length
-      val s = new Array[Double](dim)
-      val q = new Array[Double](dim)
-      sorted.foreach { r =>
+        pmod(xxhash64(col(ord)), lit(buckets)).cast("int").as("bucket"),
+        xxhash64(lit(1L), col(ord)).as("hash"),
+        col(ord).cast("long").as("ord"),
+        col(vec).cast("array<double>").as("vec"))
+      .repartition(buckets, col("bucket"))
+      .sortWithinPartitions(col("bucket"), col("hash"), col("ord"),
+        col("vec"))
+      .as[MomRow]
+    val partials = rows.mapPartitions { it =>
+      // rows arrive in (bucket, hash, ord, vec) order: fold each
+      // bucket's rows in that content-determined order, emit on change
+      val out = scala.collection.mutable.ArrayBuffer[MomPartial]()
+      var curBucket = -1
+      var n = 0L
+      var s: Array[Double] = null
+      var q: Array[Double] = null
+      def flush(): Unit =
+        if (curBucket >= 0) out += MomPartial(curBucket, n, s.toSeq, q.toSeq)
+      it.foreach { r =>
+        if (r.bucket != curBucket) {
+          flush()
+          curBucket = r.bucket
+          n = 0L
+          s = new Array[Double](r.vec.length)
+          q = new Array[Double](r.vec.length)
+        }
         var d = 0
-        while (d < dim) { val v = r.vec(d); s(d) += v; q(d) += v * v; d += 1 }
+        while (d < r.vec.length) {
+          val v = r.vec(d); s(d) += v; q(d) += v * v; d += 1
+        }
+        n += 1
       }
-      MomPartial(b, sorted.length.toLong, s.toSeq, q.toSeq)
+      flush()
+      out.iterator
     }.collect().sortBy(_.bucket)
     require(partials.nonEmpty, "moments of an empty frame")
     val dim = partials(0).sum.length
@@ -253,12 +275,4 @@ object DetKMeans {
     s
   }
 
-  private def lexLt(a: Seq[Double], b: Seq[Double]): Boolean = {
-    var i = 0
-    while (i < a.length && i < b.length) {
-      if (a(i) != b(i)) return a(i) < b(i)
-      i += 1
-    }
-    a.length < b.length
-  }
 }

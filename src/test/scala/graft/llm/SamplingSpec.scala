@@ -87,6 +87,97 @@ class SamplingSpec extends SparkSpec {
     assert(run(2) === run(13))
   }
 
+  test("idBucket has no fixed point at id 0") {
+    import spark.implicits._
+    // pre-fix, id ≡ 0 mod 2^31−1 always mapped to bucket 0 and was
+    // kept by EVERY nonzero rate; the +1 domain map sends 0 → 48271
+    val b = Seq(0L, 2147483646L).toDF("id")
+      .select(Sampling.idBucket(col("id"), 1000000).as("b"))
+      .collect().map(_.getLong(0))
+    assert(b.forall(_ === 48271L))
+  }
+
+  test("stratifiedUpsample replicates by floor(rate) + fractional bucket") {
+    val df = docs(3000) // 1000 each of en/de/zh
+    val up = Sampling.stratifiedUpsample(df, "doc_id", "lang",
+      Map("en" -> 1.0, "de" -> 2.5, "zh" -> 0.25))
+    val rows = up.select("doc_id", "lang", "epoch").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val by = rows.groupBy(_._2).view.mapValues(_.length).toMap
+    assert(by("en") === 1000, "rate 1.0 keeps each doc exactly once")
+    // de ×2.5: every doc twice, ~half a third time
+    assert(by("de") > 2350 && by("de") < 2650, s"de got ${by("de")}/1000")
+    val deCopies = rows.filter(_._2 == "de").groupBy(_._1)
+      .view.mapValues(_.length).toMap
+    assert(deCopies.values.forall(c => c == 2 || c == 3))
+    assert(by.getOrElse("zh", 0) > 150 && by("zh") < 350)
+    // epochs are dense 0..copies-1 per doc → (id, epoch) unique
+    rows.groupBy(r => (r._1, r._2)).foreach { case (_, copies) =>
+      val es = copies.map(_._3).sorted
+      assert(es === (0L until es.length).toSeq)
+    }
+    // rates ≤ 1 reduce exactly to stratifiedSample's kept set
+    val zhUp = rows.filter(_._2 == "zh").map(_._1).toSet
+    val zhFlat = Sampling.stratifiedSample(df, "doc_id", "lang",
+        Map("zh" -> 0.25)).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(zhUp === zhFlat)
+  }
+
+  test("packSlices: per-doc slices reassemble the token count exactly") {
+    val df = docs(400)
+    val budget = 32 // small budget → plenty of docs span sequences
+    val toks = size(split(col("text"), " "))
+    val slices = Sampling.packSlices(df, "doc_id", toks, budget,
+        Sampling.idBucket(col("doc_id"), 4))
+      .select(col("doc_id"), col("shard"), col("seq_id"),
+        col("slice_start"), col("slice_len"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    val expected = df.select(col("doc_id"), toks.as("t")).collect()
+      .map(r => r.getLong(0) -> r.getInt(1).toLong).toMap
+    // every slice is non-empty and fits the budget
+    assert(slices.forall(s => s._5 >= 1 && s._5 <= budget))
+    // per-doc: slices cover [0, toks) contiguously, in seq order
+    slices.groupBy(_._1).foreach { case (id, ss) =>
+      val sorted = ss.sortBy(_._3)
+      assert(sorted.map(_._5).sum === expected(id), s"doc $id total")
+      assert(sorted.head._4 === 0L, s"doc $id first slice offset")
+      sorted.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(b._3 === a._3 + 1, s"doc $id seq gap")
+          assert(b._4 === a._4 + a._5, s"doc $id slice contiguity")
+        case _ => ()
+      }
+    }
+    // consistency with packSequences: a doc's FIRST slice lands at the
+    // (seq_id, seq_offset) the scalar form reports
+    val packed = Sampling.packSequences(df, "doc_id", toks, budget,
+        Sampling.idBucket(col("doc_id"), 4))
+      .select("doc_id", "seq_id", "seq_offset").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    slices.groupBy(_._1).foreach { case (id, ss) =>
+      val first = ss.minBy(_._3)
+      val (seqId, off) = packed(id)
+      assert(first._3 === seqId, s"doc $id first seq")
+      // slice_start 0 at in-sequence offset `off`: a doc starting at
+      // offset off has budget-off tokens in its first slice (or all)
+      assert(first._5 === math.min(expected(id), budget - off),
+        s"doc $id first slice len")
+    }
+  }
+
+  test("packSlices is invariant to input partitioning") {
+    val df = docs(300)
+    def run(parts: Int) = Sampling.packSlices(df.repartition(parts),
+        "doc_id", size(split(col("text"), " ")), 32,
+        Sampling.idBucket(col("doc_id"), 4))
+      .select("doc_id", "shard", "seq_id", "slice_start", "slice_len")
+      .collect().map(_.toString).sorted.toSeq
+    assert(run(2) === run(13))
+  }
+
   test("decontaminate flags exactly the train docs sharing benchmark shingles") {
     import spark.implicits._
     val bench = Seq(
