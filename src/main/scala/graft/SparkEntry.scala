@@ -836,6 +836,20 @@ object SparkEntry {
           round(col("px_std"), 6).as("px_std"), col("decoded"))
     }),
 
+    // LLM-pipeline: REAL audio decode — synthesize a deterministic
+    // PCM-16 WAV per doc (pure integer waveform formula on doc_id) in
+    // the executors, then decode it back with javax.sound.sampled and
+    // emit sample rate / duration / RMS / zero-crossing rate. The
+    // oracle recomputes the features from the FORMULA in plain SQL, so
+    // the hash-match proves the container round-trip is faithful.
+    "q_mm_audio" -> ((s, dir) => {
+      val media = llm.Multimodal.synthesizeAudio(docs(s, dir), "doc_id")
+      llm.Multimodal.extractAudioFeatures(media)
+        .select(col("media_id"), col("sample_rate"), col("channels"),
+          col("n_samples"), col("duration_ms"),
+          round(col("rms"), 6).as("rms"), col("zcr"), col("decoded"))
+    }),
+
     // LLM-pipeline: token counting through the TextAnalysis operators —
     // whitespace count plus the BPE-ish `\w+|[^\w\s]` pre-tokenizer
     // cardinality (stop/punct ratios live in q_quality via withQuality)
@@ -1347,6 +1361,26 @@ object SparkEntry {
     "q_sig_dedup" -> fixtureSql("q_sig_dedup"),
     "q_langid" -> fixtureSql("q_langid"),
     "q_winnow" -> fixtureSql("q_winnow"),
+    "q_mm_audio" ->
+      """WITH d AS (SELECT doc_id, 800 + doc_id % 800 AS n
+        |  FROM documents),
+        |u AS (SELECT doc_id, n, CAST(unnest(range(n)) AS BIGINT) AS i
+        |  FROM d),
+        |s AS (SELECT doc_id, n, i,
+        |    ((doc_id * 31 + i * 17) % 256 - 128) * 256 AS v
+        |  FROM u),
+        |l AS (SELECT doc_id, n, i, v,
+        |    lag(v) OVER (PARTITION BY doc_id ORDER BY i) AS pv
+        |  FROM s)
+        |SELECT doc_id AS media_id, 8000 AS sample_rate, 1 AS channels,
+        |  CAST(max(n) AS BIGINT) AS n_samples,
+        |  CAST(max(n) * 1000 // 8000 AS BIGINT) AS duration_ms,
+        |  round(sqrt(CAST(sum(v * v) AS DOUBLE) / max(n)), 6) AS rms,
+        |  CAST(sum(CASE WHEN pv IS NOT NULL AND (v >= 0) <> (pv >= 0)
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS zcr,
+        |  true AS decoded
+        |FROM l GROUP BY doc_id""".stripMargin,
+
     "q_multimodal" -> fixtureSql("q_multimodal"),
     "q_mm_resize" -> fixtureSql("q_mm_resize"),
     "q_mm_decode" -> fixtureSql("q_mm_decode"),

@@ -18,10 +18,12 @@ import org.apache.spark.sql.types._
   * IMAGE decode is REAL: payloads whose magic bytes identify a
   * PNG/JPEG/BMP/GIF are decoded with the JDK's built-in `javax.imageio`
   * (no native codecs required) into width/height/luma statistics, and
-  * `resize` resamples actual pixels. Non-image payloads (and audio/video,
-  * for which the container has no codecs) fall back to `decodeStub`'s
-  * deterministic byte features, so the batch plumbing stays exercisable
-  * on any binary column.
+  * `resize` resamples actual pixels. AUDIO decode is REAL for WAV/PCM:
+  * `javax.sound.sampled` parses the RIFF container and streams the
+  * frames into duration/RMS/zero-crossing features. Other payloads
+  * (and video, for which the container has no codecs) fall back to
+  * `decodeStub`'s deterministic byte features, so the batch plumbing
+  * stays exercisable on any binary column.
   */
 object Multimodal {
 
@@ -91,6 +93,134 @@ object Multimodal {
           lit(null).cast("long").as("duration_ms")).as("meta"))
   }
 
+  /** Wrap any table with REAL WAV payloads: a deterministic PCM-16
+    * mono waveform is synthesized per row from pure integer arithmetic
+    * on the id — sample `i` of row `id` is
+    * `((id·31 + i·17) mod 256 − 128)·256`, over
+    * `n = 800 + id mod 800` samples at 8 kHz — and encoded through the
+    * JDK's `javax.sound.sampled` into a standard RIFF/WAVE container in
+    * the executors. The formula (not the bytes) is the contract: any
+    * engine can recompute the expected decoded features with plain
+    * integer SQL, which is what makes `q_mm_audio` oracle-checkable
+    * while the payload round-trips through a REAL audio codec path. */
+  def synthesizeAudio(df: DataFrame, id: String,
+                      sampleRate: Int = 8000): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(id).cast("long").as("media_id"))
+      .as[Long]
+      .mapPartitions(_.map { mid =>
+        val n = (800 + math.floorMod(mid, 800L)).toInt
+        val pcm = new Array[Byte](n * 2)
+        var i = 0
+        while (i < n) {
+          val v = ((math.floorMod(mid * 31 + i.toLong * 17, 256L)).toInt
+            - 128) * 256
+          pcm(2 * i) = (v & 0xff).toByte // little-endian 16-bit
+          pcm(2 * i + 1) = ((v >> 8) & 0xff).toByte
+          i += 1
+        }
+        val fmt = new AudioFormat(sampleRate.toFloat, 16, 1, true, false)
+        val ais = new AudioInputStream(
+          new ByteArrayInputStream(pcm), fmt, n.toLong)
+        val baos = new ByteArrayOutputStream()
+        AudioSystem.write(ais, AudioFileFormat.Type.WAVE, baos)
+        (mid, baos.toByteArray, n.toLong * 1000L / sampleRate)
+      })
+      .toDF("media_id", "payload", "__dur")
+      .select(col("media_id"), col("payload"),
+        struct(lit("audio/wav").as("mime"),
+          lit(null).cast("int").as("width"),
+          lit(null).cast("int").as("height"),
+          col("__dur").as("duration_ms")).as("meta"))
+  }
+
+  /** Magic-byte sniff for RIFF/WAVE audio containers. */
+  def sniffAudioMime(bytes: Array[Byte]): Option[String] =
+    if (bytes != null && bytes.length >= 12 &&
+        bytes(0) == 'R' && bytes(1) == 'I' && bytes(2) == 'F' &&
+        bytes(3) == 'F' && bytes(8) == 'W' && bytes(9) == 'A' &&
+        bytes(10) == 'V' && bytes(11) == 'E') Some("audio/wav")
+    else None
+
+  /** Decoded audio features — all integer-exact except `rms`, whose
+    * sum-of-squares accumulates in a Long (exact for any realistic
+    * clip) before the single double divide+sqrt, so the value is
+    * bit-reproducible by any engine doing the same integer sum. */
+  case class AudioFeat(sampleRate: Int, channels: Int, nSamples: Long,
+                       durationMs: Long, rms: Double, zcr: Long)
+
+  /** REAL audio decode via the JDK's `javax.sound.sampled` (WAV/PCM —
+    * no native codecs needed, same posture as the imageio image path).
+    * Parses the container header for format, streams the frames, and
+    * computes duration, RMS, and zero-crossing rate over channel 0.
+    * None for non-WAV, compressed, or non-16-bit payloads — callers
+    * fall back to the stub byte features. */
+  def decodeAudio(bytes: Array[Byte]): Option[AudioFeat] =
+    sniffAudioMime(bytes).flatMap { _ =>
+      try {
+        val ais = AudioSystem.getAudioInputStream(
+          new ByteArrayInputStream(bytes))
+        val fmt = ais.getFormat
+        val ok = fmt.getEncoding ==
+          AudioFormat.Encoding.PCM_SIGNED &&
+          fmt.getSampleSizeInBits == 16 && !fmt.isBigEndian &&
+          fmt.getSampleRate == fmt.getSampleRate.toInt.toFloat
+        if (!ok) None
+        else {
+          val data = ais.readAllBytes()
+          val ch = fmt.getChannels
+          val stride = 2 * ch
+          val frames = data.length / stride
+          if (frames == 0) None
+          else {
+            var sumSq = 0L
+            var zcr = 0L
+            var prevNonNeg = true
+            var f = 0
+            while (f < frames) {
+              val lo = data(f * stride) & 0xff
+              val hi = data(f * stride + 1)
+              val s = (hi << 8) | lo // sign-extends through hi
+              sumSq += s.toLong * s
+              val nonNeg = s >= 0
+              if (f > 0 && nonNeg != prevNonNeg) zcr += 1
+              prevNonNeg = nonNeg
+              f += 1
+            }
+            val sr = fmt.getSampleRate.toInt
+            Some(AudioFeat(sr, ch, frames, frames.toLong * 1000L / sr,
+              math.sqrt(sumSq.toDouble / frames), zcr))
+          }
+        }
+      } catch { case _: Throwable => None }
+    }
+
+  /** Batch audio feature extraction: mapPartitions over the binary
+    * payloads — decoded WAVs get real format/duration/RMS/ZCR columns
+    * with `decoded=true`; everything else keeps null features so the
+    * schema is fixed regardless of content. Partition-parallel, no
+    * driver collection. */
+  def extractAudioFeatures(df: DataFrame): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col("media_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, bytes) =>
+        decodeAudio(bytes) match {
+          case Some(a) =>
+            (id, Some(a.sampleRate), Some(a.channels), Some(a.nSamples),
+              Some(a.durationMs), Some(a.rms), Some(a.zcr), true)
+          case None =>
+            (id, Option.empty[Int], Option.empty[Int], Option.empty[Long],
+              Option.empty[Long], Option.empty[Double], Option.empty[Long],
+              false)
+        }
+      })
+      .toDF("media_id", "sample_rate", "channels", "n_samples",
+        "duration_ms", "rms", "zcr", "decoded")
+  }
+
   /** Magic-byte MIME sniff for the formats `javax.imageio` ships decoders
     * for. Sniffing the payload (not trusting `meta.mime`) is the 100 TB
     * posture: crawled corpora lie about content types. */
@@ -129,8 +259,9 @@ object Multimodal {
 
   /** STUB decoder: deterministic pseudo-features from raw bytes (byte
     * length, simple moments, head/tail hash). The fallback for payloads
-    * that are not decodable images (audio/video have no codecs in this
-    * container) — the signature and batch shape are the real contract. */
+    * that are neither decodable images nor WAV audio (video has no
+    * codecs in this container) — the signature and batch shape are the
+    * real contract. */
   private def decodeStub(bytes: Array[Byte]): Array[Double] = {
     if (bytes == null || bytes.isEmpty) Array(0.0, 0.0, 0.0, 0.0)
     else {

@@ -145,6 +145,70 @@ class MultimodalSpec extends SparkSpec {
     assert(metas(1L) === ((6, 8)))
   }
 
+  test("decodeAudio recovers format and samples from a real WAV") {
+    // hand-built 4-sample 16-bit mono WAV: samples +1000, -1000, 0, 500
+    val samples = Array[Short](1000, -1000, 0, 500)
+    val pcm = new Array[Byte](samples.length * 2)
+    samples.zipWithIndex.foreach { case (s, i) =>
+      pcm(2 * i) = (s & 0xff).toByte
+      pcm(2 * i + 1) = ((s >> 8) & 0xff).toByte
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1, true, false)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, samples.length.toLong)
+    val baos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, baos)
+    val wav = baos.toByteArray
+    assert(Multimodal.sniffAudioMime(wav) === Some("audio/wav"))
+    val a = Multimodal.decodeAudio(wav).get
+    assert(a.sampleRate === 8000)
+    assert(a.channels === 1)
+    assert(a.nSamples === 4L)
+    assert(a.durationMs === 0L) // 4/8000 s rounds down
+    // sum of squares = 1000² + 1000² + 0 + 500² = 2,250,000
+    assert(math.abs(a.rms - math.sqrt(2250000.0 / 4)) < 1e-12)
+    // sign runs: + - + + (0 counts non-negative) → 2 crossings
+    assert(a.zcr === 2L)
+    // non-audio payloads refuse to decode
+    assert(Multimodal.decodeAudio("not a wav".getBytes).isEmpty)
+    assert(Multimodal.decodeAudio(null).isEmpty)
+  }
+
+  test("synthesizeAudio round-trips through the JDK WAV codec exactly") {
+    import spark.implicits._
+    val ids = Seq(0L, 1L, 799L, 800L, 1234L).toDF("doc_id")
+    val feats = Multimodal.extractAudioFeatures(
+        Multimodal.synthesizeAudio(ids, "doc_id"))
+      .collect().map(r => r.getAs[Long]("media_id") -> r).toMap
+    for (id <- Seq(0L, 1L, 799L, 800L, 1234L)) {
+      val n = (800 + id % 800).toInt
+      // reference features straight from the waveform formula
+      val vs = (0 until n).map(i =>
+        ((((id * 31 + i.toLong * 17) % 256).toInt) - 128) * 256)
+      val sumSq = vs.map(v => v.toLong * v).sum
+      var zcr = 0
+      vs.sliding(2).foreach { case Seq(a, b) =>
+        if ((a >= 0) != (b >= 0)) zcr += 1
+      }
+      val r = feats(id)
+      assert(r.getAs[Boolean]("decoded"), s"id $id")
+      assert(r.getAs[Int]("sample_rate") === 8000)
+      assert(r.getAs[Int]("channels") === 1)
+      assert(r.getAs[Long]("n_samples") === n.toLong)
+      assert(r.getAs[Long]("duration_ms") === n.toLong * 1000 / 8000)
+      assert(r.getAs[Double]("rms") === math.sqrt(sumSq.toDouble / n),
+        s"id $id rms")
+      assert(r.getAs[Long]("zcr") === zcr.toLong, s"id $id zcr")
+    }
+    // non-audio payloads flow through with decoded=false, null features
+    val stub = Multimodal.extractAudioFeatures(Multimodal.synthesize(
+      Seq((9L, "plain text")).toDF("doc_id", "text"), "doc_id", "text"))
+      .collect().head
+    assert(!stub.getAs[Boolean]("decoded"))
+    assert(stub.isNullAt(stub.fieldIndex("rms")))
+  }
+
   test("sampleFrames yields one bounded slice per frame index") {
     import spark.implicits._
     val df = Multimodal.synthesize(

@@ -340,6 +340,79 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("compaction loop: incremental candidates + periodic sweep converge to batch") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    // the full documented loop: ingest increments → stream-static
+    // nearDupCandidates against the persisted signature table → periodic
+    // compaction (intra-increment candidate sweep + signature-table
+    // refresh) → resolveComponents. The incremental keep-set must land
+    // exactly on the one-shot batch pipeline's.
+    val slice = corpus ++ Seq(
+      (7L, "the quick brown fox jumps over the lazy cat"), // edit of 1
+      (8L, "pack my box with five dozen liquor jugs now")) // edit of 2
+    // increments chosen so pairs appear in BOTH ways the loop covers
+    // them: (1,3) sits inside increment 1 (only the sweep can see it);
+    // (2,5), (1,7), (2,8) straddle increments (only the stream join
+    // can see them before the final sweep)
+    val incs = Seq(Seq(0, 1, 2), Seq(3, 4, 6), Seq(5, 7))
+      .map(_.map(slice))
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getLong(1), math.round(r.getDouble(2) * 1e6))
+    val ingested = scala.collection.mutable.ArrayBuffer[(Long, String)]()
+    val pairs = scala.collection.mutable.Set[(Long, Long, Long)]()
+    // signature table starts empty; each cycle's compaction refreshes it
+    var sigTable = graft.llm.Dedup.minhashSignatures(
+      slice.toDF("doc_id", "text").limit(0), "doc_id", "text", 3, 16)
+    incs.zipWithIndex.foreach { case (inc, k) =>
+      // --- stream phase: increment probes the CURRENT signature table
+      val input = MemoryStream[(Long, Timestamp, String)]
+      val cand = StreamingDedup.nearDupCandidates(
+        input.toDF().toDF("doc_id", "ts", "text"), sigTable, "doc_id",
+        "ts", "text", shingleN = 3, numHashes = 16, bands = 8,
+        minEst = 0.5)
+      val q = cand.writeStream.format("memory").queryName(s"loop$k")
+        .outputMode("append").start()
+      try {
+        input.addData(inc.zipWithIndex.map { case ((i, t), j) =>
+          (i, docAt(k * 10 + j), t) }: _*)
+        q.processAllAvailable()
+        pairs ++= spark.sql(s"select id_a, id_b, est_jaccard from loop$k")
+          .collect().map(key)
+      } finally q.stop()
+      // --- compaction sweep: candidates WITHIN the increment (neither
+      // side was in the table yet), then refresh the signature table
+      ingested ++= inc
+      pairs ++= graft.llm.Dedup.minhashCandidates(
+          inc.toDF("doc_id", "text"), "doc_id", "text",
+          shingleN = 3, numHashes = 16, bands = 8, minEst = 0.5)
+        .collect().map(key)
+      sigTable = graft.llm.Dedup.minhashSignatures(
+        ingested.toSeq.toDF("doc_id", "text"), "doc_id", "text", 3, 16)
+        .localCheckpoint(true) // persisted-table stand-in
+    }
+    // --- one-shot batch reference over the same corpus
+    val full = slice.toDF("doc_id", "text")
+    val batchPairs = graft.llm.Dedup.minhashCandidates(full, "doc_id",
+        "text", shingleN = 3, numHashes = 16, bands = 8, minEst = 0.5)
+      .collect().map(key).toSet
+    assert(pairs.toSet === batchPairs)
+    // the slice must exercise both tiers: exact clones and sub-1.0 edits
+    assert(batchPairs.exists(_._3 === 1000000L))
+    assert(batchPairs.exists(_._3 < 1000000L))
+    // --- resolve: incremental keep-set ≡ batch keep-set
+    def keepSet(ps: Set[(Long, Long, Long)]) = {
+      val pdf = ps.toSeq.map(p => (p._1, p._2)).toDF("id_a", "id_b")
+      graft.llm.Dedup.resolveComponents(full, pdf, "doc_id")
+        .filter(col("is_kept")).collect()
+        .map(_.getAs[Long]("doc_id")).toSet
+    }
+    val incremental = keepSet(pairs.toSet)
+    assert(incremental === keepSet(batchPairs))
+    // clone/edit clusters {1,3,7} and {2,5,8} each keep their min id
+    assert(incremental === Set(1L, 2L, 4L, 6L))
+  }
+
   test("minhash dedup keeps every doc shorter than shingleN words") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._

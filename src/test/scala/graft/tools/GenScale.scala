@@ -1,0 +1,87 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Generates a scaled-up slice of the driver testdata for scale-proof
+  * benchmarking (VERDICT r8 item 1): every 100×-scale claim rests on
+  * plan shapes pinned at sf0.1, so this tool tiles
+  * documents/embeddings/events by `factor` (default 10×, "sf1") into a
+  * scratch dir and `Bench` is then pointed at both dirs to measure
+  * per-query scaling.
+  *
+  * The tiling is ID-DISJOINT and CONTENT-DISJOINT by construction:
+  *
+  *  - documents: replica r offsets doc_id by r·N and suffixes EVERY
+  *    word with `x<r>` (replica 0 keeps the original text). Suffixing
+  *    every word makes replica shingle sets pairwise disjoint, so
+  *    near-dup/candidate-pair density grows exactly linearly — naive
+  *    replication would instead make every doc a cross-replica clone
+  *    and blow pair counts up quadratically, measuring an artifact
+  *    rather than scaling. n_chars is recomputed from the new text.
+  *  - embeddings: vec_id offset; each dimension nudged by r·1e-4 so
+  *    replicas are distinct points (identical copies would make every
+  *    ANN top-k a 10-way tie) while norms/cluster structure survive.
+  *  - events: user_id/event_id offset per replica — per-series work
+  *    (STL/GP/BSTS/Kalman) scales in SERIES COUNT, the axis a 100 TB
+  *    corpus actually grows along. `ts` is read nanos-as-long and
+  *    written as the same BIGINT nanos, so `SparkEntry.ev`'s
+  *    `ts DIV 1000` path reads the scaled dir identically.
+  *
+  *   sbt "Test/runMain graft.tools.GenScale [src] [out] [factor]"
+  */
+object GenScale {
+  def main(args: Array[String]): Unit = {
+    val src = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val out = if (args.length > 1) args(1) else "/tmp/graft_sf1"
+    val factor = if (args.length > 2) args(2).toInt else 10
+    val spark = SparkSession.builder().master("local[16]")
+      .config("spark.sql.shuffle.partitions", "16")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val reps = broadcast(spark.range(factor).select(col("id").as("__r")))
+
+    val docs = spark.read.parquet(s"$src/documents.parquet")
+    val nDocs = docs.agg(max("doc_id")).head().getLong(0) + 1
+    docs.crossJoin(reps)
+      .select(
+        (col("doc_id") + col("__r") * nDocs).as("doc_id"),
+        when(col("__r") === 0, col("text"))
+          .otherwise(regexp_replace(col("text"), lit("(\\S+)"),
+            concat(lit("$1x"), col("__r").cast("string")))).as("text"),
+        col("lang"), col("source"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .coalesce(1).write.mode("overwrite")
+      .parquet(s"$out/documents.parquet")
+    println(s"[scale] documents x$factor")
+
+    val emb = spark.read.parquet(s"$src/embeddings.parquet")
+    val nVec = emb.agg(max("vec_id")).head().getLong(0) + 1
+    emb.crossJoin(reps)
+      .select(
+        (col("vec_id") + col("__r") * nVec).as("vec_id"),
+        transform(col("embedding"),
+          x => (x + col("__r").cast("float") * lit(1e-4f)).cast("float"))
+          .as("embedding"),
+        col("label"))
+      .coalesce(1).write.mode("overwrite")
+      .parquet(s"$out/embeddings.parquet")
+    println(s"[scale] embeddings x$factor")
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val ev = spark.read.parquet(s"$src/events.parquet")
+    val nUser = ev.agg(max("user_id")).head().getLong(0) + 1
+    val nEvent = ev.agg(max("event_id")).head().getLong(0) + 1
+    ev.crossJoin(reps)
+      .select(
+        (col("event_id") + col("__r") * nEvent).as("event_id"),
+        col("ts"), // BIGINT nanos in and out — ev()'s DIV 1000 still applies
+        (col("user_id") + col("__r") * nUser).as("user_id"),
+        col("event_type"), col("value"), col("props"))
+      .coalesce(2).write.mode("overwrite")
+      .parquet(s"$out/events.parquet")
+    println(s"[scale] events x$factor")
+    spark.stop()
+  }
+}
