@@ -283,6 +283,31 @@ class PlanSpec extends SparkSpec {
       s"packing must never serialize into a global sort:\n$pp")
   }
 
+  test("upsampling explodes in the scan stage; pack slices add no extra exchange") {
+    import spark.implicits._
+    val docs = (0L until 100L)
+      .map(i => (i, if (i % 2 == 0) "en" else "de",
+        s"some text payload number $i with words"))
+      .toDF("doc_id", "lang", "text")
+    // upsample = literal CASE + explode(sequence) — same shuffle-free
+    // scan-stage posture as the flat sampler
+    val pu = plan(graft.llm.Sampling.stratifiedUpsample(docs, "doc_id",
+      "lang", Map("en" -> 1.0, "de" -> 2.5)))
+    assert(!pu.contains("Exchange"),
+      s"upsampling must stay in the scan stage:\n$pu")
+    // packSlices = packSequences' one shard window + a row-local explode:
+    // exactly one hash exchange, never a global sort
+    val pp = plan(graft.llm.Sampling.packSlices(docs, "doc_id",
+      size(split(col("text"), " ")), 64,
+      graft.llm.Sampling.idBucket(col("doc_id"), 4)))
+    val shuffles = "Exchange hashpartitioning".r.findAllIn(pp).size
+    assert(shuffles == 1,
+      s"pack slices must shuffle once (by shard), found $shuffles:\n$pp")
+    assert(!pp.contains("Exchange SinglePartition") &&
+      !pp.contains("rangepartitioning"),
+      s"pack slices must never serialize into a global sort:\n$pp")
+  }
+
   test("decontamination joins through shingle buckets, never train x bench") {
     import spark.implicits._
     val docs = (0L until 60L)

@@ -19,9 +19,16 @@ import org.apache.spark.sql.functions._
   *    replication would instead make every doc a cross-replica clone
   *    and blow pair counts up quadratically, measuring an artifact
   *    rather than scaling. n_chars is recomputed from the new text.
-  *  - embeddings: vec_id offset; each dimension nudged by r·1e-4 so
-  *    replicas are distinct points (identical copies would make every
-  *    ANN top-k a 10-way tie) while norms/cluster structure survive.
+  *  - embeddings: vec_id offset; replica r applies a deterministic
+  *    ORTHOGONAL transform (cyclic dimension rotation by 13·r plus a
+  *    replica-keyed sign pattern). Orthogonality preserves every
+  *    intra-replica dot product bit-for-bit — the workload's geometry
+  *    is untouched — while cross-replica cosines become pseudo-random
+  *    (far below near-dup thresholds). A naive constant nudge keeps
+  *    cross-replica copies at cosine ≈ 1, gifting every vector nine
+  *    true near-dups: pair output then grows quadratically and the
+  *    bench measures that artifact, not the engine (observed 374× on
+  *    q_embed_neardup before this fix).
   *  - events: user_id/event_id offset per replica — per-series work
   *    (STL/GP/BSTS/Kalman) scales in SERIES COUNT, the axis a 100 TB
   *    corpus actually grows along. `ts` is read nanos-as-long and
@@ -58,12 +65,21 @@ object GenScale {
 
     val emb = spark.read.parquet(s"$src/embeddings.parquet")
     val nVec = emb.agg(max("vec_id")).head().getLong(0) + 1
+    val dim = emb.select(size(col("embedding"))).head().getInt(0)
+    // rotate dims by 13·r (13 coprime to 64 → full orbit) and flip the
+    // sign where (src_dim·(r+1)) mod 3 == 0: both maps are orthogonal,
+    // so within a replica all dot products — hence all cosines, cluster
+    // structure, and ANN difficulty — are EXACTLY the original's
     emb.crossJoin(reps)
       .select(
         (col("vec_id") + col("__r") * nVec).as("vec_id"),
-        transform(col("embedding"),
-          x => (x + col("__r").cast("float") * lit(1e-4f)).cast("float"))
-          .as("embedding"),
+        when(col("__r") === 0, col("embedding")).otherwise(
+          transform(sequence(lit(0), lit(dim - 1)), d => {
+            val srcIdx = pmod(d + col("__r") * 13, lit(dim))
+            val x = element_at(col("embedding"), (srcIdx + 1).cast("int"))
+            when(pmod(srcIdx * (col("__r") + 1), lit(3)) === 0, -x)
+              .otherwise(x).cast("float")
+          })).as("embedding"),
         col("label"))
       .coalesce(1).write.mode("overwrite")
       .parquet(s"$out/embeddings.parquet")
