@@ -836,6 +836,19 @@ object SparkEntry {
           round(col("px_std"), 6).as("px_std"), col("decoded"))
     }),
 
+    // LLM-pipeline: frame-sampling plumbing — fixed-stride windows over
+    // the payload, one row per (media, frame). Over the synthesized
+    // UTF-8 payloads the byte arithmetic is SQL-expressible, so the
+    // operator joins the oracle gate (the text is pure ASCII, making
+    // byte-substr and char-substr coincide).
+    "q_mm_frames" -> ((s, dir) => {
+      val media = llm.Multimodal.synthesize(docs(s, dir), "doc_id",
+        "text")
+      llm.Multimodal.sampleFrames(media, frames = 4)
+        .select(col("media_id"), col("frame_idx"),
+          decode(col("frame_bytes"), "UTF-8").as("frame_str"))
+    }),
+
     // LLM-pipeline: REAL audio decode — synthesize a deterministic
     // PCM-16 WAV per doc (pure integer waveform formula on doc_id) in
     // the executors, then decode it back with javax.sound.sampled and
@@ -1361,6 +1374,17 @@ object SparkEntry {
     "q_sig_dedup" -> fixtureSql("q_sig_dedup"),
     "q_langid" -> fixtureSql("q_langid"),
     "q_winnow" -> fixtureSql("q_winnow"),
+    "q_mm_frames" ->
+      """WITH m AS (SELECT doc_id AS media_id, text, length(text) AS n
+        |  FROM documents),
+        |f AS (SELECT media_id, text, greatest(n // 4, 1) AS step,
+        |    CAST(unnest(range(4)) AS INT) AS frame_idx
+        |  FROM m)
+        |SELECT media_id, frame_idx,
+        |  substr(text, frame_idx * step + 1, 16) AS frame_str
+        |FROM f
+        |WHERE length(substr(text, frame_idx * step + 1, 16)) > 0""".stripMargin,
+
     "q_mm_audio" ->
       """WITH d AS (SELECT doc_id, 800 + doc_id % 800 AS n
         |  FROM documents),
