@@ -124,6 +124,41 @@ class SamplingSpec extends SparkSpec {
     assert(zhUp === zhFlat)
   }
 
+  test("upsample composes with packing via a composite (id, epoch) key") {
+    // packSequences requires a unique id per shard; upsampling emits
+    // (id, epoch) copies, so the composition derives a packing key
+    // id·K + epoch (exact for epoch < K) — the documented pattern for
+    // feeding an upsampled mixture into the packer
+    val df = docs(300)
+    val up = Sampling.stratifiedUpsample(df, "doc_id", "lang",
+      Map("en" -> 2.0, "de" -> 1.5, "zh" -> 1.0))
+      .withColumn("pack_id", col("doc_id") * 8 + col("epoch"))
+    val packed = Sampling.packSequences(up, "pack_id",
+        size(split(col("text"), " ")), 64,
+        Sampling.idBucket(col("pack_id"), 4))
+      .select(col("pack_id"), col("shard"), col("seq_id"),
+        col("seq_offset"), size(split(col("text"), " ")).as("toks"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getInt(4)))
+    // every upsampled copy packs exactly once, chunks reconstruct
+    assert(packed.length === packed.map(_._1).distinct.length)
+    packed.groupBy(_._2).foreach { case (_, rows) =>
+      var start = 0L
+      rows.sortBy(_._1).foreach { case (id, _, seqId, off, toks) =>
+        assert(seqId === start / 64, s"copy $id seq_id")
+        assert(off === start % 64, s"copy $id offset")
+        start += toks
+      }
+    }
+    // en docs appear exactly twice (rate 2.0) under distinct pack ids
+    val enCopies = packed.map(_._1 / 8).groupBy(identity)
+      .view.mapValues(_.length).toMap
+    val enIds = df.filter(col("lang") === "en")
+      .select("doc_id").collect().map(_.getLong(0))
+    enIds.foreach(id => assert(enCopies(id) === 2, s"doc $id copies"))
+  }
+
   test("packSlices: per-doc slices reassemble the token count exactly") {
     val df = docs(400)
     val budget = 32 // small budget → plenty of docs span sequences

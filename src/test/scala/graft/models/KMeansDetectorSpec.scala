@@ -53,4 +53,29 @@ class KMeansDetectorSpec extends SparkSpec {
     }
     assert(fp("3") === fp("17"))
   }
+
+  test("moments are bit-identical under different partitioning and correct") {
+    // r9 rewrote moments from groupByKey+toArray to the fit-style
+    // streaming partition fold — same contract, bounded task memory:
+    // red if the fold order ever becomes partition-layout-dependent
+    import spark.implicits._
+    val rng = new scala.util.Random(5)
+    val rows = (0 until 3000).map(i =>
+      (i.toLong, Seq.fill(4)(rng.nextDouble() * (1 + i % 7))))
+    def run(parts: Int) = {
+      val df = rows.toDF("ord", "vec").repartition(parts)
+      DetKMeans.moments(df, "vec", "ord")
+    }
+    val (n1, s1, q1) = run(2)
+    val (n2, s2, q2) = run(17)
+    assert(n1 === 3000L && n2 === 3000L)
+    assert(s1.toSeq === s2.toSeq, "sums must not move an ulp")
+    assert(q1.toSeq === q2.toSeq, "sum-of-squares must not move an ulp")
+    // sanity vs a driver-side fold (order differs → tolerance, not bits)
+    val exp = Array.fill(4)(0.0)
+    rows.foreach { case (_, v) =>
+      v.zipWithIndex.foreach { case (x, d) => exp(d) += x } }
+    s1.zip(exp).foreach { case (a, b) =>
+      assert(math.abs(a - b) < 1e-9, s"$a vs $b") }
+  }
 }

@@ -98,6 +98,16 @@ object GenScale {
       .coalesce(2).write.mode("overwrite")
       .parquet(s"$out/events.parquet")
     println(s"[scale] events x$factor")
+
+    // copy the TPC-H-style tables through UNSCALED so the full query
+    // surface runs against the out dir (their queries then measure ~1×
+    // and are excluded from scaling ratios — see BENCH_SCALE.md)
+    for (t <- Seq("region", "nation", "customer", "supplier", "part",
+        "orders", "lineitem")) {
+      spark.read.parquet(s"$src/$t.parquet")
+        .coalesce(1).write.mode("overwrite").parquet(s"$out/$t.parquet")
+      println(s"[scale] $t copied (unscaled)")
+    }
     spark.stop()
   }
 }
