@@ -836,6 +836,34 @@ object SparkEntry {
           round(col("px_std"), 6).as("px_std"), col("decoded"))
     }),
 
+    // LLM-pipeline: END-TO-END corpus assembly — the composition a real
+    // pretraining pipeline runs as one job: quality-score filter →
+    // exact dedup (min-id keep per content fingerprint) → per-language
+    // mixture sample → sequence packing. Every stage is an operator
+    // with its own oracle-checked query; this query proves they
+    // COMPOSE (the oracle replays the whole chain as one SQL CTE
+    // pipeline). Plan: scan-stage quality filter, one dedup aggregate
+    // exchange, a broadcast keep-set join, scan-stage sample filter,
+    // one shard-window exchange — TWO shuffles end to end (PlanSpec),
+    // nothing driver-side.
+    "q_corpus" -> ((s, dir) => {
+      val scored = llm.TextAnalysis.withQuality(docs(s, dir), "text")
+        .filter(col("quality_score") >= 0.5)
+        .withColumn("__fp", md5(col("text")))
+      val keep = llm.Dedup.exact(scored, "doc_id", Seq("__fp"))
+        .select(col("keep_id").as("doc_id"))
+      val sampled = llm.Sampling.stratifiedSample(
+        scored.join(keep, "doc_id"), "doc_id", "lang",
+        Map("en" -> 1.0, "de" -> 0.5, "es" -> 0.5, "fr" -> 0.25,
+          "zh" -> 0.125))
+      llm.Sampling.packSequences(sampled, "doc_id",
+          size(split(col("text"), " ")), 256,
+          llm.Sampling.idBucket(col("doc_id"), 8))
+        .select(col("doc_id"), col("lang"),
+          round(col("quality_score"), 6).as("quality_score"),
+          col("shard"), col("seq_id"), col("seq_offset"))
+    }),
+
     // LLM-pipeline: frame-sampling plumbing — fixed-stride windows over
     // the payload, one row per (media, frame). Over the synthesized
     // UTF-8 payloads the byte arithmetic is SQL-expressible, so the
@@ -1374,6 +1402,45 @@ object SparkEntry {
     "q_sig_dedup" -> fixtureSql("q_sig_dedup"),
     "q_langid" -> fixtureSql("q_langid"),
     "q_winnow" -> fixtureSql("q_winnow"),
+    "q_corpus" ->
+      """WITH q AS (SELECT doc_id, lang, text,
+        |    length(text) AS len,
+        |    length(text) - length(replace(text, ' ', '')) + 1 AS n_tokens,
+        |    len(list_filter(string_split(text, ' '),
+        |      w -> w IN ('the','a','and','of','to','in','is','it')))
+        |      AS stop_hits
+        |  FROM documents),
+        |s AS (SELECT doc_id, lang, text,
+        |    (CASE WHEN n_tokens BETWEEN 10 AND 1000 THEN 0.4 ELSE 0.0 END
+        |     + CASE WHEN CAST(len - n_tokens + 1 AS DOUBLE)/n_tokens
+        |         BETWEEN 2.0 AND 12.0 THEN 0.3 ELSE 0.0 END
+        |     + least(CAST(stop_hits AS DOUBLE)/n_tokens * 3.0, 0.3))
+        |      AS quality_score
+        |  FROM q),
+        |g AS (SELECT * FROM s WHERE quality_score >= 0.5),
+        |k AS (SELECT *, min(doc_id) OVER (PARTITION BY md5(text))
+        |    AS keep_id FROM g),
+        |d AS (SELECT doc_id, lang, quality_score, text FROM k
+        |  WHERE doc_id = keep_id),
+        |m AS (SELECT doc_id, lang, quality_score,
+        |    len(string_split(text, ' ')) AS toks,
+        |    ((doc_id % 2147483646) + 1) * 48271 % 2147483647 AS h
+        |  FROM d
+        |  WHERE ((doc_id % 2147483646) + 1) * 48271 % 2147483647
+        |      % 1000000 <
+        |    CASE lang WHEN 'en' THEN 1000000 WHEN 'de' THEN 500000
+        |              WHEN 'es' THEN 500000 WHEN 'fr' THEN 250000
+        |              WHEN 'zh' THEN 125000 ELSE 0 END),
+        |c AS (SELECT doc_id, lang, quality_score, h % 8 AS shard,
+        |    CAST(sum(toks) OVER (PARTITION BY h % 8 ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - toks
+        |      AS BIGINT) AS strt
+        |  FROM m)
+        |SELECT doc_id, lang, round(quality_score, 6) AS quality_score,
+        |  shard, CAST(strt // 256 AS BIGINT) AS seq_id,
+        |  CAST(strt % 256 AS BIGINT) AS seq_offset
+        |FROM c""".stripMargin,
+
     "q_mm_frames" ->
       """WITH m AS (SELECT doc_id AS media_id, text, length(text) AS n
         |  FROM documents),

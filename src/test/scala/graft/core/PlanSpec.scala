@@ -308,6 +308,35 @@ class PlanSpec extends SparkSpec {
       s"pack slices must never serialize into a global sort:\n$pp")
   }
 
+  test("corpus-assembly composition shuffles twice end to end") {
+    import spark.implicits._
+    // quality filter + exact dedup + mixture sample + packing as one
+    // job must cost: one dedup-aggregate exchange + one shard-window
+    // exchange, with the keep-set joined by broadcast — the composed
+    // plan a 100 TB assembly run would want
+    val docs = (0L until 200L)
+      .map(i => (i, if (i % 2 == 0) "en" else "de",
+        ("the quick brown fox and a dog of it is in town " * (1 + (i % 3).toInt)).trim))
+      .toDF("doc_id", "lang", "text")
+    val scored = graft.llm.TextAnalysis.withQuality(docs, "text")
+      .filter(col("quality_score") >= 0.5)
+      .withColumn("__fp", md5(col("text")))
+    val keep = graft.llm.Dedup.exact(scored, "doc_id", Seq("__fp"))
+      .select(col("keep_id").as("doc_id"))
+    val sampled = graft.llm.Sampling.stratifiedSample(
+      scored.join(keep, "doc_id"), "doc_id", "lang",
+      Map("en" -> 1.0, "de" -> 0.5))
+    val p = plan(graft.llm.Sampling.packSequences(sampled, "doc_id",
+      size(split(col("text"), " ")), 64,
+      graft.llm.Sampling.idBucket(col("doc_id"), 4)))
+    val shuffles = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(shuffles == 2,
+      s"composition must shuffle exactly twice, found $shuffles:\n$p")
+    assert(!p.contains("Exchange SinglePartition") &&
+      !p.contains("rangepartitioning") && !p.contains("CartesianProduct"),
+      s"no global serialization or cross join in the composition:\n$p")
+  }
+
   test("decontamination joins through shingle buckets, never train x bench") {
     import spark.implicits._
     val docs = (0L until 60L)
