@@ -86,9 +86,11 @@ object Bench {
       try src.getLines().next().split(" ")(0) finally src.close()
     } catch { case _: Throwable => "-1" }
     val loadStart = loadavg()
-    // queries whose reps spread >3×: (min kept, max seen) — contention
-    // evidence, recorded instead of silently laundered into the median
-    val flagged = scala.collection.mutable.LinkedHashMap[String, (Double, Double)]()
+    // queries whose reps spread >3×: (min, max, statistic reported) —
+    // contention evidence, recorded instead of silently laundered into
+    // the median; the tag says which statistic the headline time used
+    val flagged =
+      scala.collection.mutable.LinkedHashMap[String, (Double, Double, String)]()
     def minOrMedian(name: String, times: Seq[Double]): Double = {
       val mn = times.min
       val med = times.sorted.apply(times.size / 2)
@@ -96,10 +98,10 @@ object Bench {
         // MOST reps are slow: a real bimodal/slow path, not a spike —
         // the median is the honest statistic; one fast rep must not
         // launder a consistent regression into the headline total
-        flagged += name -> (mn, times.max)
+        flagged += name -> ((mn, times.max, "median"))
         med
       } else if (mn > 0 && times.max / mn > 3.0) {
-        flagged += name -> (mn, times.max)
+        flagged += name -> ((mn, times.max, "min"))
         mn // contention only inflates — the min is the honest statistic
       } else med
     }
@@ -122,7 +124,7 @@ object Bench {
           else {
             val mn = math.min(first, second)
             val mx = math.max(first, second)
-            if (mn > 0 && mx / mn > 3.0) flagged += name -> (mn, mx)
+            if (mn > 0 && mx / mn > 3.0) flagged += name -> ((mn, mx, "min"))
             (mn, 2)
           }
         } else {
@@ -145,15 +147,18 @@ object Bench {
     val total = results.collect { case (_, v, _) if v >= 0 => v }.sum
     val errs = errors.distinct.map(e => "\"" + e.replace("\"", "'") + "\"")
       .mkString("[", ",", "]")
-    val fl = flagged.map { case (k, (mn, mx)) =>
-      "\"" + k + "\":[" + r3(mn) + "," + r3(mx) + "]"
+    val fl = flagged.map { case (k, (mn, mx, stat)) =>
+      "\"" + k + "\":[" + r3(mn) + "," + r3(mx) + ",\"" + stat + "\"]"
     }.mkString("{", ",", "}")
     // `reps` stays the configured int (the rounds-1..5 meaning); per-query
     // deviations live in `reps_dev`, and `protocol` names the measurement
     // scheme so cross-round consumers know r6+ numbers are warm medians
     // while r1-5 were cold medians — not an apples-to-apples series.
-    // r8+: `flagged` queries report the MIN of a >3×-spread rep set.
-    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"reps":$reps,"reps_dev":$rp,"flagged":$fl,"protocol":"warmup-minmedian-r9","errors":$errs,"contended":$loadStart,"load_end":$loadEnd,"sf":"$sfDir"}""")
+    // r9+: a `flagged` query reports the MEDIAN when median/min > 3× (most
+    // reps slow — a real slow regime) and the MIN otherwise (one inflated
+    // rep — contention); r10+ each flagged entry is [min, max, stat] where
+    // `stat` names the statistic its headline time used.
+    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"reps":$reps,"reps_dev":$rp,"flagged":$fl,"protocol":"warmup-minmedian-r10","errors":$errs,"contended":$loadStart,"load_end":$loadEnd,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

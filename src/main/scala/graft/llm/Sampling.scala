@@ -45,15 +45,19 @@ object Sampling {
   /** Mixture sampling: per-stratum keep rates (the "sample web at 50%,
     * books at 100%" language/domain-weighting step). Strata absent
     * from `fractions` are dropped — the mixture is explicit. Rates are
-    * fixed-denominator integers (`floor(rate·den)`) so the oracle can
+    * fixed-denominator integers (`round(rate·den)`) so the oracle can
     * reproduce the exact threshold arithmetic. Pure filter, as above;
     * the per-stratum threshold is a broadcast-free literal CASE. */
   def stratifiedSample(df: DataFrame, id: String, stratum: String,
                        fractions: Map[String, Double],
                        den: Int = 1000000): DataFrame = {
     require(fractions.values.forall(f => f >= 0 && f <= 1))
+    // Math.round, not toInt: truncation of the binary-imprecise double
+    // product can come out one ulp low (2.3*1e6 -> 2299999), silently
+    // diverging from an oracle's exact floor(rate*den). Rates that are
+    // exact multiples of 1/den round to the mathematical product.
     val threshold = fractions.foldLeft(lit(0)) { case (acc, (s, f)) =>
-      when(col(stratum) === s, lit((f * den).toInt)).otherwise(acc)
+      when(col(stratum) === s, lit(Math.round(f * den).toInt)).otherwise(acc)
     }
     df.filter(idBucket(col(id), den) < threshold)
   }
@@ -66,7 +70,7 @@ object Sampling {
     * and the kept set still nests monotonically in the rate. Every
     * copy carries a distinct `epoch` (0-based), so `(id, epoch)` stays
     * unique downstream. All threshold arithmetic is driver-side
-    * integer math on `floor(rate·den)`; the executor-side work is a
+    * integer math on `round(rate·den)`; the executor-side work is a
     * literal CASE plus `explode(sequence(...))` — no shuffle, no RNG
     * state, reproducible by any engine. Strata absent from `rates`
     * drop (rate 0), as in [[stratifiedSample]]. */
@@ -74,7 +78,8 @@ object Sampling {
                          rates: Map[String, Double],
                          den: Int = 1000000): DataFrame = {
     require(rates.values.forall(_ >= 0), "rates must be non-negative")
-    val scaled = rates.map { case (s, r) => s -> (r * den).toLong }
+    // Math.round for the same one-ulp reason as in stratifiedSample
+    val scaled = rates.map { case (s, r) => s -> Math.round(r * den) }
     val full = scaled.foldLeft(lit(0L)) { case (acc, (s, ri)) =>
       when(col(stratum) === s, lit(ri / den)).otherwise(acc)
     }
@@ -154,5 +159,45 @@ object Sampling {
           greatest(col("__start"), col("seq_id") * b))
       .drop("__toks", "__start")
       .withColumnRenamed("__shard", "shard")
+  }
+
+  /** Deterministic corpus SHUFFLE with a contiguous global position —
+    * the "randomize training order, reproducibly" step. Global order is
+    * `(idBucket(id, den), id)`: pseudo-random by the same portable
+    * Park–Miller bucket as the samplers (any engine reproduces the
+    * permutation), id as tie-break.
+    *
+    * A naive `row_number() OVER (ORDER BY ...)` is a single-task global
+    * sort — dead at scale. Instead the bucket range is cut into
+    * `nShards` CONTIGUOUS sub-ranges (`shard = bucket·nShards div den`,
+    * so shard boundaries agree with the global order), each shard is
+    * ranked with a per-shard window, and shard row-counts — an
+    * `nShards`-row aggregate — are prefix-summed and broadcast back as
+    * offsets: `pos = offset(shard) + rank − 1`. Two bounded exchanges
+    * (shard window + tiny count agg) replace the global sort; the
+    * result is exactly the rank the global ORDER BY would assign.
+    *
+    * Output: input columns + `shard` (int) + `pos` (long, 0-based,
+    * contiguous 0..n−1). */
+  def globalOrdinal(df: DataFrame, id: String, nShards: Int = 64,
+                    den: Int = 1000000): DataFrame = {
+    require(nShards >= 1 && nShards <= den)
+    val bucket = idBucket(col(id), den)
+    val withS = df
+      .withColumn("__bucket", bucket)
+      .withColumn("shard",
+        expr(s"__bucket * ${nShards}L div ${den}L").cast("int"))
+    val w = Window.partitionBy(col("shard"))
+      .orderBy(col("__bucket"), col(id))
+    val ranked = withS.withColumn("__rn", row_number().over(w).cast("long"))
+    val offsets = withS.groupBy(col("shard"))
+      .agg(count(lit(1)).as("__cnt"))
+      .withColumn("__off", coalesce(
+        sum(col("__cnt")).over(Window.orderBy(col("shard"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("shard"), col("__off"))
+    ranked.join(broadcast(offsets), "shard")
+      .withColumn("pos", col("__off") + col("__rn") - 1L)
+      .drop("__bucket", "__rn", "__off")
   }
 }

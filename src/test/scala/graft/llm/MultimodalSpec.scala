@@ -225,4 +225,19 @@ class MultimodalSpec extends SparkSpec {
     val f0 = frames.find(_.getAs[Int]("frame_idx") == 0).get
     assert(new String(f0.getAs[Array[Byte]]("frame_bytes")).startsWith("01234"))
   }
+
+  test("q_mm_frames oracle invariant: fixture document text is pure ASCII") {
+    // q_mm_frames' oracle equates Spark BYTE-substr over the UTF-8
+    // payload with DuckDB CHAR-substr over text — valid only while every
+    // character is single-byte. This fails loudly if multi-byte text
+    // (e.g. real zh corpora) ever lands in the driver fixtures, instead
+    // of letting the oracle gate silently diverge.
+    for (sf <- Seq("sf0.001", "sf0.01")) {
+      val docs = spark.read.parquet(s"/root/testdata/$sf/documents.parquet")
+      val bad =
+        docs.filter(length(col("text")) =!= octet_length(col("text"))).count()
+      assert(bad === 0L, s"$sf has non-ASCII document text: byte-substr " +
+        "and char-substr no longer coincide for the q_mm_frames oracle")
+    }
+  }
 }
