@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.core.SeriesOps
@@ -26,14 +27,27 @@ import graft.models.StlLite
   */
 object SparkEntry {
 
-  /** events scan: Spark 4 rejects TIMESTAMP(NANOS) parquet, so read ns as
-    * long and floor-divide to µs (exact integer math — a double division
-    * would lose precision above 2^53). */
-  private def ev(s: SparkSession, dir: String): DataFrame = {
+  /** events scan, robust to BOTH driver-testdata generations:
+    *  - TIMESTAMP(NANOS) parquet (rounds 1-9): Spark 4 rejects it, so
+    *    the legacy conf reads ns as BIGINT, floor-divided to µs (exact
+    *    integer math — a double division would lose precision above
+    *    2^53), then `timestamp_micros`;
+    *  - native timestamp[us] parquet (round 10+): read as
+    *    TIMESTAMP_NTZ, cast to the session-TZ timestamp — identical
+    *    instants under the pinned UTC session TZ, and the same µs
+    *    values DuckDB sees in its naive TIMESTAMP read. */
+  def readEvents(s: SparkSession, dir: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    s.read.parquet(s"$dir/events.parquet")
-      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+    val raw = s.read.parquet(s"$dir/events.parquet")
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+      case _ => raw.withColumn("ts", col("ts").cast("timestamp"))
+    }
   }
+
+  private def ev(s: SparkSession, dir: String): DataFrame =
+    readEvents(s, dir)
 
   private def tbl(s: SparkSession, dir: String, name: String): DataFrame =
     s.read.parquet(s"$dir/$name.parquet")
@@ -623,6 +637,32 @@ object SparkEntry {
         .select(col("doc_id"), col("n_shared"))
     }),
 
+    // LLM-pipeline: decontamination at the 100 TB shape — identical
+    // OUTPUT to q_decontam (same oracle SQL), but the train-side shingle
+    // stream is prefiltered inside its scan stage by a broadcast bloom
+    // sketch of the benchmark shingles (Spark's own
+    // BloomFilterAggregate/MightContain pair, registry-exposed); the
+    // exact equi-join then removes bloom false positives, so the
+    // approximation never reaches the result — it only shrinks the
+    // exchange.
+    "q_decontam_bloom" -> ((s, dir) => {
+      val d = docs(s, dir)
+      llm.Dedup.decontaminateBloom(d.filter(col("doc_id") % 20 =!= 0),
+        d.filter(col("doc_id") % 20 === 0), "doc_id", "text",
+        n = 3, minShared = 2, maxDocFreq = 100)
+        .select(col("doc_id"), col("n_shared"))
+    }),
+
+    // LLM-pipeline: C4/CCNet-style span-level exact dedup — only the
+    // globally first occurrence of each distinct 16-word span survives,
+    // documents are reassembled from their kept spans (fully-duplicate
+    // docs vanish). ONE exchange keyed by md5(span) — fixed-width key,
+    // the exact-dedup tier that runs before any fuzzy matching.
+    "q_span_dedup" -> ((s, dir) =>
+      llm.Dedup.spanDedup(docs(s, dir), "doc_id", "text", span = 16)
+        .select(col("doc_id"), col("clean_text"), col("n_spans"),
+          col("n_kept"))),
+
     // LLM-pipeline: exact n-gram Jaccard near-dup (shingle-bucketed join)
     "q_ngram_jaccard" -> ((s, dir) =>
       llm.Dedup.ngramJaccard(docs(s, dir), "doc_id", "text",
@@ -781,6 +821,39 @@ object SparkEntry {
           round(col("stop_ratio"), 6).as("stop_ratio"),
           round(col("punct_ratio"), 6).as("punct_ratio"),
           round(col("quality_score"), 6).as("quality_score"))),
+
+    // LLM-pipeline: Gopher-style repetition signals — the published
+    // boilerplate/loop-catching filters (unique-word fraction, top
+    // 2-gram coverage, duplicated 5-gram coverage), one tagged-union
+    // pass + two keyed aggregations.
+    "q_repetition" -> ((s, dir) =>
+      llm.TextAnalysis.repetitionStats(docs(s, dir), "doc_id", "text")
+        .select(col("doc_id"), col("n_tokens"),
+          round(col("uniq_word_frac"), 6).as("uniq_word_frac"),
+          round(col("top2gram_frac"), 6).as("top2gram_frac"),
+          round(col("dup5gram_frac"), 6).as("dup5gram_frac"))),
+
+    // LLM-pipeline: corpus-mixture composition report — per
+    // (lang, source) doc/token counts and each cell's share of corpus
+    // tokens; the audit table a mixture-weighting step reads and
+    // writes. The share's global window runs over the ALREADY-AGGREGATED
+    // (tiny) frame, never the corpus.
+    "q_mixture" -> ((s, dir) => {
+      val t = llm.TextAnalysis.tokenCountWs(col("text")).cast("long")
+      docs(s, dir).groupBy("lang", "source")
+        .agg(count(lit(1)).as("n_docs"), sum(t).as("n_tokens"))
+        .withColumn("token_share",
+          round(col("n_tokens") /
+            sum("n_tokens").over(Window.partitionBy()), 6))
+    }),
+
+    // LLM-pipeline: deterministic corpus shuffle — reproducible
+    // pseudo-random training order with a CONTIGUOUS global position,
+    // computed without a single-task global sort (contiguous bucket
+    // shards, per-shard rank, prefix-summed shard offsets).
+    "q_shuffle" -> ((s, dir) =>
+      llm.Sampling.globalOrdinal(docs(s, dir), "doc_id", nShards = 64)
+        .select(col("doc_id"), col("shard"), col("pos"))),
 
     // LLM-pipeline: language id (stopword voting + CJK ratio)
     "q_langid" -> ((s, dir) =>
@@ -1275,6 +1348,91 @@ object SparkEntry {
         |FROM sh t JOIN bsh USING (shingle)
         |WHERE t.doc_id % 20 <> 0
         |GROUP BY t.doc_id HAVING count(*) >= 2""".stripMargin,
+
+    // identical result to q_decontam by construction (the bloom is a
+    // prefilter; the exact join removes its false positives)
+    "q_decontam_bloom" ->
+      """WITH words AS (SELECT doc_id, string_split(text, ' ') AS w
+        |  FROM documents),
+        |sh AS (SELECT DISTINCT doc_id,
+        |    w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
+        |  FROM (SELECT doc_id, w, unnest(range(1, len(w) - 1)) AS i
+        |        FROM words) wi),
+        |bsh AS (SELECT shingle FROM sh WHERE doc_id % 20 = 0
+        |  GROUP BY shingle HAVING count(*) <= 100)
+        |SELECT t.doc_id, count(*) AS n_shared
+        |FROM sh t JOIN bsh USING (shingle)
+        |WHERE t.doc_id % 20 <> 0
+        |GROUP BY t.doc_id HAVING count(*) >= 2""".stripMargin,
+
+    "q_span_dedup" ->
+      """WITH words AS (SELECT doc_id, string_split(text, ' ') AS w
+        |  FROM documents),
+        |sp AS (SELECT doc_id, CAST((len(w) + 15) // 16 AS BIGINT)
+        |      AS n_spans,
+        |    CAST(i AS BIGINT) AS span_idx,
+        |    array_to_string(w[i*16+1 : i*16+16], ' ') AS span_text
+        |  FROM (SELECT doc_id, w, unnest(range(0, (len(w) + 15) // 16))
+        |        AS i FROM words) wi),
+        |k AS (SELECT doc_id, n_spans, span_idx, span_text,
+        |    row_number() OVER (PARTITION BY md5(span_text)
+        |      ORDER BY doc_id, span_idx) AS rn
+        |  FROM sp)
+        |SELECT doc_id,
+        |  string_agg(span_text, ' ' ORDER BY span_idx) AS clean_text,
+        |  n_spans, count(*) AS n_kept
+        |FROM k WHERE rn = 1 GROUP BY doc_id, n_spans""".stripMargin,
+
+    "q_repetition" ->
+      """WITH words AS (SELECT doc_id, string_split(text, ' ') AS w
+        |  FROM documents),
+        |g AS (
+        |  SELECT doc_id, 'w1' AS tag, unnest(w) AS gram FROM words
+        |  UNION ALL
+        |  SELECT doc_id, 'g2', w[i] || ' ' || w[i+1]
+        |  FROM (SELECT doc_id, w, unnest(range(1, len(w))) AS i
+        |        FROM words) b
+        |  UNION ALL
+        |  SELECT doc_id, 'g5', w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+        |    || ' ' || w[i+3] || ' ' || w[i+4]
+        |  FROM (SELECT doc_id, w, unnest(range(1, len(w) - 3)) AS i
+        |        FROM words) f),
+        |c AS (SELECT doc_id, tag, gram, count(*) AS cnt
+        |  FROM g GROUP BY doc_id, tag, gram),
+        |a AS (SELECT doc_id,
+        |    sum(CASE WHEN tag = 'w1' THEN cnt END) AS nw,
+        |    count(CASE WHEN tag = 'w1' THEN 1 END) AS uw,
+        |    max(CASE WHEN tag = 'g2' THEN cnt END) AS m2,
+        |    sum(CASE WHEN tag = 'g5' AND cnt >= 2 THEN cnt END) AS d5
+        |  FROM c GROUP BY doc_id)
+        |SELECT doc_id, CAST(nw AS BIGINT) AS n_tokens,
+        |  round(CAST(uw AS DOUBLE)/nw, 6) AS uniq_word_frac,
+        |  round(CAST(coalesce(m2*2, 0) AS DOUBLE)/nw, 6)
+        |    AS top2gram_frac,
+        |  round(CAST(coalesce(d5*5, 0) AS DOUBLE)/nw, 6)
+        |    AS dup5gram_frac
+        |FROM a""".stripMargin,
+
+    "q_mixture" ->
+      """WITH d AS (SELECT lang, source,
+        |    length(text) - length(replace(text, ' ', '')) + 1 AS t
+        |  FROM documents),
+        |a AS (SELECT lang, source, count(*) AS n_docs,
+        |    CAST(sum(t) AS BIGINT) AS n_tokens
+        |  FROM d GROUP BY lang, source)
+        |SELECT lang, source, n_docs, n_tokens,
+        |  round(CAST(n_tokens AS DOUBLE) / sum(n_tokens) OVER (), 6)
+        |    AS token_share
+        |FROM a""".stripMargin,
+
+    "q_shuffle" ->
+      """WITH t AS (SELECT doc_id,
+        |    ((doc_id % 2147483646) + 1) * 48271 % 2147483647 % 1000000
+        |      AS b
+        |  FROM documents)
+        |SELECT doc_id, CAST(b * 64 // 1000000 AS INTEGER) AS shard,
+        |  row_number() OVER (ORDER BY b, doc_id) - 1 AS pos
+        |FROM t""".stripMargin,
 
     "q_ngram_jaccard" ->
       """WITH words AS (SELECT doc_id, string_split(text, ' ') AS w

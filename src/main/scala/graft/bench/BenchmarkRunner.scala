@@ -27,10 +27,9 @@ object BenchmarkRunner {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-
-    val series = spark.read.parquet(s"$sfDir/events.parquet")
-      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+    // dual-generation events read (ns-as-long or native µs) — shared
+    // with the query surface
+    val series = graft.SparkEntry.readEvents(spark, sfDir)
     // labels: each series' maximum-value point (deterministic, one per
     // series, ties broken by earliest ts), one second off-grid
     val wmax = org.apache.spark.sql.expressions.Window
