@@ -120,6 +120,9 @@ object VecDot {
 /** `spark.sql.extensions=graft.functions.GraftExtensions` injection
   * point for cluster deployments. */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction(VecDot.info)
+    ext.injectFunction(Bloom.aggInfo)
+    ext.injectFunction(Bloom.mightContainInfo)
+  }
 }

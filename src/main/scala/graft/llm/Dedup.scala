@@ -137,6 +137,95 @@ object Dedup {
       .filter(col("n_shared") >= minShared)
   }
 
+  /** [[decontaminate]] with a bloom-filter prefilter on the TRAIN side —
+    * the 100 TB shape of the same operator. The benchmark shingle set
+    * (small: a held-out eval suite) is sketched once with Spark's own
+    * `BloomFilterAggregate`, the KB-sized blob is embedded as a literal,
+    * and `bloom_might_contain` drops non-matching train shingles INSIDE
+    * the scan stage — before the shuffle. At corpus scale the join's
+    * exchange shrinks from "every shingle of every train doc" to "near
+    * misses + true hits"; the exact equi-join then removes bloom false
+    * positives, so the OUTPUT is bit-identical to [[decontaminate]]
+    * (the oracle is the same SQL — approximation never reaches the
+    * result). Same pattern as Catalyst's `InjectRuntimeFilter`, declared
+    * explicitly.
+    *
+    * The one-row collect of the built sketch is a bounded sidecar read
+    * (`numBits/8` bytes, default 64 KB), same posture as the IVF
+    * probed-cell literals. */
+  def decontaminateBloom(train: DataFrame, bench: DataFrame, id: String,
+                         text: String, n: Int = 3, minShared: Int = 2,
+                         maxDocFreq: Int = 100,
+                         numBits: Long = 1L << 19): DataFrame = {
+    graft.functions.Bloom.register(train.sparkSession)
+    val benchSh = shingles(bench, id, text, n)
+    val hot = benchSh.groupBy("shingle").agg(count(lit(1)).as("__bdf"))
+      .filter(col("__bdf") <= maxDocFreq)
+      .select("shingle")
+    val blob = hot.agg(call_function("bloom_agg",
+        xxhash64(col("shingle")), lit(numBits / 16), lit(numBits))
+        .as("bf"))
+      .head.getAs[Array[Byte]]("bf")
+    val pre = shingles(train, id, text, n)
+      .filter(call_function("bloom_might_contain", lit(blob),
+        xxhash64(col("shingle"))))
+    pre.join(hot, "shingle")
+      .groupBy(col(id))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+  }
+
+  /** C4/CCNet-style SPAN-level exact dedup across the whole corpus:
+    * each document is cut into non-overlapping `span`-word windows, and
+    * only the globally FIRST occurrence (by (id, span_idx)) of each
+    * distinct span survives; documents are re-assembled from their kept
+    * spans. This is the repeated-boilerplate remover (C4 dropped any
+    * three-sentence span seen before; CCNet dedups by paragraph hash) —
+    * a different operator from whole-doc dedup: it edits documents
+    * instead of dropping them.
+    *
+    * Output: (id, clean_text, n_spans, n_kept) for documents with at
+    * least one surviving span — a document whose every span was seen
+    * earlier disappears, which is whole-doc dedup as the degenerate
+    * case.
+    *
+    * Scale shape: ONE exchange, keyed by `md5(span_text)` — a fixed
+    * 32-char key, so the sort/shuffle never carries long span text as
+    * the key (the 128-bit space makes collisions negligible, and any
+    * collision merges the same groups in every engine, deterministic).
+    * The re-assembly groupBy is keyed by doc id. No similarity math, no
+    * candidate pairs — this is the exact tier that runs BEFORE fuzzy
+    * dedup in a production pipeline. */
+  def spanDedup(df: DataFrame, id: String, text: String,
+                span: Int = 16): DataFrame = {
+    require(span >= 1, s"span=$span must be >= 1")
+    import org.apache.spark.sql.expressions.Window
+    val words = df.select(col(id), split(col(text), " ").as("__w"))
+      .filter(size(col("__w")) >= 1) // sequence(0,-1) descends, not empty
+      .withColumn("n_spans",
+        (((size(col("__w")) - 1) / span) + 1).cast("long"))
+    val spans = words
+      .select(col(id), col("n_spans"),
+        explode(sequence(lit(0), col("n_spans").cast("int") - 1))
+          .as("span_idx"), col("__w"))
+      .select(col(id), col("n_spans"), col("span_idx").cast("long")
+          .as("span_idx"),
+        concat_ws(" ", slice(col("__w"), col("span_idx") * span + 1,
+          lit(span))).as("span_text"))
+    val w = Window.partitionBy(md5(col("span_text")))
+      .orderBy(col(id), col("span_idx"))
+    spans.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .groupBy(col(id), col("n_spans"))
+      .agg(
+        array_join(transform(
+          array_sort(collect_list(struct(col("span_idx"),
+            col("span_text")))),
+          s => s.getField("span_text")), " ").as("clean_text"),
+        count(lit(1)).as("n_kept"))
+      .select(col(id), col("clean_text"), col("n_spans"), col("n_kept"))
+  }
+
   /** 64-bit SimHash per document over whitespace tokens: bit b of the
     * fingerprint is the sign of Σ_token (±1 by bit b of xxhash64(token)).
     * One explode + one groupBy with 64 codegen'd conditional sums. */

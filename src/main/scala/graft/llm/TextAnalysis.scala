@@ -84,6 +84,57 @@ object TextAnalysis {
         .otherwise(lit("und")))
   }
 
+  /** Gopher/MassiveText-style REPETITION quality signals, the published
+    * filters that catch boilerplate- and loop-generated text which the
+    * length/stopword heuristics of [[withQuality]] miss:
+    *
+    *  - `uniq_word_frac`  — distinct words / words (low = loopy text)
+    *  - `top2gram_frac`   — tokens covered by occurrences of the single
+    *    most frequent word 2-gram, / token count (Gopher filters docs
+    *    where the top n-gram covers too much of the document)
+    *  - `dup5gram_frac`   — tokens in 5-gram occurrences that appear
+    *    more than once, / token count (the "fraction of characters in
+    *    duplicated n-grams" family, token-denominated; overlapping
+    *    occurrences are each counted, so values may exceed 1 on
+    *    degenerate single-word documents — callers threshold, so only
+    *    monotonicity matters)
+    *
+    * One pass: words / 2-grams / 5-grams are tagged and unioned, then
+    * ONE groupBy((id, tag, gram)) counts occurrences (map-side partial
+    * aggregation absorbs the per-doc repetition before the exchange)
+    * and ONE groupBy(id) folds the counts into the three signals.
+    * Returns (id, n_tokens, uniq_word_frac, top2gram_frac,
+    * dup5gram_frac). */
+  def repetitionStats(df: DataFrame, id: String, text: String): DataFrame = {
+    def grams(n: Int, tag: String): DataFrame = {
+      val words = df.select(col(id), split(col(text), " ").as("__w"))
+      val g =
+        if (n == 1) col("__w")
+        else when(size(col("__w")) >= n,
+          transform(sequence(lit(0), size(col("__w")) - n),
+            i => concat_ws(" ", slice(col("__w"), i + 1, lit(n)))))
+          .otherwise(array().cast("array<string>"))
+      words.select(col(id), lit(tag).as("tag"), explode(g).as("gram"))
+    }
+    val tagged = grams(1, "w1").unionByName(grams(2, "g2"))
+      .unionByName(grams(5, "g5"))
+    val counts = tagged.groupBy(col(id), col("tag"), col("gram"))
+      .agg(count(lit(1)).as("cnt"))
+    counts.groupBy(col(id))
+      .agg(
+        sum(when(col("tag") === "w1", col("cnt"))).as("__nw"),
+        count(when(col("tag") === "w1", lit(1))).as("__uw"),
+        max(when(col("tag") === "g2", col("cnt"))).as("__m2"),
+        sum(when(col("tag") === "g5" && col("cnt") >= 2, col("cnt")))
+          .as("__d5"))
+      .select(col(id), col("__nw").as("n_tokens"),
+        (col("__uw").cast("double") / col("__nw")).as("uniq_word_frac"),
+        coalesce(col("__m2") * lit(2), lit(0L)).cast("double")
+          ./(col("__nw")).as("top2gram_frac"),
+        coalesce(col("__d5") * lit(5), lit(0L)).cast("double")
+          ./(col("__nw")).as("dup5gram_frac"))
+  }
+
   /** Polynomial rolling-hash fingerprint of the whole document (mod a
     * Mersenne-ish prime, codegen'd via the `aggregate` higher-order
     * function — no UDF). */

@@ -350,6 +350,57 @@ class PlanSpec extends SparkSpec {
       s"decontamination must be a shingle equi-join:\n$p")
   }
 
+  test("decontaminateBloom probes the sketch BEFORE the join's exchange") {
+    import spark.implicits._
+    val docs = (0L until 60L)
+      .map(i => (i, s"document number $i sharing a text payload base"))
+      .toDF("doc_id", "text")
+    val df = graft.llm.Dedup.decontaminateBloom(
+      docs.filter(col("doc_id") % 10 =!= 0),
+      docs.filter(col("doc_id") % 10 === 0), "doc_id", "text")
+    val p = plan(df)
+    assert(p.contains("might_contain"),
+      s"bloom probe missing from the physical plan:\n$p")
+    // the probe must sit under the exchange (map side), not above it.
+    // The printed tree is top-down, so the probe's own subtree follows
+    // it immediately: its leaf scan must appear before any further
+    // Exchange — i.e. no exchange between the probe and its source.
+    val probeIdx = p.indexOf("might_contain")
+    val scanAfter = p.indexOf("Scan", probeIdx)
+    val exchangeAfter = p.indexOf("Exchange", probeIdx)
+    assert(scanAfter >= 0, s"no scan under the bloom probe:\n$p")
+    assert(exchangeAfter < 0 || scanAfter < exchangeAfter,
+      "bloom probe must evaluate inside the scan stage, below every " +
+        s"exchange:\n$p")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("spanDedup is one wide exchange keyed by the span hash + one by id") {
+    import spark.implicits._
+    val docs = (0L until 40L)
+      .map(i => (i, (0 until 32).map(j => s"w${(i * 7 + j) % 90}")
+        .mkString(" ")))
+      .toDF("doc_id", "text")
+    val p = plan(graft.llm.Dedup.spanDedup(docs, "doc_id", "text", 16))
+    val shuffles = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(shuffles == 2,
+      s"spanDedup must shuffle exactly twice (md5 window + doc " +
+        s"reassembly), found $shuffles:\n$p")
+    assert(!p.contains("Exchange SinglePartition") &&
+      !p.contains("rangepartitioning"),
+      s"no global serialization in spanDedup:\n$p")
+  }
+
+  test("globalOrdinal broadcasts shard offsets; no global range sort") {
+    import spark.implicits._
+    val docs = (0L until 200L).toDF("doc_id")
+    val p = plan(graft.llm.Sampling.globalOrdinal(docs, "doc_id", 8))
+    assert(p.contains("BroadcastHashJoin"),
+      s"shard offsets must broadcast:\n$p")
+    assert(!p.contains("rangepartitioning"),
+      s"the corpus must never range-sort globally:\n$p")
+  }
+
   test("eventize stays within the per-key partitioning (no extra wide shuffles)") {
     val flagged = series(200)
       .withColumn("flag", when(col("value") % 7 === 0, 1).otherwise(0))

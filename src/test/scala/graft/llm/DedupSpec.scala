@@ -174,4 +174,89 @@ class DedupSpec extends SparkSpec {
     val dup = out.find(_.getAs[Long]("n_dups") == 2L).get
     assert(dup.getAs[Long]("keep_id") == 1L)
   }
+
+  test("decontaminateBloom output is identical to exact decontaminate") {
+    import spark.implicits._
+    val vocab = Vector("alpha", "beta", "gamma", "delta", "epsilon",
+      "zeta", "eta", "theta")
+    val rng = new scala.util.Random(7)
+    val bench = (0 until 12).map { i =>
+      (i.toLong, Seq.fill(15)(vocab(rng.nextInt(vocab.size))).mkString(" "))
+    }
+    // half the train docs embed a bench 6-gram (contaminated), half don't
+    val train = (0 until 40).map { i =>
+      val own = Seq.fill(15)(vocab(rng.nextInt(vocab.size))).mkString(" ")
+      val text = if (i % 2 == 0) {
+        val src = bench(i % bench.size)._2.split(" ").take(6).mkString(" ")
+        s"$own $src"
+      } else own
+      (100L + i, text)
+    }
+    val benchDf = bench.toDF("doc_id", "text")
+    val trainDf = train.toDF("doc_id", "text")
+    val exact = Dedup.decontaminate(trainDf, benchDf, "doc_id", "text",
+      n = 3, minShared = 2, maxDocFreq = 100)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val bloom = Dedup.decontaminateBloom(trainDf, benchDf, "doc_id",
+      "text", n = 3, minShared = 2, maxDocFreq = 100)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.nonEmpty, "fixture must actually contaminate")
+    assert(bloom === exact)
+  }
+
+  test("decontaminateBloom survives a tiny (collision-heavy) filter") {
+    import spark.implicits._
+    // 2^6 bits: false-positive rate near 1 — output must STILL be exact
+    // because the equi-join removes every false positive
+    val benchDf = Seq((0L, "a b c d e f")).toDF("doc_id", "text")
+    val trainDf = Seq((1L, "a b c d x y"), (2L, "p q r s t u"))
+      .toDF("doc_id", "text")
+    val out = Dedup.decontaminateBloom(trainDf, benchDf, "doc_id",
+      "text", n = 3, minShared = 2, maxDocFreq = 100, numBits = 64L)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // train doc 1 shares shingles "a b c", "b c d" -> n_shared = 2
+    assert(out === Set((1L, 2L)))
+  }
+
+  test("spanDedup keeps first occurrence, edits docs, drops full dups") {
+    import spark.implicits._
+    val spanA = (1 to 4).map(i => s"a$i").mkString(" ")  // 4-word span
+    val spanB = (1 to 4).map(i => s"b$i").mkString(" ")
+    val spanC = (1 to 4).map(i => s"c$i").mkString(" ")
+    val df = Seq(
+      (1L, s"$spanA $spanB"),   // first occurrence of A and B
+      (2L, s"$spanA $spanC"),   // A is a repeat -> only C survives
+      (3L, s"$spanB $spanA")    // every span seen -> doc vanishes
+    ).toDF("doc_id", "text")
+    val out = Dedup.spanDedup(df, "doc_id", "text", span = 4)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getString(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(out.keySet === Set(1L, 2L))
+    assert(out(1L) === ((s"$spanA $spanB", 2L, 2L)))
+    assert(out(2L) === ((spanC, 2L, 1L)))
+  }
+
+  test("spanDedup within-doc repeats dedup too, and order is preserved") {
+    import spark.implicits._
+    val s1 = "w1 w2 w3"
+    val s2 = "x1 x2 x3"
+    // doc = s1 s2 s1 (three 3-word spans; third repeats the first)
+    val df = Seq((5L, s"$s1 $s2 $s1")).toDF("doc_id", "text")
+    val out = Dedup.spanDedup(df, "doc_id", "text", span = 3).collect()
+    assert(out.length === 1)
+    assert(out.head.getString(1) === s"$s1 $s2")
+    assert(out.head.getLong(2) === 3L && out.head.getLong(3) === 2L)
+  }
+
+  test("spanDedup ragged tail spans are distinct from full spans") {
+    import spark.implicits._
+    // "a b c d e" with span=2 -> "a b", "c d", "e"; a second doc ending
+    // in "e f" must NOT collide with the bare-"e" tail
+    val df = Seq((1L, "a b c d e"), (2L, "z z e f"))
+      .toDF("doc_id", "text")
+    val out = Dedup.spanDedup(df, "doc_id", "text", span = 2)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out(1L) === "a b c d e")
+    assert(out(2L) === "z z e f")
+  }
 }

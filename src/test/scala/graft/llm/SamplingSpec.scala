@@ -251,4 +251,40 @@ class SamplingSpec extends SparkSpec {
       n = 3, minShared = 1, maxDocFreq = 100)
     assert(uncapped.count() === 1L)
   }
+
+  test("globalOrdinal is exactly the single-sort global rank") {
+    import spark.implicits._
+    val n = 500
+    val df = (0L until n).map(i => (i, s"payload$i")).toDF("doc_id", "txt")
+    val got = Sampling.globalOrdinal(df, "doc_id", nShards = 7)
+      .select("doc_id", "pos").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // reference: the naive global ORDER BY (bucket, id) row_number
+    val naive = df
+      .withColumn("__b", Sampling.idBucket(col("doc_id"), 1000000))
+      .orderBy(col("__b"), col("doc_id"))
+      .select("doc_id").collect().map(_.getLong(0)).zipWithIndex
+      .map { case (id, i) => id -> i.toLong }.toMap
+    assert(got === naive)
+    // contiguous permutation 0..n-1
+    assert(got.values.toSeq.sorted === (0L until n))
+  }
+
+  test("globalOrdinal shard boundaries respect the global order") {
+    import spark.implicits._
+    val df = (0L until 300).toDF("doc_id")
+    val rows = Sampling.globalOrdinal(df, "doc_id", nShards = 5)
+      .select("shard", "pos").collect()
+      .map(r => (r.getInt(0), r.getLong(1)))
+    // positions within a shard form one contiguous run, and runs are
+    // ordered by shard id — required for `pos` to be a global rank
+    val byShard = rows.groupBy(_._1).toSeq.sortBy(_._1)
+      .map { case (s, xs) => (s, xs.map(_._2).sorted.toSeq) }
+    var expectNext = 0L
+    byShard.foreach { case (_, ps) =>
+      assert(ps.head === expectNext)
+      assert(ps === (ps.head until ps.head + ps.size).toSeq)
+      expectNext = ps.last + 1
+    }
+  }
 }

@@ -130,4 +130,32 @@ class TextAnalysisSpec extends SparkSpec {
       .select(TextAnalysis.rollingHash(col("text"))).head().getLong(0)
     assert(got === ref(text))
   }
+
+  test("repetitionStats separates loopy from diverse text") {
+    val loopy = Seq.fill(10)("spam ham").mkString(" ")  // 20 tokens, 2 distinct
+    val diverse = (1 to 20).map(i => s"w$i").mkString(" ")
+    val rows = TextAnalysis.repetitionStats(
+      docs(Seq(1L -> loopy, 2L -> diverse)), "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    val l = rows(1L); val d = rows(2L)
+    assert(l.getAs[Long]("n_tokens") === 20L)
+    assert(l.getAs[Double]("uniq_word_frac") === 0.1)
+    // bigrams of loopy: "spam ham" x10, "ham spam" x9 -> top = 10
+    assert(l.getAs[Double]("top2gram_frac") === 10 * 2.0 / 20)
+    // all 16 5-grams repeat (only 2 distinct) -> full coverage
+    assert(l.getAs[Double]("dup5gram_frac") === 16 * 5.0 / 20)
+    assert(d.getAs[Double]("uniq_word_frac") === 1.0)
+    assert(d.getAs[Double]("top2gram_frac") === 2.0 / 20)
+    assert(d.getAs[Double]("dup5gram_frac") === 0.0)
+  }
+
+  test("repetitionStats short-doc edges: no 5-grams, no bigrams") {
+    val rows = TextAnalysis.repetitionStats(
+      docs(Seq(1L -> "solo", 2L -> "two words")), "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(rows(1L).getAs[Double]("top2gram_frac") === 0.0)
+    assert(rows(1L).getAs[Double]("dup5gram_frac") === 0.0)
+    assert(rows(2L).getAs[Double]("top2gram_frac") === 1.0) // 1 bigram / 2 tokens * 2
+    assert(rows(2L).getAs[Double]("uniq_word_frac") === 1.0)
+  }
 }
