@@ -909,6 +909,20 @@ object SparkEntry {
           round(col("px_std"), 6).as("px_std"), col("decoded"))
     }),
 
+    // LLM-pipeline: REAL video decode — deterministic MJPEG streams
+    // (concatenated baseline JPEGs, the codec-free video container the
+    // JDK can actually demux + decode) synthesized in the executors,
+    // then per-media frame count / dims / luma / motion-proxy features
+    // from genuinely decoded frames.
+    "q_mm_video" -> ((s, dir) => {
+      val media = llm.Multimodal.synthesizeVideo(docs(s, dir),
+        "doc_id", "text")
+      llm.Multimodal.extractVideoFeatures(media)
+        .select(col("media_id"), col("n_frames"), col("width"),
+          col("height"), round(col("luma_mean"), 6).as("luma_mean"),
+          round(col("motion"), 6).as("motion"), col("decoded"))
+    }),
+
     // LLM-pipeline: END-TO-END corpus assembly — the composition a real
     // pretraining pipeline runs as one job: quality-score filter →
     // exact dedup (min-id keep per content fingerprint) → per-language
@@ -1633,6 +1647,7 @@ object SparkEntry {
     "q_multimodal" -> fixtureSql("q_multimodal"),
     "q_mm_resize" -> fixtureSql("q_mm_resize"),
     "q_mm_decode" -> fixtureSql("q_mm_decode"),
+    "q_mm_video" -> fixtureSql("q_mm_video"),
     "q_ann_lsh" -> fixtureSql("q_ann_lsh"),
     "q_ann_q8" -> fixtureSql("q_ann_q8"),
     "q_embed_neardup" -> fixtureSql("q_embed_neardup"),

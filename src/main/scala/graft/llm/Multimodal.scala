@@ -221,6 +221,155 @@ object Multimodal {
         "duration_ms", "rms", "zcr", "decoded")
   }
 
+  /** Motion-JPEG sniff: a JPEG SOI at offset 0 AND a second SOI after
+    * the first frame's EOI. One JPEG is an image; two or more
+    * concatenated are an MJPEG stream — the classic codec-free video
+    * container (each frame is an independent baseline JPEG), which the
+    * JDK CAN decode frame-by-frame with `ImageIO`. */
+  def sniffMjpeg(bytes: Array[Byte]): Boolean = {
+    if (bytes == null || bytes.length < 6) return false
+    def u(k: Int) = bytes(k) & 0xff
+    if (!(u(0) == 0xff && u(1) == 0xd8 && u(2) == 0xff)) return false
+    var j = 2
+    while (j + 1 < bytes.length) {
+      if (u(j) == 0xff && u(j + 1) == 0xd9) {
+        // EOI found — is there another SOI after it?
+        var k = j + 2
+        while (k + 2 < bytes.length) {
+          if (u(k) == 0xff && u(k + 1) == 0xd8 && u(k + 2) == 0xff)
+            return true
+          k += 1
+        }
+        return false
+      }
+      j += 1
+    }
+    false
+  }
+
+  /** Demux a concatenated-JPEG (MJPEG) stream into its frames: each
+    * frame spans an SOI marker (FFD8FF) to its EOI (FFD9) — exactly how
+    * real MJPEG demuxers delimit frames (JPEG entropy coding
+    * byte-stuffs 0xFF as FF00, so EOI cannot occur inside scan data).
+    * A truncated tail frame (SOI with no EOI) is dropped. */
+  def splitMjpegFrames(bytes: Array[Byte]): Vector[Array[Byte]] = {
+    if (bytes == null) return Vector.empty
+    val out = Vector.newBuilder[Array[Byte]]
+    val n = bytes.length
+    def u(k: Int) = bytes(k) & 0xff
+    var i = 0
+    while (i + 3 < n) {
+      if (u(i) == 0xff && u(i + 1) == 0xd8 && u(i + 2) == 0xff) {
+        var j = i + 2
+        var end = -1
+        while (end < 0 && j + 1 < n) {
+          if (u(j) == 0xff && u(j + 1) == 0xd9) end = j + 2
+          j += 1
+        }
+        if (end < 0) i = n
+        else {
+          out += java.util.Arrays.copyOfRange(bytes, i, end)
+          i = end
+        }
+      } else i += 1
+    }
+    out.result()
+  }
+
+  /** Wrap any table with REAL MJPEG payloads: per row,
+    * `2 + id mod 3` deterministic frames are rendered (source text
+    * bytes cycled through the pixel channels, frame index mixed in so
+    * consecutive frames differ) and JPEG-encoded in the executors,
+    * then concatenated — a genuine motion-JPEG stream, decodable by
+    * any MJPEG consumer. 25 fps nominal (40 ms/frame) in the meta. */
+  def synthesizeVideo(df: DataFrame, id: String, src: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(id).cast("long").as("media_id"),
+        encode(col(src), "UTF-8").as("__bytes"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (mid, bytes) =>
+        val n = if (bytes == null) 0 else bytes.length
+        val nFrames = (2 + math.floorMod(mid, 3L)).toInt
+        val w = 8 + (n % 5)  // 8..12
+        val h = 6 + (n % 4)  // 6..9
+        val baos = new ByteArrayOutputStream()
+        var f = 0
+        while (f < nFrames) {
+          val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+          var i = f * 7 // frame offset: consecutive frames differ
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              def b(k: Int): Int =
+                if (n == 0) (f * 31 + k) & 0xff else bytes((k + i) % n) & 0xff
+              img.setRGB(x, y, (b(0) << 16) | (b(1) << 8) | b(2))
+              i += 3; x += 1
+            }
+            y += 1
+          }
+          ImageIO.write(img, "jpg", baos)
+          f += 1
+        }
+        (mid, baos.toByteArray, w, h, nFrames.toLong * 40L)
+      })
+      .toDF("media_id", "payload", "__w", "__h", "__dur")
+      .select(col("media_id"), col("payload"),
+        struct(lit("video/x-motion-jpeg").as("mime"),
+          col("__w").as("width"), col("__h").as("height"),
+          col("__dur").as("duration_ms")).as("meta"))
+  }
+
+  /** Batch VIDEO feature extraction: payloads sniffed as MJPEG are
+    * demuxed and every frame REALLY decoded (`ImageIO`, no native
+    * codecs); per media the output carries frame count, dimensions,
+    * mean luma over all frames, and a motion proxy (mean absolute
+    * difference of consecutive per-frame luma means — flat for a
+    * static clip, large for scene changes). Non-MJPEG payloads keep
+    * null features with `decoded=false`, so the operator is total over
+    * any binary column. Partition-parallel mapPartitions, same batch
+    * shape as the image/audio paths. */
+  def extractVideoFeatures(df: DataFrame): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col("media_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, bytes) =>
+        val frames =
+          if (sniffMjpeg(bytes))
+            splitMjpegFrames(bytes).flatMap(fb =>
+              try Option(ImageIO.read(new ByteArrayInputStream(fb)))
+              catch { case _: Throwable => None })
+          else Vector.empty
+        if (frames.isEmpty) {
+          (id, Option.empty[Int], Option.empty[Int], Option.empty[Int],
+            Option.empty[Double], Option.empty[Double], false)
+        } else {
+          val lumas = frames.map { img =>
+            val (w, h) = (img.getWidth, img.getHeight)
+            var s = 0.0
+            var y = 0
+            while (y < h) {
+              var x = 0
+              while (x < w) { s += luma(img.getRGB(x, y)); x += 1 }
+              y += 1
+            }
+            s / (w * h)
+          }
+          val motion =
+            if (lumas.size < 2) 0.0
+            else lumas.sliding(2).map(p => math.abs(p(1) - p(0))).sum /
+              (lumas.size - 1)
+          (id, Some(frames.size), Some(frames.head.getWidth),
+            Some(frames.head.getHeight),
+            Some(lumas.sum / lumas.size), Some(motion), true)
+        }
+      })
+      .toDF("media_id", "n_frames", "width", "height", "luma_mean",
+        "motion", "decoded")
+  }
+
   /** Magic-byte MIME sniff for the formats `javax.imageio` ships decoders
     * for. Sniffing the payload (not trusting `meta.mime`) is the 100 TB
     * posture: crawled corpora lie about content types. */

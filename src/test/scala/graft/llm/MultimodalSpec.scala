@@ -226,6 +226,69 @@ class MultimodalSpec extends SparkSpec {
     assert(new String(f0.getAs[Array[Byte]]("frame_bytes")).startsWith("01234"))
   }
 
+  test("splitMjpegFrames demuxes hand-concatenated real JPEGs exactly") {
+    import java.awt.image.BufferedImage
+    import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
+    import javax.imageio.ImageIO
+    def jpeg(seed: Int, w: Int, h: Int): Array[Byte] = {
+      val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until h; x <- 0 until w)
+        img.setRGB(x, y, (seed * 37 + y * w + x) * 2654435761L.toInt)
+      val baos = new ByteArrayOutputStream()
+      ImageIO.write(img, "jpg", baos)
+      baos.toByteArray
+    }
+    val parts = Seq(jpeg(1, 9, 7), jpeg(2, 5, 4), jpeg(3, 12, 3))
+    val stream = parts.flatMap(_.toSeq).toArray
+    assert(Multimodal.sniffMjpeg(stream), "3 concatenated JPEGs are MJPEG")
+    assert(!Multimodal.sniffMjpeg(parts.head), "a single JPEG is not")
+    val frames = Multimodal.splitMjpegFrames(stream)
+    assert(frames.size === 3)
+    assert(frames.map(_.toSeq) === parts.map(_.toSeq),
+      "demux must recover the exact original frame byte ranges")
+    val dims = frames.map { fb =>
+      val img = ImageIO.read(new ByteArrayInputStream(fb))
+      (img.getWidth, img.getHeight)
+    }
+    assert(dims === Seq((9, 7), (5, 4), (12, 3)))
+  }
+
+  test("video features come from really decoded frames; non-video is total") {
+    import spark.implicits._
+    val docs = Seq((0L, "movie zero"), (1L, "movie one"),
+      (2L, "movie two")).toDF("doc_id", "text")
+    val media = Multimodal.synthesizeVideo(docs, "doc_id", "text")
+    val out = Multimodal.extractVideoFeatures(media)
+      .collect().map(r => r.getAs[Long]("media_id") -> r).toMap
+    (0L to 2L).foreach { id =>
+      val r = out(id)
+      assert(r.getAs[Boolean]("decoded"))
+      // synthesizeVideo contract: 2 + id mod 3 frames
+      assert(r.getAs[Int]("n_frames") === (2 + id % 3).toInt)
+      assert(r.getAs[Int]("width") > 0 && r.getAs[Int]("height") > 0)
+      val lm = r.getAs[Double]("luma_mean")
+      assert(lm > 0.0 && lm < 255.0)
+      assert(r.getAs[Double]("motion") >= 0.0)
+    }
+    // frames differ by construction -> motion strictly positive
+    assert(out(1L).getAs[Double]("motion") > 0.0)
+    // a non-MJPEG payload flows through with decoded=false, null features
+    val other = Multimodal.synthesize(
+      Seq((9L, "not a video")).toDF("doc_id", "text"), "doc_id", "text")
+    val row = Multimodal.extractVideoFeatures(other).collect().head
+    assert(!row.getAs[Boolean]("decoded"))
+    assert(row.isNullAt(row.fieldIndex("n_frames")))
+  }
+
+  test("synthesizeVideo is byte-deterministic across invocations") {
+    import spark.implicits._
+    val docs = Seq((5L, "same text")).toDF("doc_id", "text")
+    def payload(): Seq[Byte] =
+      Multimodal.synthesizeVideo(docs, "doc_id", "text")
+        .select("payload").head().getAs[Array[Byte]](0).toSeq
+    assert(payload() === payload())
+  }
+
   test("q_mm_frames oracle invariant: fixture document text is pure ASCII") {
     // q_mm_frames' oracle equates Spark BYTE-substr over the UTF-8
     // payload with DuckDB CHAR-substr over text — valid only while every

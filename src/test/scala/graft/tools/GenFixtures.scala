@@ -22,8 +22,8 @@ object GenFixtures {
     "q_ci_flags", "q_bsts", "q_bsts_dummy", "q_gp",
     "q_stl_exact", "q_hybrid", "q_minhash", "q_simhash", "q_simhash_multi",
     "q_sig_dedup", "q_langid",
-    "q_winnow", "q_multimodal", "q_mm_resize", "q_mm_decode", "q_ann_lsh",
-    "q_ann_q8", "q_embed_neardup")
+    "q_winnow", "q_multimodal", "q_mm_resize", "q_mm_decode", "q_mm_video",
+    "q_ann_lsh", "q_ann_q8", "q_embed_neardup")
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[8]")
