@@ -788,6 +788,20 @@ object SparkEntry {
           round(col("cosine"), 6).as("cosine"), col("rank"))
     }),
 
+    // LLM-pipeline: product-quantized ANN (the FAISS IndexPQ tier) —
+    // the corpus scans as m-byte codes (32x smaller than the float
+    // column at dim 64 / m 8), each query scores codes via a
+    // precomputed ADC lookup table, exact float re-rank of the
+    // oversampled survivors. Codebooks from DetKMeans -> deterministic
+    // -> fixture-oracled.
+    "q_ann_pq" -> ((s, dir) => {
+      val embDf = emb(s, dir)
+      llm.Pq.pqTopK(embDf, embDf.filter(col("vec_id") < 5),
+        "vec_id", "embedding", 3)
+        .select(col("query_id"), col("corpus_id"),
+          round(col("cosine"), 6).as("cosine"), col("rank"))
+    }),
+
     // LLM-pipeline: embedding cosine near-dup via LSH buckets
     "q_embed_neardup" -> ((s, dir) =>
       // threshold 0.4 sits at the top of this corpus's cosine range (59
@@ -1648,6 +1662,7 @@ object SparkEntry {
     "q_mm_resize" -> fixtureSql("q_mm_resize"),
     "q_mm_decode" -> fixtureSql("q_mm_decode"),
     "q_mm_video" -> fixtureSql("q_mm_video"),
+    "q_ann_pq" -> fixtureSql("q_ann_pq"),
     "q_ann_lsh" -> fixtureSql("q_ann_lsh"),
     "q_ann_q8" -> fixtureSql("q_ann_q8"),
     "q_embed_neardup" -> fixtureSql("q_embed_neardup"),

@@ -262,6 +262,49 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("PQ coarse stage scans only the m-byte codes table") {
+    val embPath = "/root/testdata/sf0.01/embeddings.parquet"
+    assume(new java.io.File(embPath).exists())
+    val emb = spark.read.parquet(embPath)
+    val model = graft.llm.Pq.pqTrain(emb, "vec_id", "embedding")
+    val dir = java.nio.file.Files.createTempDirectory("pq_plan").toString
+    try {
+      graft.llm.Pq.writePq(model,
+        graft.llm.Pq.pqEncode(model, emb, "vec_id", "embedding"), dir)
+      val (m2, codes) = graft.llm.Pq.readPq(spark, dir)
+      val out = graft.llm.Pq.pqSearch(m2, codes, emb,
+        emb.filter(col("vec_id") < 3), "vec_id", "embedding", 3)
+      def scans(p: org.apache.spark.sql.execution.SparkPlan)
+          : Seq[org.apache.spark.sql.execution.FileSourceScanExec] = {
+        import org.apache.spark.sql.execution._
+        import org.apache.spark.sql.execution.adaptive._
+        val here = p match {
+          case f: FileSourceScanExec => Seq(f)
+          case _ => Nil
+        }
+        val wrapped = p match {
+          case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+          case q: QueryStageExec => Seq(q.plan)
+          case r: org.apache.spark.sql.execution.exchange
+                   .ReusedExchangeExec => Seq(r.child)
+          case _ => Nil
+        }
+        here ++ (p.children ++ wrapped).flatMap(scans)
+      }
+      val codeScans = scans(out.queryExecution.executedPlan)
+        .filter(_.relation.location.rootPaths
+          .exists(_.toString.contains("codes")))
+      assert(codeScans.nonEmpty, "no codes scan in the pqSearch plan")
+      codeScans.foreach { f =>
+        val fields = f.requiredSchema.fieldNames.toSet
+        assert(fields === Set("corpus_id", "__code"),
+          s"coarse scan must stream only the PQ codes, reads $fields")
+      }
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+    }
+  }
+
   test("sampling is a shuffle-free scan-stage filter; packing is one exchange") {
     import spark.implicits._
     val docs = (0L until 100L)

@@ -257,4 +257,54 @@ class AnnRecallSpec extends SparkSpec {
     assert(vol < allPairs / 20.0,
       s"wide-band candidate volume $vol >= 5% of $allPairs all-pairs")
   }
+
+  test("pqTopK recall >= 0.9 vs brute force (ADC coarse + exact re-rank)") {
+    assume(haveData)
+    val emb = spark.read.parquet(embPath)
+    val queries = emb.filter(col("vec_id") < 20)
+    val k = 3
+    val truth = Similarity.bruteForceTopK(queries, emb, "vec_id",
+        "embedding", k)
+      .select("query_id", "corpus_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val pq = Pq.pqTopK(emb, queries, "vec_id", "embedding", k,
+        oversample = 8)
+      .select("query_id", "corpus_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(truth.nonEmpty)
+    val recall = (truth & pq).size.toDouble / truth.size
+    assert(recall >= 0.9, s"PQ recall $recall < 0.9 (${truth.size} truths)")
+  }
+
+  test("persisted PQ index round-trips and searches identically") {
+    assume(haveData)
+    val emb = spark.read.parquet(embPath)
+    val queries = emb.filter(col("vec_id") < 5)
+    val model = Pq.pqTrain(emb, "vec_id", "embedding")
+    val codes = Pq.pqEncode(model, emb, "vec_id", "embedding")
+    val direct = Pq.pqSearch(model, codes, emb, queries, "vec_id",
+      "embedding", 3).collect().map(_.toSeq).toSet
+    val dir = java.nio.file.Files
+      .createTempDirectory("pq_idx").toString
+    Pq.writePq(model, codes, dir)
+    val (model2, codes2) = Pq.readPq(spark, dir)
+    assert(model2.codebooks === model.codebooks,
+      "codebooks must survive the round-trip bit-for-bit")
+    val replayed = Pq.pqSearch(model2, codes2, emb, queries, "vec_id",
+      "embedding", 3).collect().map(_.toSeq).toSet
+    assert(replayed === direct)
+  }
+
+  test("PQ codes are m tinyints and compress the scanned column") {
+    assume(haveData)
+    val emb = spark.read.parquet(embPath)
+    val model = Pq.pqTrain(emb, "vec_id", "embedding")
+    val codes = Pq.pqEncode(model, emb, "vec_id", "embedding")
+    assert(codes.schema("__code").dataType.simpleString ===
+      "array<tinyint>")
+    val row = codes.select(size(col("__code")),
+      array_max(col("__code")).cast("int")).head()
+    assert(row.getInt(0) === 16)
+    assert(row.getInt(1) < 64, "codewords must index into ksub=64")
+  }
 }
