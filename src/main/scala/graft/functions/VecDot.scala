@@ -122,6 +122,7 @@ object VecDot {
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction(VecDot.info)
+    ext.injectFunction(PqCodes.info)
     ext.injectFunction(Bloom.aggInfo)
     ext.injectFunction(Bloom.mightContainInfo)
   }

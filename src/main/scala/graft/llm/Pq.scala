@@ -54,7 +54,10 @@ object Pq {
 
     /** `array<tinyint>` PQ code (m bytes) for a numeric-array column —
       * per-subspace nearest codeword, ties to the lower index (the
-      * DetKMeans assignment contract, fixture-safe). */
+      * DetKMeans assignment contract, fixture-safe). Struct-sort
+      * argmin; [[Pq.pqEncode]] uses the faster staged
+      * array_min/array_position form — same scores, same tie rule,
+      * identical codes. */
     def encodeExpr(vec: Column): Column = {
       val dv = vec.cast("array<double>")
       array((0 until m).map { j =>
@@ -121,14 +124,31 @@ object Pq {
         id, vec)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-      val books = (0 until m).map { j =>
-        val sub = dim / m
-        val sv = sample.select(col("__ord"),
-          slice(col("__dv"), j * sub + 1, sub).as("__sv"))
-        DetKMeans.fit(sv, "__sv", "__ord", ksub, maxIter = 10,
-          seed = 1013L + j)
-          .centroids.map(_.toSeq).toSeq
-      }
+      // the m sub-fits are independent; run them CONCURRENTLY from
+      // driver threads (Spark schedules jobs from any thread) — a
+      // sequential loop pays m × rounds of job-scheduling latency
+      // (measured 21 s for m=16 at sf0.1 vs ~3 s concurrent). Each
+      // fit is deterministic on its own, so concurrency cannot change
+      // the codebooks; results assemble in subspace order.
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.duration.Duration
+      import scala.concurrent.ExecutionContext.Implicits.global
+      val books = Await.result(
+        Future.sequence((0 until m).toList.map { j =>
+          Future {
+            val sub = dim / m
+            val sv = sample.select(col("__ord"),
+              slice(col("__dv"), j * sub + 1, sub).as("__sv"))
+            // buckets=16: a 4-dim sub-fit needs no 64-wide reduction
+            // tree — 16 concurrent fits × 10 rounds × 64 partitions was
+            // pure task-scheduling overhead. The bucket count is part
+            // of the deterministic reduction SHAPE (fixture-pinned), so
+            // it is fixed here, not tuned per run.
+            DetKMeans.fit(sv, "__sv", "__ord", ksub, maxIter = 5,
+              seed = 1013L + j, buckets = 16)
+              .centroids.map(_.toSeq).toSeq
+          }
+        }), Duration.Inf)
       PqModel(dim, m, ksub, books)
     } finally { sample.unpersist() }
   }
@@ -138,12 +158,28 @@ object Pq {
     * codebooks live in unit-norm space, see [[unitized]]). Persist
     * with [[writePq]] at corpus scale; the floats stay in the
     * original table and are only joined back for the survivor
-    * re-rank. */
+    * re-rank.
+    *
+    * The encoder is the NATIVE `pq_codes` expression
+    * ([[graft.functions.PqCodes]] — codebook as one literal, primitive
+    * triple loop, whole-stage codegen). The two rejected shapes, for
+    * the record: unrolling every codeword into the plan (struct-sort
+    * `assignExpr`, or flat 64-term distance arrays) builds a
+    * 1000+-node expression tree costing ~5 s of analysis/codegen PER
+    * EXECUTION regardless of row count; a nested higher-order-function
+    * fold keeps the plan small but pays ~2·m·ksub interpreted lambda
+    * arrays per row (measured 2.4 ms/row — 4.8 s for 2 000 rows, hours
+    * at corpus scale). */
   def pqEncode(model: PqModel, df: DataFrame, id: String,
-               vec: String): DataFrame =
+               vec: String): DataFrame = {
+    val spark = df.sparkSession
+    if (!spark.catalog.functionExists("pq_codes"))
+      graft.functions.PqCodes.register(spark)
     unitized(df, id, vec)
       .select(col("__ord").as("corpus_id"),
-        model.encodeExpr(col("__dv")).as("__code"))
+        call_function("pq_codes", col("__dv"),
+          typedlit(model.codebooks)).as("__code"))
+  }
 
   /** Persist codes + codebooks: codes as parquet (the ONLY table the
     * coarse stage reads — 16× smaller than the floats at dim 64/m 16),
