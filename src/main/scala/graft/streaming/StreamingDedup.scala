@@ -163,6 +163,57 @@ object StreamingDedup {
     once.select("id_a", "id_b", "est_jaccard")
   }
 
+  /** Streaming SPAN-level dedup — the streaming face of
+    * [[graft.llm.Dedup.spanDedup]] (the C4/CCNet boilerplate tier).
+    * Incoming documents are cut into the same non-overlapping
+    * `span`-word windows (a pure per-row expression — no shuffle), and
+    * a span is dropped when
+    *
+    *  (a) its md5 key matches `knownSpans` — the span table the last
+    *      periodic batch sweep persisted — via a stream-STATIC
+    *      anti-join (stateless), or
+    *  (b) it was already seen within the stream's watermark horizon
+    *      (`dropDuplicatesWithinWatermark` on the md5 key — the only
+    *      stateful op; state is one 16-byte key per remembered span).
+    *
+    * Surviving spans emit as `(id, span_idx, span_text, ts)` rows; the
+    * periodic batch sweep reassembles documents and refreshes the span
+    * table (a streaming groupBy-reassembly would be a second stateful
+    * op with document-completion semantics an unbounded stream cannot
+    * decide). Batch-mode degradation keeps the same KEPT-KEY SET with
+    * an arbitrary representative, exactly like [[exactDedup]] — and
+    * set-parity with the batch operator is exact: distinct-span keys
+    * of (compacted corpus ∪ increments) ≡ `knownSpans` keys ∪ this
+    * operator's emitted keys (StreamingSpec pins it). */
+  def spanDedupStream(df: DataFrame, knownSpans: DataFrame, id: String,
+                      ts: String, text: String, span: Int = 16,
+                      watermark: String = "1 hour"): DataFrame = {
+    require(span >= 1, s"span=$span must be >= 1")
+    val spansOf = bind(split(col(text), " "), words =>
+      when(size(words) >= 1, // sequence(0,-1) descends, not empty
+        // Column./ is DOUBLE division; the cast truncates it back to
+        // the integral span count (exact for any realistic doc length)
+        transform(sequence(lit(0), ((size(words) - 1) / span).cast("int")),
+          i => struct(i.cast("long").as("span_idx"),
+            concat_ws(" ", slice(words, i * span + 1, lit(span)))
+              .as("span_text"))))
+        .otherwise(array().cast("array<struct<span_idx:bigint,span_text:string>>")))
+    val exploded = df
+      .select(col(id), col(ts), explode(spansOf).as("__s"))
+      .select(col(id), col(ts), col("__s.span_idx").as("span_idx"),
+        col("__s.span_text").as("span_text"))
+      .withColumn("__span_key", md5(col("span_text")))
+    val fresh = exploded.join(
+      knownSpans.select(col("span_key").as("__span_key")),
+      Seq("__span_key"), "left_anti")
+    val kept =
+      if (fresh.isStreaming)
+        fresh.withWatermark(ts, watermark)
+          .dropDuplicatesWithinWatermark(Seq("__span_key"))
+      else fresh.dropDuplicates(Seq("__span_key"))
+    kept.withColumnRenamed("__span_key", "span_key")
+  }
+
   def minhashDedup(df: DataFrame, ts: String, text: String,
                    shingleN: Int = 3, numHashes: Int = 32,
                    watermark: String = "1 hour"): DataFrame = {

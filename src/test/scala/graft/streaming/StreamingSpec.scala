@@ -460,4 +460,47 @@ class StreamingSpec extends SparkSpec {
       assert(ids === Set(1L, 2L, 4L))
     } finally q.stop()
   }
+
+  test("streaming span dedup: known + stream-kept keys == batch distinct spans") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val sA = (1 to 4).map(i => s"a$i").mkString(" ")
+    val sB = (1 to 4).map(i => s"b$i").mkString(" ")
+    val sC = (1 to 4).map(i => s"c$i").mkString(" ")
+    val sD = (1 to 4).map(i => s"d$i").mkString(" ")
+    // span table from the last batch sweep: the compacted corpus holds A, B
+    val known = Seq(sA, sB).toDF("span_text")
+      .select(md5(col("span_text")).as("span_key"))
+    val input = MemoryStream[(Long, Timestamp, String)]
+    val kept = StreamingDedup.spanDedupStream(
+      input.toDF().toDF("doc_id", "ts", "text"), known,
+      "doc_id", "ts", "text", span = 4)
+    val q = kept.writeStream.format("memory").queryName("sdedup")
+      .outputMode("append").start()
+    try {
+      // doc 1: A is known (drop), C is new (keep)
+      input.addData((1L, docAt(1), s"$sA $sC"))
+      q.processAllAvailable()
+      // doc 2: C repeats WITHIN the stream across micro-batches (state
+      // must carry over -> drop), D is new (keep)
+      input.addData((2L, docAt(2), s"$sC $sD"))
+      q.processAllAvailable()
+      val rows = spark.sql(
+        "select doc_id, span_idx, span_text from sdedup").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+      assert(rows === Set((1L, 1L, sC), (2L, 1L, sD)))
+      // SET parity with the batch tier: distinct span keys of
+      // (compacted corpus U increments) == known keys U emitted keys.
+      // Every doc here is exactly two 4-word spans, so the corpus's
+      // distinct span set is {A, B, C, D} by construction.
+      val spanKeys = Seq(sA, sB, sC, sD).toDF("t")
+        .select(md5(col("t")).as("k")).collect().map(_.getString(0)).toSet
+      val knownKeys = known.collect().map(_.getString(0)).toSet
+      val emitted = spark.sql("select span_text from sdedup").collect()
+        .map(_.getString(0)).toSet
+      val emittedKeys = emitted.map(t => Seq(t).toDF("t")
+        .select(md5(col("t"))).head.getString(0))
+      assert(knownKeys ++ emittedKeys === spanKeys)
+    } finally q.stop()
+  }
 }
