@@ -869,6 +869,58 @@ object SparkEntry {
       llm.Sampling.globalOrdinal(docs(s, dir), "doc_id", nShards = 64)
         .select(col("doc_id"), col("shard"), col("pos"))),
 
+    // LLM-pipeline: SHUFFLED sequence packing — the composition a real
+    // pretraining pipeline runs: deterministic global shuffle first
+    // (training order), then pack the token stream in shuffled order.
+    // globalOrdinal's shards are contiguous pos ranges, so packing
+    // within them in pos order IS packing the global shuffled stream
+    // per shard.
+    "q_shuffle_pack" -> ((s, dir) => {
+      val ord = llm.Sampling.globalOrdinal(docs(s, dir), "doc_id",
+          nShards = 64)
+        .withColumnRenamed("shard", "__sh")
+      llm.Sampling.packSequences(ord, "pos",
+        size(split(col("text"), " ")), 256, col("__sh"))
+        .select(col("doc_id"), col("shard"), col("seq_id"),
+          col("seq_offset"))
+    }),
+
+    // LLM-pipeline: corpus vocabulary — top-100 terms by occurrence
+    // with document frequency; the table every tokenizer/quality
+    // investigation starts from.
+    "q_vocab" -> ((s, dir) =>
+      docs(s, dir)
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+        .groupBy("term")
+        .agg(count(lit(1)).as("n_occurrences"),
+          count_distinct(col("doc_id")).as("n_docs"))
+        .orderBy(col("n_occurrences").desc, col("term").asc)
+        .limit(100)),
+
+    // LLM-pipeline: per-document top-3 TF-IDF terms. Ranking uses the
+    // ROUNDED score (round 6) so cross-engine ln() ulp differences
+    // cannot flip near-tie orderings — ties break by term.
+    "q_tfidf" -> ((s, dir) => {
+      val words = docs(s, dir)
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+      val tf = words.groupBy("doc_id", "term")
+        .agg(count(lit(1)).as("tf"))
+      val toks = tf.groupBy("doc_id").agg(sum("tf").as("__toks"))
+      val idf = words.select("doc_id", "term").distinct()
+        .groupBy("term").agg(count(lit(1)).as("df"))
+      val n = docs(s, dir).agg(count(lit(1)).as("__n"))
+      val scored = tf.join(toks, "doc_id").join(idf, "term")
+        .crossJoin(broadcast(n))
+        .withColumn("tfidf",
+          round((col("tf") / col("__toks")) *
+            log(col("__n") / col("df")), 6))
+      val w = Window.partitionBy("doc_id")
+        .orderBy(col("tfidf").desc, col("term").asc)
+      scored.withColumn("rank", row_number().over(w).cast("long"))
+        .filter(col("rank") <= 3)
+        .select(col("doc_id"), col("term"), col("tfidf"), col("rank"))
+    }),
+
     // LLM-pipeline: language id (stopword voting + CJK ratio)
     "q_langid" -> ((s, dir) =>
       llm.TextAnalysis.withLangId(docs(s, dir), "text")
@@ -1461,6 +1513,52 @@ object SparkEntry {
         |SELECT doc_id, CAST(b * 64 // 1000000 AS INTEGER) AS shard,
         |  row_number() OVER (ORDER BY b, doc_id) - 1 AS pos
         |FROM t""".stripMargin,
+
+    "q_shuffle_pack" ->
+      """WITH t AS (SELECT doc_id, text,
+        |    ((doc_id % 2147483646) + 1) * 48271 % 2147483647 % 1000000
+        |      AS b
+        |  FROM documents),
+        |o AS (SELECT doc_id, text,
+        |    CAST(b * 64 // 1000000 AS INTEGER) AS shard,
+        |    row_number() OVER (ORDER BY b, doc_id) - 1 AS pos
+        |  FROM t),
+        |c AS (SELECT doc_id, shard, pos,
+        |    sum(len(string_split(text, ' '))) OVER (PARTITION BY shard
+        |      ORDER BY pos
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      - len(string_split(text, ' ')) AS strt
+        |  FROM o)
+        |SELECT doc_id, shard, CAST(strt // 256 AS BIGINT) AS seq_id,
+        |  CAST(strt % 256 AS BIGINT) AS seq_offset FROM c""".stripMargin,
+
+    "q_vocab" ->
+      """WITH w AS (SELECT doc_id, unnest(string_split(text, ' '))
+        |    AS term FROM documents)
+        |SELECT term, count(*) AS n_occurrences,
+        |  count(DISTINCT doc_id) AS n_docs
+        |FROM w GROUP BY term
+        |ORDER BY n_occurrences DESC, term ASC LIMIT 100""".stripMargin,
+
+    "q_tfidf" ->
+      """WITH w AS (SELECT doc_id, unnest(string_split(text, ' '))
+        |    AS term FROM documents),
+        |tf AS (SELECT doc_id, term, count(*) AS tf
+        |  FROM w GROUP BY doc_id, term),
+        |tk AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS toks
+        |  FROM tf GROUP BY doc_id),
+        |idf AS (SELECT term, count(DISTINCT doc_id) AS df
+        |  FROM w GROUP BY term),
+        |n AS (SELECT count(*) AS nn FROM documents),
+        |s AS (SELECT tf.doc_id, tf.term,
+        |    round((CAST(tf AS DOUBLE) / toks)
+        |      * ln(CAST(nn AS DOUBLE) / df), 6) AS tfidf
+        |  FROM tf JOIN tk USING (doc_id) JOIN idf USING (term)
+        |  CROSS JOIN n)
+        |SELECT doc_id, term, tfidf,
+        |  row_number() OVER (PARTITION BY doc_id
+        |    ORDER BY tfidf DESC, term ASC) AS rank
+        |FROM s QUALIFY rank <= 3""".stripMargin,
 
     "q_ngram_jaccard" ->
       """WITH words AS (SELECT doc_id, string_split(text, ' ') AS w
