@@ -444,6 +444,27 @@ class PlanSpec extends SparkSpec {
       s"the corpus must never range-sort globally:\n$p")
   }
 
+  test("shuffled packing reuses the shard partitioning (no re-shuffle)") {
+    import spark.implicits._
+    val docs = (0L until 200L)
+      .map(i => (i, s"some words for document number $i here"))
+      .toDF("doc_id", "text")
+    val ord = graft.llm.Sampling.globalOrdinal(docs, "doc_id", 8)
+      .withColumnRenamed("shard", "__sh")
+    val p = plan(graft.llm.Sampling.packSequences(ord, "pos",
+      size(split(col("text"), " ")), 64, col("__sh")))
+    // globalOrdinal ranks within shard; the packer windows over the
+    // SAME shard attribute — Catalyst must see the partitioning as
+    // satisfied, so the composition adds no exchange beyond
+    // globalOrdinal's own (1 shard window + 1 tiny counts agg)
+    val shuffles = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(shuffles == 2,
+      s"shuffle+pack must reuse the shard exchange (2 total), " +
+        s"found $shuffles:\n$p")
+    assert(!p.contains("rangepartitioning"),
+      s"no global sort in shuffled packing:\n$p")
+  }
+
   test("eventize stays within the per-key partitioning (no extra wide shuffles)") {
     val flagged = series(200)
       .withColumn("flag", when(col("value") % 7 === 0, 1).otherwise(0))
