@@ -921,6 +921,14 @@ object SparkEntry {
         .select(col("doc_id"), col("term"), col("tfidf"), col("rank"))
     }),
 
+    // LLM-pipeline: CCNet-style LM quality score — per-doc average
+    // negative log-likelihood under a Laplace-smoothed bigram model
+    // trained on the corpus itself; the per-doc fold is position-
+    // ordered so the float sum is engine-reproducible.
+    "q_perplexity" -> ((s, dir) =>
+      llm.TextAnalysis.perplexityScore(docs(s, dir), "doc_id", "text")
+        .select(col("doc_id"), col("n_bigrams"), col("avg_nll"))),
+
     // LLM-pipeline: language id (stopword voting + CJK ratio)
     "q_langid" -> ((s, dir) =>
       llm.TextAnalysis.withLangId(docs(s, dir), "text")
@@ -1539,6 +1547,28 @@ object SparkEntry {
         |  count(DISTINCT doc_id) AS n_docs
         |FROM w GROUP BY term
         |ORDER BY n_occurrences DESC, term ASC LIMIT 100""".stripMargin,
+
+    "q_perplexity" ->
+      """WITH words AS (SELECT doc_id, string_split(text, ' ') AS w
+        |  FROM documents),
+        |bi AS (SELECT doc_id, CAST(i AS BIGINT) AS pos,
+        |    w[i] AS w1, w[i+1] AS w2
+        |  FROM (SELECT doc_id, w, unnest(range(1, len(w))) AS i
+        |        FROM words WHERE len(w) >= 2) x),
+        |bc AS (SELECT w1, w2, count(*) AS bc FROM bi GROUP BY w1, w2),
+        |cc AS (SELECT w1, count(*) AS cc FROM bi GROUP BY w1),
+        |v AS (SELECT count(DISTINCT t) AS vv FROM
+        |  (SELECT unnest(string_split(text, ' ')) AS t
+        |   FROM documents) u),
+        |t AS (SELECT bi.doc_id, bi.pos,
+        |    -ln(CAST(bc + 1 AS DOUBLE) / (cc + vv)) AS nll
+        |  FROM bi JOIN bc USING (w1, w2) JOIN cc USING (w1)
+        |  CROSS JOIN v)
+        |SELECT doc_id, count(*) AS n_bigrams,
+        |  round(list_reduce(list_prepend(0.0,
+        |      list_transform(list(nll ORDER BY pos), x -> x)),
+        |    (a, b) -> a + b) / count(*), 6) AS avg_nll
+        |FROM t GROUP BY doc_id""".stripMargin,
 
     "q_tfidf" ->
       """WITH w AS (SELECT doc_id, unnest(string_split(text, ' '))

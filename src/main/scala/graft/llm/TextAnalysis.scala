@@ -135,6 +135,50 @@ object TextAnalysis {
           ./(col("__nw")).as("dup5gram_frac"))
   }
 
+  /** CCNet-style LANGUAGE-MODEL quality scoring: per-document average
+    * negative log-likelihood under a Laplace-smoothed bigram model
+    * trained on the corpus itself (the published recipe scores against
+    * a reference-corpus LM; self-training is the degenerate in-engine
+    * form — boilerplate/loop text scores low, rare-transition noise
+    * scores high, and thresholding on the score is the filter).
+    *
+    *   nll(w1→w2) = −ln((B(w1,w2) + 1) / (C(w1) + V))
+    *
+    * with B bigram counts, C context counts, V vocabulary size — all
+    * exact integers, so the only float work is the per-term ln and the
+    * per-doc fold. That fold is ORDER-PINNED: terms are collected with
+    * their position and summed left-to-right after an array_sort — a
+    * plain float `avg` would sum in partition arrival order and no
+    * oracle could reproduce it bit-for-bit. Output:
+    * (id, n_bigrams, avg_nll); docs with fewer than two words have no
+    * bigrams and drop (callers treat them via the length filters). */
+  def perplexityScore(df: DataFrame, id: String, text: String): DataFrame = {
+    val words = df.select(col(id), split(col(text), " ").as("__w"))
+    val bi = words.filter(size(col("__w")) >= 2)
+      .select(col(id), explode(transform(
+        sequence(lit(0), size(col("__w")) - 2),
+        i => struct(i.cast("long").as("pos"),
+          element_at(col("__w"), i + 1).as("w1"),
+          element_at(col("__w"), i + 2).as("w2")))).as("__b"))
+      .select(col(id), col("__b.pos").as("__pos"),
+        col("__b.w1").as("w1"), col("__b.w2").as("w2"))
+    val bCounts = bi.groupBy("w1", "w2").agg(count(lit(1)).as("__bc"))
+    val cCounts = bi.groupBy("w1").agg(count(lit(1)).as("__cc"))
+    val vocab = df.select(explode(split(col(text), " ")).as("__t"))
+      .agg(count_distinct(col("__t")).as("__v"))
+    bi.join(bCounts, Seq("w1", "w2")).join(cCounts, Seq("w1"))
+      .crossJoin(broadcast(vocab))
+      .withColumn("__nll", lit(0.0) -
+        log((col("__bc") + 1).cast("double") / (col("__cc") + col("__v"))))
+      .groupBy(col(id))
+      .agg(count(lit(1)).as("n_bigrams"),
+        round(aggregate(
+          transform(array_sort(collect_list(struct(col("__pos"),
+            col("__nll")))), s => s.getField("__nll")),
+          lit(0.0), (acc, x) => acc + x) / count(lit(1)), 6)
+          .as("avg_nll"))
+  }
+
   /** Polynomial rolling-hash fingerprint of the whole document (mod a
     * Mersenne-ish prime, codegen'd via the `aggregate` higher-order
     * function — no UDF). */

@@ -149,6 +149,32 @@ class TextAnalysisSpec extends SparkSpec {
     assert(d.getAs[Double]("dup5gram_frac") === 0.0)
   }
 
+  test("perplexityScore: common transitions score lower nll than rare ones") {
+    // corpus dominated by the "spam ham" transition; one doc walks the
+    // common path, one doc is all first-occurrence transitions
+    val common = Seq.fill(8)("spam ham").mkString(" ")
+    val rare = (1 to 16).map(i => s"u$i").mkString(" ")
+    val corpus = Seq(1L -> common, 2L -> common, 3L -> rare)
+    val rows = TextAnalysis.perplexityScore(docs(corpus), "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(rows.keySet === Set(1L, 2L, 3L))
+    assert(rows(1L).getAs[Long]("n_bigrams") === 15L)
+    assert(rows(3L).getAs[Long]("n_bigrams") === 15L)
+    val commonNll = rows(1L).getAs[Double]("avg_nll")
+    val rareNll = rows(3L).getAs[Double]("avg_nll")
+    assert(commonNll < rareNll,
+      s"common-path doc must score lower nll: $commonNll vs $rareNll")
+    // identical docs score identically (deterministic fold)
+    assert(commonNll === rows(2L).getAs[Double]("avg_nll"))
+  }
+
+  test("perplexityScore drops sub-bigram docs") {
+    val rows = TextAnalysis.perplexityScore(
+      docs(Seq(1L -> "solo", 2L -> "two words")), "doc_id", "text")
+      .collect().map(_.getLong(0)).toSet
+    assert(rows === Set(2L))
+  }
+
   test("repetitionStats short-doc edges: no 5-grams, no bigrams") {
     val rows = TextAnalysis.repetitionStats(
       docs(Seq(1L -> "solo", 2L -> "two words")), "doc_id", "text")
