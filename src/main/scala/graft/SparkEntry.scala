@@ -802,6 +802,31 @@ object SparkEntry {
           round(col("cosine"), 6).as("cosine"), col("rank"))
     }),
 
+    // LLM-pipeline: IVF-PQ ANN — the full FAISS IVFADC stack (coarse
+    // cells × product-quantized RESIDUALS × float re-rank). The coarse
+    // scan reads only the probed cells' m-byte codes; residual
+    // codebooks spend the byte budget on a cell diameter instead of
+    // the whole space. DetKMeans cells + codebooks -> deterministic ->
+    // fixture-oracled; AnnRecallSpec pins recall vs brute force.
+    "q_ann_ivfpq" -> ((s, dir) => {
+      val embDf = emb(s, dir)
+      llm.Pq.ivfPqTopK(embDf, embDf.filter(col("vec_id") < 5),
+        "vec_id", "embedding", 3)
+        .select(col("query_id"), col("corpus_id"),
+          round(col("cosine"), 6).as("cosine"), col("rank"))
+    }),
+
+    // LLM-pipeline: SemDeDup (arXiv:2303.09540) — cluster-tier semantic
+    // dedup: k-means cells over the embeddings, EXACT pairwise cosine
+    // within each cell (the clustering is the only recall
+    // approximation), duplicate groups resolved to components, keep
+    // the group member LEAST similar to its centroid (the paper's
+    // diversity-preserving rule). Threshold 0.4 per the q_embed_neardup
+    // rationale above — the top of this corpus's cosine range.
+    "q_semdedup" -> ((s, dir) =>
+      llm.SemDedup.semDedup(emb(s, dir), "vec_id", "embedding",
+        k = 8, minCosine = 0.4)),
+
     // LLM-pipeline: embedding cosine near-dup via LSH buckets
     "q_embed_neardup" -> ((s, dir) =>
       // threshold 0.4 sits at the top of this corpus's cosine range (59
@@ -1791,9 +1816,11 @@ object SparkEntry {
     "q_mm_decode" -> fixtureSql("q_mm_decode"),
     "q_mm_video" -> fixtureSql("q_mm_video"),
     "q_ann_pq" -> fixtureSql("q_ann_pq"),
+    "q_ann_ivfpq" -> fixtureSql("q_ann_ivfpq"),
     "q_ann_lsh" -> fixtureSql("q_ann_lsh"),
     "q_ann_q8" -> fixtureSql("q_ann_q8"),
     "q_embed_neardup" -> fixtureSql("q_embed_neardup"),
+    "q_semdedup" -> fixtureSql("q_semdedup"),
 
     "q_text_stats" ->
       """WITH d AS (SELECT doc_id, text, length(text) AS len,

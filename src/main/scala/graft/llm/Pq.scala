@@ -112,6 +112,38 @@ object Pq {
       .select(col("__ord"),
         transform(col("__dv"), x => x / col("__n")).as("__dv"))
 
+  /** The m concurrent sub-fits over a persisted `(__ord, __dv)` sample
+    * frame — shared by [[pqTrain]] (unit-norm space) and
+    * [[ivfPqBuild]] (cell-residual space). The m sub-fits are
+    * independent; run them CONCURRENTLY from driver threads (Spark
+    * schedules jobs from any thread) — a sequential loop pays m ×
+    * rounds of job-scheduling latency (measured 21 s for m=16 at sf0.1
+    * vs ~3 s concurrent). Each fit is deterministic on its own, so
+    * concurrency cannot change the codebooks; results assemble in
+    * subspace order. */
+  private def fitBooks(sample: DataFrame, dim: Int, m: Int,
+                       ksub: Int): Seq[Seq[Seq[Double]]] = {
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    import scala.concurrent.ExecutionContext.Implicits.global
+    Await.result(
+      Future.sequence((0 until m).toList.map { j =>
+        Future {
+          val sub = dim / m
+          val sv = sample.select(col("__ord"),
+            slice(col("__dv"), j * sub + 1, sub).as("__sv"))
+          // buckets=16: a 4-dim sub-fit needs no 64-wide reduction
+          // tree — 16 concurrent fits × 10 rounds × 64 partitions was
+          // pure task-scheduling overhead. The bucket count is part
+          // of the deterministic reduction SHAPE (fixture-pinned), so
+          // it is fixed here, not tuned per run.
+          DetKMeans.fit(sv, "__sv", "__ord", ksub, maxIter = 5,
+            seed = 1013L + j, buckets = 16)
+            .centroids.map(_.toSeq).toSeq
+        }
+      }), Duration.Inf)
+  }
+
   /** Train PQ codebooks on a deterministic sample of the corpus.
     * `trainNum/den` is the [[Sampling.hashSample]] keep rate (1.0 =
     * train on everything — fine at test scale, sample at corpus
@@ -123,34 +155,8 @@ object Pq {
     val sample = unitized(Sampling.hashSample(df, id, trainNum, den),
         id, vec)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    try {
-      // the m sub-fits are independent; run them CONCURRENTLY from
-      // driver threads (Spark schedules jobs from any thread) — a
-      // sequential loop pays m × rounds of job-scheduling latency
-      // (measured 21 s for m=16 at sf0.1 vs ~3 s concurrent). Each
-      // fit is deterministic on its own, so concurrency cannot change
-      // the codebooks; results assemble in subspace order.
-      import scala.concurrent.{Await, Future}
-      import scala.concurrent.duration.Duration
-      import scala.concurrent.ExecutionContext.Implicits.global
-      val books = Await.result(
-        Future.sequence((0 until m).toList.map { j =>
-          Future {
-            val sub = dim / m
-            val sv = sample.select(col("__ord"),
-              slice(col("__dv"), j * sub + 1, sub).as("__sv"))
-            // buckets=16: a 4-dim sub-fit needs no 64-wide reduction
-            // tree — 16 concurrent fits × 10 rounds × 64 partitions was
-            // pure task-scheduling overhead. The bucket count is part
-            // of the deterministic reduction SHAPE (fixture-pinned), so
-            // it is fixed here, not tuned per run.
-            DetKMeans.fit(sv, "__sv", "__ord", ksub, maxIter = 5,
-              seed = 1013L + j, buckets = 16)
-              .centroids.map(_.toSeq).toSeq
-          }
-        }), Duration.Inf)
-      PqModel(dim, m, ksub, books)
-    } finally { sample.unpersist() }
+    try PqModel(dim, m, ksub, fitBooks(sample, dim, m, ksub))
+    finally { sample.unpersist(); () }
   }
 
   /** Encode the corpus: `(corpus_id, __code)` — the m-byte table the
@@ -269,4 +275,175 @@ object Pq {
     pqSearch(model, pqEncode(model, df, id, vec), df, queries, id, vec,
       k, oversample)
   }
+
+  // ------------------------------------------------------------------
+  // IVF-PQ — the full FAISS IVFADC stack (Jégou et al. PAMI 2011 §V:
+  // coarse quantizer + product-quantized RESIDUALS + asymmetric
+  // distance), combining this module's PQ tier with Similarity's IVF
+  // tier. vs flat PQ: the coarse scan reads only the probed cells'
+  // codes (nProbe/nList of the corpus instead of all of it), and the
+  // codebooks quantize residuals r = v − c(cell), whose spread is a
+  // cell diameter rather than the whole space — finer codes from the
+  // same byte budget. At 100 TB this is the ANN configuration that
+  // actually runs: m bytes per vector, partition-pruned cell reads,
+  // floats touched only for k × oversample survivors per query.
+  // ------------------------------------------------------------------
+
+  /** A built IVF-PQ index: the m-byte residual codes keyed by cell
+    * (`corpus_id, __cell, __code` — the ONLY table the coarse scan
+    * reads), the tiny centroid list, and the residual-space PQ model.
+    * Everything is unit-norm space: after normalization
+    * ‖q−v‖² = 2 − 2·cos(q,v), so ascending ADC distance ranks
+    * descending cosine, which is what the exact re-rank scores. */
+  case class IvfPqIndex(codes: DataFrame, centroids: Seq[Seq[Double]],
+                        model: PqModel)
+
+  /** Build: k-means the unit-normalized corpus into `nList` cells
+    * (deterministic [[graft.models.DetKMeans]] — fixture-oracle-safe),
+    * PQ-train on a deterministic sample of the CELL RESIDUALS, encode
+    * every residual with the native `pq_codes` expression. The
+    * expensive passes all happen here, once; `trainNum/den` bounds the
+    * codebook fit at corpus scale exactly as in [[pqTrain]]. */
+  def ivfPqBuild(df: DataFrame, id: String, vec: String, nList: Int = 16,
+                 m: Int = 16, ksub: Int = 64, trainNum: Int = 1000000,
+                 den: Int = 1000000): IvfPqIndex = {
+    val dim = df.select(size(col(vec))).head().getInt(0)
+    val u = unitized(df, id, vec)
+    val km = DetKMeans.fit(u, "__dv", "__ord", nList, maxIter = 10,
+      seed = 13L)
+    val cents = km.centroids.map(_.toSeq).toSeq
+    val resid = u
+      .withColumn("__cell", km.assignExpr(col("__dv")))
+      .withColumn("__rv",
+        zip_with(col("__dv"),
+          element_at(typedlit(cents), col("__cell") + lit(1)),
+          (x, c) => x - c))
+    val sample = Sampling.hashSample(resid, "__ord", trainNum, den)
+      .select(col("__ord"), col("__rv").as("__dv"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val model =
+      try PqModel(dim, m, ksub, fitBooks(sample, dim, m, ksub))
+      finally { sample.unpersist(); () }
+    val spark = df.sparkSession
+    if (!spark.catalog.functionExists("pq_codes"))
+      graft.functions.PqCodes.register(spark)
+    val codes = resid.select(col("__ord").as("corpus_id"), col("__cell"),
+      call_function("pq_codes", col("__rv"),
+        typedlit(model.codebooks)).as("__code"))
+    IvfPqIndex(codes, cents, model)
+  }
+
+  /** Persist an IVF-PQ index: codes partitioned by cell (a query
+    * batch's coarse read prunes to its probed cells at the
+    * file-listing level, like `Similarity.writeIvf`), centroids +
+    * codebooks as tiny sidecars. */
+  def writeIvfPq(index: IvfPqIndex, path: String): Unit = {
+    index.codes.write.mode("overwrite").partitionBy("__cell")
+      .parquet(s"$path/codes")
+    val spark = index.codes.sparkSession
+    import spark.implicits._
+    index.centroids.zipWithIndex.map { case (c, j) => (j, c) }
+      .toDF("cell", "centroid")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")
+    (for (j <- 0 until index.model.m; c <- 0 until index.model.ksub)
+      yield (j, c, index.model.codebooks(j)(c), index.model.dim))
+      .toDF("subspace", "codeword", "centroid", "dim")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/codebooks")
+  }
+
+  def readIvfPq(spark: org.apache.spark.sql.SparkSession,
+                path: String): IvfPqIndex = {
+    val cents = spark.read.parquet(s"$path/centroids")
+      .orderBy("cell").collect().map(_.getSeq[Double](1)).toSeq
+    val rows = spark.read.parquet(s"$path/codebooks")
+      .orderBy("subspace", "codeword").collect()
+    val dim = rows.head.getAs[Int]("dim")
+    val m = rows.map(_.getAs[Int]("subspace")).max + 1
+    val ksub = rows.map(_.getAs[Int]("codeword")).max + 1
+    val books = rows.grouped(ksub)
+      .map(_.map(_.getSeq[Double](2).toSeq).toSeq).toSeq
+    IvfPqIndex(spark.read.parquet(s"$path/codes"), cents,
+      PqModel(dim, m, ksub, books))
+  }
+
+  /** Two-stage IVF-PQ search (FAISS IVFADC):
+    *
+    *  1. PROBE + ADC TABLES — the query batch is collected (it is the
+    *     broadcast-small side everywhere in this module) and BOTH the
+    *     probe decision (nProbe nearest centroids, ties by cell id)
+    *     and the per-(query, cell) ADC tables over the residual
+    *     q − c(cell) are computed driver-side — nList distances + an
+    *     m × ksub table per probed cell, all over the tiny centroid
+    *     list; no Spark job.
+    *  2. COARSE — ADC over the probed cells' m-byte codes only; the
+    *     probed cell ids are plan LITERALS (`isin`), so a persisted
+    *     codes read is partition-pruned at file listing. Keep
+    *     `k × oversample` per query, ascending ADC, ties by corpus id.
+    *  3. EXACT — join survivors' float vectors back from `corpus` and
+    *     re-rank by exact cosine for the final k. */
+  def ivfPqSearch(index: IvfPqIndex, corpus: DataFrame, queries: DataFrame,
+                  id: String, vec: String, k: Int, nProbe: Int = 4,
+                  oversample: Int = 8): DataFrame = {
+    require(k > 0 && nProbe > 0 && oversample > 0,
+      s"k=$k, nProbe=$nProbe, oversample=$oversample")
+    val spark = index.codes.sparkSession
+    import spark.implicits._
+    val cents = index.centroids.map(_.toArray).toArray
+    val qRows = queries.select(col(id).cast("long").as("query_id"),
+        col(vec).cast("array<double>").as("__dv"))
+      .collect()
+      .map { r =>
+        val raw = r.getSeq[Double](1)
+        val n = math.sqrt(raw.map(x => x * x).sum) + 1e-12
+        (r.getLong(0), raw.map(_ / n).toArray)
+      }
+    val tabs = qRows.toSeq.flatMap { case (qid, qu) =>
+      val probed = cents.zipWithIndex.map { case (c, j) =>
+        var s = 0.0
+        var d = 0
+        while (d < c.length) { val t = qu(d) - c(d); s += t * t; d += 1 }
+        (s, j)
+      }.sorted.take(math.min(nProbe, cents.length))
+      probed.map { case (_, cell) =>
+        val qres = Array.tabulate(qu.length)(d => qu(d) - cents(cell)(d))
+        (qid, cell, index.model.adcTable(qres.toSeq))
+      }
+    }
+    val qTab = tabs.toDF("query_id", "__cell", "__tab")
+    val cellIds = tabs.map(_._2).distinct.sorted
+    val pruned = index.codes.filter(
+      col("__cell").isin(cellIds.map(Integer.valueOf): _*))
+    val wc = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id")
+      .orderBy(col("__adc").asc, col("corpus_id").asc)
+    val survivors = pruned
+      .join(broadcast(qTab), Seq("__cell"))
+      .filter(col("query_id") =!= col("corpus_id"))
+      .withColumn("__adc", index.model.adcExpr(col("__code"), col("__tab")))
+      .withColumn("__r", row_number().over(wc))
+      .filter(col("__r") <= k * oversample)
+      .select("query_id", "corpus_id")
+    val wx = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id")
+      .orderBy(col("cosine").desc, col("corpus_id").asc)
+    survivors
+      .join(corpus.select(col(id).as("corpus_id"), col(vec).as("__cv")),
+        "corpus_id")
+      .join(broadcast(queries.select(col(id).as("query_id"),
+        col(vec).as("__qv"))), "query_id")
+      .withColumn("cosine", Similarity.cosineNative(col("__qv"), col("__cv")))
+      .withColumn("__r", row_number().over(wx))
+      .filter(col("__r") <= k)
+      .select(col("query_id"), col("corpus_id"), col("cosine"),
+        col("__r").cast("long").as("rank"))
+  }
+
+  /** One-shot IVF-PQ build + search (the registered `q_ann_ivfpq`
+    * form). */
+  def ivfPqTopK(df: DataFrame, queries: DataFrame, id: String,
+                vec: String, k: Int, nList: Int = 16, m: Int = 16,
+                ksub: Int = 64, nProbe: Int = 4,
+                oversample: Int = 8): DataFrame =
+    ivfPqSearch(ivfPqBuild(df, id, vec, nList, m, ksub), df, queries,
+      id, vec, k, nProbe, oversample)
 }

@@ -276,6 +276,51 @@ class AnnRecallSpec extends SparkSpec {
     assert(recall >= 0.9, s"PQ recall $recall < 0.9 (${truth.size} truths)")
   }
 
+  test("ivfPqTopK recall vs brute force (IVFADC: probed cells + residual PQ + re-rank)") {
+    assume(haveData)
+    val emb = spark.read.parquet(embPath)
+    val queries = emb.filter(col("vec_id") < 20)
+    val k = 3
+    val truth = Similarity.bruteForceTopK(queries, emb, "vec_id",
+        "embedding", k)
+      .select("query_id", "corpus_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(truth.nonEmpty)
+    // full probe isolates the residual-PQ approximation (same bar as
+    // flat pqTopK); the partial probe adds the IVF cell-miss loss on
+    // this diffuse corpus (same floor as float ivfTopK at nProbe=8)
+    for ((nProbe, minRecall) <- Seq(8 -> 0.7, 16 -> 0.9)) {
+      val ann = Pq.ivfPqTopK(emb, queries, "vec_id", "embedding", k,
+          nList = 16, nProbe = nProbe, oversample = 8)
+        .select("query_id", "corpus_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      val recall = (truth & ann).size.toDouble / truth.size
+      info(s"IVF-PQ nList=16 nProbe=$nProbe recall=$recall")
+      assert(recall >= minRecall,
+        s"IVF-PQ recall $recall < $minRecall at nProbe=$nProbe")
+    }
+  }
+
+  test("persisted IVF-PQ index round-trips and searches identically") {
+    assume(haveData)
+    val emb = spark.read.parquet(embPath)
+    val queries = emb.filter(col("vec_id") < 5)
+    val idx = Pq.ivfPqBuild(emb, "vec_id", "embedding")
+    val direct = Pq.ivfPqSearch(idx, emb, queries, "vec_id", "embedding", 3)
+      .collect().map(_.toSeq).toSet
+    val dir = java.nio.file.Files
+      .createTempDirectory("ivfpq_idx").toString
+    Pq.writeIvfPq(idx, dir)
+    val idx2 = Pq.readIvfPq(spark, dir)
+    assert(idx2.model.codebooks === idx.model.codebooks,
+      "codebooks must survive the round-trip bit-for-bit")
+    assert(idx2.centroids === idx.centroids,
+      "cell centroids must survive the round-trip bit-for-bit")
+    val replayed = Pq.ivfPqSearch(idx2, emb, queries, "vec_id",
+      "embedding", 3).collect().map(_.toSeq).toSet
+    assert(replayed === direct)
+  }
+
   test("persisted PQ index round-trips and searches identically") {
     assume(haveData)
     val emb = spark.read.parquet(embPath)
