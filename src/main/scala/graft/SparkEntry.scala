@@ -954,6 +954,17 @@ object SparkEntry {
       llm.TextAnalysis.perplexityScore(docs(s, dir), "doc_id", "text")
         .select(col("doc_id"), col("n_bigrams"), col("avg_nll"))),
 
+    // LLM-pipeline: stupid-backoff trigram LM score (Brants et al.
+    // EMNLP 2007) — the distributed-estimation smoothing: raw count
+    // ratios with a fixed 0.4 penalty per backoff level. Trains on the
+    // deterministic MCG half-split, scores everything; held-out docs
+    // exercise real backoff (backoff_rate > 0), in-model docs score
+    // backoff-free.
+    "q_backoff" -> ((s, dir) =>
+      llm.TextAnalysis.stupidBackoffScore(docs(s, dir), "doc_id", "text")
+        .select(col("doc_id"), col("n_trigrams"), col("avg_nll"),
+          col("backoff_rate"))),
+
     // LLM-pipeline: language id (stopword voting + CJK ratio)
     "q_langid" -> ((s, dir) =>
       llm.TextAnalysis.withLangId(docs(s, dir), "text")
@@ -1594,6 +1605,50 @@ object SparkEntry {
         |      list_transform(list(nll ORDER BY pos), x -> x)),
         |    (a, b) -> a + b) / count(*), 6) AS avg_nll
         |FROM t GROUP BY doc_id""".stripMargin,
+
+    "q_backoff" ->
+      """WITH train AS (SELECT doc_id, text FROM documents
+        |  WHERE ((doc_id % 2147483646) + 1) * 48271 % 2147483647 % 2 < 1),
+        |tw AS (SELECT string_split(text, ' ') AS w FROM train),
+        |uni AS (SELECT unnest(w) AS u FROM tw),
+        |ucnt AS (SELECT u, count(*) AS uc FROM uni GROUP BY u),
+        |n AS (SELECT CAST(count(*) AS DOUBLE) AS nn FROM uni),
+        |tb AS (SELECT w[i] AS b1, w[i+1] AS b2
+        |  FROM (SELECT w, unnest(range(1, len(w))) AS i
+        |        FROM tw WHERE len(w) >= 2) x),
+        |bcnt AS (SELECT b1, b2, count(*) AS bc FROM tb GROUP BY b1, b2),
+        |tt AS (SELECT w[i] AS w1, w[i+1] AS w2, w[i+2] AS w3
+        |  FROM (SELECT w, unnest(range(1, len(w) - 1)) AS i
+        |        FROM tw WHERE len(w) >= 3) y),
+        |tcnt AS (SELECT w1, w2, w3, count(*) AS tc FROM tt
+        |  GROUP BY w1, w2, w3),
+        |tri AS (SELECT doc_id, CAST(i AS BIGINT) AS pos,
+        |    w[i] AS w1, w[i+1] AS w2, w[i+2] AS w3
+        |  FROM (SELECT doc_id, w, unnest(range(1, len(w) - 1)) AS i
+        |        FROM (SELECT doc_id, string_split(text, ' ') AS w
+        |              FROM documents) q WHERE len(w) >= 3) z),
+        |sc AS (SELECT tri.doc_id, tri.pos,
+        |    CASE WHEN tc IS NOT NULL THEN CAST(tc AS DOUBLE) / bc12
+        |         WHEN bc23 IS NOT NULL
+        |           THEN 0.4 * (CAST(bc23 AS DOUBLE) / uc2)
+        |         ELSE 0.4 * (0.4 * (coalesce(CAST(uc3 AS DOUBLE), 0.5)
+        |           / nn)) END AS s,
+        |    CASE WHEN tc IS NOT NULL THEN 0 ELSE 1 END AS bo
+        |  FROM tri
+        |  LEFT JOIN tcnt USING (w1, w2, w3)
+        |  LEFT JOIN (SELECT b1 AS w1, b2 AS w2, bc AS bc12 FROM bcnt) j1
+        |    USING (w1, w2)
+        |  LEFT JOIN (SELECT b1 AS w2, b2 AS w3, bc AS bc23 FROM bcnt) j2
+        |    USING (w2, w3)
+        |  LEFT JOIN (SELECT u AS w2, uc AS uc2 FROM ucnt) j3 USING (w2)
+        |  LEFT JOIN (SELECT u AS w3, uc AS uc3 FROM ucnt) j4 USING (w3)
+        |  CROSS JOIN n)
+        |SELECT doc_id, count(*) AS n_trigrams,
+        |  round(list_reduce(list_prepend(0.0,
+        |      list_transform(list(-ln(s) ORDER BY pos), x -> x)),
+        |    (a, b) -> a + b) / count(*), 6) AS avg_nll,
+        |  round(CAST(sum(bo) AS DOUBLE) / count(*), 6) AS backoff_rate
+        |FROM sc GROUP BY doc_id""".stripMargin,
 
     "q_tfidf" ->
       """WITH w AS (SELECT doc_id, unnest(string_split(text, ' '))

@@ -179,6 +179,101 @@ object TextAnalysis {
           .as("avg_nll"))
   }
 
+  /** Stupid-backoff trigram LM score (Brants, Popat, Xu, Och, Dean:
+    * "Large Language Models in Machine Translation", EMNLP 2007) — the
+    * smoothing DESIGNED for distributed LM estimation: no discounting,
+    * no normalization, just raw relative frequencies with a fixed
+    * `alpha` backoff penalty, so every model table is an
+    * embarrassingly parallel count aggregate. The LM trains on a
+    * deterministic [[Sampling.hashSample]] split (`trainNum/den`,
+    * default half) and scores the WHOLE corpus — held-out docs
+    * exercise real backoff (training on the scored corpus itself would
+    * make every trigram seen and the backoff dead code).
+    *
+    *   S(w₃|w₁w₂) = f(w₁w₂w₃)/f(w₁w₂)   when the trigram is in-model
+    *              = α · S(w₃|w₂)        otherwise
+    *   S(w₃|w₂)   = f(w₂w₃)/f(w₂)       when the bigram is in-model
+    *              = α · S(w₃)
+    *   S(w₃)      = f(w₃)/N,            OOV words floored at 0.5/N
+    *
+    * All counts are exact integers; the per-doc fold over −ln S is
+    * position-ordered (the [[perplexityScore]] contract) so the float
+    * sum is engine-reproducible and the registered query carries a
+    * plain SQL oracle. Output: `(id, n_trigrams, avg_nll,
+    * backoff_rate)` — backoff_rate is the fraction of positions that
+    * fell below the trigram order, a model-coverage diagnostic (0 for
+    * in-model docs by construction). Docs with fewer than three words
+    * drop (callers treat them via the length filters).
+    *
+    * 100 TB posture: the count tables are map-side-combinable
+    * aggregates; scoring is 1:1 equi-joins against them (each position
+    * row matches at most one count row — no fan-out), sharded on the
+    * n-gram key — the Brants architecture verbatim. */
+  def stupidBackoffScore(df: DataFrame, id: String, text: String,
+                         trainNum: Int = 1, den: Int = 2,
+                         alpha: Double = 0.4): DataFrame = {
+    require(alpha > 0 && alpha < 1, s"alpha=$alpha must be in (0,1)")
+    def triPos(d: DataFrame): DataFrame =
+      d.select(col(id), split(col(text), " ").as("__w"))
+        .filter(size(col("__w")) >= 3)
+        .select(col(id), explode(transform(
+          sequence(lit(0), size(col("__w")) - 3),
+          i => struct(i.cast("long").as("pos"),
+            element_at(col("__w"), i + 1).as("w1"),
+            element_at(col("__w"), i + 2).as("w2"),
+            element_at(col("__w"), i + 3).as("w3")))).as("__t"))
+        .select(col(id), col("__t.pos").as("__pos"),
+          col("__t.w1").as("w1"), col("__t.w2").as("w2"),
+          col("__t.w3").as("w3"))
+    val train = Sampling.hashSample(df, id, trainNum, den)
+    val twords = train.select(split(col(text), " ").as("__w"))
+    val tuni = twords.select(explode(col("__w")).as("__u"))
+    val uc = tuni.groupBy("__u").agg(count(lit(1)).as("__uc"))
+    val ntok = tuni.agg(count(lit(1)).cast("double").as("__n"))
+    val bc = twords.filter(size(col("__w")) >= 2)
+      .select(explode(transform(sequence(lit(0), size(col("__w")) - 2),
+        i => struct(element_at(col("__w"), i + 1).as("b1"),
+          element_at(col("__w"), i + 2).as("b2")))).as("__b"))
+      .groupBy(col("__b.b1").as("b1"), col("__b.b2").as("b2"))
+      .agg(count(lit(1)).as("__bc"))
+    val tc = triPos(train).groupBy("w1", "w2", "w3")
+      .agg(count(lit(1)).as("__tc"))
+    // left joins: a trigram hit implies its (w1,w2) context bigram is
+    // in-model, and a bigram hit implies its w2 unigram is — the
+    // denominators are never null on the branch that uses them
+    val scored = triPos(df)
+      .join(tc, Seq("w1", "w2", "w3"), "left")
+      .join(bc.select(col("b1").as("w1"), col("b2").as("w2"),
+        col("__bc").as("__bc12")), Seq("w1", "w2"), "left")
+      .join(bc.select(col("b1").as("w2"), col("b2").as("w3"),
+        col("__bc").as("__bc23")), Seq("w2", "w3"), "left")
+      .join(uc.select(col("__u").as("w2"), col("__uc").as("__uc2")),
+        Seq("w2"), "left")
+      .join(uc.select(col("__u").as("w3"), col("__uc").as("__uc3")),
+        Seq("w3"), "left")
+      .crossJoin(broadcast(ntok))
+      .withColumn("__s",
+        when(col("__tc").isNotNull,
+          col("__tc").cast("double") / col("__bc12"))
+          .otherwise(lit(alpha) *
+            when(col("__bc23").isNotNull,
+              col("__bc23").cast("double") / col("__uc2"))
+              .otherwise(lit(alpha) *
+                (coalesce(col("__uc3").cast("double"), lit(0.5)) /
+                  col("__n")))))
+      .withColumn("__nll", lit(0.0) - log(col("__s")))
+      .withColumn("__bo", when(col("__tc").isNotNull, 0L).otherwise(1L))
+    scored.groupBy(col(id))
+      .agg(count(lit(1)).as("n_trigrams"),
+        round(aggregate(
+          transform(array_sort(collect_list(struct(col("__pos"),
+            col("__nll")))), s => s.getField("__nll")),
+          lit(0.0), (acc, x) => acc + x) / count(lit(1)), 6)
+          .as("avg_nll"),
+        round(sum(col("__bo")).cast("double") / count(lit(1)), 6)
+          .as("backoff_rate"))
+  }
+
   /** Polynomial rolling-hash fingerprint of the whole document (mod a
     * Mersenne-ish prime, codegen'd via the `aggregate` higher-order
     * function — no UDF). */

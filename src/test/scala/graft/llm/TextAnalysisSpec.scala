@@ -184,4 +184,45 @@ class TextAnalysisSpec extends SparkSpec {
     assert(rows(2L).getAs[Double]("top2gram_frac") === 1.0) // 1 bigram / 2 tokens * 2
     assert(rows(2L).getAs[Double]("uniq_word_frac") === 1.0)
   }
+
+  test("stupid backoff: hand-computed scores at every backoff level") {
+    import spark.implicits._
+    // MCG half-split: odd-bucket ids 1, 3 train; 0, 2 are held out.
+    // Model from doc 1 "a b c a b c": f(abc)=2, f(bca)=1, f(cab)=1,
+    // f(ab)=f(bc)=2, f(ca)=1, f(a)=f(b)=f(c)=2, N=6.
+    val df = Seq(
+      (1L, "a b c a b c"), // in-model: nll (0, ln2, 0, 0)/4
+      (0L, "a b c x y z"), // trigram hit + 3 double-backoff OOV terms
+      (2L, "x a b")        // single-backoff: s = 0.4 * f(ab)/f(a) = 0.4
+    ).toDF("doc_id", "text")
+    val rows = TextAnalysis.stupidBackoffScore(df, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(rows(1L).getAs[Long]("n_trigrams") === 4L)
+    assert(rows(1L).getAs[Double]("avg_nll") === 0.173287)
+    assert(rows(1L).getAs[Double]("backoff_rate") === 0.0)
+    assert(rows(0L).getAs[Double]("avg_nll") === 3.238116)
+    assert(rows(0L).getAs[Double]("backoff_rate") === 0.75)
+    assert(rows(2L).getAs[Double]("avg_nll") === 0.916291)
+    assert(rows(2L).getAs[Double]("backoff_rate") === 1.0)
+  }
+
+  test("stupid backoff on the fixture corpus: train docs never back off, held-out docs do") {
+    val path = "/root/testdata/sf0.01/documents.parquet"
+    assume(new java.io.File(path).exists())
+    val docs = spark.read.parquet(path)
+    val out = TextAnalysis.stupidBackoffScore(docs, "doc_id", "text")
+    val trainIds = Sampling.hashSample(docs, "doc_id", 1, 2)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val rows = out.collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      if (trainIds.contains(r.getLong(0)))
+        assert(r.getAs[Double]("backoff_rate") === 0.0,
+          s"train doc ${r.getLong(0)} backed off")
+    }
+    val held = rows.filter(r => !trainIds.contains(r.getLong(0)))
+    assert(held.nonEmpty)
+    assert(held.exists(_.getAs[Double]("backoff_rate") > 0.0),
+      "no held-out doc exercised backoff - the split is not doing its job")
+  }
 }
