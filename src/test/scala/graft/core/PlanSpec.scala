@@ -262,6 +262,75 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("persisted IVF-PQ search prunes the codes scan to the probed cells, codes only") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    val rng = new scala.util.Random(19)
+    val emb = (0L until 200L).map(i =>
+      (i, Array.fill(8)(rng.nextFloat()))).toDF("vec_id", "embedding")
+    val index = graft.llm.Pq.ivfPqBuild(emb, "vec_id", "embedding",
+      nList = 16, m = 4, ksub = 16)
+    val dir = java.nio.file.Files.createTempDirectory("ivfpqplan").toString
+    try {
+      graft.llm.Pq.writeIvfPq(index, dir)
+      val reread = graft.llm.Pq.readIvfPq(spark, dir)
+      val nCells = new java.io.File(s"$dir/codes").listFiles()
+        .count(_.getName.startsWith("__cell="))
+      assert(nCells > 2, s"pruning test needs >2 cell partitions, got $nCells")
+      val one = emb.filter(col("vec_id") === 0L)
+      def codeScans(df: DataFrame): Seq[FileSourceScanExec] = {
+        df.collect()
+        def go(p: SparkPlan): Seq[FileSourceScanExec] = {
+          val here = p match { case f: FileSourceScanExec => Seq(f)
+                               case _ => Nil }
+          val wrapped = p match {
+            case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+            case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+              Seq(q.plan)
+            case r: org.apache.spark.sql.execution.exchange
+                     .ReusedExchangeExec => Seq(r.child)
+            case _ => Nil
+          }
+          here ++ (p.children ++ wrapped).flatMap(go)
+        }
+        go(df.queryExecution.executedPlan)
+          .filter(_.relation.location.rootPaths
+            .exists(_.toString.contains("codes")))
+      }
+      val fs = codeScans(graft.llm.Pq.ivfPqSearch(reread, emb, one,
+        "vec_id", "embedding", 3, nProbe = 2))
+      assert(fs.nonEmpty, "no codes scan in the ivfPqSearch plan")
+      fs.foreach { f =>
+        assert(f.partitionFilters.nonEmpty,
+          "codes scan lost its partition filter — did partitionBy(__cell) " +
+            "or the isin literal pruning go missing?")
+        assert(f.selectedPartitions.partitionCount === 2,
+          s"nProbe=2 must read 2 of $nCells cell partitions, " +
+            s"read ${f.selectedPartitions.partitionCount}")
+        // the coarse stage streams m bytes + the id per row — floats
+        // live in the corpus table and must never enter this scan
+        assert(f.requiredSchema.fieldNames.toSet === Set("corpus_id", "__code"),
+          s"coarse codes scan reads ${f.requiredSchema.fieldNames.toSeq}")
+      }
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+    }
+  }
+
+  test("semDedup plans no cartesian/nested-loop join (cluster-keyed pairs only)") {
+    val embPath = "/root/testdata/sf0.01/embeddings.parquet"
+    assume(new java.io.File(embPath).exists())
+    val emb = spark.read.parquet(embPath)
+    val out = graft.llm.SemDedup.semDedup(emb, "vec_id", "embedding",
+      k = 8, minCosine = 0.4)
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"),
+      "semDedup pair generation fell back to a cartesian product")
+    assert(!plan.contains("BroadcastNestedLoopJoin"),
+      "semDedup pair generation fell back to a nested-loop join")
+  }
+
   test("PQ coarse stage scans only the m-byte codes table") {
     val embPath = "/root/testdata/sf0.01/embeddings.parquet"
     assume(new java.io.File(embPath).exists())
