@@ -72,9 +72,15 @@ object SemDedup {
     val u = unitized(df, id, vec)
     val km = DetKMeans.fit(u, "__dv", "__id", k, maxIter = 10, seed = seed)
     val cents = km.centroids.map(_.toSeq).toSeq
+    // checkpoint: `assigned` fans out four ways below (size guard, both
+    // pair-join sides, the final labeling) — without lineage truncation
+    // each consumer re-derives the k-literal assignExpr/centroidCos
+    // trees and the self-join duplicates them again (the Pq one-shot
+    // measured this pattern at >10× the materialized cost)
     val assigned = u
       .withColumn("__cluster", km.assignExpr(col("__dv")))
       .withColumn("__ccos", centroidCos(cents)(col("__dv"), col("__cluster")))
+      .localCheckpoint(false)
     // Intra-cluster exact pairwise — the cluster id IS the bucket key,
     // and each pair appears exactly once (no OR-amplification), so no
     // distinct() exchange is needed. The size guard drops over-sized
