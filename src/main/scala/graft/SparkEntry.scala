@@ -983,6 +983,14 @@ object SparkEntry {
         .groupBy("doc_id").agg(count(lit(1)).as("n_fingerprints"),
           min("fingerprint").as("min_fp"))),
 
+    // LLM-pipeline: directional containment (quote/excerpt dedup tier) —
+    // Broder containment over the winnowing sketch; a doc pasted inside
+    // a larger one has low Jaccard but containment ≈ 1. Exact integer
+    // counts over the capped fingerprint universe -> fixture-oracled.
+    "q_containment" -> ((s, dir) =>
+      llm.TextAnalysis.containment(docs(s, dir), "doc_id", "text",
+        k = 8, w = 4, minContainment = 0.3, maxDocFreq = 100)),
+
     // LLM-pipeline: multimodal plumbing (binary payload → stub features)
     "q_multimodal" -> ((s, dir) => {
       val media = llm.Multimodal.synthesize(docs(s, dir),
@@ -1796,6 +1804,7 @@ object SparkEntry {
     "q_sig_dedup" -> fixtureSql("q_sig_dedup"),
     "q_langid" -> fixtureSql("q_langid"),
     "q_winnow" -> fixtureSql("q_winnow"),
+    "q_containment" -> fixtureSql("q_containment"),
     "q_corpus" ->
       """WITH q AS (SELECT doc_id, lang, text,
         |    length(text) AS len,

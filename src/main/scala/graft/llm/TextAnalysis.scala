@@ -322,4 +322,56 @@ object TextAnalysis {
           .as("__fps"))
       .select(col(id), explode_outer(col("__fps")).as("fingerprint"))
   }
+
+  /** DIRECTIONAL containment detection over winnowing sketches — the
+    * quote/excerpt tier of dedup (Broder's containment coefficient,
+    * "On the resemblance and containment of documents", 1997, computed
+    * over the Schleimer-Wilkerson-Aiken winnowing sketch): a doc pasted
+    * inside a larger one has low symmetric Jaccard but containment ≈ 1,
+    * so Jaccard-tier dedup misses it by construction.
+    *
+    *   containment(a ⊆ b) = |fp(a) ∩ fp(b)| / |fp(a)|
+    *
+    * Emits one row per ORDERED pair (id_a contained-in id_b) at or
+    * above `minContainment`, with the shared-fingerprint count and
+    * both sketch sizes. Both the intersection and the denominators are
+    * computed over the SAME capped fingerprint universe (fingerprints
+    * in more than `maxDocFreq` docs dropped — boilerplate removal and
+    * the hot-bucket join guard in one move), so the ratio stays a true
+    * fraction of the compared sets.
+    *
+    * 100 TB posture: the [[winnowing]] sketch is map-only; everything
+    * after is fingerprint-bucketed — the pair join fans out only
+    * within a fingerprint's (capped) posting list, exactly the
+    * `ngramJaccard` shape, and the count aggregates are map-side
+    * combinable. Counts are exact integers → deterministic → the
+    * registered query carries a fixture oracle. */
+  def containment(df: DataFrame, id: String, text: String, k: Int = 8,
+                  w: Int = 4, minContainment: Double = 0.5,
+                  maxDocFreq: Int = 1000): DataFrame = {
+    require(minContainment > 0 && minContainment <= 1,
+      s"minContainment=$minContainment must be in (0, 1]")
+    val fps = winnowing(df, id, text, k, w)
+    val cool = fps.groupBy("fingerprint")
+      .agg(count(lit(1)).as("__df"))
+      .filter(col("__df") <= maxDocFreq)
+      .select("fingerprint")
+    val capped = fps.join(cool, Seq("fingerprint"))
+    val sizes = capped.groupBy(col(id)).agg(count(lit(1)).as("__sz"))
+    val a = capped.select(col("fingerprint"), col(id).as("id_a"))
+    val b = capped.select(col("fingerprint"), col(id).as("id_b"))
+    a.join(b, Seq("fingerprint"))
+      .filter(col("id_a") =!= col("id_b"))
+      .groupBy("id_a", "id_b")
+      .agg(count(lit(1)).as("shared_fps"))
+      .join(sizes.select(col(id).as("id_a"), col("__sz").as("fps_a")),
+        Seq("id_a"))
+      .join(sizes.select(col(id).as("id_b"), col("__sz").as("fps_b")),
+        Seq("id_b"))
+      .withColumn("containment",
+        round(col("shared_fps").cast("double") / col("fps_a"), 6))
+      .filter(col("containment") >= minContainment)
+      .select(col("id_a"), col("id_b"), col("shared_fps"),
+        col("fps_a"), col("fps_b"), col("containment"))
+  }
 }

@@ -185,6 +185,49 @@ class TextAnalysisSpec extends SparkSpec {
     assert(rows(2L).getAs[Double]("uniq_word_frac") === 1.0)
   }
 
+  test("containment: an excerpt is contained in its host, not vice versa") {
+    import spark.implicits._
+    val excerpt = "the quick brown fox jumps over the lazy dog near the riverbank today"
+    val host = "unrelated preamble text first " + excerpt +
+      " and then a long unrelated tail continues for quite a while longer here"
+    val other = "completely different content with no overlap whatsoever in it"
+    val df = Seq((1L, excerpt), (2L, host), (3L, other))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.containment(df, "doc_id", "text",
+        minContainment = 0.1, maxDocFreq = 1000)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        r.getAs[Double]("containment")).toMap
+    // (id_a=1 in id_b=2): nearly all of the excerpt's fingerprints
+    // appear in the host; the reverse direction is diluted by the
+    // host's extra text
+    val fwd = out.getOrElse((1L, 2L), 0.0)
+    val rev = out.getOrElse((2L, 1L), 0.0)
+    assert(fwd >= 0.8, s"excerpt-in-host containment $fwd < 0.8")
+    assert(rev < fwd, s"host-in-excerpt $rev should be < $fwd")
+    // the unrelated doc pairs with nothing
+    assert(!out.keys.exists { case (a, b) => a == 3L || b == 3L },
+      "unrelated doc must produce no containment pair")
+  }
+
+  test("containment ratios stay over the capped universe (denominator consistency)") {
+    import spark.implicits._
+    // two identical docs: containment 1.0 both ways, shared == fps_a == fps_b
+    val t = "some reasonably long shared text that winnows to several fingerprints"
+    val df = Seq((1L, t), (2L, t)).toDF("doc_id", "text")
+    val rows = TextAnalysis.containment(df, "doc_id", "text",
+      minContainment = 0.5, maxDocFreq = 10).collect()
+    assert(rows.length === 2)
+    rows.foreach { r =>
+      assert(r.getAs[Double]("containment") === 1.0)
+      assert(r.getAs[Long]("shared_fps") === r.getAs[Long]("fps_a"))
+      assert(r.getAs[Long]("fps_a") === r.getAs[Long]("fps_b"))
+    }
+    // with maxDocFreq = 1 every shared fingerprint is "hot": no pairs,
+    // not a crash — the cap degrades recall, never correctness
+    assert(TextAnalysis.containment(df, "doc_id", "text",
+      minContainment = 0.1, maxDocFreq = 1).count() === 0L)
+  }
+
   test("stupid backoff: hand-computed scores at every backoff level") {
     import spark.implicits._
     // MCG half-split: odd-bucket ids 1, 3 train; 0, 2 are held out.
