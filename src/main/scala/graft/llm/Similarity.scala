@@ -216,6 +216,32 @@ object Similarity {
       .coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")
   }
 
+  /** Append a new vector batch to a PERSISTED index without refit —
+    * the FAISS `add()` contract, and the maintenance operation a
+    * growing corpus actually performs: new vectors are assigned to the
+    * EXISTING cells (centroids frozen at build time; when the index is
+    * quantized, the batch is quantized with the persisted build-time
+    * scale) and appended to the cell-partitioned parquet — only the
+    * touched cell partitions gain files, nothing is rewritten, reads
+    * stay partition-pruned. Centroids drift from the data distribution
+    * as the corpus grows; the operating procedure is a periodic
+    * rebuild when recall degrades (monitored vs brute force on a
+    * sample), never per-batch refit. AnnRecallSpec pins that an
+    * appended index searches identically to one whose cells were
+    * assigned in a single pass over the same centroids. */
+  def ivfAppend(index: IvfIndex, batch: DataFrame, id: String,
+                vec: String, path: String): Unit = {
+    val model = graft.models.DetKMeans.Model(
+      index.centroids.map(_.toArray).toArray)
+    val base = batch.select(col(id).as("corpus_id"), col(vec).as("__cv"))
+    val withQ = index.q8Scale.fold(base)(s =>
+      base.withColumn("__cq", Quantize.quantized(col("__cv"), s)))
+    withQ.withColumn("__dv", col("__cv").cast("array<double>"))
+      .withColumn("__cell", model.assignExpr(col("__dv")))
+      .drop("__dv")
+      .write.mode("append").partitionBy("__cell").parquet(s"$path/cells")
+  }
+
   def readIvf(spark: org.apache.spark.sql.SparkSession,
               path: String): IvfIndex = {
     val cdf = spark.read.parquet(s"$path/centroids")

@@ -276,6 +276,51 @@ class AnnRecallSpec extends SparkSpec {
     assert(recall >= 0.9, s"PQ recall $recall < 0.9 (${truth.size} truths)")
   }
 
+  test("ivfAppend: incrementally-grown index searches identically to a one-pass build") {
+    assume(haveData)
+    val emb = spark.read.parquet(embPath)
+    val first = emb.filter(col("vec_id") % 2 === 0)
+    val second = emb.filter(col("vec_id") % 2 === 1)
+    val queries = emb.filter(col("vec_id") < 10)
+    // build (quantized) on the first half, persist, append the second
+    val idx = Similarity.ivfBuild(first, "vec_id", "embedding",
+      nList = 16, quantize = true)
+    val dir = java.nio.file.Files
+      .createTempDirectory("ivf_append").toString
+    try {
+      Similarity.writeIvf(idx, dir)
+      Similarity.ivfAppend(idx, second, "vec_id", "embedding", dir)
+      val grown = Similarity.readIvf(spark, dir)
+      // expected: the SAME frozen centroids assigning the full corpus
+      // in one pass (what a from-scratch write of both halves yields)
+      val model = graft.models.DetKMeans.Model(
+        idx.centroids.map(_.toArray).toArray)
+      val scale = idx.q8Scale.get
+      val oneShotCells = emb
+        .select(col("vec_id").as("corpus_id"), col("embedding").as("__cv"))
+        .withColumn("__cq", graft.llm.Quantize.quantized(col("__cv"), scale))
+        .withColumn("__dv", col("__cv").cast("array<double>"))
+        .withColumn("__cell", model.assignExpr(col("__dv")))
+        .drop("__dv")
+      val oneShot = Similarity.IvfIndex(oneShotCells, idx.centroids,
+        idx.q8Scale)
+      def rows(i: Similarity.IvfIndex, q8: Boolean) =
+        (if (q8) Similarity.ivfSearchQ8(i, queries, "vec_id", "embedding", 3)
+         else Similarity.ivfSearch(i, queries, "vec_id", "embedding", 3))
+          .collect().map(_.toSeq).toSet
+      assert(rows(grown, q8 = false) === rows(oneShot, q8 = false),
+        "float search over the appended index diverged from one-pass")
+      assert(rows(grown, q8 = true) === rows(oneShot, q8 = true),
+        "int8 search over the appended index diverged from one-pass")
+      // appended rows really landed in pruned cell partitions
+      val cells = new java.io.File(s"$dir/cells").listFiles()
+        .count(_.getName.startsWith("__cell="))
+      assert(cells > 2)
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+    }
+  }
+
   test("ivfPqTopK recall vs brute force (IVFADC: probed cells + residual PQ + re-rank)") {
     assume(haveData)
     val emb = spark.read.parquet(embPath)
