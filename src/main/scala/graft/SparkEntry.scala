@@ -965,6 +965,62 @@ object SparkEntry {
         .select(col("doc_id"), col("n_trigrams"), col("avg_nll"),
           col("backoff_rate"))),
 
+    // LLM-pipeline: PII detection + typed-placeholder redaction (the
+    // Dolma/ROOTS release tier). The corpus is synthetic word soup, so
+    // the query PLANTS deterministic PII derived from doc_id (email /
+    // phone / SSN-shaped id / IPv4) — the oracle reproduces the same
+    // construction in SQL, and the patterns are written in the
+    // Java-regex ∩ RE2 subset so both engines scan the same rules.
+    "q_pii" -> ((s, dir) => {
+      val id = col("doc_id")
+      val planted = concat(col("text"),
+        when(id % 7 === 0,
+          concat(lit(" contact user"), id.cast("string"),
+            lit("@example.com"))).otherwise(lit("")),
+        when(id % 5 === 0,
+          concat(lit(" call 555-"), (id % 900 + 100).cast("string"),
+            lit("-"), (id % 9000 + 1000).cast("string")))
+          .otherwise(lit("")),
+        when(id % 3 === 0,
+          concat(lit(" host 10."), (id % 256).cast("string"),
+            lit("."), ((id * 7) % 256).cast("string"),
+            lit("."), ((id * 13) % 256).cast("string")))
+          .otherwise(lit("")),
+        when(id % 11 === 0,
+          concat(lit(" id 987-65-"), (id % 9000 + 1000).cast("string")))
+          .otherwise(lit("")))
+      val d = docs(s, dir).withColumn("__pt", planted)
+      llm.TextAnalysis.piiStats(d, "__pt")
+        .select(col("doc_id"), col("n_email"), col("n_phone"),
+          col("n_ssn"), col("n_ipv4"), col("pii_total"),
+          llm.TextAnalysis.redactPii(col("__pt")).as("redacted"))
+    }),
+
+    // LLM-pipeline: C4 line-level cleaning (Raffel et al. 2020 §2.2).
+    // The corpus has no line structure, so the query synthesizes it
+    // deterministically: 8-word lines, terminal '.' only when
+    // (doc_id + line) % 3 != 0, a "lorem ipsum" prefix on line 0 of
+    // doc_id%11 docs, a trailing '{' on line 1 of doc_id%13 docs —
+    // exercising every published rule. The filter itself is one
+    // map-only array-expression chain in the scan stage.
+    "q_c4_filter" -> ((s, dir) => {
+      val w = split(col("text"), " ")
+      val lines = transform(
+        sequence(lit(0L), floor((size(w) - lit(1)) / lit(8)).cast("long")),
+        i => concat(
+          when(col("doc_id") % 11 === 0 && i === 0,
+            lit("lorem ipsum ")).otherwise(lit("")),
+          array_join(slice(w, (i * 8 + 1).cast("int"), lit(8)), " "),
+          when((col("doc_id") + i) % 3 =!= 0, lit(".")).otherwise(lit("")),
+          when(col("doc_id") % 13 === 0 && i === 1, lit(" {"))
+            .otherwise(lit(""))))
+      val lined = docs(s, dir)
+        .withColumn("__lt", array_join(lines, "\n"))
+      llm.TextAnalysis.c4LineFilter(lined, "doc_id", "__lt")
+        .select(col("doc_id"), col("clean_text"), col("n_lines"),
+          col("n_kept"))
+    }),
+
     // LLM-pipeline: language id (stopword voting + CJK ratio)
     "q_langid" -> ((s, dir) =>
       llm.TextAnalysis.withLangId(docs(s, dir), "text")
@@ -1772,6 +1828,71 @@ object SparkEntry {
         |    + least(CAST(stop_hits AS DOUBLE)/n_tokens * 3.0, 0.3), 6)
         |    AS quality_score
         |FROM d""".stripMargin,
+
+    "q_pii" ->
+      """WITH t AS (SELECT doc_id, text
+        |  || CASE WHEN doc_id % 7 = 0 THEN ' contact user'
+        |       || CAST(doc_id AS VARCHAR) || '@example.com'
+        |     ELSE '' END
+        |  || CASE WHEN doc_id % 5 = 0 THEN ' call 555-'
+        |       || CAST(doc_id % 900 + 100 AS VARCHAR) || '-'
+        |       || CAST(doc_id % 9000 + 1000 AS VARCHAR)
+        |     ELSE '' END
+        |  || CASE WHEN doc_id % 3 = 0 THEN ' host 10.'
+        |       || CAST(doc_id % 256 AS VARCHAR) || '.'
+        |       || CAST((doc_id * 7) % 256 AS VARCHAR) || '.'
+        |       || CAST((doc_id * 13) % 256 AS VARCHAR)
+        |     ELSE '' END
+        |  || CASE WHEN doc_id % 11 = 0 THEN ' id 987-65-'
+        |       || CAST(doc_id % 9000 + 1000 AS VARCHAR)
+        |     ELSE '' END AS pt
+        |  FROM documents),
+        |c AS (SELECT doc_id, pt,
+        |    CAST(len(regexp_extract_all(pt,
+        |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
+        |      AS BIGINT) AS n_email,
+        |    CAST(len(regexp_extract_all(pt,
+        |      '\b\d{3}-\d{3}-\d{4}\b')) AS BIGINT) AS n_phone,
+        |    CAST(len(regexp_extract_all(pt,
+        |      '\b\d{3}-\d{2}-\d{4}\b')) AS BIGINT) AS n_ssn,
+        |    CAST(len(regexp_extract_all(pt,
+        |      '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS BIGINT)
+        |      AS n_ipv4
+        |  FROM t)
+        |SELECT doc_id, n_email, n_phone, n_ssn, n_ipv4,
+        |  n_email + n_phone + n_ssn + n_ipv4 AS pii_total,
+        |  regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+        |    pt, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+        |    '<EMAIL>', 'g'),
+        |    '\b\d{3}-\d{3}-\d{4}\b', '<PHONE>', 'g'),
+        |    '\b\d{3}-\d{2}-\d{4}\b', '<ID>', 'g'),
+        |    '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g')
+        |    AS redacted
+        |FROM c""".stripMargin,
+
+    "q_c4_filter" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS w
+        |  FROM documents),
+        |l AS (SELECT doc_id, list_transform(
+        |    range(0, (len(w) + 7) // 8), i ->
+        |    CASE WHEN doc_id % 11 = 0 AND i = 0 THEN 'lorem ipsum '
+        |      ELSE '' END
+        |    || array_to_string(w[i*8+1 : i*8+8], ' ')
+        |    || CASE WHEN (doc_id + i) % 3 <> 0 THEN '.' ELSE '' END
+        |    || CASE WHEN doc_id % 13 = 0 AND i = 1 THEN ' {'
+        |      ELSE '' END) AS lines
+        |  FROM w),
+        |f AS (SELECT doc_id, lines,
+        |    list_filter(lines, l ->
+        |      len(string_split(l, ' ')) >= 3
+        |      AND regexp_matches(l, '[.!?"]$')
+        |      AND NOT contains(lower(l), 'lorem ipsum')
+        |      AND NOT contains(l, '{')) AS ks
+        |  FROM l)
+        |SELECT doc_id, array_to_string(ks, chr(10)) AS clean_text,
+        |  CAST(len(lines) AS BIGINT) AS n_lines,
+        |  CAST(len(ks) AS BIGINT) AS n_kept
+        |FROM f WHERE len(ks) >= 1""".stripMargin,
 
     "q_rollhash" ->
       """SELECT doc_id,

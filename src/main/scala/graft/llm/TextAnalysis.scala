@@ -274,6 +274,76 @@ object TextAnalysis {
           .as("backoff_rate"))
   }
 
+  /** PII detection/redaction — the rule-based tier every published
+    * web-corpus pipeline runs before release (C4 strips blocklisted
+    * content, Dolma/BigScience-ROOTS mask emails, phone numbers, IP
+    * addresses with typed placeholders). Patterns are the standard
+    * conservative regexes, written in the Java-regex ∩ RE2 common
+    * subset (`\b`, bounded quantifiers, character classes) so the SAME
+    * pattern text runs in Spark AND in the DuckDB oracle.
+    *
+    * Order matters for BOTH lists: `555-123-4567` must be consumed by
+    * the phone rule before the SSN rule can see its tail, so phone
+    * precedes ssn in redaction (detection counts are independent
+    * per-pattern scans over the ORIGINAL text, so they don't care).
+    *
+    * 100 TB posture: pure column expressions (regexp_count /
+    * regexp_replace) — codegen'd, map-only, no exchange. */
+  val piiPatterns: Seq[(String, String, String)] = Seq(
+    ("email", "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("phone", "\\b\\d{3}-\\d{3}-\\d{4}\\b", "<PHONE>"),
+    ("ssn", "\\b\\d{3}-\\d{2}-\\d{4}\\b", "<ID>"),
+    ("ipv4", "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b", "<IP>"))
+
+  /** Per-kind match counts over the original text: adds `n_<kind>`
+    * (long) per pattern plus `pii_total`. */
+  def piiStats(df: DataFrame, text: String): DataFrame = {
+    val withCounts = piiPatterns.foldLeft(df) { case (d, (kind, pat, _)) =>
+      d.withColumn(s"n_$kind",
+        regexp_count(col(text), lit(pat)).cast("long"))
+    }
+    withCounts.withColumn("pii_total",
+      piiPatterns.map { case (kind, _, _) => col(s"n_$kind") }
+        .reduce(_ + _))
+  }
+
+  /** Masked text: each pattern replaced by its typed placeholder, in
+    * declaration order. */
+  def redactPii(text: Column): Column =
+    piiPatterns.foldLeft(text) { case (t, (_, pat, repl)) =>
+      regexp_replace(t, pat, repl)
+    }
+
+  /** C4-style LINE-level cleaning (Raffel et al. 2020 §2.2, the
+    * published heuristics): a document is split on newlines and a line
+    * is kept only if it
+    *  - has at least `minWordsPerLine` words,
+    *  - ends in terminal punctuation (. ! ? or a closing quote),
+    *  - does not contain "lorem ipsum" (case-insensitive), and
+    *  - does not contain a curly brace (code/boilerplate tell).
+    * Documents with fewer than `minKeptLines` surviving lines drop
+    * entirely (C4 drops pages with < 3 sentences). Returns
+    * (id..., clean_text, n_lines, n_kept).
+    *
+    * 100 TB posture: the split/filter/rejoin is ONE array expression
+    * chain inside the scan stage — map-only, codegen'd, no exchange;
+    * the whole filter runs at parquet-scan parallelism. */
+  def c4LineFilter(df: DataFrame, id: String, text: String,
+                   minWordsPerLine: Int = 3,
+                   minKeptLines: Int = 1): DataFrame = {
+    val lines = split(col(text), "\n")
+    val kept = filter(lines, l =>
+      (size(split(l, " ")) >= minWordsPerLine) &&
+        l.rlike("[.!?\"]$") &&
+        !lower(l).contains("lorem ipsum") &&
+        !l.contains("{"))
+    df.select(col(id), lines.as("__ls"), kept.as("__ks"))
+      .filter(size(col("__ks")) >= minKeptLines)
+      .select(col(id), array_join(col("__ks"), "\n").as("clean_text"),
+        size(col("__ls")).cast("long").as("n_lines"),
+        size(col("__ks")).cast("long").as("n_kept"))
+  }
+
   /** Polynomial rolling-hash fingerprint of the whole document (mod a
     * Mersenne-ish prime, codegen'd via the `aggregate` higher-order
     * function — no UDF). */

@@ -268,4 +268,68 @@ class TextAnalysisSpec extends SparkSpec {
     assert(held.exists(_.getAs[Double]("backoff_rate") > 0.0),
       "no held-out doc exercised backoff - the split is not doing its job")
   }
+
+  test("piiStats counts each PII kind; redactPii masks with typed placeholders") {
+    val d = docs(Seq(
+      1L -> ("reach me at jane.doe+x@corp-mail.co.uk or 555-867-5309, " +
+        "ssn 123-45-6789, server 192.168.0.1 ok"),
+      2L -> "no pii here at all",
+      3L -> "two mails a@b.io c@d.org and ip 10.0.0.255"))
+    val out = TextAnalysis.piiStats(d, "text")
+      .withColumn("redacted", TextAnalysis.redactPii(col("text")))
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(out(1L).getAs[Long]("n_email") === 1L)
+    assert(out(1L).getAs[Long]("n_phone") === 1L)
+    assert(out(1L).getAs[Long]("n_ssn") === 1L)
+    assert(out(1L).getAs[Long]("n_ipv4") === 1L)
+    assert(out(1L).getAs[Long]("pii_total") === 4L)
+    assert(out(1L).getAs[String]("redacted") ===
+      "reach me at <EMAIL> or <PHONE>, ssn <ID>, server <IP> ok")
+    assert(out(2L).getAs[Long]("pii_total") === 0L)
+    assert(out(2L).getAs[String]("redacted") === "no pii here at all")
+    assert(out(3L).getAs[Long]("n_email") === 2L)
+    assert(out(3L).getAs[Long]("n_ipv4") === 1L)
+  }
+
+  test("pii rule interplay: a phone number is not double-counted as an SSN") {
+    // 555-123-4567 must match ONLY the phone rule: the SSN regex needs
+    // \d{2} between the dashes and \b stops it starting mid-number
+    val d = docs(Seq(1L -> "call 555-123-4567 now"))
+    val r = TextAnalysis.piiStats(d, "text")
+      .withColumn("redacted", TextAnalysis.redactPii(col("text")))
+      .collect().head
+    assert(r.getAs[Long]("n_phone") === 1L)
+    assert(r.getAs[Long]("n_ssn") === 0L)
+    assert(r.getAs[String]("redacted") === "call <PHONE> now")
+  }
+
+  test("c4LineFilter applies all four line rules and the min-kept-lines doc drop") {
+    val d = docs(Seq(
+      1L -> ("this line is kept fine.\nshort.\nno terminal punct here\n" +
+        "Lorem Ipsum filler text here.\ncode block { inside.\n" +
+        "another good line stays!"),
+      2L -> "every line bad\nalso bad"))
+    val out = TextAnalysis.c4LineFilter(d, "doc_id", "text")
+    val rows = out.collect().map(r => r.getLong(0) -> r).toMap
+    // doc 2 has no surviving line -> dropped entirely
+    assert(!rows.contains(2L))
+    val r1 = rows(1L)
+    assert(r1.getAs[Long]("n_lines") === 6L)
+    assert(r1.getAs[Long]("n_kept") === 2L)
+    assert(r1.getAs[String]("clean_text") ===
+      "this line is kept fine.\nanother good line stays!")
+  }
+
+  test("c4LineFilter honors minWordsPerLine and minKeptLines knobs") {
+    val d = docs(Seq(1L -> "one two.\nthree four five six."))
+    // default minWords=3: only the 4-word line survives
+    assert(TextAnalysis.c4LineFilter(d, "doc_id", "text")
+      .collect().head.getAs[Long]("n_kept") === 1L)
+    // minWords=2: both survive
+    assert(TextAnalysis.c4LineFilter(d, "doc_id", "text",
+      minWordsPerLine = 2).collect().head.getAs[Long]("n_kept") === 2L)
+    // minKeptLines=2 with default minWords: the doc drops
+    assert(TextAnalysis.c4LineFilter(d, "doc_id", "text",
+      minKeptLines = 2).count() === 0L)
+  }
 }
