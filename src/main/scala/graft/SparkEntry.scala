@@ -1021,6 +1021,16 @@ object SparkEntry {
           col("n_kept"))
     }),
 
+    // LLM-pipeline: DSIR importance weights (Xie et al. 2023) — every
+    // doc scored by how target-like its hashed unigram+bigram profile
+    // is, target = the src0 domain. Engine-portable polynomial gram
+    // hash, bucket-ordered float fold; the oracle reproduces bucket
+    // ids, Laplace ratios, and the fold in plain SQL.
+    "q_dsir" -> ((s, dir) =>
+      llm.Sampling.dsirLogWeights(docs(s, dir), "doc_id", "text",
+        col("source") === "src0", buckets = 256)
+        .select(col("doc_id"), col("n_grams"), col("dsir_logw"))),
+
     // LLM-pipeline: language id (stopword voting + CJK ratio)
     "q_langid" -> ((s, dir) =>
       llm.TextAnalysis.withLangId(docs(s, dir), "text")
@@ -1828,6 +1838,40 @@ object SparkEntry {
         |    + least(CAST(stop_hits AS DOUBLE)/n_tokens * 3.0, 0.3), 6)
         |    AS quality_score
         |FROM d""".stripMargin,
+
+    "q_dsir" ->
+      """WITH w AS (SELECT doc_id, source, string_split(text, ' ') AS w
+        |  FROM documents),
+        |g AS (
+        |  SELECT doc_id, source, unnest(w) AS gram FROM w
+        |  UNION ALL
+        |  SELECT doc_id, source, w[i] || ' ' || w[i+1]
+        |  FROM (SELECT doc_id, source, w, unnest(range(1, len(w))) AS i
+        |        FROM w) b),
+        |h AS (SELECT doc_id, source,
+        |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |      list_transform(string_split(gram, ''),
+        |        c -> ascii(c)::BIGINT)),
+        |      (a, b) -> (a * 1000003 + b) % 2147483647) % 256 AS b
+        |  FROM g),
+        |d AS (SELECT doc_id, b, count(*) AS cnt,
+        |    max(CASE WHEN source = 'src0' THEN 1 ELSE 0 END) AS tgt
+        |  FROM h GROUP BY doc_id, b),
+        |dist AS (SELECT b, sum(cnt) AS ac,
+        |    sum(CASE WHEN tgt = 1 THEN cnt ELSE 0 END) AS tc
+        |  FROM d GROUP BY b),
+        |tot AS (SELECT sum(ac) AS na, sum(tc) AS nt FROM dist),
+        |r AS (SELECT b,
+        |    ln(CAST(tc + 1 AS DOUBLE) / (nt + 256))
+        |      - ln(CAST(ac + 1 AS DOUBLE) / (na + 256)) AS lr
+        |  FROM dist CROSS JOIN tot),
+        |j AS (SELECT doc_id, b, cnt, cnt * lr AS wt
+        |  FROM d JOIN r USING (b))
+        |SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n_grams,
+        |  round(list_reduce(list_prepend(0.0,
+        |      list_transform(list(wt ORDER BY b), x -> x)),
+        |    (a, b) -> a + b), 6) AS dsir_logw
+        |FROM j GROUP BY doc_id""".stripMargin,
 
     "q_pii" ->
       """WITH t AS (SELECT doc_id, text

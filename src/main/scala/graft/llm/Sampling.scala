@@ -161,6 +161,71 @@ object Sampling {
       .withColumnRenamed("__shard", "shard")
   }
 
+  /** DSIR importance weights (Xie, Santurkar, Ma, Liang: "Data
+    * Selection for Language Models via Importance Resampling", NeurIPS
+    * 2023): score every raw document by how target-like its hashed
+    * n-gram profile is,
+    *
+    *   log w(doc) = Σ_grams  ln p_target(bucket(g)) − ln q_raw(bucket(g))
+    *
+    * with unigram+bigram features hashed into `buckets` buckets and
+    * both bucket distributions Laplace-smoothed
+    * `(c_b + 1)/(N + buckets)`. Selection = keep the top-k by weight
+    * (or Gumbel-resample; the weight table is the operator — the
+    * filter downstream is a one-line orderBy/limit or threshold).
+    *
+    * The gram hash is the same engine-portable polynomial mod 2^31−1
+    * as [[graft.llm.TextAnalysis.rollingHash]], so a plain SQL oracle
+    * reproduces every bucket id. The per-doc float fold is
+    * bucket-ordered (the [[TextAnalysis.perplexityScore]] contract) —
+    * reproducible across engines and partitionings.
+    *
+    * 100 TB posture: ONE gram explode feeds a per-(doc, bucket) count
+    * aggregate (map-side combine absorbs in-doc repetition before the
+    * exchange); the bucket distributions are a second, `buckets`-row
+    * aggregate over those counts, broadcast back as the ratio table.
+    * No driver collect, no all-pairs anything. (The paper fits the
+    * ratio table once on a sample; chaining the second aggregate off
+    * the per-doc counts is the same economy — the corpus is gram-
+    * exploded exactly once.) */
+  def dsirLogWeights(df: DataFrame, id: String, text: String,
+                     isTarget: Column, buckets: Int = 1024): DataFrame = {
+    require(buckets >= 2, s"buckets=$buckets must be >= 2")
+    val w = split(col(text), " ")
+    val bigrams = when(size(w) >= 2,
+      transform(sequence(lit(0), size(w) - 2),
+        i => concat_ws(" ", element_at(w, i + 1), element_at(w, i + 2))))
+      .otherwise(array().cast("array<string>"))
+    val grams = df.select(col(id), isTarget.as("__tgt"),
+        explode(concat(w, bigrams)).as("__g"))
+      .withColumn("__b", pmod(aggregate(
+        transform(split(col("__g"), ""), c => ascii(c).cast("long")),
+        lit(0L),
+        (a, x) => pmod(a * lit(1000003L) + x, lit(2147483647L))),
+        lit(buckets.toLong)))
+    val perDoc = grams.groupBy(col(id), col("__b"))
+      .agg(count(lit(1)).as("__cnt"), max(col("__tgt")).as("__tgt"))
+    val dist = perDoc.groupBy(col("__b"))
+      .agg(sum("__cnt").as("__ac"),
+        sum(when(col("__tgt"), col("__cnt")).otherwise(lit(0L)))
+          .as("__tc"))
+    val tot = dist.agg(sum("__ac").as("__na"), sum("__tc").as("__nt"))
+    val ratio = dist.crossJoin(broadcast(tot))
+      .select(col("__b"),
+        (log((col("__tc") + 1).cast("double") /
+            (col("__nt") + lit(buckets))) -
+          log((col("__ac") + 1).cast("double") /
+            (col("__na") + lit(buckets)))).as("__lr"))
+    perDoc.join(broadcast(ratio), Seq("__b"))
+      .groupBy(col(id))
+      .agg(sum("__cnt").as("n_grams"),
+        round(aggregate(
+          transform(array_sort(collect_list(struct(col("__b"),
+            (col("__cnt") * col("__lr")).as("__w")))),
+            s => s.getField("__w")),
+          lit(0.0), (a, x) => a + x), 6).as("dsir_logw"))
+  }
+
   /** Deterministic corpus SHUFFLE with a contiguous global position —
     * the "randomize training order, reproducibly" step. Global order is
     * `(idBucket(id, den), id)`: pseudo-random by the same portable

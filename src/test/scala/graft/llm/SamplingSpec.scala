@@ -287,4 +287,69 @@ class SamplingSpec extends SparkSpec {
       expectNext = ps.last + 1
     }
   }
+
+  test("dsirLogWeights matches a driver-side recomputation exactly") {
+    import spark.implicits._
+    val docs = Seq(
+      (0L, "alpha beta alpha", "tgt"),
+      (1L, "alpha beta", "tgt"),
+      (2L, "gamma delta gamma delta", "raw"),
+      (3L, "alpha delta", "raw")).toDF("doc_id", "text", "src")
+    val buckets = 64
+    def polyHash(s: String): Long =
+      s.foldLeft(0L)((a, c) => (a * 1000003L + c.toLong) % 2147483647L)
+    def grams(t: String): Seq[String] = {
+      val w = t.split(" ").toSeq
+      w ++ w.sliding(2).filter(_.size == 2).map(_.mkString(" "))
+    }
+    val all = Seq((0L, "tgt"), (1L, "tgt"), (2L, "raw"), (3L, "raw"))
+      .zip(Seq("alpha beta alpha", "alpha beta",
+        "gamma delta gamma delta", "alpha delta"))
+      .map { case ((id, s), t) => (id, s, grams(t).map(g =>
+        polyHash(g) % buckets)) }
+    val ac = all.flatMap(_._3).groupBy(identity).view.mapValues(_.size)
+    val tc = all.filter(_._2 == "tgt").flatMap(_._3)
+      .groupBy(identity).view.mapValues(_.size).toMap
+    val na = all.map(_._3.size).sum
+    val nt = all.filter(_._2 == "tgt").map(_._3.size).sum
+    def lr(b: Long): Double =
+      math.log((tc.getOrElse(b, 0) + 1).toDouble / (nt + buckets)) -
+        math.log((ac(b) + 1).toDouble / (na + buckets))
+    val expected = all.map { case (id, _, bs) =>
+      val perB = bs.groupBy(identity).view.mapValues(_.size).toSeq
+        .sortBy(_._1)
+      id -> (bs.size.toLong,
+        BigDecimal(perB.map { case (b, c) => c * lr(b) }.sum)
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }.toMap
+    val got = Sampling.dsirLogWeights(docs, "doc_id", "text",
+        col("src") === "tgt", buckets)
+      .collect().map(r => r.getLong(0) ->
+        (r.getAs[Long]("n_grams"), r.getAs[Double]("dsir_logw"))).toMap
+    assert(got.keySet === expected.keySet)
+    expected.foreach { case (id, (n, w)) =>
+      assert(got(id)._1 === n, s"n_grams for doc $id")
+      assert(math.abs(got(id)._2 - w) < 2e-6, s"dsir_logw for doc $id")
+    }
+  }
+
+  test("dsirLogWeights ranks target-vocabulary docs above off-target docs") {
+    import spark.implicits._
+    // target domain speaks vocab A, raw web speaks vocab B; a held-out
+    // vocab-A doc must outscore every vocab-B doc
+    val docs = (
+      (0L until 20).map(i => (i, "alpha beta gamma delta", "tgt")) ++
+      (20L until 80).map(i => (i, "zeta eta theta iota", "web")) ++
+      Seq((99L, "alpha beta gamma delta", "web"))).toDF(
+      "doc_id", "text", "src")
+    val out = Sampling.dsirLogWeights(docs, "doc_id", "text",
+        col("src") === "tgt", buckets = 256)
+      .collect().map(r => r.getLong(0) -> r.getAs[Double]("dsir_logw"))
+      .toMap
+    val heldOut = out(99L)
+    (20L until 80).foreach { i =>
+      assert(heldOut > out(i),
+        s"held-out target-like doc scored ${heldOut} <= web doc ${out(i)}")
+    }
+  }
 }
