@@ -1021,6 +1021,24 @@ object SparkEntry {
           col("n_kept"))
     }),
 
+    // LLM-pipeline: BPE tokenizer training (Sennrich 2016) — the
+    // word-count trainer architecture: one distributed word-frequency
+    // aggregate, driver-side merge loop bounded by the type cap.
+    // Deterministic (lexicographic pair tie-break) → fixture oracle.
+    "q_bpe_merges" -> ((s, dir) =>
+      llm.Bpe.learnMergesDf(docs(s, dir), "text", numMerges = 40)),
+
+    // LLM-pipeline: BPE application — distinct words tokenized with
+    // the broadcast merge ranks (vocab-sized mapPartitions), joined
+    // back per doc for exact subword token counts.
+    "q_bpe_tokens" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val merges = llm.Bpe.learnMerges(
+        llm.Bpe.wordCounts(d, "text", 65536), 40)
+      llm.Bpe.tokenize(d, "doc_id", "text", merges)
+        .select(col("doc_id"), col("n_words"), col("n_bpe_tokens"))
+    }),
+
     // LLM-pipeline: DSIR importance weights (Xie et al. 2023) — every
     // doc scored by how target-like its hashed unigram+bigram profile
     // is, target = the src0 domain. Engine-portable polynomial gram
@@ -1950,6 +1968,8 @@ object SparkEntry {
     // golden-verified implementations (fixtures/README.md; regenerate via
     // graft.tools.GenFixtures after intentional behavior changes). Only
     // valid for the driver's sf0.01 correctness run.
+    "q_bpe_merges" -> fixtureSql("q_bpe_merges"),
+    "q_bpe_tokens" -> fixtureSql("q_bpe_tokens"),
     "q_ar" -> fixtureSql("q_ar"),
     "q_kmeans" -> fixtureSql("q_kmeans"),
     "q_ann_ivf" -> fixtureSql("q_ann_ivf"),
