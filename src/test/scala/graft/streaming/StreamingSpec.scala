@@ -503,4 +503,41 @@ class StreamingSpec extends SparkSpec {
       assert(knownKeys ++ emittedKeys === spanKeys)
     } finally q.stop()
   }
+
+  test("packStream equals batch packSequences across micro-batch splits") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import StreamingPack._
+    // 40 docs over 3 shards, ragged token counts, budget small enough
+    // that every shard crosses several sequence boundaries
+    val docs = (0L until 40L).map(i =>
+      PackDoc(i, (i % 3).toInt, (i % 7) + 1))
+    val batch = graft.llm.Sampling.packSequences(
+        docs.map(d => (d.doc_id, d.shard, d.tokens))
+          .toDF("doc_id", "sh", "tokens"),
+        "doc_id", col("tokens"), 16, col("sh"))
+      .select("doc_id", "shard", "seq_id", "seq_offset").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    val input = MemoryStream[PackDoc]
+    val out = packStream(input.toDS(), budget = 16)
+    val q = out.writeStream.format("memory").queryName("spack")
+      .outputMode("append").start()
+    try {
+      // id order per shard across batches — the append-only contract
+      input.addData(docs.filter(_.doc_id < 13): _*)
+      q.processAllAvailable()
+      input.addData(docs.filter(d => d.doc_id >= 13 && d.doc_id < 26): _*)
+      q.processAllAvailable()
+      input.addData(docs.filter(_.doc_id >= 26): _*)
+      q.processAllAvailable()
+      val got = spark.sql("select * from spack").collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3)))
+        .toSet
+      assert(got === batch)
+      // the parity is only meaningful if state actually carried: late
+      // docs must land deep into later sequences
+      assert(got.exists { case (id, _, seq, _) => id >= 26 && seq >= 2 })
+    } finally q.stop()
+  }
 }
