@@ -184,10 +184,14 @@ object Sampling {
     * aggregate (map-side combine absorbs in-doc repetition before the
     * exchange); the bucket distributions are a second, `buckets`-row
     * aggregate over those counts, broadcast back as the ratio table.
-    * No driver collect, no all-pairs anything. (The paper fits the
-    * ratio table once on a sample; chaining the second aggregate off
-    * the per-doc counts is the same economy — the corpus is gram-
-    * exploded exactly once.) */
+    * No driver collect, no all-pairs anything. The per-doc count frame
+    * is localCheckpoint-MATERIALIZED (eager, the one-shot-frame
+    * pattern of the IVF/SemDedup builds): three consumers hang off it
+    * (distributions, totals, final scoring), and without the barrier
+    * Spark would re-run the corpus-wide gram explode once per consumer
+    * — PlanSpec pins the final plan free of any Generate. (The paper
+    * fits the ratio table once on a sample; sharing the materialized
+    * counts is the same economy.) */
   def dsirLogWeights(df: DataFrame, id: String, text: String,
                      isTarget: Column, buckets: Int = 1024): DataFrame = {
     require(buckets >= 2, s"buckets=$buckets must be >= 2")
@@ -205,10 +209,12 @@ object Sampling {
         lit(buckets.toLong)))
     val perDoc = grams.groupBy(col(id), col("__b"))
       .agg(count(lit(1)).as("__cnt"), max(col("__tgt")).as("__tgt"))
+      .localCheckpoint() // one gram pass shared by all three consumers
     val dist = perDoc.groupBy(col("__b"))
       .agg(sum("__cnt").as("__ac"),
         sum(when(col("__tgt"), col("__cnt")).otherwise(lit(0L)))
           .as("__tc"))
+      .localCheckpoint() // buckets-row frame read by ratio AND totals
     val tot = dist.agg(sum("__ac").as("__na"), sum("__tc").as("__nt"))
     val ratio = dist.crossJoin(broadcast(tot))
       .select(col("__b"),

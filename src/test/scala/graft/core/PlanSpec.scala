@@ -534,6 +534,46 @@ class PlanSpec extends SparkSpec {
       s"no global sort in shuffled packing:\n$p")
   }
 
+  test("pii stats/redaction and c4 line filter are map-only scan-stage work") {
+    import spark.implicits._
+    val docs = (0L until 50L)
+      .map(i => (i, s"line one is fine.\nshort.\nmail me a$i@b.co now."))
+      .toDF("doc_id", "text")
+    val pp = plan(graft.llm.TextAnalysis.piiStats(docs, "text")
+      .withColumn("redacted",
+        graft.llm.TextAnalysis.redactPii(col("text"))))
+    assert(!pp.contains("Exchange"),
+      s"pii must stay in the scan stage:\n$pp")
+    val pc = plan(graft.llm.TextAnalysis.c4LineFilter(docs, "doc_id",
+      "text"))
+    assert(!pc.contains("Exchange"),
+      s"c4 line filter must stay in the scan stage:\n$pc")
+    assert(!pc.contains("Generate"),
+      s"line filtering must be an array expression, not explode:\n$pc")
+  }
+
+  test("dsir plans two keyed aggregates + broadcast ratio, no gram re-explode") {
+    import spark.implicits._
+    val docs = (0L until 60L)
+      .map(i => (i, s"token stream number $i with shared words",
+        if (i % 4 == 0) "tgt" else "raw"))
+      .toDF("doc_id", "text", "src")
+    val p = plan(graft.llm.Sampling.dsirLogWeights(docs, "doc_id",
+      "text", col("src") === "tgt", 64))
+    // the corpus is gram-exploded exactly ONCE, at materialization of
+    // the per-(doc,bucket) count frame; the final plan reads that
+    // checkpoint — any Generate here means a consumer re-ran the
+    // corpus-wide explode (the regression this pin exists to catch:
+    // pre-fix, three consumers each re-derived it)
+    assert(!p.contains("Generate"),
+      s"a consumer re-exploded the corpus:\n$p")
+    assert(p.contains("BroadcastExchange"),
+      s"ratio table must broadcast:\n$p")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("SortMergeJoin"),
+      s"per-doc scoring must join broadcast-style:\n$p")
+  }
+
   test("eventize stays within the per-key partitioning (no extra wide shuffles)") {
     val flagged = series(200)
       .withColumn("flag", when(col("value") % 7 === 0, 1).otherwise(0))
