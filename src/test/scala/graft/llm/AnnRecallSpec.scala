@@ -397,4 +397,59 @@ class AnnRecallSpec extends SparkSpec {
     assert(row.getInt(0) === 16)
     assert(row.getInt(1) < 64, "codewords must index into ksub=64")
   }
+
+  test("randomProject matches a driver-side recomputation exactly") {
+    assume(haveData)
+    val emb = spark.read.parquet(embPath).limit(20)
+    val got = emb.select(col("vec_id"),
+        Similarity.randomProject(col("embedding"), 64, 16).as("p"),
+        col("embedding"))
+      .collect()
+    val M = 2147483647L
+    got.foreach { r =>
+      val v = r.getSeq[Float](2)
+      val p = r.getSeq[Double](1)
+      (0 until 16).foreach { i =>
+        var acc = 0.0
+        (0 until 64).foreach { j =>
+          val flat = i.toLong * 64 + j
+          val mixed = (flat * flat % M * 48271L +
+            flat * 1000003L + 12345L) % M
+          val h = ((mixed % (M - 1)) + 1) * 48271L % M
+          val s = 1.0 - 2.0 * (h % 2)
+          acc += s * v(j).toDouble
+        }
+        val exp = acc / math.sqrt(16.0)
+        assert(math.abs(p(i) - exp) < 1e-12,
+          s"vec ${r.getLong(0)} dim $i: ${p(i)} vs $exp")
+      }
+    }
+  }
+
+  test("randomProject approximately preserves pairwise cosine (JL property)") {
+    assume(haveData)
+    val emb = spark.read.parquet(embPath).limit(60)
+    def cosines(vecCol: String, dim: Int) = {
+      val d = emb.select(col("vec_id"),
+        (if (dim == 64) col("embedding").cast("array<double>")
+         else Similarity.randomProject(col("embedding"), 64, dim))
+          .as(vecCol))
+      val a = d.select(col("vec_id").as("ia"), col(vecCol).as("va"))
+      val b = d.select(col("vec_id").as("ib"), col(vecCol).as("vb"))
+      a.join(b, col("ia") < col("ib"))
+        .select(col("ia"), col("ib"),
+          Similarity.cosine(col("va"), col("vb")).as("c"))
+        .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2))
+        .toMap
+    }
+    val full = cosines("v64", 64)
+    val proj = cosines("v16", 16)
+    // JL at m=16 is coarse — bound the MEAN absolute distortion, not
+    // the max: random-sign projection keeps E|Δcos| ≈ 1/√m ≈ 0.25;
+    // a broken sign matrix (constant signs, wrong hash) blows past it
+    val err = full.keys.toSeq.map(k => math.abs(full(k) - proj(k)))
+    val mean = err.sum / err.size
+    assert(mean < 0.25, f"mean cosine distortion $mean%.3f too large")
+    assert(err.max < 0.9, f"worst-case distortion ${err.max}%.3f absurd")
+  }
 }
