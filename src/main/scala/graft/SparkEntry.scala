@@ -1060,6 +1060,33 @@ object SparkEntry {
         col("source") === "src0", buckets = 256)
         .select(col("doc_id"), col("n_grams"), col("dsir_logw"))),
 
+    // LLM-pipeline: DSIR selection — Gumbel-top-k resampling over the
+    // importance weights (sampling w/o replacement ∝ exp(logw) via
+    // the Gumbel trick); Gumbel derived from the portable MCG bucket,
+    // key rounded before ranking (the q_tfidf near-tie contract).
+    "q_dsir_resample" -> ((s, dir) =>
+      llm.Sampling.dsirResample(
+        llm.Sampling.dsirLogWeights(docs(s, dir), "doc_id", "text",
+          col("source") === "src0", buckets = 256),
+        "doc_id", "dsir_logw", k = 100)
+        .select(col("doc_id"), col("dsir_logw"), col("gumbel_key"),
+          col("sel_rank"))),
+
+    // LLM-pipeline: quality-threshold calibration — drop the lowest
+    // 30% of each source by quality score via EXACT integer ranks (no
+    // interpolated percentile, no threshold-equality hazard); report
+    // the per-source realized threshold and keep count.
+    "q_quality_calibrate" -> ((s, dir) => {
+      val q = llm.TextAnalysis.withQuality(docs(s, dir), "text")
+        .select(col("doc_id"), col("source"),
+          round(col("quality_score"), 6).as("qs"))
+      llm.Sampling.dropBottomByScore(q, "doc_id", "source", col("qs"),
+          3, 10)
+        .groupBy("source")
+        .agg(round(min("qs"), 6).as("threshold"),
+          count(lit(1)).as("n_kept"))
+    }),
+
     // LLM-pipeline: language id (stopword voting + CJK ratio)
     "q_langid" -> ((s, dir) =>
       llm.TextAnalysis.withLangId(docs(s, dir), "text")
@@ -1916,6 +1943,73 @@ object SparkEntry {
         |      list_transform(list(wt ORDER BY b), x -> x)),
         |    (a, b) -> a + b), 6) AS dsir_logw
         |FROM j GROUP BY doc_id""".stripMargin,
+
+    "q_dsir_resample" ->
+      """WITH w AS (SELECT doc_id, source, string_split(text, ' ') AS w
+        |  FROM documents),
+        |g AS (
+        |  SELECT doc_id, source, unnest(w) AS gram FROM w
+        |  UNION ALL
+        |  SELECT doc_id, source, w[i] || ' ' || w[i+1]
+        |  FROM (SELECT doc_id, source, w, unnest(range(1, len(w))) AS i
+        |        FROM w) b),
+        |h AS (SELECT doc_id, source,
+        |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |      list_transform(string_split(gram, ''),
+        |        c -> ascii(c)::BIGINT)),
+        |      (a, b) -> (a * 1000003 + b) % 2147483647) % 256 AS b
+        |  FROM g),
+        |d AS (SELECT doc_id, b, count(*) AS cnt,
+        |    max(CASE WHEN source = 'src0' THEN 1 ELSE 0 END) AS tgt
+        |  FROM h GROUP BY doc_id, b),
+        |dist AS (SELECT b, sum(cnt) AS ac,
+        |    sum(CASE WHEN tgt = 1 THEN cnt ELSE 0 END) AS tc
+        |  FROM d GROUP BY b),
+        |tot AS (SELECT sum(ac) AS na, sum(tc) AS nt FROM dist),
+        |r AS (SELECT b,
+        |    ln(CAST(tc + 1 AS DOUBLE) / (nt + 256))
+        |      - ln(CAST(ac + 1 AS DOUBLE) / (na + 256)) AS lr
+        |  FROM dist CROSS JOIN tot),
+        |j AS (SELECT doc_id, b, cnt, cnt * lr AS wt
+        |  FROM d JOIN r USING (b)),
+        |lw AS (SELECT doc_id,
+        |    round(list_reduce(list_prepend(0.0,
+        |        list_transform(list(wt ORDER BY b), x -> x)),
+        |      (a, b) -> a + b), 6) AS dsir_logw
+        |  FROM j GROUP BY doc_id),
+        |kk AS (SELECT doc_id, dsir_logw,
+        |    round(dsir_logw + -ln(-ln(
+        |      (((doc_id % 2147483646) + 1) * 48271 % 2147483647
+        |        % 1000000 + 0.5) / 1000000)), 6) AS gumbel_key
+        |  FROM lw)
+        |SELECT doc_id, dsir_logw, gumbel_key,
+        |  CAST(row_number() OVER (ORDER BY gumbel_key DESC, doc_id)
+        |    AS BIGINT) AS sel_rank
+        |FROM kk ORDER BY gumbel_key DESC, doc_id LIMIT 100""".stripMargin,
+
+    "q_quality_calibrate" ->
+      """WITH d AS (SELECT doc_id, source, length(text) AS len,
+        |    length(text) - length(replace(text, ' ', '')) + 1 AS n_tokens,
+        |    len(list_filter(string_split(text, ' '),
+        |      w -> w IN ('the','a','and','of','to','in','is','it')))
+        |      AS stop_hits
+        |  FROM documents),
+        |q AS (SELECT doc_id, source,
+        |    round((CASE WHEN n_tokens BETWEEN 10 AND 1000 THEN 0.4
+        |           ELSE 0.0 END)
+        |      + (CASE WHEN CAST(len - n_tokens + 1 AS DOUBLE)/n_tokens
+        |           BETWEEN 2.0 AND 12.0 THEN 0.3 ELSE 0.0 END)
+        |      + least(CAST(stop_hits AS DOUBLE)/n_tokens * 3.0, 0.3), 6)
+        |      AS qs
+        |  FROM d),
+        |r AS (SELECT doc_id, source, qs,
+        |    row_number() OVER (PARTITION BY source ORDER BY qs, doc_id)
+        |      AS rn,
+        |    count(*) OVER (PARTITION BY source) AS n
+        |  FROM q)
+        |SELECT source, round(min(qs), 6) AS threshold,
+        |  count(*) AS n_kept
+        |FROM r WHERE rn > n * 3 // 10 GROUP BY source""".stripMargin,
 
     "q_pii" ->
       """WITH t AS (SELECT doc_id, text

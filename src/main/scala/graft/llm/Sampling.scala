@@ -232,6 +232,59 @@ object Sampling {
           lit(0.0), (a, x) => a + x), 6).as("dsir_logw"))
   }
 
+  /** Gumbel-top-k resampling over [[dsirLogWeights]] (the DSIR paper's
+    * selection step): sampling k docs WITHOUT replacement with
+    * probability ∝ exp(log w) is exactly "take the top k by
+    * log w + Gumbel noise" (Vieira 2014's Gumbel-top-k trick). The
+    * Gumbel is DERIVED, not drawn: u = (bucket(id) + ½)/den from the
+    * portable Park–Miller bucket, g = −ln(−ln u) — deterministic,
+    * engine-reproducible, id-keyed. The selection key is ROUNDED
+    * (round 6) before ranking, the [[graft.SparkEntry]] q_tfidf
+    * contract, so cross-engine ln ulps cannot flip near-tie ranks;
+    * residual ties break by id.
+    *
+    * 100 TB posture: the key is a scan-stage expression and top-k is
+    * TakeOrdered (per-partition heads + driver merge of k rows) —
+    * never a global sort. The rank window runs over the ALREADY
+    * k-row frame. */
+  def dsirResample(weights: DataFrame, id: String, logw: String, k: Int,
+                   den: Int = 1000000): DataFrame = {
+    require(k > 0, s"k=$k must be positive")
+    val u = (idBucket(col(id), den).cast("double") + 0.5) / den
+    val key = round(col(logw) + (lit(0.0) - log(lit(0.0) - log(u))), 6)
+    weights.withColumn("gumbel_key", key)
+      .orderBy(col("gumbel_key").desc, col(id).asc)
+      .limit(k)
+      .withColumn("sel_rank", row_number().over(
+        Window.orderBy(col("gumbel_key").desc, col(id).asc)).cast("long"))
+  }
+
+  /** Per-stratum score-threshold CALIBRATION by exact rank: drop the
+    * lowest `dropNum/dropDen` fraction of each stratum by `score`
+    * (ties by id). This is the "set the quality threshold to keep X%"
+    * step, done with INTEGER semantics — `floor(n·dropNum/dropDen)`
+    * rows drop, no interpolated percentile, so there is no
+    * equality-at-the-threshold hazard for an oracle or a re-run to
+    * trip over. Rank on a ROUNDED score if the score is float-derived
+    * (callers pass `round(score, 6)` — the q_tfidf contract).
+    *
+    * 100 TB posture: one window sort per stratum (the packSequences
+    * shape — strata bound the sort; never global) plus a per-stratum
+    * count over the same partitioning. */
+  def dropBottomByScore(df: DataFrame, id: String, stratum: String,
+                        score: Column, dropNum: Int,
+                        dropDen: Int): DataFrame = {
+    require(dropNum >= 0 && dropDen > 0 && dropNum < dropDen,
+      s"need 0 <= dropNum=$dropNum < dropDen=$dropDen")
+    val w = Window.partitionBy(col(stratum))
+      .orderBy(score.asc, col(id).asc)
+    val cw = Window.partitionBy(col(stratum))
+    df.withColumn("__rn", row_number().over(w).cast("long"))
+      .withColumn("__n", count(lit(1)).over(cw))
+      .filter(col("__rn") > expr(s"(__n * ${dropNum}L) div ${dropDen}L"))
+      .drop("__rn", "__n")
+  }
+
   /** Deterministic corpus SHUFFLE with a contiguous global position —
     * the "randomize training order, reproducibly" step. Global order is
     * `(idBucket(id, den), id)`: pseudo-random by the same portable

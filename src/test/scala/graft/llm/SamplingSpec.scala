@@ -333,6 +333,46 @@ class SamplingSpec extends SparkSpec {
     }
   }
 
+  test("dsirResample is the exact Gumbel-top-k of the weight table") {
+    import spark.implicits._
+    val M = 2147483647L
+    val den = 1000000
+    val weights = (0L until 50L).map(i => (i, (i % 9).toDouble - 4.0))
+      .toDF("doc_id", "lw")
+    val got = Sampling.dsirResample(weights, "doc_id", "lw", k = 10,
+        den = den)
+      .select("doc_id", "sel_rank").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq.sortBy(_._2)
+    def key(id: Long, lw: Double): Double = {
+      val bucket = ((id % (M - 1)) + 1) * 48271L % M % den
+      val u = (bucket + 0.5) / den
+      BigDecimal(lw + -math.log(-math.log(u)))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    val expect = (0L until 50L).map(i => (i, key(i, (i % 9).toDouble - 4.0)))
+      .sortBy { case (id, k) => (-k, id) }.take(10)
+      .zipWithIndex.map { case ((id, _), r) => (id, r + 1L) }
+    assert(got === expect)
+  }
+
+  test("dropBottomByScore drops floor(n*p) per stratum with id tie-breaks") {
+    import spark.implicits._
+    // stratum a: 7 docs, drop floor(7*3/10)=2 lowest; ties on score 1.0
+    // broken by doc_id so exactly ids 0,1 drop
+    val df = (
+      (0L until 7L).map(i => (i, "a", if (i < 4) 1.0 else 2.0)) ++
+      (10L until 13L).map(i => (i, "b", i.toDouble))).toDF(
+      "doc_id", "stratum", "score")
+    val kept = Sampling.dropBottomByScore(df, "doc_id", "stratum",
+        col("score"), 3, 10)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    // a: drop 0,1 (lowest by (score, id)); b: drop floor(3*3/10)=0
+    assert(kept === Set(2L, 3L, 4L, 5L, 6L, 10L, 11L, 12L))
+    // dropNum=0 keeps everything
+    assert(Sampling.dropBottomByScore(df, "doc_id", "stratum",
+      col("score"), 0, 10).count() === 10L)
+  }
+
   test("dsirLogWeights ranks target-vocabulary docs above off-target docs") {
     import spark.implicits._
     // target domain speaks vocab A, raw web speaks vocab B; a held-out
