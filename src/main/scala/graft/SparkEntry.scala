@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -86,6 +86,25 @@ object SparkEntry {
   /** embeddings scan, fanned out (signature/cosine math per row/pair). */
   private def emb(s: SparkSession, dir: String): DataFrame =
     spread(tbl(s, dir, "embeddings"))
+
+  /** Deterministic line-structure synthesis for the C4-cleaning
+    * queries (the corpus has no newlines): 8-word lines, terminal '.'
+    * only when (doc_id + line) % 3 != 0, a "lorem ipsum" prefix on
+    * line 0 of doc_id%11 docs, a trailing '{' on line 1 of doc_id%13
+    * docs — every published rule exercised. Mirrored verbatim in the
+    * q_c4_filter / q_corpus2 oracle SQL. */
+  private def synthLines: Column = {
+    val w = split(col("text"), " ")
+    transform(
+      sequence(lit(0L), floor((size(w) - lit(1)) / lit(8)).cast("long")),
+      i => concat(
+        when(col("doc_id") % 11 === 0 && i === 0,
+          lit("lorem ipsum ")).otherwise(lit("")),
+        array_join(slice(w, (i * 8 + 1).cast("int"), lit(8)), " "),
+        when((col("doc_id") + i) % 3 =!= 0, lit(".")).otherwise(lit("")),
+        when(col("doc_id") % 13 === 0 && i === 1, lit(" {"))
+          .otherwise(lit(""))))
+  }
 
   // shared flag definitions for the detector queries
   private val predFlag = when(col("value") > 150, 1).otherwise(0)
@@ -1004,21 +1023,40 @@ object SparkEntry {
     // exercising every published rule. The filter itself is one
     // map-only array-expression chain in the scan stage.
     "q_c4_filter" -> ((s, dir) => {
-      val w = split(col("text"), " ")
-      val lines = transform(
-        sequence(lit(0L), floor((size(w) - lit(1)) / lit(8)).cast("long")),
-        i => concat(
-          when(col("doc_id") % 11 === 0 && i === 0,
-            lit("lorem ipsum ")).otherwise(lit("")),
-          array_join(slice(w, (i * 8 + 1).cast("int"), lit(8)), " "),
-          when((col("doc_id") + i) % 3 =!= 0, lit(".")).otherwise(lit("")),
-          when(col("doc_id") % 13 === 0 && i === 1, lit(" {"))
-            .otherwise(lit(""))))
       val lined = docs(s, dir)
-        .withColumn("__lt", array_join(lines, "\n"))
+        .withColumn("__lt", array_join(synthLines, "\n"))
       llm.TextAnalysis.c4LineFilter(lined, "doc_id", "__lt")
         .select(col("doc_id"), col("clean_text"), col("n_lines"),
           col("n_kept"))
+    }),
+
+    // LLM-pipeline: round-10 END-TO-END assembly v2 — the FineWeb-ish
+    // hygiene chain COMPOSED: synthesized line structure → C4 line
+    // cleaning (scan stage) → quality scoring on the CLEANED text →
+    // per-source rank calibration (drop bottom 30%) → exact dedup of
+    // clean_text → sequence packing. The oracle replays the whole
+    // chain as one SQL CTE pipeline. Exchanges: calibration windows,
+    // dedup aggregate + broadcast keep join, pack shard window.
+    "q_corpus2" -> ((s, dir) => {
+      val lined = docs(s, dir)
+        .withColumn("__lt", array_join(synthLines, "\n"))
+      val cleaned = llm.TextAnalysis
+        .c4LineFilter(lined, "doc_id", "__lt")
+        .select(col("doc_id"), col("lang"), col("source"),
+          col("clean_text").as("ctext"))
+      val scored = llm.TextAnalysis.withQuality(cleaned, "ctext")
+        .select(col("doc_id"), col("lang"), col("source"), col("ctext"),
+          round(col("quality_score"), 6).as("qs"))
+      val calibrated = llm.Sampling.dropBottomByScore(scored, "doc_id",
+        "source", col("qs"), 3, 10)
+      val dd = calibrated.withColumn("__fp", md5(col("ctext")))
+      val keep = llm.Dedup.exact(dd, "doc_id", Seq("__fp"))
+        .select(col("keep_id").as("doc_id"))
+      llm.Sampling.packSequences(dd.join(keep, "doc_id"), "doc_id",
+          size(split(col("ctext"), " ")), 128,
+          llm.Sampling.idBucket(col("doc_id"), 8))
+        .select(col("doc_id"), col("lang"), col("source"), col("qs"),
+          col("shard"), col("seq_id"), col("seq_offset"))
     }),
 
     // LLM-pipeline: Johnson–Lindenstrauss sign-projection compression
@@ -1908,6 +1946,70 @@ object SparkEntry {
         |          * 48271 % 2147483647) % 2))
         |        * CAST(v[j + 1] AS DOUBLE))),
         |    (a, b) -> a + b), 6) AS component
+        |FROM p""".stripMargin,
+
+    "q_corpus2" ->
+      """WITH w AS (SELECT doc_id, lang, source,
+        |    string_split(text, ' ') AS w
+        |  FROM documents),
+        |l AS (SELECT doc_id, lang, source, list_transform(
+        |    range(0, (len(w) + 7) // 8), i ->
+        |    CASE WHEN doc_id % 11 = 0 AND i = 0 THEN 'lorem ipsum '
+        |      ELSE '' END
+        |    || array_to_string(w[i*8+1 : i*8+8], ' ')
+        |    || CASE WHEN (doc_id + i) % 3 <> 0 THEN '.' ELSE '' END
+        |    || CASE WHEN doc_id % 13 = 0 AND i = 1 THEN ' {'
+        |      ELSE '' END) AS lines
+        |  FROM w),
+        |f AS (SELECT doc_id, lang, source,
+        |    list_filter(lines, l ->
+        |      len(string_split(l, ' ')) >= 3
+        |      AND regexp_matches(l, '[.!?"]$')
+        |      AND NOT contains(lower(l), 'lorem ipsum')
+        |      AND NOT contains(l, '{')) AS ks
+        |  FROM l),
+        |c AS (SELECT doc_id, lang, source,
+        |    array_to_string(ks, chr(10)) AS ctext
+        |  FROM f WHERE len(ks) >= 1),
+        |d AS (SELECT doc_id, lang, source, ctext,
+        |    length(ctext) AS len,
+        |    length(ctext) - length(replace(ctext, ' ', '')) + 1
+        |      AS n_tokens,
+        |    len(list_filter(string_split(ctext, ' '),
+        |      w -> w IN ('the','a','and','of','to','in','is','it')))
+        |      AS stop_hits
+        |  FROM c),
+        |qq AS (SELECT doc_id, lang, source, ctext,
+        |    round((CASE WHEN n_tokens BETWEEN 10 AND 1000 THEN 0.4
+        |           ELSE 0.0 END)
+        |      + (CASE WHEN CAST(len - n_tokens + 1 AS DOUBLE)/n_tokens
+        |           BETWEEN 2.0 AND 12.0 THEN 0.3 ELSE 0.0 END)
+        |      + least(CAST(stop_hits AS DOUBLE)/n_tokens * 3.0, 0.3), 6)
+        |      AS qs
+        |  FROM d),
+        |r AS (SELECT *,
+        |    row_number() OVER (PARTITION BY source ORDER BY qs, doc_id)
+        |      AS rn,
+        |    count(*) OVER (PARTITION BY source) AS n
+        |  FROM qq),
+        |cal AS (SELECT doc_id, lang, source, ctext, qs FROM r
+        |  WHERE rn > n * 3 // 10),
+        |k AS (SELECT *, min(doc_id) OVER (PARTITION BY md5(ctext))
+        |    AS keep_id FROM cal),
+        |dd AS (SELECT doc_id, lang, source, ctext, qs FROM k
+        |  WHERE doc_id = keep_id),
+        |m AS (SELECT doc_id, lang, source, qs,
+        |    len(string_split(ctext, ' ')) AS toks,
+        |    ((doc_id % 2147483646) + 1) * 48271 % 2147483647 % 8
+        |      AS shard
+        |  FROM dd),
+        |p AS (SELECT doc_id, lang, source, qs, shard,
+        |    CAST(sum(toks) OVER (PARTITION BY shard ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - toks
+        |      AS BIGINT) AS strt
+        |  FROM m)
+        |SELECT doc_id, lang, source, qs, shard,
+        |  strt // 128 AS seq_id, strt % 128 AS seq_offset
         |FROM p""".stripMargin,
 
     "q_dsir" ->

@@ -322,8 +322,9 @@ object TextAnalysis {
     *  - does not contain "lorem ipsum" (case-insensitive), and
     *  - does not contain a curly brace (code/boilerplate tell).
     * Documents with fewer than `minKeptLines` surviving lines drop
-    * entirely (C4 drops pages with < 3 sentences). Returns
-    * (id..., clean_text, n_lines, n_kept).
+    * entirely (C4 drops pages with < 3 sentences). All input columns
+    * pass through (so the cleaner composes mid-pipeline), plus
+    * `clean_text`, `n_lines`, `n_kept`.
     *
     * 100 TB posture: the split/filter/rejoin is ONE array expression
     * chain inside the scan stage — map-only, codegen'd, no exchange;
@@ -337,11 +338,12 @@ object TextAnalysis {
         l.rlike("[.!?\"]$") &&
         !lower(l).contains("lorem ipsum") &&
         !l.contains("{"))
-    df.select(col(id), lines.as("__ls"), kept.as("__ks"))
+    df.withColumn("__ks", kept)
       .filter(size(col("__ks")) >= minKeptLines)
-      .select(col(id), array_join(col("__ks"), "\n").as("clean_text"),
-        size(col("__ls")).cast("long").as("n_lines"),
-        size(col("__ks")).cast("long").as("n_kept"))
+      .withColumn("clean_text", array_join(col("__ks"), "\n"))
+      .withColumn("n_lines", size(lines).cast("long"))
+      .withColumn("n_kept", size(col("__ks")).cast("long"))
+      .drop("__ks")
   }
 
   /** Polynomial rolling-hash fingerprint of the whole document (mod a

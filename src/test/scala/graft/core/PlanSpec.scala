@@ -574,6 +574,41 @@ class PlanSpec extends SparkSpec {
       s"per-doc scoring must join broadcast-style:\n$p")
   }
 
+  test("corpus-assembly v2 chain: bounded exchanges, no global sort, no cartesian") {
+    import spark.implicits._
+    val docs = (0L until 200L)
+      .map(i => (i, Seq.fill(40)(s"w${i % 13}").mkString(" "),
+        if (i % 2 == 0) "en" else "de", s"src${i % 3}"))
+      .toDF("doc_id", "text", "lang", "source")
+    // mirror the q_corpus2 chain on in-memory data
+    val lined = docs.withColumn("__lt",
+      concat_ws("\n", split(col("text"), " ")))
+    val cleaned = graft.llm.TextAnalysis
+      .c4LineFilter(lined, "doc_id", "__lt", minWordsPerLine = 1)
+    val scored = graft.llm.TextAnalysis.withQuality(cleaned, "clean_text")
+      .select(col("doc_id"), col("lang"), col("source"),
+        col("clean_text").as("ctext"),
+        round(col("quality_score"), 6).as("qs"))
+    val calibrated = graft.llm.Sampling.dropBottomByScore(scored,
+      "doc_id", "source", col("qs"), 3, 10)
+    val dd = calibrated.withColumn("__fp", md5(col("ctext")))
+    val keep = graft.llm.Dedup.exact(dd, "doc_id", Seq("__fp"))
+      .select(col("keep_id").as("doc_id"))
+    val p = plan(graft.llm.Sampling.packSequences(dd.join(keep, "doc_id"),
+      "doc_id", size(split(col("ctext"), " ")), 128,
+      graft.llm.Sampling.idBucket(col("doc_id"), 8)))
+    assert(!p.contains("rangepartitioning") &&
+      !p.contains("Exchange SinglePartition"),
+      s"no stage may serialize into a global sort:\n$p")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"no unkeyed join anywhere in the chain:\n$p")
+    val shuffles = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(shuffles <= 4,
+      s"chain must stay within calibrate+dedup+join+pack exchanges, " +
+        s"found $shuffles:\n$p")
+  }
+
   test("eventize stays within the per-key partitioning (no extra wide shuffles)") {
     val flagged = series(200)
       .withColumn("flag", when(col("value") % 7 === 0, 1).otherwise(0))
