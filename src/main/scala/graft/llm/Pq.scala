@@ -104,7 +104,8 @@ object Pq {
     * The norm is materialized as its OWN column before the transform
     * lambda: an aggregate referenced inside the lambda would re-run
     * per element (the winnowing O(n²) trap). */
-  private def unitized(df: DataFrame, id: String, vec: String): DataFrame =
+  private[llm] def unitized(df: DataFrame, id: String,
+                            vec: String): DataFrame =
     df.select(col(id).as("__ord"), col(vec).cast("array<double>").as("__dv"))
       .withColumn("__n",
         sqrt(aggregate(col("__dv"), lit(0.0), (a, x) => a + x * x)) +
@@ -199,6 +200,21 @@ object Pq {
       .toDF("subspace", "codeword", "centroid", "dim")
       .coalesce(1).write.mode("overwrite").parquet(s"$path/codebooks")
   }
+
+  /** Append a new batch to PERSISTED flat-PQ codes without refit —
+    * the FAISS `add()` contract for IndexPQ, mirroring
+    * [[graft.llm.Similarity.ivfAppend]]: the batch is encoded with the
+    * FROZEN build-time codebooks and appended to the codes table;
+    * nothing is rewritten. Codebooks drift from the data distribution
+    * as the corpus grows; the operating procedure is a periodic
+    * retrain when recall degrades (monitored vs brute force on a
+    * sample), never per-batch refit. AnnRecallSpec pins that appended
+    * codes search identically to a one-pass encode of the same
+    * corpus. */
+  def pqAppend(model: PqModel, batch: DataFrame, id: String,
+               vec: String, path: String): Unit =
+    pqEncode(model, batch, id, vec)
+      .write.mode("append").parquet(s"$path/codes")
 
   def readPq(spark: org.apache.spark.sql.SparkSession,
              path: String): (PqModel, DataFrame) = {
@@ -356,6 +372,30 @@ object Pq {
       yield (j, c, index.model.codebooks(j)(c), index.model.dim))
       .toDF("subspace", "codeword", "centroid", "dim")
       .coalesce(1).write.mode("overwrite").parquet(s"$path/codebooks")
+  }
+
+  /** Append a new batch to a PERSISTED IVF-PQ index without refit —
+    * FAISS `add()` for IVFADC: assign to the FROZEN coarse cells,
+    * encode each residual with the FROZEN codebooks, append to the
+    * cell-partitioned codes — only touched cell partitions gain
+    * files, reads stay partition-pruned. Same drift/rebuild operating
+    * procedure as [[pqAppend]]/[[graft.llm.Similarity.ivfAppend]]. */
+  def ivfPqAppend(index: IvfPqIndex, batch: DataFrame, id: String,
+                  vec: String, path: String): Unit = {
+    val spark = batch.sparkSession
+    if (!spark.catalog.functionExists("pq_codes"))
+      graft.functions.PqCodes.register(spark)
+    val km = DetKMeans.Model(index.centroids.map(_.toArray).toArray)
+    unitized(batch, id, vec)
+      .withColumn("__cell", km.assignExpr(col("__dv")))
+      .withColumn("__rv",
+        zip_with(col("__dv"),
+          element_at(typedlit(index.centroids), col("__cell") + lit(1)),
+          (x, c) => x - c))
+      .select(col("__ord").as("corpus_id"), col("__cell"),
+        call_function("pq_codes", col("__rv"),
+          typedlit(index.model.codebooks)).as("__code"))
+      .write.mode("append").partitionBy("__cell").parquet(s"$path/codes")
   }
 
   def readIvfPq(spark: org.apache.spark.sql.SparkSession,

@@ -398,6 +398,78 @@ class AnnRecallSpec extends SparkSpec {
     assert(row.getInt(1) < 64, "codewords must index into ksub=64")
   }
 
+  test("appended PQ codes search identically to a one-pass encode") {
+    assume(haveData)
+    val emb = spark.read.parquet(embPath)
+    val first = emb.filter(col("vec_id") < 250)
+    val second = emb.filter(col("vec_id") >= 250)
+    val queries = emb.filter(col("vec_id") < 5)
+    // train on the first half only — append must NOT refit
+    val model = Pq.pqTrain(first, "vec_id", "embedding")
+    val dir = java.nio.file.Files
+      .createTempDirectory("pq_append").toString
+    try {
+      Pq.writePq(model, Pq.pqEncode(model, first, "vec_id", "embedding"),
+        dir)
+      Pq.pqAppend(model, second, "vec_id", "embedding", dir)
+      val (m2, grown) = Pq.readPq(spark, dir)
+      assert(m2.codebooks === model.codebooks)
+      val oneShot = Pq.pqEncode(model, emb, "vec_id", "embedding")
+      def rows(c: org.apache.spark.sql.DataFrame) =
+        Pq.pqSearch(model, c, emb, queries, "vec_id", "embedding", 3)
+          .collect().map(_.toSeq).toSet
+      assert(rows(grown) === rows(oneShot),
+        "search over appended codes diverged from one-pass encode")
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(
+        new java.io.File(dir))
+    }
+  }
+
+  test("appended IVF-PQ batch lands in pruned cell partitions and searches one-pass-identical") {
+    assume(haveData)
+    val emb = spark.read.parquet(embPath)
+    val first = emb.filter(col("vec_id") < 250)
+    val second = emb.filter(col("vec_id") >= 250)
+    val queries = emb.filter(col("vec_id") < 5)
+    val idx = Pq.ivfPqBuild(first, "vec_id", "embedding")
+    val dir = java.nio.file.Files
+      .createTempDirectory("ivfpq_append").toString
+    try {
+      Pq.writeIvfPq(idx, dir)
+      Pq.ivfPqAppend(idx, second, "vec_id", "embedding", dir)
+      val grown = Pq.readIvfPq(spark, dir)
+      // one-pass reference: the SAME frozen centroids + codebooks
+      // encoding the full corpus (what a from-scratch write of both
+      // halves with this model yields)
+      val km = graft.models.DetKMeans.Model(
+        idx.centroids.map(_.toArray).toArray)
+      if (!spark.catalog.functionExists("pq_codes"))
+        graft.functions.PqCodes.register(spark)
+      val oneShotCodes = Pq.unitized(emb, "vec_id", "embedding")
+        .withColumn("__cell", km.assignExpr(col("__dv")))
+        .withColumn("__rv", zip_with(col("__dv"),
+          element_at(typedlit(idx.centroids), col("__cell") + lit(1)),
+          (x, c) => x - c))
+        .select(col("__ord").as("corpus_id"), col("__cell"),
+          call_function("pq_codes", col("__rv"),
+            typedlit(idx.model.codebooks)).as("__code"))
+      val oneShot = Pq.IvfPqIndex(oneShotCodes.localCheckpoint(false),
+        idx.centroids, idx.model)
+      def rows(i: Pq.IvfPqIndex) =
+        Pq.ivfPqSearch(i, emb, queries, "vec_id", "embedding", 3)
+          .collect().map(_.toSeq).toSet
+      assert(rows(grown) === rows(oneShot),
+        "search over the appended IVF-PQ index diverged from one-pass")
+      val cells = new java.io.File(s"$dir/codes").listFiles()
+        .count(_.getName.startsWith("__cell="))
+      assert(cells > 2, "appended codes must land in cell partitions")
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(
+        new java.io.File(dir))
+    }
+  }
+
   test("randomProject matches a driver-side recomputation exactly") {
     assume(haveData)
     val emb = spark.read.parquet(embPath).limit(20)
