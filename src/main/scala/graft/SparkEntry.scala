@@ -1125,6 +1125,14 @@ object SparkEntry {
           count(lit(1)).as("n_kept"))
     }),
 
+    // LLM-pipeline: corpus drift monitor — hashed-unigram KL of each
+    // source against the rest of the mixture (composition monitoring);
+    // full-grid Laplace smoothing, bucket-ordered fold.
+    "q_drift" -> ((s, dir) =>
+      llm.TextAnalysis.vocabDriftKl(docs(s, dir), "text", "source",
+        buckets = 256)
+        .select(col("source"), col("n_tokens"), col("kl_vs_rest"))),
+
     // LLM-pipeline: language id (stopword voting + CJK ratio)
     "q_langid" -> ((s, dir) =>
       llm.TextAnalysis.withLangId(docs(s, dir), "text")
@@ -2011,6 +2019,41 @@ object SparkEntry {
         |SELECT doc_id, lang, source, qs, shard,
         |  strt // 128 AS seq_id, strt % 128 AS seq_offset
         |FROM p""".stripMargin,
+
+    "q_drift" ->
+      """WITH g AS (SELECT source,
+        |    unnest(string_split(text, ' ')) AS gram
+        |  FROM documents),
+        |h AS (SELECT source,
+        |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |      list_transform(string_split(gram, ''),
+        |        c -> ascii(c)::BIGINT)),
+        |      (a, b) -> (a * 1000003 + b) % 2147483647) % 256 AS b
+        |  FROM g),
+        |c AS (SELECT source, b, count(*) AS c FROM h
+        |  GROUP BY source, b),
+        |grid AS (SELECT s.source, r.range AS b
+        |  FROM (SELECT DISTINCT source FROM c) s
+        |  CROSS JOIN range(256) r),
+        |fl AS (SELECT grid.source, grid.b,
+        |    coalesce(c.c, 0) AS c
+        |  FROM grid LEFT JOIN c
+        |    ON grid.source = c.source AND grid.b = c.b),
+        |bt AS (SELECT b, sum(c) AS bt FROM fl GROUP BY b),
+        |st AS (SELECT source, sum(c) AS st FROM fl GROUP BY source),
+        |gt AS (SELECT sum(bt) AS gt FROM bt),
+        |t AS (SELECT f.source, f.b,
+        |    CAST(f.c + 1 AS DOUBLE) / (st.st + 256) AS p,
+        |    CAST(bt.bt - f.c + 1 AS DOUBLE) / (gt.gt - st.st + 256)
+        |      AS q
+        |  FROM fl f JOIN bt USING (b) JOIN st ON f.source = st.source
+        |  CROSS JOIN gt)
+        |SELECT t.source, CAST(max(st.st) AS BIGINT) AS n_tokens,
+        |  round(list_reduce(list_prepend(0.0,
+        |      list_transform(list(p * ln(p / q) ORDER BY b), x -> x)),
+        |    (a, b) -> a + b), 6) AS kl_vs_rest
+        |FROM t JOIN st ON t.source = st.source
+        |GROUP BY t.source""".stripMargin,
 
     "q_dsir" ->
       """WITH w AS (SELECT doc_id, source, string_split(text, ' ') AS w

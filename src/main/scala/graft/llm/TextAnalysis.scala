@@ -346,6 +346,64 @@ object TextAnalysis {
       .drop("__ks")
   }
 
+  /** Corpus DRIFT monitor: KL divergence of each stratum's hashed
+    * unigram distribution against the REST of the corpus — the
+    * composition-monitoring signal a continuously-assembled dataset
+    * tracks (a source whose token distribution wanders from the rest
+    * of the mixture shows up as a rising KL).
+    *
+    *   KL(p_s ‖ q_s) = Σ_b p_b · ln(p_b / q_b)
+    *   p_b = (c_sb + 1)/(n_s + B),  q_b over the complement counts
+    *
+    * Unigrams hash into `buckets` buckets with the engine-portable
+    * polynomial hash (the DSIR feature map — hashed KL is the bounded-
+    * memory estimate of the true divergence), both sides Laplace-
+    * smoothed over the FULL 0..B−1 grid (absent buckets still carry
+    * probability mass and must contribute), per-stratum fold ordered
+    * by bucket → reproducible by any engine.
+    *
+    * 100 TB posture: ONE unigram explode into a (stratum, bucket)
+    * count aggregate (map-side combinable), localCheckpoint-
+    * materialized because three consumers hang off it (per-stratum
+    * totals, per-bucket totals, the grid join) — everything downstream
+    * is strata×B rows. */
+  def vocabDriftKl(df: DataFrame, text: String, stratum: String,
+                   buckets: Int = 256): DataFrame = {
+    require(buckets >= 2, s"buckets=$buckets must be >= 2")
+    val counts = df.select(col(stratum).as("__s"),
+        explode(split(col(text), " ")).as("__g"))
+      .withColumn("__b", pmod(aggregate(
+        transform(split(col("__g"), ""), c => ascii(c).cast("long")),
+        lit(0L),
+        (a, x) => pmod(a * lit(1000003L) + x, lit(2147483647L))),
+        lit(buckets.toLong)))
+      .groupBy("__s", "__b").agg(count(lit(1)).as("__c"))
+      .localCheckpoint() // one explode shared by all three consumers
+    val spark = df.sparkSession
+    val grid = broadcast(counts.select(col("__s")).distinct()
+      .crossJoin(spark.range(buckets).select(col("id").as("__b"))))
+    val full = grid.join(counts, Seq("__s", "__b"), "left")
+      .withColumn("__c", coalesce(col("__c"), lit(0L)))
+    val bTot = full.groupBy("__b").agg(sum("__c").as("__bt"))
+    val sTot = full.groupBy("__s").agg(sum("__c").as("__st"))
+    val gTot = bTot.agg(sum("__bt").as("__gt"))
+    full.join(broadcast(bTot), Seq("__b"))
+      .join(broadcast(sTot), Seq("__s"))
+      .crossJoin(broadcast(gTot))
+      .withColumn("__p", (col("__c") + 1).cast("double") /
+        (col("__st") + lit(buckets)))
+      .withColumn("__q",
+        (col("__bt") - col("__c") + 1).cast("double") /
+          (col("__gt") - col("__st") + lit(buckets)))
+      .withColumn("__t", col("__p") * log(col("__p") / col("__q")))
+      .groupBy(col("__s").as(stratum))
+      .agg(max("__st").as("n_tokens"),
+        round(aggregate(
+          transform(array_sort(collect_list(struct(col("__b"),
+            col("__t").as("__t")))), s => s.getField("__t")),
+          lit(0.0), (a, x) => a + x), 6).as("kl_vs_rest"))
+  }
+
   /** Polynomial rolling-hash fingerprint of the whole document (mod a
     * Mersenne-ish prime, codegen'd via the `aggregate` higher-order
     * function — no UDF). */

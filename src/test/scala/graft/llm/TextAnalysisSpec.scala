@@ -269,6 +269,27 @@ class TextAnalysisSpec extends SparkSpec {
       "no held-out doc exercised backoff - the split is not doing its job")
   }
 
+  test("vocabDriftKl flags the stratum whose vocabulary diverges") {
+    import spark.implicits._
+    // srcA/srcB share a vocabulary; srcC speaks different words
+    val rows =
+      (0L until 30L).map(i => (i, "alpha beta gamma delta", "srcA")) ++
+      (30L until 60L).map(i => (i, "beta gamma delta alpha", "srcB")) ++
+      (60L until 90L).map(i => (i, "omega psi chi phi", "srcC"))
+    val out = TextAnalysis.vocabDriftKl(
+        rows.toDF("doc_id", "text", "source"), "text", "source")
+      .collect().map(r => r.getString(0) ->
+        (r.getAs[Long]("n_tokens"), r.getAs[Double]("kl_vs_rest"))).toMap
+    assert(out.keySet === Set("srcA", "srcB", "srcC"))
+    assert(out("srcA")._1 === 120L)
+    // the divergent stratum dominates; the twin strata sit near zero
+    // and, speaking the SAME distribution, nearly tie
+    assert(out("srcC")._2 > 5 * out("srcA")._2,
+      s"divergent stratum not flagged: $out")
+    assert(math.abs(out("srcA")._2 - out("srcB")._2) < 0.05,
+      s"twin strata should have near-equal drift: $out")
+  }
+
   test("piiStats counts each PII kind; redactPii masks with typed placeholders") {
     val d = docs(Seq(
       1L -> ("reach me at jane.doe+x@corp-mail.co.uk or 555-867-5309, " +
