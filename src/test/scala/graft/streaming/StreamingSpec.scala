@@ -504,6 +504,45 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stateless hygiene tier (pii redact + c4 clean) runs unchanged on a stream") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import graft.llm.TextAnalysis
+    val docs = Seq(
+      (1L, "mail a@b.co now.\nshort.\nthis good line stays fine!"),
+      (2L, "call 555-123-4567 today ok.\nlorem ipsum filler here."),
+      (3L, "no lines survive here\nat all"))
+    val batch = {
+      val d = TextAnalysis.c4LineFilter(
+        docs.toDF("doc_id", "text"), "doc_id", "text")
+      TextAnalysis.piiStats(d, "clean_text")
+        .withColumn("redacted", TextAnalysis.redactPii(col("clean_text")))
+        .select("doc_id", "n_kept", "pii_total", "redacted")
+        .collect().map(_.toSeq).toSet
+    }
+    val input = MemoryStream[(Long, String)]
+    val streamed = {
+      val d = TextAnalysis.c4LineFilter(
+        input.toDS().toDF("doc_id", "text"), "doc_id", "text")
+      TextAnalysis.piiStats(d, "clean_text")
+        .withColumn("redacted", TextAnalysis.redactPii(col("clean_text")))
+        .select("doc_id", "n_kept", "pii_total", "redacted")
+    }
+    val q = streamed.writeStream.format("memory").queryName("hygiene")
+      .outputMode("append").start()
+    try {
+      input.addData(docs.take(2): _*)
+      q.processAllAvailable()
+      input.addData(docs.drop(2): _*)
+      q.processAllAvailable()
+      val got = spark.sql("select * from hygiene").collect()
+        .map(_.toSeq).toSet
+      assert(got === batch)
+      // doc 3 must have been dropped by the min-kept-lines rule in BOTH
+      assert(!got.exists(_.head == 3L))
+    } finally q.stop()
+  }
+
   test("packStream equals batch packSequences across micro-batch splits") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
