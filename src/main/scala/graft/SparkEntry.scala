@@ -1125,6 +1125,18 @@ object SparkEntry {
           count(lit(1)).as("n_kept"))
     }),
 
+    // LLM-pipeline: TRAINED language ID — Cavnar-Trenkle rank-ordered
+    // char-n-gram profiles with the out-of-place distance; all-integer
+    // math, exact SQL oracle (no fixture needed, unlike the stopword
+    // voter's q_langid).
+    "q_langid_ngram" -> ((s, dir) => {
+      val d = docs(s, dir)
+      llm.TextAnalysis.ngramLangId(d, "doc_id", "text", "lang")
+        .join(d.select(col("doc_id"), col("lang")), "doc_id")
+        .select(col("doc_id"), col("lang"), col("lang_pred_ngram"),
+          col("oop_dist"))
+    }),
+
     // LLM-pipeline: corpus drift monitor — hashed-unigram KL of each
     // source against the rest of the mixture (composition monitoring);
     // full-grid Laplace smoothing, bucket-ordered fold.
@@ -2019,6 +2031,44 @@ object SparkEntry {
         |SELECT doc_id, lang, source, qs, shard,
         |  strt // 128 AS seq_id, strt % 128 AS seq_offset
         |FROM p""".stripMargin,
+
+    "q_langid_ngram" ->
+      """WITH g AS (
+        |  SELECT doc_id, lang, unnest(string_split(text, '')) AS g
+        |  FROM documents
+        |  UNION ALL
+        |  SELECT doc_id, lang, substr(text, i + 1, 2)
+        |  FROM (SELECT doc_id, lang, text,
+        |      unnest(range(0, length(text) - 1)) AS i FROM documents) a
+        |  UNION ALL
+        |  SELECT doc_id, lang, substr(text, i + 1, 3)
+        |  FROM (SELECT doc_id, lang, text,
+        |      unnest(range(0, length(text) - 2)) AS i FROM documents) b),
+        |lp AS (SELECT lang, g, count(*) AS c FROM g GROUP BY lang, g),
+        |lr AS (SELECT * FROM (
+        |    SELECT lang AS cand, g, CAST(row_number() OVER (
+        |      PARTITION BY lang ORDER BY c DESC, g) AS BIGINT) AS rl
+        |    FROM lp) x WHERE rl <= 40),
+        |dc AS (SELECT doc_id, g, count(*) AS c FROM g
+        |  GROUP BY doc_id, g),
+        |dp AS (SELECT * FROM (
+        |    SELECT doc_id, g, CAST(row_number() OVER (
+        |      PARTITION BY doc_id ORDER BY c DESC, g) AS BIGINT) AS rd
+        |    FROM dc) x WHERE rd <= 20),
+        |langs AS (SELECT DISTINCT cand FROM lr),
+        |pen AS (SELECT dp.doc_id, l.cand,
+        |    coalesce(abs(dp.rd - lr.rl), 40) AS pen
+        |  FROM dp CROSS JOIN langs l
+        |  LEFT JOIN lr ON lr.cand = l.cand AND lr.g = dp.g),
+        |s AS (SELECT doc_id, cand, CAST(sum(pen) AS BIGINT) AS dist
+        |  FROM pen GROUP BY doc_id, cand),
+        |best AS (SELECT * FROM (
+        |    SELECT doc_id, cand, dist, row_number() OVER (
+        |      PARTITION BY doc_id ORDER BY dist, cand) AS rn
+        |    FROM s) x WHERE rn = 1)
+        |SELECT b.doc_id, d.lang, b.cand AS lang_pred_ngram,
+        |  b.dist AS oop_dist
+        |FROM best b JOIN documents d ON b.doc_id = d.doc_id""".stripMargin,
 
     "q_drift" ->
       """WITH g AS (SELECT source,

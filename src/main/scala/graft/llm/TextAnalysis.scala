@@ -346,6 +346,67 @@ object TextAnalysis {
       .drop("__ks")
   }
 
+  /** Cavnar–Trenkle n-gram language ID ("N-Gram-Based Text
+    * Categorization", SDAIR 1994) — the TRAINED tier above
+    * [[withLangId]]'s stopword voting, and the architecture langid
+    * tools still use: a language is its rank-ordered top character
+    * n-gram profile, and a document classifies to the language whose
+    * profile is closest under the out-of-place measure
+    *
+    *   dist(doc, L) = Σ_{g ∈ topK(doc)} |rank_doc(g) − rank_L(g)|,
+    *   missing grams pay the max penalty `profileSize`.
+    *
+    * Profiles train on the corpus itself via its `langCol` (the
+    * supervised-label recipe of the paper; a held-out split works the
+    * same way). ALL-INTEGER math — counts, ranks, penalties — with
+    * deterministic (count desc, gram asc) rank ties and (dist, lang)
+    * argmin ties, so the registered query carries an exact SQL
+    * oracle, no float anywhere.
+    *
+    * 100 TB posture: one char-n-gram explode (linear in chars ×
+    * maxN) feeding keyed count aggregates; the language profile is
+    * langs × profileSize rows, broadcast; the doc profile's rank
+    * window sorts WITHIN a doc's grams only. No driver work. */
+  def ngramLangId(df: DataFrame, id: String, text: String,
+                  langCol: String, profileSize: Int = 40,
+                  docProfile: Int = 20, maxN: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(profileSize > 0 && docProfile > 0 && maxN >= 1)
+    val t = col(text)
+    val gramArrays = (1 to maxN).map { n =>
+      if (n == 1) split(t, "")
+      else when(length(t) >= n,
+        transform(sequence(lit(0), length(t) - n),
+          i => t.substr(i + 1, lit(n))))
+        .otherwise(array().cast("array<string>"))
+    }
+    val grams = df.select(col(id), col(langCol).as("__lang"),
+      explode(concat(gramArrays: _*)).as("__g"))
+    val langProf = grams.groupBy("__lang", "__g")
+      .agg(count(lit(1)).as("__c"))
+      .withColumn("__rl", row_number().over(Window.partitionBy("__lang")
+        .orderBy(col("__c").desc, col("__g").asc)).cast("long"))
+      .filter(col("__rl") <= profileSize)
+      .select(col("__lang").as("__cand"), col("__g"), col("__rl"))
+    val docProf = grams.groupBy(col(id), col("__g"))
+      .agg(count(lit(1)).as("__c"))
+      .withColumn("__rd", row_number().over(Window.partitionBy(col(id))
+        .orderBy(col("__c").desc, col("__g").asc)).cast("long"))
+      .filter(col("__rd") <= docProfile)
+      .select(col(id), col("__g"), col("__rd"))
+    val langs = langProf.select(col("__cand")).distinct()
+    val dists = docProf.crossJoin(broadcast(langs))
+      .join(broadcast(langProf), Seq("__cand", "__g"), "left")
+      .withColumn("__pen",
+        coalesce(abs(col("__rd") - col("__rl")), lit(profileSize.toLong)))
+      .groupBy(col(id), col("__cand"))
+      .agg(sum("__pen").as("__dist"))
+    dists.groupBy(col(id))
+      .agg(min(struct(col("__dist"), col("__cand"))).as("__best"))
+      .select(col(id), col("__best.__cand").as("lang_pred_ngram"),
+        col("__best.__dist").as("oop_dist"))
+  }
+
   /** Corpus DRIFT monitor: KL divergence of each stratum's hashed
     * unigram distribution against the REST of the corpus — the
     * composition-monitoring signal a continuously-assembled dataset

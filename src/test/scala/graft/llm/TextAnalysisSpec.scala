@@ -269,6 +269,42 @@ class TextAnalysisSpec extends SparkSpec {
       "no held-out doc exercised backoff - the split is not doing its job")
   }
 
+  test("ngramLangId classifies by rank-profile out-of-place distance") {
+    import spark.implicits._
+    // two "languages" with disjoint character inventories; every doc
+    // must classify to its own label, including the lexically novel
+    // doc 20 (same characters, unseen word)
+    val rows =
+      (0L until 10L).map(i => (i, s"abba cabb bac${i % 3} abc cab", "aa")) ++
+      (10L until 20L).map(i => (i, s"xyz zyx yzz${i % 3} zxy xyz", "zz")) ++
+      Seq((20L, "ccba abba bbac", "aa"))
+    val out = TextAnalysis.ngramLangId(
+        rows.toDF("doc_id", "text", "lang"), "doc_id", "text", "lang",
+        profileSize = 30, docProfile = 15)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    rows.foreach { case (id, _, lang) =>
+      assert(out(id) === lang, s"doc $id misclassified as ${out(id)}")
+    }
+  }
+
+  test("ngramLangId is invariant to input partitioning (integer ranks, pinned ties)") {
+    // NOTE: the driver testdata's lang labels are decorative (every
+    // label draws from one shared vocabulary), so ACCURACY there is
+    // meaningless for any classifier — what the oracle gate and this
+    // spec pin is exact determinism of the rank/argmin math
+    import spark.implicits._
+    val rows = (0L until 40L)
+      .map(i => (i, s"w${i % 7} common text w${i % 5} tail", s"L${i % 3}"))
+    val a = TextAnalysis.ngramLangId(
+        rows.toDF("doc_id", "text", "lang"), "doc_id", "text", "lang")
+      .collect().map(_.toSeq).toSet
+    val b = TextAnalysis.ngramLangId(
+        rows.toDF("doc_id", "text", "lang").repartition(7),
+        "doc_id", "text", "lang")
+      .collect().map(_.toSeq).toSet
+    assert(a === b)
+  }
+
   test("vocabDriftKl flags the stratum whose vocabulary diverges") {
     import spark.implicits._
     // srcA/srcB share a vocabulary; srcC speaks different words
