@@ -1125,6 +1125,12 @@ object SparkEntry {
           count(lit(1)).as("n_kept"))
     }),
 
+    // LLM-pipeline: LSH banding auto-tuner — S-curve FP/FN mass per
+    // (bands, rows) factorization of the hash budget at the target
+    // Jaccard threshold; shuffle-free per-row integration.
+    "q_lsh_tune" -> ((s, dir) =>
+      llm.Dedup.lshErrorProfile(s, numHashes = 128, threshold = 0.5)),
+
     // LLM-pipeline: TRAINED language ID — Cavnar-Trenkle rank-ordered
     // char-n-gram profiles with the out-of-place distance; all-integer
     // math, exact SQL oracle (no fixture needed, unlike the stopword
@@ -2031,6 +2037,29 @@ object SparkEntry {
         |SELECT doc_id, lang, source, qs, shard,
         |  strt // 128 AS seq_id, strt % 128 AS seq_offset
         |FROM p""".stripMargin,
+
+    "q_lsh_tune" ->
+      """WITH pairs AS (SELECT CAST(b AS INTEGER) AS bands,
+        |    CAST(128 // b AS INTEGER) AS rows_per_band
+        |  FROM (SELECT unnest(range(1, 129)) AS b) x
+        |  WHERE 128 % b = 0),
+        |m AS (SELECT bands, rows_per_band,
+        |    round(list_reduce(list_prepend(0.0,
+        |      list_transform(range(0, 1000), i ->
+        |        CASE WHEN (i + 0.5)/1000 < 0.5 THEN
+        |          (1.0 - pow(1.0 - pow((i + 0.5)/1000, rows_per_band),
+        |            bands)) / 1000
+        |        ELSE 0.0 END)), (a, b) -> a + b), 6) AS fp,
+        |    round(list_reduce(list_prepend(0.0,
+        |      list_transform(range(0, 1000), i ->
+        |        CASE WHEN (i + 0.5)/1000 >= 0.5 THEN
+        |          (1.0 - (1.0 - pow(1.0 - pow((i + 0.5)/1000,
+        |            rows_per_band), bands))) / 1000
+        |        ELSE 0.0 END)), (a, b) -> a + b), 6) AS fn
+        |  FROM pairs)
+        |SELECT bands, rows_per_band, fp, fn,
+        |  round(fp + fn, 6) AS cost
+        |FROM m""".stripMargin,
 
     "q_langid_ngram" ->
       """WITH g AS (

@@ -51,6 +51,44 @@ object Dedup {
     * of `numHashes/bands` rows, bucket-join docs sharing any band bucket.
     * Estimated Jaccard = fraction of agreeing minhashes. Output:
     * (id_a, id_b, est_jaccard) with id_a < id_b, est_jaccard >= minEst. */
+  /** LSH banding auto-tuner (the datasketch `_optimal_param` / Mining
+    * of Massive Datasets §3.4.3 recipe): for each factorization
+    * `numHashes = bands × rows`, integrate the S-curve
+    * `P(candidate | jaccard s) = 1 − (1 − s^rows)^bands` below the
+    * target threshold (false-positive mass) and its complement above
+    * (false-negative mass), midpoint rule with `steps` points. The
+    * caller picks the min-cost row and feeds (bands) to
+    * [[minhashCandidates]] — threshold tuning stops being folklore.
+    *
+    * Each (bands, rows) row evaluates its whole integral inside ONE
+    * higher-order-function expression — the relation never shuffles,
+    * and the i-ascending fold makes the float sums engine-exact, so
+    * the registered query carries a plain SQL oracle. */
+  def lshErrorProfile(spark: org.apache.spark.sql.SparkSession,
+                      numHashes: Int, threshold: Double,
+                      steps: Int = 1000): DataFrame = {
+    require(numHashes >= 2 && threshold > 0 && threshold < 1 && steps > 0)
+    import spark.implicits._
+    val pairs = (1 to numHashes).filter(numHashes % _ == 0)
+      .map(b => (b, numHashes / b))
+    def mass(keepBelow: Boolean) =
+      round(aggregate(sequence(lit(0), lit(steps - 1)), lit(0.0),
+        (acc, i) => {
+          val s = (i.cast("double") + 0.5) / steps
+          val p = lit(1.0) -
+            pow(lit(1.0) - pow(s, col("rows_per_band")), col("bands"))
+          val term = if (keepBelow) when(s < threshold, p / steps)
+            .otherwise(lit(0.0))
+          else when(s >= threshold, (lit(1.0) - p) / steps)
+            .otherwise(lit(0.0))
+          acc + term
+        }), 6)
+    pairs.toDF("bands", "rows_per_band")
+      .withColumn("fp", mass(keepBelow = true))
+      .withColumn("fn", mass(keepBelow = false))
+      .withColumn("cost", round(col("fp") + col("fn"), 6))
+  }
+
   def minhashCandidates(df: DataFrame, id: String, text: String,
                         shingleN: Int = 3, numHashes: Int = 32,
                         bands: Int = 8, minEst: Double = 0.5): DataFrame = {

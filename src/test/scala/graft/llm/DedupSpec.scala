@@ -259,4 +259,35 @@ class DedupSpec extends SparkSpec {
     assert(out(1L) === "a b c d e")
     assert(out(2L) === "z z e f")
   }
+
+  test("lshErrorProfile matches a driver-side midpoint integration exactly") {
+    val out = Dedup.lshErrorProfile(spark, numHashes = 32,
+        threshold = 0.4, steps = 500)
+      .collect().map(r => (r.getInt(0), r.getInt(1)) ->
+        (r.getDouble(2), r.getDouble(3))).toMap
+    def expect(b: Int, r: Int): (Double, Double) = {
+      var fp = 0.0; var fn = 0.0
+      (0 until 500).foreach { i =>
+        val s = (i + 0.5) / 500
+        val p = 1.0 - math.pow(1.0 - math.pow(s, r), b)
+        if (s < 0.4) fp += p / 500 else fn += (1.0 - p) / 500
+      }
+      def r6(x: Double) = BigDecimal(x)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      (r6(fp), r6(fn))
+    }
+    assert(out.keySet === Set(1, 2, 4, 8, 16, 32).map(b => (b, 32 / b)))
+    out.keys.foreach { case (b, r) =>
+      val (efp, efn) = expect(b, r)
+      assert(math.abs(out((b, r))._1 - efp) < 2e-6, s"fp at ($b,$r)")
+      assert(math.abs(out((b, r))._2 - efn) < 2e-6, s"fn at ($b,$r)")
+    }
+    // the endpoints are the known degenerate regimes: one wide band is
+    // all false negatives, all-singleton bands are all false positives
+    assert(out((1, 32))._2 > 0.4 && out((1, 32))._1 < 0.01)
+    assert(out((32, 1))._1 > 0.3 && out((32, 1))._2 < 0.05)
+    // and the tuned optimum is strictly interior
+    val best = out.minBy { case (_, (fp, fn)) => fp + fn }._1
+    assert(best._1 > 1 && best._1 < 32, s"optimum $best not interior")
+  }
 }
