@@ -1125,6 +1125,31 @@ object SparkEntry {
           count(lit(1)).as("n_kept"))
     }),
 
+    // LLM-pipeline: the ATTRIBUTES table (the Dolma recipe: curation
+    // signals materialized per doc, decisions deferred to downstream
+    // filters) — quality heuristics + repetition signals + PII counts
+    // + langid joined into one wide frame. Two aggregate exchanges
+    // (repetition's) + broadcast-free doc_id joins; everything else
+    // rides the scan stage.
+    "q_attributes" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val q = llm.TextAnalysis.withQuality(d, "text")
+        .select(col("doc_id"), col("n_tokens"),
+          round(col("quality_score"), 6).as("quality_score"))
+      val rep = llm.TextAnalysis.repetitionStats(d, "doc_id", "text")
+        .select(col("doc_id"),
+          round(col("uniq_word_frac"), 6).as("uniq_word_frac"),
+          round(col("dup5gram_frac"), 6).as("dup5gram_frac"))
+      val pii = llm.TextAnalysis.piiStats(d, "text")
+        .select(col("doc_id"), col("pii_total"))
+      val lid = llm.TextAnalysis.withLangId(d, "text")
+        .select(col("doc_id"), col("lang_pred"))
+      q.join(rep, "doc_id").join(pii, "doc_id").join(lid, "doc_id")
+        .select(col("doc_id"), col("n_tokens"), col("quality_score"),
+          col("uniq_word_frac"), col("dup5gram_frac"),
+          col("pii_total"), col("lang_pred"))
+    }),
+
     // LLM-pipeline: LSH banding auto-tuner — S-curve FP/FN mass per
     // (bands, rows) factorization of the hash budget at the target
     // Jaccard threshold; shuffle-free per-row integration.
@@ -2037,6 +2062,60 @@ object SparkEntry {
         |SELECT doc_id, lang, source, qs, shard,
         |  strt // 128 AS seq_id, strt % 128 AS seq_offset
         |FROM p""".stripMargin,
+
+    "q_attributes" ->
+      """WITH d AS (SELECT doc_id, text, length(text) AS len,
+        |    length(text) - length(replace(text, ' ', '')) + 1
+        |      AS n_tokens,
+        |    len(list_filter(string_split(text, ' '),
+        |      w -> w IN ('the','a','and','of','to','in','is','it')))
+        |      AS stop_hits
+        |  FROM documents),
+        |q AS (SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+        |    round((CASE WHEN n_tokens BETWEEN 10 AND 1000 THEN 0.4
+        |           ELSE 0.0 END)
+        |      + (CASE WHEN CAST(len - n_tokens + 1 AS DOUBLE)/n_tokens
+        |           BETWEEN 2.0 AND 12.0 THEN 0.3 ELSE 0.0 END)
+        |      + least(CAST(stop_hits AS DOUBLE)/n_tokens * 3.0, 0.3), 6)
+        |      AS quality_score
+        |  FROM d),
+        |words AS (SELECT doc_id, string_split(text, ' ') AS w
+        |  FROM documents),
+        |g AS (
+        |  SELECT doc_id, 'w1' AS tag, unnest(w) AS gram FROM words
+        |  UNION ALL
+        |  SELECT doc_id, 'g5', w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+        |    || ' ' || w[i+3] || ' ' || w[i+4]
+        |  FROM (SELECT doc_id, w, unnest(range(1, len(w) - 3)) AS i
+        |        FROM words) f),
+        |c AS (SELECT doc_id, tag, gram, count(*) AS cnt
+        |  FROM g GROUP BY doc_id, tag, gram),
+        |rep AS (SELECT doc_id,
+        |    round(CAST(count(CASE WHEN tag = 'w1' THEN 1 END) AS DOUBLE)
+        |      / sum(CASE WHEN tag = 'w1' THEN cnt END), 6)
+        |      AS uniq_word_frac,
+        |    round(CAST(coalesce(sum(CASE WHEN tag = 'g5' AND cnt >= 2
+        |        THEN cnt END) * 5, 0) AS DOUBLE)
+        |      / sum(CASE WHEN tag = 'w1' THEN cnt END), 6)
+        |      AS dup5gram_frac
+        |  FROM c GROUP BY doc_id),
+        |pii AS (SELECT doc_id,
+        |    CAST(len(regexp_extract_all(text,
+        |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
+        |    + len(regexp_extract_all(text, '\b\d{3}-\d{3}-\d{4}\b'))
+        |    + len(regexp_extract_all(text, '\b\d{3}-\d{2}-\d{4}\b'))
+        |    + len(regexp_extract_all(text,
+        |      '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS BIGINT)
+        |      AS pii_total
+        |  FROM documents)
+        |SELECT q.doc_id, q.n_tokens, q.quality_score,
+        |  rep.uniq_word_frac, rep.dup5gram_frac, pii.pii_total,
+        |  f.lang_pred
+        |FROM q JOIN rep ON q.doc_id = rep.doc_id
+        |JOIN pii ON q.doc_id = pii.doc_id
+        |JOIN read_parquet(
+        |  '/root/repo/fixtures/sf0.01/q_langid.parquet/*.parquet') f
+        |  ON q.doc_id = f.doc_id""".stripMargin,
 
     "q_lsh_tune" ->
       """WITH pairs AS (SELECT CAST(b AS INTEGER) AS bands,
