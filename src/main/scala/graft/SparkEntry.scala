@@ -294,6 +294,18 @@ object SparkEntry {
           round(col("seasonal"), 9).as("seasonal"),
           round(col("resid"), 9).as("resid"))),
 
+    // M-extra: Seasonal Hybrid ESD (Twitter AnomalyDetection,
+    // arXiv:1704.07706) — STL seasonal removal + median detrend +
+    // robust GESD (Rosner 1983) with Student-t critical values.
+    // Deterministic throughout (fixed-iteration t-quantile bisection,
+    // in-order per-series recursion) → fixture oracle.
+    "q_shesd" -> ((s, dir) =>
+      graft.models.Esd.seasonalHybridEsd(ev(s, dir), "user_id", "ts",
+          "value", period = 24)
+        .select(col("user_id"), col("ts"), col("value"),
+          round(col("shesd_resid"), 9).as("shesd_resid"),
+          col("is_anomaly"))),
+
     // W9: autocorrelation per lag — the notebook's full EDA grid
     // (notebooks/01 cell 7 plots lags 1..50), still ONE scan + ONE agg
     "q_acf" -> ((s, dir) =>
@@ -2391,6 +2403,7 @@ object SparkEntry {
     // golden-verified implementations (fixtures/README.md; regenerate via
     // graft.tools.GenFixtures after intentional behavior changes). Only
     // valid for the driver's sf0.01 correctness run.
+    "q_shesd" -> fixtureSql("q_shesd"),
     "q_bpe_merges" -> fixtureSql("q_bpe_merges"),
     "q_bpe_tokens" -> fixtureSql("q_bpe_tokens"),
     "q_ar" -> fixtureSql("q_ar"),

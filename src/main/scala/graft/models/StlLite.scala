@@ -27,9 +27,20 @@ object StlLite {
                 period: Int, robust: Boolean = false): DataFrame = {
     val half = period / 2
     val frame = SeriesOps.bySeries(series, ts).rowsBetween(-half, half)
+    // rolling MEDIAN: Spark rejects a window frame on median() itself
+    // (INVALID_WINDOW_SPEC_FOR_AGGREGATION_FUNC — a latent bug in this
+    // path until S-H-ESD exercised it), so the robust trend collects
+    // the frame and takes the array median
     val trendAgg =
-      if (robust) median(col(value)).over(frame)
-      else avg(col(value)).over(frame)
+      if (robust) {
+        val w = array_sort(collect_list(col(value)).over(frame))
+        val n = size(w)
+        val mid = floor((n + lit(1)) / lit(2)).cast("int")
+        val lo = floor(n / lit(2)).cast("int")
+        when(n % 2 === 1, element_at(w, mid))
+          .otherwise((element_at(w, lo) +
+            element_at(w, lo + 1)) / lit(2.0))
+      } else avg(col(value)).over(frame)
     val base = SeriesOps.withRowNumber(df, series, ts)
       .withColumn("trend", trendAgg)
       .withColumn("__phase", (col("rn") - 1) % period)
