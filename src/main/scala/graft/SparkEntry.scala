@@ -294,6 +294,16 @@ object SparkEntry {
           round(col("seasonal"), 9).as("seasonal"),
           round(col("resid"), 9).as("resid"))),
 
+    // M-extra: additive Holt-Winters one-step-ahead forecast —
+    // the classic O(1)-state seasonal baseline; per-series in-order
+    // recursion → fixture oracle.
+    "q_holtwinters" -> ((s, dir) =>
+      graft.models.HoltWinters.forecast(ev(s, dir), "user_id", "ts",
+          "value", period = 24)
+        .select(col("user_id"), col("ts"), col("value"),
+          round(col("hw_pred"), 9).as("hw_pred"),
+          round(col("hw_resid"), 9).as("hw_resid"))),
+
     // M-extra: Seasonal Hybrid ESD (Twitter AnomalyDetection,
     // arXiv:1704.07706) — STL seasonal removal + median detrend +
     // robust GESD (Rosner 1983) with Student-t critical values.
@@ -1025,6 +1035,25 @@ object SparkEntry {
         .select(col("doc_id"), col("n_email"), col("n_phone"),
           col("n_ssn"), col("n_ipv4"), col("pii_total"),
           llm.TextAnalysis.redactPii(col("__pt")).as("redacted"))
+    }),
+
+    // LLM-pipeline: Luhn-validated credit-card PII — card-shaped
+    // tokens are only counted/redacted when the ISO 7812 checksum
+    // passes (the precision move every published pipeline makes).
+    // Plants the canonical Visa/Amex test numbers (valid) and one
+    // checksum-failing shape (must be left alone).
+    "q_pii_card" -> ((s, dir) => {
+      val id = col("doc_id")
+      val planted = concat(col("text"),
+        when(id % 13 === 0, lit(" card 4111 1111 1111 1111 ok"))
+          .otherwise(lit("")),
+        when(id % 7 === 0, lit(" amex 378282246310005 bill"))
+          .otherwise(lit("")),
+        when(id % 5 === 0, lit(" ref 1234-5678-9012-3456 code"))
+          .otherwise(lit("")))
+      llm.TextAnalysis.withCardPii(
+          docs(s, dir).withColumn("__ct", planted), "__ct")
+        .select(col("doc_id"), col("n_card"), col("card_redacted"))
     }),
 
     // LLM-pipeline: C4 line-level cleaning (Raffel et al. 2020 §2.2).
@@ -2326,6 +2355,39 @@ object SparkEntry {
         |  count(*) AS n_kept
         |FROM r WHERE rn > n * 3 // 10 GROUP BY source""".stripMargin,
 
+    "q_pii_card" ->
+      """WITH t AS (SELECT doc_id, text
+        |  || CASE WHEN doc_id % 13 = 0
+        |       THEN ' card 4111 1111 1111 1111 ok' ELSE '' END
+        |  || CASE WHEN doc_id % 7 = 0
+        |       THEN ' amex 378282246310005 bill' ELSE '' END
+        |  || CASE WHEN doc_id % 5 = 0
+        |       THEN ' ref 1234-5678-9012-3456 code' ELSE '' END AS ct
+        |  FROM documents),
+        |c AS (SELECT doc_id, ct,
+        |    list_filter(regexp_extract_all(ct,
+        |        '\b(?:\d[ -]?){12,15}\d\b'), m ->
+        |      length(regexp_replace(m, '[ -]', '', 'g'))
+        |        BETWEEN 13 AND 16
+        |      AND list_reduce(list_prepend(0,
+        |        list_transform(range(1, length(regexp_replace(m,
+        |            '[ -]', '', 'g')) + 1), i ->
+        |          CASE WHEN (i - 1) % 2 = 1 THEN
+        |            CASE WHEN (ascii(reverse(regexp_replace(m, '[ -]',
+        |                '', 'g'))[i]) - 48) * 2 > 9
+        |              THEN (ascii(reverse(regexp_replace(m, '[ -]', '',
+        |                'g'))[i]) - 48) * 2 - 9
+        |              ELSE (ascii(reverse(regexp_replace(m, '[ -]', '',
+        |                'g'))[i]) - 48) * 2 END
+        |          ELSE ascii(reverse(regexp_replace(m, '[ -]', '',
+        |            'g'))[i]) - 48 END)),
+        |        (a, b) -> a + b) % 10 = 0) AS valid
+        |  FROM t)
+        |SELECT doc_id, CAST(len(valid) AS BIGINT) AS n_card,
+        |  list_reduce(list_prepend(ct, valid),
+        |    (acc, m) -> replace(acc, m, '<CARD>')) AS card_redacted
+        |FROM c""".stripMargin,
+
     "q_pii" ->
       """WITH t AS (SELECT doc_id, text
         |  || CASE WHEN doc_id % 7 = 0 THEN ' contact user'
@@ -2404,6 +2466,7 @@ object SparkEntry {
     // graft.tools.GenFixtures after intentional behavior changes). Only
     // valid for the driver's sf0.01 correctness run.
     "q_shesd" -> fixtureSql("q_shesd"),
+    "q_holtwinters" -> fixtureSql("q_holtwinters"),
     "q_bpe_merges" -> fixtureSql("q_bpe_merges"),
     "q_bpe_tokens" -> fixtureSql("q_bpe_tokens"),
     "q_ar" -> fixtureSql("q_ar"),

@@ -295,6 +295,42 @@ object TextAnalysis {
     ("ssn", "\\b\\d{3}-\\d{2}-\\d{4}\\b", "<ID>"),
     ("ipv4", "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b", "<IP>"))
 
+  /** Luhn-checksum validation of a digit string (ISO/IEC 7812 — the
+    * published discriminator between card-shaped numbers and real
+    * ones; every serious PII pipeline checksums before redacting, or
+    * drowns in false positives). Pure HOF fold over the reversed
+    * digits — codegen'd, engine-portable (the oracle reproduces it
+    * with list_reduce). */
+  def luhnValid(digits: Column): Column = {
+    val ds = reverse(transform(split(digits, ""),
+      c => ascii(c) - lit(48)))
+    val total = aggregate(
+      transform(sequence(lit(0), size(ds) - 1), i => {
+        val d = element_at(ds, i + 1)
+        when(i % 2 === 1,
+          when(d * 2 > 9, d * 2 - 9).otherwise(d * 2)).otherwise(d)
+      }),
+      lit(0), (a, x) => a + x)
+    total % 10 === 0
+  }
+
+  /** Credit-card detection with Luhn validation: counts 13-16-digit
+    * card-shaped tokens (with optional dash/space groupings) whose
+    * digit string passes the checksum, and redacts ONLY those —
+    * non-validating card-shaped numbers are left alone, which is the
+    * precision/recall trade the published pipelines make. */
+  def withCardPii(df: DataFrame, text: String): DataFrame = {
+    val shape = "\\b(?:\\d[ -]?){12,15}\\d\\b"
+    val candidates = regexp_extract_all(col(text), lit(shape), lit(0))
+    val valid = filter(candidates, c => {
+      val ds = regexp_replace(c, "[ -]", "")
+      (length(ds) >= 13) && (length(ds) <= 16) && luhnValid(ds)
+    })
+    df.withColumn("n_card", size(valid).cast("long"))
+      .withColumn("card_redacted",
+        aggregate(valid, col(text), (t, c) => replace(t, c, lit("<CARD>"))))
+  }
+
   /** Per-kind match counts over the original text: adds `n_<kind>`
     * (long) per pattern plus `pii_total`. */
   def piiStats(df: DataFrame, text: String): DataFrame = {

@@ -348,6 +348,33 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out(3L).getAs[Long]("n_ipv4") === 1L)
   }
 
+  test("card PII: only Luhn-valid card shapes are counted and redacted") {
+    val d = docs(Seq(
+      1L -> "pay 4111 1111 1111 1111 or amex 378282246310005 thanks",
+      2L -> "order 1234-5678-9012-3456 is just a reference number",
+      3L -> "short digits 1234 5678 here"))
+    val out = TextAnalysis.withCardPii(d, "text")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(out(1L).getAs[Long]("n_card") === 2L)
+    assert(out(1L).getAs[String]("card_redacted") ===
+      "pay <CARD> or amex <CARD> thanks")
+    // checksum-failing shape: untouched
+    assert(out(2L).getAs[Long]("n_card") === 0L)
+    assert(out(2L).getAs[String]("card_redacted") ===
+      "order 1234-5678-9012-3456 is just a reference number")
+    assert(out(3L).getAs[Long]("n_card") === 0L)
+  }
+
+  test("luhnValid agrees with the checksum definition") {
+    val d = docs(Seq(1L -> "x"))
+    def check(s: String): Boolean =
+      d.select(TextAnalysis.luhnValid(lit(s))).head().getBoolean(0)
+    assert(check("4111111111111111"))
+    assert(check("378282246310005"))
+    assert(!check("4111111111111112"))
+    assert(!check("1234567890123456"))
+  }
+
   test("pii rule interplay: a phone number is not double-counted as an SSN") {
     // 555-123-4567 must match ONLY the phone rule: the SSN regex needs
     // \d{2} between the dashes and \b stops it starting mid-number
