@@ -294,6 +294,17 @@ object SparkEntry {
           round(col("seasonal"), 9).as("seasonal"),
           round(col("resid"), 9).as("resid"))),
 
+    // M-extra: matrix profile via STOMP (UCR Matrix Profile I/II) —
+    // z-normalized all-pairs subsequence distances; argmax = discord
+    // (parameter-free anomaly), minima = motifs. O(n²) per series via
+    // the rolling-dot recurrence, per-series mapGroups → fixture
+    // oracle.
+    "q_matrix_profile" -> ((s, dir) =>
+      graft.models.MatrixProfile.profile(ev(s, dir), "user_id", "ts",
+          "value", w = 48)
+        .select(col("user_id"), col("ts"),
+          round(col("mp"), 6).as("mp"), col("mp_index"))),
+
     // M-extra: additive Holt-Winters one-step-ahead forecast —
     // the classic O(1)-state seasonal baseline; per-series in-order
     // recursion → fixture oracle.
@@ -2467,6 +2478,7 @@ object SparkEntry {
     // valid for the driver's sf0.01 correctness run.
     "q_shesd" -> fixtureSql("q_shesd"),
     "q_holtwinters" -> fixtureSql("q_holtwinters"),
+    "q_matrix_profile" -> fixtureSql("q_matrix_profile"),
     "q_bpe_merges" -> fixtureSql("q_bpe_merges"),
     "q_bpe_tokens" -> fixtureSql("q_bpe_tokens"),
     "q_ar" -> fixtureSql("q_ar"),
