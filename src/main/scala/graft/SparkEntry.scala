@@ -294,6 +294,15 @@ object SparkEntry {
           round(col("seasonal"), 9).as("seasonal"),
           round(col("resid"), 9).as("resid"))),
 
+    // W-extra: SAX symbolic discretization (Lin/Keogh 2003) — PAA
+    // frame means against the standard-normal equiprobable
+    // breakpoints; fully relational, exact SQL oracle.
+    "q_sax" -> ((s, dir) =>
+      SeriesOps.sax(ev(s, dir), "user_id", "ts", "value",
+          frameLen = 8, alphabet = 4)
+        .select(col("user_id"), col("frame"),
+          round(col("paa"), 6).as("paa"), col("symbol"))),
+
     // M-extra: matrix profile via STOMP (UCR Matrix Profile I/II) —
     // z-normalized all-pairs subsequence distances; argmax = discord
     // (parameter-free anomaly), minima = motifs. O(n²) per series via
@@ -2191,6 +2200,27 @@ object SparkEntry {
         |SELECT bands, rows_per_band, fp, fn,
         |  round(fp + fn, 6) AS cost
         |FROM m""".stripMargin,
+
+    "q_sax" ->
+      """WITH st AS (SELECT user_id, avg(value) AS mu,
+        |    stddev_samp(value) AS sd
+        |  FROM events GROUP BY user_id),
+        |r AS (SELECT user_id, value,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY ts) AS rn
+        |  FROM events),
+        |f AS (SELECT user_id,
+        |    CAST(FLOOR((rn - 1) / 8.0) AS BIGINT) AS frame,
+        |    avg(value) AS fm
+        |  FROM r GROUP BY user_id, FLOOR((rn - 1) / 8.0)),
+        |p AS (SELECT f.user_id, f.frame,
+        |    (fm - mu) / (sd + 1e-12) AS paa
+        |  FROM f JOIN st ON f.user_id = st.user_id)
+        |SELECT user_id, frame, round(paa, 6) AS paa,
+        |  CASE WHEN paa < -0.6744897501960817 THEN 'a'
+        |       WHEN paa < 0.0 THEN 'b'
+        |       WHEN paa < 0.6744897501960817 THEN 'c'
+        |       ELSE 'd' END AS symbol
+        |FROM p""".stripMargin,
 
     "q_langid_ngram" ->
       """WITH g AS (

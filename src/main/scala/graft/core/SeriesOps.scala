@@ -314,4 +314,57 @@ object SeriesOps {
         when(col("__sx") > 0 && col("__sy") > 0,
           col("__cov") / (col("__sx") * col("__sy"))).as("acf"))
   }
+
+  /** SAX symbolic discretization (Lin, Keogh, Lonardi, Chiu, DMKD
+    * 2003/2007): per-series z-normalize, Piecewise Aggregate
+    * Approximation into frames of `frameLen` points, then discretize
+    * each frame mean against the standard-normal equiprobable
+    * breakpoints — the representation HOT-SAX, iSAX indexing, and
+    * symbolic anomaly/motif pipelines consume. Fully relational (one
+    * stats broadcast + one frame aggregate), ALL thresholds are
+    * literal constants → the registered query carries an exact SQL
+    * oracle. Supported alphabet sizes are the published 3..6 table
+    * (extend the map for more). Output: (series, frame, paa, symbol)
+    * with symbol ∈ 'a'.. . Ragged tails (< frameLen points) keep the
+    * published convention: the last partial frame still averages its
+    * points. */
+  private val saxBreakpoints: Map[Int, Seq[Double]] = Map(
+    3 -> Seq(-0.4307272992954576, 0.4307272992954576),
+    4 -> Seq(-0.6744897501960817, 0.0, 0.6744897501960817),
+    5 -> Seq(-0.8416212335729142, -0.2533471031357997,
+      0.2533471031357997, 0.8416212335729142),
+    6 -> Seq(-0.9674215661017014, -0.4307272992954576, 0.0,
+      0.4307272992954576, 0.9674215661017014))
+
+  def sax(df: DataFrame, series: String, ts: String, value: String,
+          frameLen: Int, alphabet: Int = 4): DataFrame = {
+    require(frameLen >= 1, s"frameLen=$frameLen")
+    val bps = saxBreakpoints.getOrElse(alphabet,
+      throw new IllegalArgumentException(
+        s"alphabet=$alphabet not in ${saxBreakpoints.keys.toSeq.sorted}"))
+    val stats = df.groupBy(col(series))
+      .agg(avg(col(value)).as("__mu"),
+        stddev_samp(col(value)).as("__sd"))
+    // PAA as the NORMALIZED FRAME MEAN, (avg(value) − μ)/σ — equal to
+    // the mean of per-point z in real arithmetic, and the float path an
+    // oracle reproduces (averaging raw decimal values, then one
+    // normalize, instead of averaging already-divided doubles)
+    val framed = withRowNumber(df, series, ts)
+      .withColumn("frame", ((col("rn") - 1) / frameLen).cast("long"))
+      .groupBy(col(series), col("frame"))
+      .agg(avg(col(value)).as("__fm"))
+      .join(broadcast(stats), Seq(series))
+      .withColumn("paa",
+        (col("__fm") - col("__mu")) / (col("__sd") + lit(1e-12)))
+    // ordered when-chain: the FIRST matching breakpoint assigns the
+    // letter, the final otherwise is the top bucket
+    val chained = bps.tail.zipWithIndex.foldLeft(
+      when(col("paa") < bps.head, lit("a"))) {
+      case (acc, (bp, i)) =>
+        acc.when(col("paa") < bp, lit(('b' + i).toChar.toString))
+    }
+    framed.withColumn("symbol",
+        chained.otherwise(lit(('a' + bps.length).toChar.toString)))
+      .select(col(series), col("frame"), col("paa"), col("symbol"))
+  }
 }

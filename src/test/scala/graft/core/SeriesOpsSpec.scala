@@ -180,4 +180,38 @@ class SeriesOpsSpec extends SparkSpec {
       .toDF("x", "y").agg(corr(col("x"), col("y"))).head.getDouble(0)
     assert(math.abs(out._2.get - expected) < 1e-12)
   }
+
+  test("sax discretizes PAA frame means against the normal breakpoints") {
+    import spark.implicits._
+    val vals = Seq(1.0, 3.0, 2.0, 8.0, 9.0, 7.0, 4.0, 5.0, 6.0, 2.0)
+    val rows = vals.zipWithIndex.map { case (v, t) =>
+      ("s", new java.sql.Timestamp(1700000000000L + t * 60000L), v)
+    }
+    val got = SeriesOps.sax(rows.toDF("sid", "ts", "v"), "sid", "ts",
+        "v", frameLen = 2, alphabet = 4)
+      .orderBy("frame").collect()
+      .map(r => (r.getLong(1), r.getDouble(2), r.getString(3)))
+    // driver-side mirror of the documented formulas
+    val mu = vals.sum / vals.size
+    val sd = math.sqrt(vals.map(v => (v - mu) * (v - mu)).sum /
+      (vals.size - 1))
+    val bp = 0.6744897501960817
+    val exp = vals.grouped(2).zipWithIndex.map { case (fr, i) =>
+      val paa = (fr.sum / fr.size - mu) / (sd + 1e-12)
+      val sym = if (paa < -bp) "a" else if (paa < 0) "b"
+        else if (paa < bp) "c" else "d"
+      (i.toLong, paa, sym)
+    }.toSeq
+    assert(got.length === exp.length)
+    got.zip(exp).foreach { case ((gf, gp, gs), (ef, ep, es)) =>
+      assert(gf === ef)
+      assert(math.abs(gp - ep) < 1e-12)
+      assert(gs === es)
+    }
+    // all four letters are reachable on this spread-out series
+    assert(got.map(_._3).toSet.size >= 3)
+    // ragged tail: 10 points / frameLen 3 -> last frame has 1 point
+    assert(SeriesOps.sax(rows.toDF("sid", "ts", "v"), "sid", "ts", "v",
+      frameLen = 3, alphabet = 4).count() === 4L)
+  }
 }
