@@ -174,4 +174,69 @@ object StreamingDetect {
           out.iterator
       }
   }
+
+  case class HwStreamState(buf: Seq[Double], bufTs: Seq[Long],
+                           l: Double, b: Double, s: Seq[Double],
+                           t: Long, ready: Boolean)
+  case class HwStreamOut(series_id: String, ts: Timestamp, value: Double,
+                         hw_pred: Double, hw_resid: Double)
+
+  /** Stateful additive Holt–Winters: mirrors
+    * [[graft.models.HoltWinters.forecast]] exactly — the first 2m
+    * points are BUFFERED (the batch initializer needs two seasons),
+    * then initialization fires and their forecasts emit retroactively
+    * in one micro-batch; from then on state is (l, b, s[m], t) and
+    * each arrival costs O(1). Same append-only in-order contract as
+    * the other stateful detectors; StreamingSpec pins bit-parity with
+    * the batch recursion across micro-batch splits. */
+  def statefulHoltWinters(points: Dataset[Point], period: Int,
+                          alpha: Double = 0.2, beta: Double = 0.1,
+                          gamma: Double = 0.3): Dataset[HwStreamOut] = {
+    require(period >= 2, s"period=$period must be >= 2")
+    import points.sparkSession.implicits._
+    val m = period
+    points.groupByKey(_.series_id)
+      .flatMapGroupsWithState[HwStreamState, HwStreamOut](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (sid: String, it: Iterator[Point],
+         state: GroupState[HwStreamState]) =>
+          var st = state.getOption.getOrElse(
+            HwStreamState(Vector.empty, Vector.empty, 0.0, 0.0,
+              Vector.empty, 0L, ready = false))
+          val out = scala.collection.mutable.ArrayBuffer
+            .empty[HwStreamOut]
+          def stepOne(ts: Timestamp, v: Double): Unit = {
+            val si = (st.t % m).toInt
+            val sArr = st.s.toArray
+            val pred = st.l + st.b + sArr(si)
+            val lNew = alpha * (v - sArr(si)) + (1 - alpha) * (st.l + st.b)
+            val bNew = beta * (lNew - st.l) + (1 - beta) * st.b
+            sArr(si) = gamma * (v - lNew) + (1 - gamma) * sArr(si)
+            st = st.copy(l = lNew, b = bNew, s = sArr.toVector,
+              t = st.t + 1)
+            out += HwStreamOut(sid, ts, v, pred, v - pred)
+          }
+          it.toSeq.sortBy(_.ts.getTime).foreach { pt =>
+            if (st.ready) stepOne(pt.ts, pt.value)
+            else {
+              st = st.copy(buf = st.buf :+ pt.value,
+                bufTs = st.bufTs :+ pt.ts.getTime)
+              if (st.buf.length == 2 * m) {
+                val y = st.buf.toArray
+                val mean1 = y.slice(0, m).sum / m
+                val mean2 = y.slice(m, 2 * m).sum / m
+                st = st.copy(l = mean1, b = (mean2 - mean1) / m,
+                  s = Array.tabulate(m)(i => y(i) - mean1).toVector,
+                  t = 0L, ready = true)
+                y.zip(st.bufTs).foreach { case (v, tl) =>
+                  stepOne(new Timestamp(tl), v)
+                }
+                st = st.copy(buf = Vector.empty, bufTs = Vector.empty)
+              }
+            }
+          }
+          state.update(st)
+          out.iterator
+      }
+  }
 }

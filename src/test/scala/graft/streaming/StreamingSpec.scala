@@ -504,6 +504,39 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("statefulHoltWinters equals the batch recursion across micro-batch splits") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val m = 4
+    val vals = Array.tabulate(40)(t =>
+      10.0 + 0.5 * t + Seq(3.0, -1.0, -4.0, 2.0)(t % m) +
+        ((t * 7919) % 13) * 0.1)
+    val batch = graft.models.HoltWinters.forecast(
+        vals.zipWithIndex.map { case (v, t) => ("s", pt(t, v).ts, v) }
+          .toSeq.toDF("sid", "ts", "v"), "sid", "ts", "v", m)
+      .collect()
+      .map(r => (r.getTimestamp(1).getTime, r.getAs[Double]("hw_pred"),
+        r.getAs[Double]("hw_resid"))).toSet
+    val input = MemoryStream[Point]
+    val out = statefulHoltWinters(input.toDS(), m)
+    val q = out.writeStream.format("memory").queryName("hwstream")
+      .outputMode("append").start()
+    try {
+      val pts = vals.zipWithIndex.map { case (v, t) => pt(t, v) }
+      // split mid-warmup (before 2m) and mid-stream
+      input.addData(pts.take(5): _*)
+      q.processAllAvailable()
+      input.addData(pts.slice(5, 20): _*)
+      q.processAllAvailable()
+      input.addData(pts.drop(20): _*)
+      q.processAllAvailable()
+      val got = spark.sql("select * from hwstream").collect()
+        .map(r => (r.getTimestamp(1).getTime, r.getAs[Double]("hw_pred"),
+          r.getAs[Double]("hw_resid"))).toSet
+      assert(got === batch)
+    } finally q.stop()
+  }
+
   test("stateless hygiene tier (pii redact + c4 clean) runs unchanged on a stream") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
