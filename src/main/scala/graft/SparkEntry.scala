@@ -294,6 +294,19 @@ object SparkEntry {
           round(col("seasonal"), 9).as("seasonal"),
           round(col("resid"), 9).as("resid"))),
 
+    // M-extra: banded z-normalized DTW against a broadcast template
+    // set (the scalable use: template scoring, not all-pairs). The
+    // template keys come from the events series themselves.
+    "q_dtw" -> ((s, dir) => {
+      val keys = ev(s, dir).select(col("user_id").cast("string"))
+        .distinct().orderBy("user_id").limit(3)
+        .collect().map(_.getString(0)).toSeq
+      graft.models.Dtw.dtwToTemplates(ev(s, dir), "user_id", "ts",
+          "value", keys, band = 48)
+        .select(col("user_id"), col("template_id"),
+          round(col("dtw"), 6).as("dtw"))
+    }),
+
     // W-extra: SAX symbolic discretization (Lin/Keogh 2003) — PAA
     // frame means against the standard-normal equiprobable
     // breakpoints; fully relational, exact SQL oracle.
@@ -2509,6 +2522,7 @@ object SparkEntry {
     "q_shesd" -> fixtureSql("q_shesd"),
     "q_holtwinters" -> fixtureSql("q_holtwinters"),
     "q_matrix_profile" -> fixtureSql("q_matrix_profile"),
+    "q_dtw" -> fixtureSql("q_dtw"),
     "q_bpe_merges" -> fixtureSql("q_bpe_merges"),
     "q_bpe_tokens" -> fixtureSql("q_bpe_tokens"),
     "q_ar" -> fixtureSql("q_ar"),
