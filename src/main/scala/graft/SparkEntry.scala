@@ -294,6 +294,16 @@ object SparkEntry {
           round(col("seasonal"), 9).as("seasonal"),
           round(col("resid"), 9).as("resid"))),
 
+    // W-extra: lead-lag detection — each of the first three series
+    // cross-correlated against every series at row offsets ±10; best
+    // lag per pair ranked on the rounded correlation.
+    "q_leadlag" -> ((s, dir) => {
+      val keys = ev(s, dir).select(col("user_id")).distinct()
+        .orderBy("user_id").limit(3).collect().map(_.get(0)).toSeq
+      SeriesOps.leadLag(ev(s, dir), "user_id", "ts", "value", keys,
+        maxLag = 10)
+    }),
+
     // M-extra: banded z-normalized DTW against a broadcast template
     // set (the scalable use: template scoring, not all-pairs). The
     // template keys come from the events series themselves.
@@ -2213,6 +2223,31 @@ object SparkEntry {
         |SELECT bands, rows_per_band, fp, fn,
         |  round(fp + fn, 6) AS cost
         |FROM m""".stripMargin,
+
+    "q_leadlag" ->
+      """WITH k AS (SELECT user_id, value,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY ts) AS rn
+        |  FROM events),
+        |rk AS (SELECT DISTINCT user_id FROM events
+        |  ORDER BY user_id LIMIT 3),
+        |refs AS (SELECT k.user_id AS ref_id, rn, value AS ra
+        |  FROM k JOIN rk ON k.user_id = rk.user_id),
+        |l AS (SELECT CAST(unnest(range(-10, 11)) AS INTEGER) AS lag),
+        |a AS (SELECT ref_id, rn + lag AS rn2, lag, ra
+        |  FROM refs CROSS JOIN l),
+        |j AS (SELECT a.ref_id, k.user_id AS other_id, a.lag, a.ra,
+        |    k.value AS rb
+        |  FROM a JOIN k ON k.rn = a.rn2),
+        |c AS (SELECT ref_id, other_id, lag,
+        |    round(corr(ra, rb), 6) AS c6, count(*) AS n
+        |  FROM j GROUP BY ref_id, other_id, lag
+        |  HAVING count(*) >= 2 AND round(corr(ra, rb), 6) IS NOT NULL),
+        |r AS (SELECT *, row_number() OVER (
+        |    PARTITION BY ref_id, other_id
+        |    ORDER BY c6 DESC, lag) AS rkk
+        |  FROM c)
+        |SELECT ref_id, other_id, lag AS best_lag, c6 AS best_corr
+        |FROM r WHERE rkk = 1""".stripMargin,
 
     "q_sax" ->
       """WITH st AS (SELECT user_id, avg(value) AS mu,

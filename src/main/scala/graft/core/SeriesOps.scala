@@ -315,6 +315,48 @@ object SeriesOps {
           col("__cov") / (col("__sx") * col("__sy"))).as("acf"))
   }
 
+  /** LEAD-LAG detection: cross-correlate each REFERENCE series against
+    * every series at row offsets −maxLag..maxLag and report the
+    * best-correlated lag per (reference, other) pair — the "does
+    * metric A lead metric B, and by how much" question. A positive
+    * `best_lag` means the other series is best aligned with the
+    * reference shifted `lag` rows forward.
+    *
+    * Shape: references × (2·maxLag+1) lag grid (both tiny, broadcast)
+    * equi-joined to the full table on the shifted ordinal, ONE keyed
+    * corr aggregate, then a per-pair argmax ranked on the ROUNDED
+    * correlation (ties by lag asc — the q_tfidf near-tie contract).
+    * All-pairs across a corpus is deliberately not offered (quadratic
+    * in series count); reference-vs-all is the scalable published
+    * use. */
+  def leadLag(df: DataFrame, series: String, ts: String, value: String,
+              refKeys: Seq[Any], maxLag: Int): DataFrame = {
+    require(refKeys.nonEmpty && maxLag >= 1)
+    val spark = df.sparkSession
+    val keyed = withRowNumber(df, series, ts)
+      .select(col(series), col("rn"), col(value))
+    val refs = keyed.filter(col(series).isin(refKeys: _*))
+      .select(col(series).as("ref_id"), col("rn"),
+        col(value).as("__ra"))
+    val lags = spark.range(-maxLag.toLong, maxLag + 1L)
+      .select(col("id").cast("int").as("lag"))
+    val a = refs.crossJoin(broadcast(lags))
+      .withColumn("__rn2", col("rn") + col("lag"))
+    val b = keyed.select(col(series).as("other_id"),
+      col("rn").as("__rn2"), col(value).as("__rb"))
+    val c = a.join(b, "__rn2")
+      .groupBy(col("ref_id"), col("other_id"), col("lag"))
+      .agg(round(corr(col("__ra"), col("__rb")), 6).as("__c6"),
+        count(lit(1)).as("__n"))
+      .filter(col("__n") >= 2 && col("__c6").isNotNull)
+    val w = Window.partitionBy("ref_id", "other_id")
+      .orderBy(col("__c6").desc, col("lag").asc)
+    c.withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") === 1)
+      .select(col("ref_id"), col("other_id"),
+        col("lag").as("best_lag"), col("__c6").as("best_corr"))
+  }
+
   /** SAX symbolic discretization (Lin, Keogh, Lonardi, Chiu, DMKD
     * 2003/2007): per-series z-normalize, Piecewise Aggregate
     * Approximation into frames of `frameLen` points, then discretize

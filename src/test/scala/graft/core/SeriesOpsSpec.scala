@@ -181,6 +181,34 @@ class SeriesOpsSpec extends SparkSpec {
     assert(math.abs(out._2.get - expected) < 1e-12)
   }
 
+  test("leadLag recovers a planted shift with corr ~ 1") {
+    import spark.implicits._
+    var seed = 77L
+    def next(): Double = {
+      seed = (seed * 48271L) % 2147483647L; (seed % 1000) / 10.0
+    }
+    val base = Array.fill(120)(next())
+    val rows =
+      base.zipWithIndex.map { case (v, t) =>
+        ("ref", new java.sql.Timestamp(1700000000000L + t * 60000L), v)
+      } ++
+      // "lagged" carries ref's values delayed by 3 ORDINAL positions
+      // (rn is per-series, so the delay must live in the values):
+      // ref at rn aligns with lagged at rn+3 -> best_lag = +3
+      (0 until 120).map { t =>
+        val v = if (t >= 3) base(t - 3) else next()
+        ("lagged",
+          new java.sql.Timestamp(1700000000000L + t * 60000L), v)
+      }
+    val out = SeriesOps.leadLag(rows.toSeq.toDF("sid", "ts", "v"),
+        "sid", "ts", "v", Seq("ref"), maxLag = 5)
+      .collect().map(r => r.getString(1) ->
+        (r.getInt(2), r.getDouble(3))).toMap
+    assert(out("ref") === ((0, 1.0)))
+    assert(out("lagged")._1 === 3, s"lag: ${out("lagged")}")
+    assert(out("lagged")._2 > 0.999)
+  }
+
   test("sax discretizes PAA frame means against the normal breakpoints") {
     import spark.implicits._
     val vals = Seq(1.0, 3.0, 2.0, 8.0, 9.0, 7.0, 4.0, 5.0, 6.0, 2.0)
