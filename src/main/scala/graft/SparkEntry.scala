@@ -294,6 +294,44 @@ object SparkEntry {
           round(col("seasonal"), 9).as("seasonal"),
           round(col("resid"), 9).as("resid"))),
 
+    // M-extra: ensemble v2 — the round-10 detectors composed through
+    // the reference's OWN hybrid machinery: Holt-Winters residual
+    // z-score (MAD sigma) + S-H-ESD flags + the classic per-series
+    // z-score, combined as an equal-weight score mean plus a 2-of-3
+    // flag vote. Shows the new models are drop-in members of the M8
+    // ensemble, not parallel silos.
+    "q_ensemble2" -> ((s, dir) => {
+      val base = ev(s, dir)
+      val hw = graft.models.HoltWinters.forecast(base, "user_id", "ts",
+        "value", period = 24)
+      val hwZ = SeriesOps.madSigma(hw, "user_id", "hw_resid", "__mad")
+      val s1 = hw.join(broadcast(hwZ), "user_id")
+        .withColumn("score_hw",
+          abs(col("hw_resid")) / (col("__mad") + lit(1e-9)))
+        .withColumn("flag_hw",
+          when(col("score_hw") > 3.0, 1).otherwise(0))
+        .select(col("user_id").cast("string").as("series_id"),
+          col("ts"), col("value"), col("score_hw"), col("flag_hw"))
+      val shesd = graft.models.Esd.seasonalHybridEsd(base, "user_id",
+          "ts", "value", period = 24)
+        .select(col("user_id").as("series_id"), col("ts"),
+          col("is_anomaly").as("flag_shesd"),
+          abs(col("shesd_resid")).as("score_shesd"))
+      val z = withZ(base)
+        .select(col("user_id").cast("string").as("series_id"),
+          col("ts"), col("z").as("score_z"),
+          when(col("z") > 3.0, 1).otherwise(0).as("flag_z"))
+      val joined = s1.join(shesd, Seq("series_id", "ts"))
+        .join(z, Seq("series_id", "ts"))
+      val combined = ensemble.Hybrid.combineEqual(joined,
+        Seq("score_hw", "score_shesd", "score_z"))
+      ensemble.Hybrid.voteFlags(combined,
+          Seq("flag_hw", "flag_shesd", "flag_z"), minVotes = 2)
+        .select(col("series_id"), col("ts"),
+          round(col("combined_score"), 6).as("combined_score"),
+          col("detected"))
+    }),
+
     // W-extra: lead-lag detection — each of the first three series
     // cross-correlated against every series at row offsets ±10; best
     // lag per pair ranked on the rounded correlation.
@@ -2558,6 +2596,7 @@ object SparkEntry {
     "q_holtwinters" -> fixtureSql("q_holtwinters"),
     "q_matrix_profile" -> fixtureSql("q_matrix_profile"),
     "q_dtw" -> fixtureSql("q_dtw"),
+    "q_ensemble2" -> fixtureSql("q_ensemble2"),
     "q_bpe_merges" -> fixtureSql("q_bpe_merges"),
     "q_bpe_tokens" -> fixtureSql("q_bpe_tokens"),
     "q_ar" -> fixtureSql("q_ar"),
