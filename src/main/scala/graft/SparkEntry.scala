@@ -1118,6 +1118,14 @@ object SparkEntry {
           llm.TextAnalysis.redactPii(col("__pt")).as("redacted"))
     }),
 
+    // LLM-pipeline: Porter stemming (1980, implemented from the
+    // paper's rule tables) — per-doc stemmed-vocabulary collapse via
+    // the vocab-sized stem table broadcast back to the corpus.
+    "q_stem" -> ((s, dir) =>
+      llm.Stemmer.stemStats(docs(s, dir), "doc_id", "text")
+        .select(col("doc_id"), col("n_words"),
+          col("n_distinct_stems"))),
+
     // LLM-pipeline: Luhn-validated credit-card PII — card-shaped
     // tokens are only counted/redacted when the ISO 7812 checksum
     // passes (the precision move every published pipeline makes).
@@ -2597,6 +2605,7 @@ object SparkEntry {
     "q_matrix_profile" -> fixtureSql("q_matrix_profile"),
     "q_dtw" -> fixtureSql("q_dtw"),
     "q_ensemble2" -> fixtureSql("q_ensemble2"),
+    "q_stem" -> fixtureSql("q_stem"),
     "q_bpe_merges" -> fixtureSql("q_bpe_merges"),
     "q_bpe_tokens" -> fixtureSql("q_bpe_tokens"),
     "q_ar" -> fixtureSql("q_ar"),

@@ -23,7 +23,7 @@ object GenFixtures {
     "q_stl_exact", "q_hybrid", "q_minhash", "q_simhash", "q_simhash_multi",
     "q_sig_dedup", "q_langid",
     "q_bpe_merges", "q_bpe_tokens", "q_shesd", "q_holtwinters",
-    "q_matrix_profile", "q_dtw", "q_ensemble2",
+    "q_matrix_profile", "q_dtw", "q_ensemble2", "q_stem",
     "q_winnow", "q_containment", "q_multimodal", "q_mm_resize",
     "q_mm_decode", "q_mm_video",
     "q_ann_lsh", "q_ann_q8", "q_ann_pq", "q_ann_ivfpq", "q_embed_neardup",
