@@ -1118,6 +1118,20 @@ object SparkEntry {
           llm.TextAnalysis.redactPii(col("__pt")).as("redacted"))
     }),
 
+    // LLM-pipeline: code-vs-prose routing score — symbol density +
+    // keyword hits + indent fraction; code planted deterministically
+    // on doc_id%9 docs, oracle mirrors the construction.
+    "q_code" -> ((s, dir) => {
+      val snippet = "\nfunction foo(x) { return x + 1; }\n" +
+        "  var y = foo(2);"
+      val planted = concat(col("text"),
+        when(col("doc_id") % 9 === 0, lit(snippet)).otherwise(lit("")))
+      llm.TextAnalysis.withCodeScore(
+          docs(s, dir).withColumn("__cs", planted), "__cs")
+        .select(col("doc_id"), col("symbol_density"),
+          col("keyword_hits"), col("indent_frac"), col("code_score"))
+    }),
+
     // LLM-pipeline: Porter stemming (1980, implemented from the
     // paper's rule tables) — per-doc stemmed-vocabulary collapse via
     // the vocab-sized stem table broadcast back to the corpus.
@@ -2489,6 +2503,33 @@ object SparkEntry {
         |SELECT source, round(min(qs), 6) AS threshold,
         |  count(*) AS n_kept
         |FROM r WHERE rn > n * 3 // 10 GROUP BY source""".stripMargin,
+
+    "q_code" ->
+      """WITH t AS (SELECT doc_id, text
+        |  || CASE WHEN doc_id % 9 = 0 THEN chr(10)
+        |       || 'function foo(x) { return x + 1; }' || chr(10)
+        |       || '  var y = foo(2);'
+        |     ELSE '' END AS cs
+        |  FROM documents),
+        |f AS (SELECT doc_id,
+        |    round(CAST(length(cs) - length(regexp_replace(cs,
+        |        '[{}\[\]();=]', '', 'g')) AS DOUBLE)
+        |      / greatest(length(cs), 1), 6) AS symbol_density,
+        |    CAST(len(list_filter(string_split_regex(cs, '[ \n]+'),
+        |      w -> w IN ('def','return','import','var','val','if',
+        |        'else','for','while','class','function','const','let',
+        |        'void','int','public','static'))) AS BIGINT)
+        |      AS keyword_hits,
+        |    round(CAST(len(list_filter(string_split(cs, chr(10)),
+        |        l -> starts_with(l, '  '))) AS DOUBLE)
+        |      / greatest(len(string_split(cs, chr(10))), 1), 6)
+        |      AS indent_frac
+        |  FROM t)
+        |SELECT doc_id, symbol_density, keyword_hits, indent_frac,
+        |  round(least(symbol_density * 4.0, 1.0) * 0.5
+        |    + least(CAST(keyword_hits AS DOUBLE) / 4.0, 1.0) * 0.3
+        |    + indent_frac * 0.2, 6) AS code_score
+        |FROM f""".stripMargin,
 
     "q_pii_card" ->
       """WITH t AS (SELECT doc_id, text

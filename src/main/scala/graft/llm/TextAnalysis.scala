@@ -382,6 +382,43 @@ object TextAnalysis {
       .drop("__ks")
   }
 
+  /** Code-vs-prose scoring — the signal a mixed web corpus uses to
+    * route documents to the code pipeline vs the text pipeline (and
+    * that C4's curly-brace line rule crudely approximates). Three
+    * published-heuristic families, all pure column expressions:
+    * symbol density ({}[]();=), programming-keyword token hits, and
+    * indented-line fraction. The composite is a bounded [0,1] score —
+    * thresholding it is the router.
+    *
+    *   code_score = 0.5·min(1, 4·symbol_density)
+    *              + 0.3·min(1, keyword_hits/4)
+    *              + 0.2·indent_frac */
+  private val codeKeywords = Seq("def", "return", "import", "var",
+    "val", "if", "else", "for", "while", "class", "function", "const",
+    "let", "void", "int", "public", "static")
+
+  def withCodeScore(df: DataFrame, text: String): DataFrame = {
+    val t = col(text)
+    val symbols = length(t) -
+      length(regexp_replace(t, "[{}\\[\\]();=]", ""))
+    val toks = split(t, "[ \\n]+")
+    val kw = size(filter(toks, w => w.isin(codeKeywords: _*)))
+    val lines = split(t, "\n")
+    val indented = size(filter(lines, l => l.startsWith("  ")))
+    val d = df
+      .withColumn("symbol_density",
+        round(symbols.cast("double") /
+          greatest(length(t), lit(1)), 6))
+      .withColumn("keyword_hits", kw.cast("long"))
+      .withColumn("indent_frac",
+        round(indented.cast("double") /
+          greatest(size(lines), lit(1)), 6))
+    d.withColumn("code_score", round(
+      least(col("symbol_density") * 4.0, lit(1.0)) * 0.5 +
+        least(col("keyword_hits").cast("double") / 4.0, lit(1.0)) * 0.3 +
+        col("indent_frac") * 0.2, 6))
+  }
+
   /** Cavnar–Trenkle n-gram language ID ("N-Gram-Based Text
     * Categorization", SDAIR 1994) — the TRAINED tier above
     * [[withLangId]]'s stopword voting, and the architecture langid

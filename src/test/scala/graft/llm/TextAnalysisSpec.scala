@@ -348,6 +348,22 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out(3L).getAs[Long]("n_ipv4") === 1L)
   }
 
+  test("withCodeScore separates code from prose") {
+    val d = docs(Seq(
+      1L -> ("function add(a, b) { return a + b; }\n" +
+        "  var x = add(1, 2);\n  if (x) { return x; }"),
+      2L -> "the quick brown fox jumps over the lazy dog and runs away"))
+    val out = TextAnalysis.withCodeScore(d, "text")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    val code = out(1L).getAs[Double]("code_score")
+    val prose = out(2L).getAs[Double]("code_score")
+    assert(code > 0.6, s"code scored $code")
+    assert(prose < 0.05, s"prose scored $prose")
+    assert(out(1L).getAs[Long]("keyword_hits") >= 4L)
+    assert(out(2L).getAs[Long]("keyword_hits") === 0L)
+    assert(out(1L).getAs[Double]("indent_frac") > 0.5)
+  }
+
   test("card PII: only Luhn-valid card shapes are counted and redacted") {
     val d = docs(Seq(
       1L -> "pay 4111 1111 1111 1111 or amex 378282246310005 thanks",
