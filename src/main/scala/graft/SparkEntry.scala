@@ -312,11 +312,18 @@ object SparkEntry {
           when(col("score_hw") > 3.0, 1).otherwise(0))
         .select(col("user_id").cast("string").as("series_id"),
           col("ts"), col("value"), col("score_hw"), col("flag_hw"))
-      val shesd = graft.models.Esd.seasonalHybridEsd(base, "user_id",
-          "ts", "value", period = 24)
+      val shesdRaw = graft.models.Esd.seasonalHybridEsd(base, "user_id",
+        "ts", "value", period = 24)
+      // normalize by per-series MAD so the member is commensurate with
+      // the other z-like scores — a raw residual magnitude would be in
+      // data units and dominate the equal-weight mean
+      val shesdMad = SeriesOps.madSigma(shesdRaw, "user_id",
+        "shesd_resid", "__smad")
+      val shesd = shesdRaw.join(broadcast(shesdMad), "user_id")
         .select(col("user_id").as("series_id"), col("ts"),
           col("is_anomaly").as("flag_shesd"),
-          abs(col("shesd_resid")).as("score_shesd"))
+          (abs(col("shesd_resid")) / (col("__smad") + lit(1e-9)))
+            .as("score_shesd"))
       val z = withZ(base)
         .select(col("user_id").cast("string").as("series_id"),
           col("ts"), col("z").as("score_z"),
@@ -1169,7 +1176,7 @@ object SparkEntry {
     "q_c4_filter" -> ((s, dir) => {
       val lined = docs(s, dir)
         .withColumn("__lt", array_join(synthLines, "\n"))
-      llm.TextAnalysis.c4LineFilter(lined, "doc_id", "__lt")
+      llm.TextAnalysis.c4LineFilter(lined, "__lt")
         .select(col("doc_id"), col("clean_text"), col("n_lines"),
           col("n_kept"))
     }),
@@ -1185,7 +1192,7 @@ object SparkEntry {
       val lined = docs(s, dir)
         .withColumn("__lt", array_join(synthLines, "\n"))
       val cleaned = llm.TextAnalysis
-        .c4LineFilter(lined, "doc_id", "__lt")
+        .c4LineFilter(lined, "__lt")
         .select(col("doc_id"), col("lang"), col("source"),
           col("clean_text").as("ctext"))
       val scored = llm.TextAnalysis.withQuality(cleaned, "ctext")

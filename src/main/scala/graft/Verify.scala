@@ -8,8 +8,12 @@ object Verify {
     val sfDir = args(0)
     val outDir = args(1)
     // optional extra args: restrict to named queries (dev iteration);
-    // the driver passes exactly two args so its gate always runs all
+    // the driver passes exactly two args so its gate always runs all.
+    // Unknown names fail fast — a typo must not become a silent
+    // zero-query run that exits 0.
     val only = args.drop(2).toSet
+    val unknown = only.diff(SparkEntry.queries.keySet)
+    require(unknown.isEmpty, s"unknown queries: ${unknown.mkString(", ")}")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")

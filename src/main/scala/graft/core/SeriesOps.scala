@@ -348,7 +348,12 @@ object SeriesOps {
       .groupBy(col("ref_id"), col("other_id"), col("lag"))
       .agg(round(corr(col("__ra"), col("__rb")), 6).as("__c6"),
         count(lit(1)).as("__n"))
-      .filter(col("__n") >= 2 && col("__c6").isNotNull)
+      // Spark corr yields NaN (not NULL) on a zero-variance overlap,
+      // and NaN sorts ABOVE every real value in the desc rank — a
+      // flatlined series would win rank 1 with best_corr=NaN while a
+      // SQL oracle (corr → NULL) drops the pair. Guard both.
+      .filter(col("__n") >= 2 && col("__c6").isNotNull &&
+        !isnan(col("__c6")))
     val w = Window.partitionBy("ref_id", "other_id")
       .orderBy(col("__c6").desc, col("lag").asc)
     c.withColumn("__rk", row_number().over(w))

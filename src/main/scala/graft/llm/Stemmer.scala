@@ -48,12 +48,22 @@ object Stemmer {
       isVowel(w, w.length - 2) && !isVowel(w, w.length - 1) &&
       !"wxy".contains(w.last)
 
-  private def replaceIf(w: String, suffix: String, repl: String,
-                        cond: String => Boolean): Option[String] =
-    if (w.endsWith(suffix)) {
-      val stem = w.dropRight(suffix.length)
-      if (cond(stem)) Some(stem + repl) else Some(w)
-    } else None
+  // rule tables, pre-sorted longest-suffix-first ONCE (stem() is
+  // called per distinct word — per-call sorts were pure waste)
+  private val step2: Seq[(String, String)] = Seq(
+    "ational" -> "ate", "tional" -> "tion", "enci" -> "ence",
+    "anci" -> "ance", "izer" -> "ize", "abli" -> "able",
+    "alli" -> "al", "entli" -> "ent", "eli" -> "e", "ousli" -> "ous",
+    "ization" -> "ize", "ation" -> "ate", "ator" -> "ate",
+    "alism" -> "al", "iveness" -> "ive", "fulness" -> "ful",
+    "ousness" -> "ous", "aliti" -> "al", "iviti" -> "ive",
+    "biliti" -> "ble").sortBy(-_._1.length)
+  private val step3: Seq[(String, String)] = Seq("icate" -> "ic",
+    "ative" -> "", "alize" -> "al", "iciti" -> "ic", "ical" -> "ic",
+    "ful" -> "", "ness" -> "").sortBy(-_._1.length)
+  private val step4: Seq[String] = Seq("ement", "ance", "ence", "able",
+    "ible", "ment", "ant", "ent", "ion", "ism", "ate", "iti", "ous",
+    "ive", "ize", "al", "er", "ic", "ou").sortBy(-_.length)
 
   /** Stem one lowercase word. Words shorter than 3 chars pass
     * through (the reference implementation's guard). */
@@ -88,36 +98,23 @@ object Stemmer {
     if (w.endsWith("y") && hasVowel(w.dropRight(1)))
       w = w.dropRight(1) + "i"
 
-    // step 2 (longest match wins — ordered by the paper's table,
-    // checked longest-first per ending letter)
-    val step2 = Seq(
-      "ational" -> "ate", "tional" -> "tion", "enci" -> "ence",
-      "anci" -> "ance", "izer" -> "ize", "abli" -> "able",
-      "alli" -> "al", "entli" -> "ent", "eli" -> "e", "ousli" -> "ous",
-      "ization" -> "ize", "ation" -> "ate", "ator" -> "ate",
-      "alism" -> "al", "iveness" -> "ive", "fulness" -> "ful",
-      "ousness" -> "ous", "aliti" -> "al", "iviti" -> "ive",
-      "biliti" -> "ble")
-    step2.sortBy(-_._1.length).collectFirst {
+    // step 2 (longest match wins — tables pre-sorted once on the
+    // object, not per word: stem() runs once per distinct corpus word)
+    step2.collectFirst {
       case (s, r) if w.endsWith(s) =>
         val stem = w.dropRight(s.length)
         if (measure(stem) > 0) stem + r else w
     }.foreach(w = _)
 
     // step 3
-    val step3 = Seq("icate" -> "ic", "ative" -> "", "alize" -> "al",
-      "iciti" -> "ic", "ical" -> "ic", "ful" -> "", "ness" -> "")
-    step3.sortBy(-_._1.length).collectFirst {
+    step3.collectFirst {
       case (s, r) if w.endsWith(s) =>
         val stem = w.dropRight(s.length)
         if (measure(stem) > 0) stem + r else w
     }.foreach(w = _)
 
     // step 4
-    val step4 = Seq("ement", "ance", "ence", "able", "ible", "ment",
-      "ant", "ent", "ion", "ism", "ate", "iti", "ous", "ive", "ize",
-      "al", "er", "ic", "ou")
-    step4.sortBy(-_.length).collectFirst {
+    step4.collectFirst {
       case s if w.endsWith(s) =>
         val stem = w.dropRight(s.length)
         val ok = measure(stem) > 1 &&

@@ -365,7 +365,7 @@ object TextAnalysis {
     * 100 TB posture: the split/filter/rejoin is ONE array expression
     * chain inside the scan stage — map-only, codegen'd, no exchange;
     * the whole filter runs at parquet-scan parallelism. */
-  def c4LineFilter(df: DataFrame, id: String, text: String,
+  def c4LineFilter(df: DataFrame, text: String,
                    minWordsPerLine: Int = 3,
                    minKeptLines: Int = 1): DataFrame = {
     val lines = split(col(text), "\n")
@@ -453,16 +453,22 @@ object TextAnalysis {
           i => t.substr(i + 1, lit(n))))
         .otherwise(array().cast("array<string>"))
     }
-    val grams = df.select(col(id), col(langCol).as("__lang"),
-      explode(concat(gramArrays: _*)).as("__g"))
-    val langProf = grams.groupBy("__lang", "__g")
+    // ONE gram explode, aggregated to per-(doc, gram) counts and
+    // materialized — both profiles derive from it (the one-shot-frame
+    // pattern: two consumers would otherwise each re-run the
+    // corpus-wide char explode, the operator's dominant cost)
+    val gramCounts = df.select(col(id), col(langCol).as("__lang"),
+        explode(concat(gramArrays: _*)).as("__g"))
+      .groupBy(col(id), col("__lang"), col("__g"))
       .agg(count(lit(1)).as("__c"))
+      .localCheckpoint()
+    val langProf = gramCounts.groupBy("__lang", "__g")
+      .agg(sum("__c").as("__c"))
       .withColumn("__rl", row_number().over(Window.partitionBy("__lang")
         .orderBy(col("__c").desc, col("__g").asc)).cast("long"))
       .filter(col("__rl") <= profileSize)
       .select(col("__lang").as("__cand"), col("__g"), col("__rl"))
-    val docProf = grams.groupBy(col(id), col("__g"))
-      .agg(count(lit(1)).as("__c"))
+    val docProf = gramCounts
       .withColumn("__rd", row_number().over(Window.partitionBy(col(id))
         .orderBy(col("__c").desc, col("__g").asc)).cast("long"))
       .filter(col("__rd") <= docProfile)

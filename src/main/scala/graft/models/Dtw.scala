@@ -69,12 +69,11 @@ object Dtw {
     require(templateKeys.nonEmpty, "no template keys")
     val spark = df.sparkSession
     import spark.implicits._
-    val keyed = df.select(col(series).cast("string").as("sk"),
-        col(ts).cast("timestamp").as("__ts"),
-        col(value).cast("double").as("value"))
-      .withColumn("ord", row_number().over(
-        org.apache.spark.sql.expressions.Window.partitionBy("sk")
-          .orderBy(col("__ts"))).cast("long"))
+    val keyed = graft.core.SeriesOps.withRowNumber(
+        df.select(col(series).cast("string").as("sk"),
+          col(ts).cast("timestamp").as("__ts"),
+          col(value).cast("double").as("value")), "sk", "__ts", "ord")
+      .withColumn("ord", col("ord").cast("long"))
       .select("sk", "ord", "value")
     val tmplArrays: Map[String, Array[Double]] = keyed
       .filter(col("sk").isin(templateKeys: _*))

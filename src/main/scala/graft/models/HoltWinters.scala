@@ -17,9 +17,10 @@ import org.apache.spark.sql.functions._
   * Initialization is the standard two-cycle recipe: l₀ = mean of the
   * first season, b₀ = (mean of season 2 − mean of season 1)/m,
   * s_i = y_i − l₀ over the first season; the first 2m points emit
-  * their forecasts from this warm-up state (series shorter than 2m
-  * emit NULL forecasts — callers length-filter, as the reference
-  * pipeline does). The recursion runs PER SERIES in timestamp order
+  * their forecasts from this warm-up state. Series shorter than 2m
+  * are DROPPED from the output (the S-H-ESD / matrix-profile
+  * short-series convention in this module — callers needing them
+  * length-filter upstream). The recursion runs PER SERIES in ts order
   * inside `mapGroups` — deterministic for any partitioning, fixture-
   * oracle-safe, parallel across series (the M2-M6 scale shape). */
 object HoltWinters {
@@ -39,12 +40,11 @@ object HoltWinters {
       "smoothing parameters must be in (0,1)")
     val spark = df.sparkSession
     import spark.implicits._
-    df.select(col(series).cast("string").as("sk"),
-        col(ts).cast("timestamp").as("ts"),
-        col(value).cast("double").as("value"))
-      .withColumn("ord", row_number().over(
-        org.apache.spark.sql.expressions.Window.partitionBy("sk")
-          .orderBy(col("ts"))).cast("long"))
+    graft.core.SeriesOps.withRowNumber(
+        df.select(col(series).cast("string").as("sk"),
+          col(ts).cast("timestamp").as("ts"),
+          col(value).cast("double").as("value")), "sk", "ts", "ord")
+      .withColumn("ord", col("ord").cast("long"))
       .select(col("sk"), col("ord"), col("ts"), col("value"))
       .as[HwRow]
       .groupByKey(_.sk)

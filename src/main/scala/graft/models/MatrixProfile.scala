@@ -39,6 +39,10 @@ object MatrixProfile {
   def bruteForce(y: Array[Double], w: Int): Array[(Double, Int)] = {
     val n = y.length - w + 1
     val excl = math.max(1, w / 2)
+    // SAME relative near-constant threshold as stomp — an absolute one
+    // would make the two implementations disagree on which windows are
+    // "constant" for large-amplitude series
+    val const = 1e-12 * y.map(math.abs).foldLeft(1.0)(math.max)
     def znDist(i: Int, j: Int): Double = {
       def stats(o: Int): (Double, Double) = {
         var s = 0.0; var s2 = 0.0
@@ -49,7 +53,6 @@ object MatrixProfile {
       }
       val (mi, si) = stats(i)
       val (mj, sj) = stats(j)
-      val const = 1e-12
       if (si < const && sj < const) 0.0
       else if (si < const || sj < const) math.sqrt(2.0 * w)
       else {
@@ -160,12 +163,11 @@ object MatrixProfile {
     require(w >= 4, s"w=$w must be >= 4")
     val spark = df.sparkSession
     import spark.implicits._
-    df.select(col(series).cast("string").as("sk"),
-        col(ts).cast("timestamp").as("ts"),
-        col(value).cast("double").as("value"))
-      .withColumn("ord", row_number().over(
-        org.apache.spark.sql.expressions.Window.partitionBy("sk")
-          .orderBy(col("ts"))).cast("long"))
+    graft.core.SeriesOps.withRowNumber(
+        df.select(col(series).cast("string").as("sk"),
+          col(ts).cast("timestamp").as("ts"),
+          col(value).cast("double").as("value")), "sk", "ts", "ord")
+      .withColumn("ord", col("ord").cast("long"))
       .as[MpRow]
       .groupByKey(_.sk)
       .flatMapGroups { (sk: String, it: Iterator[MpRow]) =>

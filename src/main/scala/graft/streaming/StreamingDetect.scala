@@ -175,7 +175,10 @@ object StreamingDetect {
       }
   }
 
-  case class HwStreamState(buf: Seq[Double], bufTs: Seq[Long],
+  // buffered warm-up timestamps carry FULL Timestamp precision —
+  // millis-only buffering (getTime) would truncate Spark's
+  // microsecond timestamps on the replayed warm-up rows
+  case class HwStreamState(buf: Seq[Double], bufTs: Seq[Timestamp],
                            l: Double, b: Double, s: Seq[Double],
                            t: Long, ready: Boolean)
   case class HwStreamOut(series_id: String, ts: Timestamp, value: Double,
@@ -216,11 +219,14 @@ object StreamingDetect {
               t = st.t + 1)
             out += HwStreamOut(sid, ts, v, pred, v - pred)
           }
-          it.toSeq.sortBy(_.ts.getTime).foreach { pt =>
+          // full-precision Timestamp ordering (getTime would collapse
+          // sub-millisecond order)
+          it.toSeq.sortWith((a, b) => a.ts.compareTo(b.ts) < 0)
+            .foreach { pt =>
             if (st.ready) stepOne(pt.ts, pt.value)
             else {
               st = st.copy(buf = st.buf :+ pt.value,
-                bufTs = st.bufTs :+ pt.ts.getTime)
+                bufTs = st.bufTs :+ pt.ts)
               if (st.buf.length == 2 * m) {
                 val y = st.buf.toArray
                 val mean1 = y.slice(0, m).sum / m
@@ -228,8 +234,8 @@ object StreamingDetect {
                 st = st.copy(l = mean1, b = (mean2 - mean1) / m,
                   s = Array.tabulate(m)(i => y(i) - mean1).toVector,
                   t = 0L, ready = true)
-                y.zip(st.bufTs).foreach { case (v, tl) =>
-                  stepOne(new Timestamp(tl), v)
+                y.zip(st.bufTs).foreach { case (v, tsb) =>
+                  stepOne(tsb, v)
                 }
                 st = st.copy(buf = Vector.empty, bufTs = Vector.empty)
               }

@@ -544,8 +544,7 @@ class PlanSpec extends SparkSpec {
         graft.llm.TextAnalysis.redactPii(col("text"))))
     assert(!pp.contains("Exchange"),
       s"pii must stay in the scan stage:\n$pp")
-    val pc = plan(graft.llm.TextAnalysis.c4LineFilter(docs, "doc_id",
-      "text"))
+    val pc = plan(graft.llm.TextAnalysis.c4LineFilter(docs, "text"))
     assert(!pc.contains("Exchange"),
       s"c4 line filter must stay in the scan stage:\n$pc")
     assert(!pc.contains("Generate"),
@@ -584,7 +583,7 @@ class PlanSpec extends SparkSpec {
     val lined = docs.withColumn("__lt",
       concat_ws("\n", split(col("text"), " ")))
     val cleaned = graft.llm.TextAnalysis
-      .c4LineFilter(lined, "doc_id", "__lt", minWordsPerLine = 1)
+      .c4LineFilter(lined, "__lt", minWordsPerLine = 1)
     val scored = graft.llm.TextAnalysis.withQuality(cleaned, "clean_text")
       .select(col("doc_id"), col("lang"), col("source"),
         col("clean_text").as("ctext"),

@@ -409,7 +409,7 @@ class TextAnalysisSpec extends SparkSpec {
         "Lorem Ipsum filler text here.\ncode block { inside.\n" +
         "another good line stays!"),
       2L -> "every line bad\nalso bad"))
-    val out = TextAnalysis.c4LineFilter(d, "doc_id", "text")
+    val out = TextAnalysis.c4LineFilter(d, "text")
     val rows = out.collect().map(r => r.getLong(0) -> r).toMap
     // doc 2 has no surviving line -> dropped entirely
     assert(!rows.contains(2L))
@@ -423,13 +423,13 @@ class TextAnalysisSpec extends SparkSpec {
   test("c4LineFilter honors minWordsPerLine and minKeptLines knobs") {
     val d = docs(Seq(1L -> "one two.\nthree four five six."))
     // default minWords=3: only the 4-word line survives
-    assert(TextAnalysis.c4LineFilter(d, "doc_id", "text")
+    assert(TextAnalysis.c4LineFilter(d, "text")
       .collect().head.getAs[Long]("n_kept") === 1L)
     // minWords=2: both survive
-    assert(TextAnalysis.c4LineFilter(d, "doc_id", "text",
+    assert(TextAnalysis.c4LineFilter(d, "text",
       minWordsPerLine = 2).collect().head.getAs[Long]("n_kept") === 2L)
     // minKeptLines=2 with default minWords: the doc drops
-    assert(TextAnalysis.c4LineFilter(d, "doc_id", "text",
+    assert(TextAnalysis.c4LineFilter(d, "text",
       minKeptLines = 2).count() === 0L)
   }
 }

@@ -547,7 +547,7 @@ class StreamingSpec extends SparkSpec {
       (3L, "no lines survive here\nat all"))
     val batch = {
       val d = TextAnalysis.c4LineFilter(
-        docs.toDF("doc_id", "text"), "doc_id", "text")
+        docs.toDF("doc_id", "text"), "text")
       TextAnalysis.piiStats(d, "clean_text")
         .withColumn("redacted", TextAnalysis.redactPii(col("clean_text")))
         .select("doc_id", "n_kept", "pii_total", "redacted")
@@ -556,7 +556,7 @@ class StreamingSpec extends SparkSpec {
     val input = MemoryStream[(Long, String)]
     val streamed = {
       val d = TextAnalysis.c4LineFilter(
-        input.toDS().toDF("doc_id", "text"), "doc_id", "text")
+        input.toDS().toDF("doc_id", "text"), "text")
       TextAnalysis.piiStats(d, "clean_text")
         .withColumn("redacted", TextAnalysis.redactPii(col("clean_text")))
         .select("doc_id", "n_kept", "pii_total", "redacted")
