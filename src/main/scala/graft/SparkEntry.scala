@@ -1125,6 +1125,22 @@ object SparkEntry {
           llm.TextAnalysis.redactPii(col("__pt")).as("redacted"))
     }),
 
+    // LLM-pipeline: pre-tokenization text normalization — typographic
+    // quote/dash folding, control-char strip, whitespace collapse.
+    // Messy text planted deterministically (curly quotes, em-dash,
+    // NBSP, tab, ellipsis, a bell char on even ids); oracle mirrors
+    // with chr() codepoints and the same RE2-compatible rules.
+    "q_normalize" -> ((s, dir) => {
+      val messy = concat(lit("\u201c"), col("text").substr(1, 40),
+        lit("\u201d \u2014 x\u00a0y\tz  tail\u2026"),
+        when(col("doc_id") % 2 === 0, lit("\u0007bell"))
+          .otherwise(lit("")))
+      docs(s, dir).withColumn("__m", messy)
+        .select(col("doc_id"), length(col("__m")).as("n_chars_raw"),
+          llm.TextAnalysis.normalizeText(col("__m")).as("normalized"))
+        .withColumn("n_chars_norm", length(col("normalized")))
+    }),
+
     // LLM-pipeline: code-vs-prose routing score — symbol density +
     // keyword hits + indent fraction; code planted deterministically
     // on doc_id%9 docs, oracle mirrors the construction.
@@ -2510,6 +2526,31 @@ object SparkEntry {
         |SELECT source, round(min(qs), 6) AS threshold,
         |  count(*) AS n_kept
         |FROM r WHERE rn > n * 3 // 10 GROUP BY source""".stripMargin,
+
+    "q_normalize" ->
+      """WITH t AS (SELECT doc_id,
+        |    chr(8220) || substr(text, 1, 40) || chr(8221) || ' '
+        |      || chr(8212) || ' x' || chr(160) || 'y' || chr(9)
+        |      || 'z  tail' || chr(8230)
+        |      || CASE WHEN doc_id % 2 = 0 THEN chr(7) || 'bell'
+        |         ELSE '' END AS m
+        |  FROM documents),
+        |n AS (SELECT doc_id, m,
+        |    trim(regexp_replace(regexp_replace(regexp_replace(
+        |      regexp_replace(regexp_replace(regexp_replace(
+        |      regexp_replace(m,
+        |      '[\x00-\x08\x0b\x0c\x0e-\x1f\x7f]', '', 'g'),
+        |      '[\x{2018}\x{2019}\x{201b}]', '''', 'g'),
+        |      '[\x{201c}\x{201d}\x{201f}]', '"', 'g'),
+        |      '[\x{2013}\x{2014}\x{2212}]', '-', 'g'),
+        |      '\x{2026}', '...', 'g'),
+        |      '[\x{00a0}\x{2000}-\x{200a}\x{202f}\x{205f}\x{3000}]',
+        |      ' ', 'g'),
+        |      '\s+', ' ', 'g')) AS normalized
+        |  FROM t)
+        |SELECT doc_id, length(m) AS n_chars_raw, normalized,
+        |  length(normalized) AS n_chars_norm
+        |FROM n""".stripMargin,
 
     "q_code" ->
       """WITH t AS (SELECT doc_id, text

@@ -382,6 +382,32 @@ object TextAnalysis {
       .drop("__ks")
   }
 
+  /** Pre-tokenization TEXT NORMALIZATION — the cleanup pass every
+    * tokenizer/dedup pipeline runs first, expressed in the Java-regex
+    * ∩ RE2 subset so the oracle applies the SAME rules:
+    *  - control characters stripped,
+    *  - typographic quotes/dashes folded to ASCII,
+    *  - whitespace runs (incl. tabs/newlines) collapsed to one space,
+    *  - leading/trailing space trimmed,
+    * plus optional lowercasing. Deliberately NOT full NFKC (no ICU
+    * dependency); the folding table covers the high-frequency web
+    * cases the published pipelines special-case. Map-only. */
+  def normalizeText(text: Column, lowercase: Boolean = false): Column = {
+    val steps: Seq[(String, String)] = Seq(
+      "[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f\\x7f]" -> "",
+      "[\\x{2018}\\x{2019}\\x{201b}]" -> "'",
+      "[\\x{201c}\\x{201d}\\x{201f}]" -> "\"",
+      "[\\x{2013}\\x{2014}\\x{2212}]" -> "-",
+      "\\x{2026}" -> "...",
+      "[\\x{00a0}\\x{2000}-\\x{200a}\\x{202f}\\x{205f}\\x{3000}]" -> " ",
+      "\\s+" -> " ")
+    val folded = steps.foldLeft(text) { case (t, (pat, repl)) =>
+      regexp_replace(t, pat, repl)
+    }
+    val trimmed = trim(folded)
+    if (lowercase) lower(trimmed) else trimmed
+  }
+
   /** Code-vs-prose scoring — the signal a mixed web corpus uses to
     * route documents to the code pipeline vs the text pipeline (and
     * that C4's curly-brace line rule crudely approximates). Three

@@ -348,6 +348,21 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out(3L).getAs[Long]("n_ipv4") === 1L)
   }
 
+  test("normalizeText folds typography, strips controls, collapses whitespace") {
+    val d = docs(Seq(
+      1L -> "“Hello’s” — a b\t\tc  d…!",
+      2L -> "  already clean  "))
+    val out = d.select(col("doc_id"),
+        TextAnalysis.normalizeText(col("text")).as("n"),
+        TextAnalysis.normalizeText(col("text"), lowercase = true)
+          .as("nl"))
+      .collect().map(r => r.getLong(0) ->
+        (r.getString(1), r.getString(2))).toMap
+    assert(out(1L)._1 === "\"Hello's\" - a b c d...!")
+    assert(out(1L)._2 === "\"hello's\" - a b c d...!")
+    assert(out(2L)._1 === "already clean")
+  }
+
   test("withCodeScore separates code from prose") {
     val d = docs(Seq(
       1L -> ("function add(a, b) { return a + b; }\n" +
