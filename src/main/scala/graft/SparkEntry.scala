@@ -404,6 +404,49 @@ object SparkEntry {
           round(col("shesd_resid"), 9).as("shesd_resid"),
           col("is_anomaly"))),
 
+    // M-extra: EWMA control chart (Roberts 1959, NIST e-handbook
+    // §6.3.2.4) — small persistent mean shifts a pointwise z-test
+    // misses; per-series in-order recursion with the time-varying
+    // warm-up limit → fixture oracle.
+    "q_ewma" -> ((s, dir) =>
+      graft.models.Spc.ewmaChart(ev(s, dir), "user_id", "ts", "value",
+          lambda = 0.2, l = 3.0)
+        .select(col("user_id"), col("ts"), col("value"),
+          round(col("ewma"), 9).as("ewma"),
+          round(col("limit"), 9).as("limit"), col("is_anomaly"))),
+
+    // M-extra: tabular CUSUM (Page 1954; k=0.5, h=5 — the classic
+    // 1σ-shift tuning) — per-series in-order recursion on the
+    // standardized series → fixture oracle.
+    "q_cusum" -> ((s, dir) =>
+      graft.models.Spc.cusum(ev(s, dir), "user_id", "ts", "value")
+        .select(col("user_id"), col("ts"), col("value"),
+          round(col("cusum_hi"), 9).as("cusum_hi"),
+          round(col("cusum_lo"), 9).as("cusum_lo"), col("is_anomaly"))),
+
+    // M-extra: Theil–Sen robust trend + Mann–Kendall significance —
+    // declared as the per-series PAIR SELF-JOIN (bounded by series
+    // length), exact `median` + INTEGER S/tie sums → plain SQL oracle.
+    "q_trend" -> ((s, dir) =>
+      graft.models.Trend.theilSenMannKendall(ev(s, dir), "user_id",
+          "ts", "value")
+        .withColumn("user_id", col("user_id").cast("long"))
+        .select(col("user_id"), col("n"),
+          round(col("ts_slope"), 6).as("ts_slope"),
+          round(col("ts_intercept"), 6).as("ts_intercept"), col("mk_s"),
+          round(col("mk_var"), 6).as("mk_var"),
+          round(col("mk_z"), 6).as("mk_z"),
+          round(col("mk_tau"), 6).as("mk_tau"))),
+
+    // M-extra: deterministic Isolation Forest (Liu/Ting/Zhou 2008) —
+    // MCG-selected bounded sample, Park–Miller split streams, map-only
+    // scoring over (value, delta) features → fixture oracle.
+    "q_iforest" -> ((s, dir) =>
+      graft.models.IsolationForest.score(ev(s, dir), "event_id",
+          "user_id", "ts", "value")
+        .select(col("user_id"), col("ts"), col("value"),
+          round(col("if_score"), 9).as("if_score"), col("is_anomaly"))),
+
     // W9: autocorrelation per lag — the notebook's full EDA grid
     // (notebooks/01 cell 7 plots lags 1..50), still ONE scan + ONE agg
     "q_acf" -> ((s, dir) =>
@@ -1073,6 +1116,17 @@ object SparkEntry {
       scored.withColumn("rank", row_number().over(w).cast("long"))
         .filter(col("rank") <= 3)
         .select(col("doc_id"), col("term"), col("tfidf"), col("rank"))
+    }),
+
+    // LLM-pipeline: Okapi BM25 ranked retrieval (Robertson TREC-3;
+    // Lucene's ln(1+..) idf) — the lexical search face next to the
+    // ANN tier; inverted-index join, term-ordered contribution fold
+    // (engine-reproducible), top-5 per query on the rounded score.
+    // Queries = the doc_id < 5 documents (the q_cosine_topk shape).
+    "q_bm25" -> ((s, dir) => {
+      val d = docs(s, dir)
+      llm.Bm25.topK(d, d.filter(col("doc_id") < 5), "doc_id", "doc_id",
+        "text", k = 5)
     }),
 
     // LLM-pipeline: CCNet-style LM quality score — per-doc average
@@ -2684,12 +2738,82 @@ object SparkEntry {
         |    (a, b) -> (a * 1000003 + b) % 2147483647) AS rollhash
         |FROM documents""".stripMargin,
 
+    "q_trend" ->
+      """WITH base AS (SELECT CAST(user_id AS VARCHAR) AS sk,
+        |    CAST(row_number() OVER (PARTITION BY user_id ORDER BY ts)
+        |      AS BIGINT) AS i, value AS y FROM events),
+        |pairs AS (SELECT a.sk,
+        |    (b.y - a.y) / CAST(b.i - a.i AS DOUBLE) AS pslope,
+        |    CAST(CASE WHEN b.y > a.y THEN 1 WHEN b.y < a.y THEN -1
+        |      ELSE 0 END AS BIGINT) AS sgn
+        |  FROM base a JOIN base b ON a.sk = b.sk AND a.i < b.i),
+        |pp AS (SELECT sk, median(pslope) AS ts_slope, sum(sgn) AS mk_s
+        |  FROM pairs GROUP BY sk),
+        |inter AS (SELECT base.sk,
+        |    median(y - ts_slope * CAST(i AS DOUBLE)) AS ts_intercept
+        |  FROM base JOIN pp ON base.sk = pp.sk GROUP BY base.sk),
+        |nt AS (SELECT sk, count(*) AS n FROM base GROUP BY sk),
+        |ties AS (SELECT sk, sum(t*(t-1)*(2*t+5)) AS tie_term FROM
+        |  (SELECT sk, y, count(*) AS t FROM base GROUP BY sk, y) g
+        |  GROUP BY sk),
+        |f AS (SELECT pp.sk, n, ts_slope, ts_intercept, mk_s,
+        |    CAST(n*(n-1)*(2*n+5) - tie_term AS DOUBLE)/18.0 AS mk_var
+        |  FROM pp JOIN inter ON pp.sk = inter.sk
+        |    JOIN nt ON pp.sk = nt.sk JOIN ties ON pp.sk = ties.sk
+        |  WHERE n >= 2)
+        |SELECT CAST(sk AS BIGINT) AS user_id, n,
+        |  round(ts_slope, 6) AS ts_slope,
+        |  round(ts_intercept, 6) AS ts_intercept, mk_s,
+        |  round(mk_var, 6) AS mk_var,
+        |  round(CASE WHEN mk_var <= 0 THEN 0.0
+        |    WHEN mk_s > 0 THEN CAST(mk_s - 1 AS DOUBLE)/sqrt(mk_var)
+        |    WHEN mk_s < 0 THEN CAST(mk_s + 1 AS DOUBLE)/sqrt(mk_var)
+        |    ELSE 0.0 END, 6) AS mk_z,
+        |  round(2.0*CAST(mk_s AS DOUBLE)/CAST(n*(n-1) AS DOUBLE), 6)
+        |    AS mk_tau
+        |FROM f""".stripMargin,
+
+    "q_bm25" ->
+      """WITH words AS (SELECT doc_id,
+        |    unnest(string_split(text, ' ')) AS term FROM documents),
+        |tf AS (SELECT doc_id, term, count(*) AS tf FROM words
+        |  GROUP BY doc_id, term),
+        |dl AS (SELECT doc_id, sum(tf) AS dl FROM tf GROUP BY doc_id),
+        |dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+        |stats AS (SELECT count(*) AS n_docs,
+        |    CAST(sum(dl) AS DOUBLE)/CAST(count(*) AS DOUBLE) AS avgdl
+        |  FROM dl),
+        |qt AS (SELECT DISTINCT doc_id AS query_id, term FROM
+        |  (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+        |   FROM documents WHERE doc_id < 5) x),
+        |contribs AS (SELECT query_id, tf.doc_id, qt.term,
+        |    ln(1.0 + (CAST(n_docs - df AS DOUBLE) + 0.5) /
+        |              (CAST(df AS DOUBLE) + 0.5)) *
+        |    (CAST(tf AS DOUBLE) * (1.2 + 1.0) /
+        |     (CAST(tf AS DOUBLE) + 1.2 * (1.0 - 0.75 +
+        |        0.75 * CAST(dl AS DOUBLE) / avgdl))) AS contrib
+        |  FROM qt JOIN tf ON qt.term = tf.term
+        |    JOIN dl ON tf.doc_id = dl.doc_id
+        |    JOIN dfreq ON qt.term = dfreq.term CROSS JOIN stats),
+        |scored AS (SELECT query_id, doc_id,
+        |    round(list_reduce(list_prepend(0.0,
+        |        list_transform(list(contrib ORDER BY term), x -> x)),
+        |      (a, b) -> a + b), 6) AS bm25
+        |  FROM contribs GROUP BY query_id, doc_id)
+        |SELECT query_id, doc_id, bm25,
+        |  CAST(row_number() OVER (PARTITION BY query_id
+        |    ORDER BY bm25 DESC, doc_id ASC) AS BIGINT) AS rank
+        |FROM scored QUALIFY rank <= 5""".stripMargin,
+
     // Fixture oracles: model operators whose math is not SQL-expressible
     // are pinned by replaying committed sf0.01 parquet generated from the
     // golden-verified implementations (fixtures/README.md; regenerate via
     // graft.tools.GenFixtures after intentional behavior changes). Only
     // valid for the driver's sf0.01 correctness run.
     "q_shesd" -> fixtureSql("q_shesd"),
+    "q_ewma" -> fixtureSql("q_ewma"),
+    "q_cusum" -> fixtureSql("q_cusum"),
+    "q_iforest" -> fixtureSql("q_iforest"),
     "q_holtwinters" -> fixtureSql("q_holtwinters"),
     "q_matrix_profile" -> fixtureSql("q_matrix_profile"),
     "q_dtw" -> fixtureSql("q_dtw"),
