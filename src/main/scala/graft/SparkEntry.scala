@@ -1129,6 +1129,29 @@ object SparkEntry {
         "text", k = 5)
     }),
 
+    // LLM-pipeline: exact cosine top-k in hashed-TF space (feature
+    // hashing, Weinberger 2009 — no vocabulary table, the portable
+    // q_rollhash polynomial as the bucket hash) — the dense leg of
+    // the hybrid search stack.
+    "q_hashcos" -> ((s, dir) => {
+      val d = docs(s, dir)
+      llm.HashingTf.hashedCosineTopK(d, d.filter(col("doc_id") < 5),
+        "doc_id", "text", dim = 64, k = 10)
+    }),
+
+    // LLM-pipeline: hybrid search — BM25 (sparse) and hashed-TF
+    // cosine (dense) top-20s fused by reciprocal-rank fusion
+    // (Cormack 2009, c=60); rank-only fusion needs no cross-ranker
+    // score calibration. Full chain re-expressed in the SQL oracle.
+    "q_hybrid_search" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val q = d.filter(col("doc_id") < 5)
+      val bm = llm.Bm25.topK(d, q, "doc_id", "doc_id", "text", k = 20)
+      val cs = llm.HashingTf.hashedCosineTopK(d, q, "doc_id", "text",
+        dim = 64, k = 20)
+      llm.HashingTf.rrfFuse(bm, cs, k = 5)
+    }),
+
     // LLM-pipeline: CCNet-style LM quality score — per-doc average
     // negative log-likelihood under a Laplace-smoothed bigram model
     // trained on the corpus itself; the per-doc fold is position-
@@ -2805,6 +2828,61 @@ object SparkEntry {
         |    ORDER BY bm25 DESC, doc_id ASC) AS BIGINT) AS rank
         |FROM scored QUALIFY rank <= 5""".stripMargin,
 
+    "q_hashcos" -> (hashVecSql +
+      """
+        |SELECT query_id, doc_id, cosine,
+        |  CAST(row_number() OVER (PARTITION BY query_id
+        |    ORDER BY cosine DESC, doc_id ASC) AS BIGINT) AS rank
+        |FROM cos QUALIFY rank <= 10""".stripMargin),
+
+    "q_hybrid_search" -> (hashVecSql +
+      """,
+        |bmwords AS (SELECT doc_id,
+        |    unnest(string_split(text, ' ')) AS term FROM documents),
+        |bmtf AS (SELECT doc_id, term, count(*) AS tf FROM bmwords
+        |  GROUP BY doc_id, term),
+        |bmdl AS (SELECT doc_id, sum(tf) AS dl FROM bmtf GROUP BY doc_id),
+        |bmdf AS (SELECT term, count(*) AS df FROM bmtf GROUP BY term),
+        |bmstats AS (SELECT count(*) AS n_docs,
+        |    CAST(sum(dl) AS DOUBLE)/CAST(count(*) AS DOUBLE) AS avgdl
+        |  FROM bmdl),
+        |bmqt AS (SELECT DISTINCT doc_id AS query_id, term FROM
+        |  (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+        |   FROM documents WHERE doc_id < 5) x),
+        |bmc AS (SELECT query_id, bmtf.doc_id, bmqt.term,
+        |    ln(1.0 + (CAST(n_docs - df AS DOUBLE) + 0.5) /
+        |              (CAST(df AS DOUBLE) + 0.5)) *
+        |    (CAST(tf AS DOUBLE) * (1.2 + 1.0) /
+        |     (CAST(tf AS DOUBLE) + 1.2 * (1.0 - 0.75 +
+        |        0.75 * CAST(dl AS DOUBLE) / avgdl))) AS contrib
+        |  FROM bmqt JOIN bmtf ON bmqt.term = bmtf.term
+        |    JOIN bmdl ON bmtf.doc_id = bmdl.doc_id
+        |    JOIN bmdf ON bmqt.term = bmdf.term CROSS JOIN bmstats),
+        |bmscored AS (SELECT query_id, doc_id,
+        |    round(list_reduce(list_prepend(0.0,
+        |        list_transform(list(contrib ORDER BY term), x -> x)),
+        |      (a, b) -> a + b), 6) AS bm25
+        |  FROM bmc GROUP BY query_id, doc_id),
+        |bmrank AS (SELECT query_id, doc_id,
+        |    CAST(row_number() OVER (PARTITION BY query_id
+        |      ORDER BY bm25 DESC, doc_id ASC) AS BIGINT) AS rank
+        |  FROM bmscored QUALIFY rank <= 20),
+        |cosrank AS (SELECT query_id, doc_id,
+        |    CAST(row_number() OVER (PARTITION BY query_id
+        |      ORDER BY cosine DESC, doc_id ASC) AS BIGINT) AS rank
+        |  FROM cos QUALIFY rank <= 20),
+        |fused AS (SELECT coalesce(a.query_id, b.query_id) AS query_id,
+        |    coalesce(a.doc_id, b.doc_id) AS doc_id,
+        |    round(coalesce(1.0/(60.0 + CAST(a.rank AS DOUBLE)), 0.0) +
+        |          coalesce(1.0/(60.0 + CAST(b.rank AS DOUBLE)), 0.0), 9)
+        |      AS rrf
+        |  FROM bmrank a FULL OUTER JOIN cosrank b
+        |    ON a.query_id = b.query_id AND a.doc_id = b.doc_id)
+        |SELECT query_id, doc_id, rrf,
+        |  CAST(row_number() OVER (PARTITION BY query_id
+        |    ORDER BY rrf DESC, doc_id ASC) AS BIGINT) AS rank
+        |FROM fused QUALIFY rank <= 5""".stripMargin),
+
     // Fixture oracles: model operators whose math is not SQL-expressible
     // are pinned by replaying committed sf0.01 parquet generated from the
     // golden-verified implementations (fixtures/README.md; regenerate via
@@ -3194,6 +3272,44 @@ object SparkEntry {
       |    AND s.rn BETWEEN a.anchor - 3 AND a.anchor + 3)
       |  THEN 1 ELSE 0 END AS is_anomaly
       |FROM s""".stripMargin
+
+  /** Hashed-TF vector CTEs shared by q_hashcos / q_hybrid_search: the
+    * portable q_rollhash polynomial buckets terms into a dense
+    * 64-vector (grid left-join fills the zeros so the fold order is
+    * the full bucket axis — exactly the Spark zip_with fold), then
+    * exact cosine of the doc_id < 5 query block against every doc.
+    * Ends INSIDE the WITH list (no trailing comma): consumers append
+    * either the final SELECT or further CTEs prefixed with ",". */
+  private val hashVecSql =
+    """WITH hwords AS (SELECT doc_id,
+      |    unnest(string_split(text, ' ')) AS term FROM documents),
+      |htb AS (SELECT doc_id,
+      |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+      |      list_transform(string_split(term, ''),
+      |        c -> ascii(c)::BIGINT)),
+      |      (a, b) -> (a * 1000003 + b) % 2147483647) % 64 AS b
+      |  FROM hwords),
+      |hdv AS (SELECT doc_id, b, CAST(count(*) AS DOUBLE) AS c
+      |  FROM htb GROUP BY doc_id, b),
+      |hgrid AS (SELECT d.doc_id, g.b
+      |  FROM (SELECT DISTINCT doc_id FROM documents) d
+      |  CROSS JOIN (SELECT unnest(range(0, 64)) AS b) g),
+      |hdense AS (SELECT hgrid.doc_id, hgrid.b,
+      |    coalesce(hdv.c, 0.0) AS c
+      |  FROM hgrid LEFT JOIN hdv
+      |    ON hgrid.doc_id = hdv.doc_id AND hgrid.b = hdv.b),
+      |hvecs AS (SELECT doc_id, list(c ORDER BY b) AS v
+      |  FROM hdense GROUP BY doc_id),
+      |hnorms AS (SELECT doc_id, v,
+      |    sqrt(list_reduce(list_prepend(0.0,
+      |      list_transform(v, x -> x * x)), (a, b) -> a + b)) AS nrm
+      |  FROM hvecs),
+      |cos AS (SELECT q.doc_id AS query_id, d.doc_id AS doc_id,
+      |    round(list_reduce(list_prepend(0.0,
+      |        list_transform(range(1, 65), i -> q.v[i] * d.v[i])),
+      |      (a, b) -> a + b) / (q.nrm * d.nrm), 6) AS cosine
+      |  FROM hnorms d CROSS JOIN
+      |    (SELECT * FROM hnorms WHERE doc_id < 5) q)""".stripMargin
 
   /** Fixture-oracle SQL (committed sf0.01 parquet, fixtures/README.md). */
   private def fixtureSql(name: String): String =

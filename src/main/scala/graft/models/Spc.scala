@@ -53,7 +53,7 @@ object Spc {
   /** In-order Welford mean/std (ddof=1); σ̂ floored at 1e-12 so a
     * constant series standardizes to 0 rather than NaN (P7 eps
     * convention). */
-  private def meanStd(y: Array[Double]): (Double, Double) = {
+  private[graft] def meanStd(y: Array[Double]): (Double, Double) = {
     var mean = 0.0; var m2 = 0.0; var i = 0
     while (i < y.length) {
       val d = y(i) - mean
@@ -67,19 +67,31 @@ object Spc {
 
   /** EWMA chart; returns (series, ts, value, ewma, limit, is_anomaly).
     * Series with fewer than 2 points are dropped (no σ̂ — the module's
-    * short-series convention). */
+    * short-series convention).
+    *
+    * `baselineN = 0` (default) estimates μ̂/σ̂ over the WHOLE series —
+    * the retrospective batch convention. `baselineN = W > 0` freezes
+    * the baseline on the first W points (SPC Phase I / Phase II):
+    * series shorter than W are dropped, and the chart becomes exactly
+    * what the STREAMING face computes — the parity contract
+    * StreamingSpec pins. */
   def ewmaChart(df: DataFrame, series: String, ts: String, value: String,
-                lambda: Double = 0.2, l: Double = 3.0): DataFrame = {
+                lambda: Double = 0.2, l: Double = 3.0,
+                baselineN: Int = 0): DataFrame = {
     require(lambda > 0 && lambda <= 1, s"lambda=$lambda must be in (0,1]")
     require(l > 0, s"l=$l must be positive")
+    require(baselineN == 0 || baselineN >= 2,
+      s"baselineN=$baselineN must be 0 (whole series) or >= 2")
     val spark = df.sparkSession
     import spark.implicits._
     keyed(df, series, ts, value)
       .flatMapGroups { (sk: String, it: Iterator[SpcRow]) =>
         val rows = it.toArray.sortBy(_.ord)
-        if (rows.length < 2) Iterator.empty
+        if (rows.length < math.max(2, baselineN)) Iterator.empty
         else {
-          val (mu, sd) = meanStd(rows.map(_.value))
+          val statsOver =
+            if (baselineN > 0) rows.take(baselineN) else rows
+          val (mu, sd) = meanStd(statsOver.map(_.value))
           val base = sd * math.sqrt(lambda / (2.0 - lambda))
           var z = mu
           var decay = 1.0 // (1-λ)^(2t), updated before each emit
@@ -97,19 +109,26 @@ object Spc {
   }
 
   /** Tabular CUSUM; returns (series, ts, value, cusum_hi, cusum_lo,
-    * is_anomaly), both sums in σ̂ units. */
+    * is_anomaly), both sums in σ̂ units. `baselineN` as in
+    * [[ewmaChart]]: 0 = whole-series stats, W > 0 = frozen Phase-I
+    * baseline on the first W points (the streaming-parity form). */
   def cusum(df: DataFrame, series: String, ts: String, value: String,
-            k: Double = 0.5, h: Double = 5.0): DataFrame = {
+            k: Double = 0.5, h: Double = 5.0,
+            baselineN: Int = 0): DataFrame = {
     require(k >= 0, s"k=$k must be non-negative")
     require(h > 0, s"h=$h must be positive")
+    require(baselineN == 0 || baselineN >= 2,
+      s"baselineN=$baselineN must be 0 (whole series) or >= 2")
     val spark = df.sparkSession
     import spark.implicits._
     keyed(df, series, ts, value)
       .flatMapGroups { (sk: String, it: Iterator[SpcRow]) =>
         val rows = it.toArray.sortBy(_.ord)
-        if (rows.length < 2) Iterator.empty
+        if (rows.length < math.max(2, baselineN)) Iterator.empty
         else {
-          val (mu, sd) = meanStd(rows.map(_.value))
+          val statsOver =
+            if (baselineN > 0) rows.take(baselineN) else rows
+          val (mu, sd) = meanStd(statsOver.map(_.value))
           var sp = 0.0
           var sn = 0.0
           rows.iterator.map { r =>

@@ -245,4 +245,121 @@ object StreamingDetect {
           out.iterator
       }
   }
+
+  // ---- L51 streaming: SPC charts with a frozen Phase-I baseline ----
+
+  case class SpcStreamState(buf: Seq[Double], bufTs: Seq[Timestamp],
+                            mu: Double, sd: Double, a: Double, b: Double,
+                            decay: Double, ready: Boolean)
+  case class EwmaStreamOut(series_id: String, ts: Timestamp,
+                           value: Double, ewma: Double, limit: Double,
+                           is_anomaly: Int)
+  case class CusumStreamOut(series_id: String, ts: Timestamp,
+                            value: Double, cusum_hi: Double,
+                            cusum_lo: Double, is_anomaly: Int)
+
+  /** Stateful EWMA control chart: the first `warmup` points per series
+    * are buffered as the Phase-I baseline (μ̂/σ̂ via the same in-order
+    * Welford pass as the batch face), then replayed through the
+    * Roberts recursion and the chart runs with O(1) state per series.
+    * Bit-parity with `Spc.ewmaChart(..., baselineN = warmup)` —
+    * StreamingSpec pins it across micro-batch splits, including a
+    * split mid-warmup. State fields: a = z (the EWMA), decay =
+    * (1−λ)^(2t) carried multiplicatively exactly as in batch. */
+  def statefulEwma(points: Dataset[Point], warmup: Int,
+                   lambda: Double = 0.2, l: Double = 3.0)
+      : Dataset[EwmaStreamOut] = {
+    require(warmup >= 2, s"warmup=$warmup must be >= 2")
+    import points.sparkSession.implicits._
+    points.groupByKey(_.series_id)
+      .flatMapGroupsWithState[SpcStreamState, EwmaStreamOut](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (sid: String, it: Iterator[Point],
+         state: GroupState[SpcStreamState]) =>
+          var st = state.getOption.getOrElse(SpcStreamState(
+            Vector.empty, Vector.empty, 0.0, 0.0, 0.0, 0.0, 1.0,
+            ready = false))
+          val out = scala.collection.mutable.ArrayBuffer
+            .empty[EwmaStreamOut]
+          val base = () => st.sd * math.sqrt(lambda / (2.0 - lambda))
+          def stepOne(ts: Timestamp, v: Double): Unit = {
+            val z = lambda * v + (1.0 - lambda) * st.a
+            // same association as the batch face's `decay *= (1-λ)²`
+            // (RHS first) — the other grouping differs by an ulp
+            val decay = st.decay * ((1.0 - lambda) * (1.0 - lambda))
+            val limit = l * base() * math.sqrt(1.0 - decay)
+            st = st.copy(a = z, decay = decay)
+            out += EwmaStreamOut(sid, ts, v, z, limit,
+              if (math.abs(z - st.mu) > limit) 1 else 0)
+          }
+          it.toSeq.sortWith((x, y) => x.ts.compareTo(y.ts) < 0)
+            .foreach { pt =>
+              if (st.ready) stepOne(pt.ts, pt.value)
+              else {
+                st = st.copy(buf = st.buf :+ pt.value,
+                  bufTs = st.bufTs :+ pt.ts)
+                if (st.buf.length == warmup) {
+                  val (mu, sd) = graft.models.Spc.meanStd(st.buf.toArray)
+                  st = st.copy(mu = mu, sd = sd, a = mu, decay = 1.0,
+                    ready = true)
+                  st.buf.zip(st.bufTs).foreach { case (v, tsb) =>
+                    stepOne(tsb, v)
+                  }
+                  st = st.copy(buf = Vector.empty, bufTs = Vector.empty)
+                }
+              }
+            }
+          state.update(st)
+          out.iterator
+      }
+  }
+
+  /** Stateful tabular CUSUM, same Phase-I warmup contract as
+    * [[statefulEwma]]; bit-parity with
+    * `Spc.cusum(..., baselineN = warmup)`. State fields: a = S⁺,
+    * b = S⁻. */
+  def statefulCusum(points: Dataset[Point], warmup: Int,
+                    k: Double = 0.5, h: Double = 5.0)
+      : Dataset[CusumStreamOut] = {
+    require(warmup >= 2, s"warmup=$warmup must be >= 2")
+    import points.sparkSession.implicits._
+    points.groupByKey(_.series_id)
+      .flatMapGroupsWithState[SpcStreamState, CusumStreamOut](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (sid: String, it: Iterator[Point],
+         state: GroupState[SpcStreamState]) =>
+          var st = state.getOption.getOrElse(SpcStreamState(
+            Vector.empty, Vector.empty, 0.0, 0.0, 0.0, 0.0, 1.0,
+            ready = false))
+          val out = scala.collection.mutable.ArrayBuffer
+            .empty[CusumStreamOut]
+          def stepOne(ts: Timestamp, v: Double): Unit = {
+            val z = (v - st.mu) / st.sd
+            val sp = math.max(0.0, st.a + z - k)
+            val sn = math.max(0.0, st.b - z - k)
+            st = st.copy(a = sp, b = sn)
+            out += CusumStreamOut(sid, ts, v, sp, sn,
+              if (sp > h || sn > h) 1 else 0)
+          }
+          it.toSeq.sortWith((x, y) => x.ts.compareTo(y.ts) < 0)
+            .foreach { pt =>
+              if (st.ready) stepOne(pt.ts, pt.value)
+              else {
+                st = st.copy(buf = st.buf :+ pt.value,
+                  bufTs = st.bufTs :+ pt.ts)
+                if (st.buf.length == warmup) {
+                  val (mu, sd) = graft.models.Spc.meanStd(st.buf.toArray)
+                  st = st.copy(mu = mu, sd = sd, a = 0.0, b = 0.0,
+                    ready = true)
+                  st.buf.zip(st.bufTs).foreach { case (v, tsb) =>
+                    stepOne(tsb, v)
+                  }
+                  st = st.copy(buf = Vector.empty, bufTs = Vector.empty)
+                }
+              }
+            }
+          state.update(st)
+          out.iterator
+      }
+  }
 }

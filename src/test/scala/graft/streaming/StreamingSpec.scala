@@ -612,4 +612,74 @@ class StreamingSpec extends SparkSpec {
       assert(got.exists { case (id, _, seq, _) => id >= 26 && seq >= 2 })
     } finally q.stop()
   }
+
+  test("statefulEwma equals the frozen-baseline batch chart across splits") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val warmup = 10
+    // drifting series with a mid-stream level shift past the baseline
+    val vals = Array.tabulate(40)(t =>
+      (if (t % 2 == 0) 1.0 else -1.0) + (if (t >= 25) 2.5 else 0.0) +
+        ((t * 7919) % 7) * 0.05)
+    val batch = graft.models.Spc.ewmaChart(
+        vals.zipWithIndex.map { case (v, t) => ("s", pt(t, v).ts, v) }
+          .toSeq.toDF("sid", "ts", "v"), "sid", "ts", "v",
+        baselineN = warmup)
+      .collect()
+      .map(r => (r.getTimestamp(1).getTime, r.getAs[Double]("ewma"),
+        r.getAs[Double]("limit"), r.getAs[Int]("is_anomaly"))).toSet
+    val input = MemoryStream[Point]
+    val out = statefulEwma(input.toDS(), warmup)
+    val q = out.writeStream.format("memory").queryName("ewmastream")
+      .outputMode("append").start()
+    try {
+      val pts = vals.zipWithIndex.map { case (v, t) => pt(t, v) }
+      input.addData(pts.take(4): _*) // split mid-warmup
+      q.processAllAvailable()
+      input.addData(pts.slice(4, 22): _*)
+      q.processAllAvailable()
+      input.addData(pts.drop(22): _*)
+      q.processAllAvailable()
+      val got = spark.sql("select * from ewmastream").collect()
+        .map(r => (r.getTimestamp(1).getTime, r.getAs[Double]("ewma"),
+          r.getAs[Double]("limit"), r.getAs[Int]("is_anomaly"))).toSet
+      assert(got === batch)
+      // the shift must actually flag (parity on an all-zeros flag
+      // column would prove nothing about the chart)
+      assert(got.count(_._4 == 1) > 5)
+    } finally q.stop()
+  }
+
+  test("statefulCusum equals the frozen-baseline batch chart across splits") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val warmup = 12
+    val vals = Array.tabulate(40)(t =>
+      (if (t % 2 == 0) 0.8 else -0.8) + (if (t >= 20) 1.6 else 0.0))
+    val batch = graft.models.Spc.cusum(
+        vals.zipWithIndex.map { case (v, t) => ("s", pt(t, v).ts, v) }
+          .toSeq.toDF("sid", "ts", "v"), "sid", "ts", "v",
+        k = 0.5, h = 3.0, baselineN = warmup)
+      .collect()
+      .map(r => (r.getTimestamp(1).getTime, r.getAs[Double]("cusum_hi"),
+        r.getAs[Double]("cusum_lo"), r.getAs[Int]("is_anomaly"))).toSet
+    val input = MemoryStream[Point]
+    val out = statefulCusum(input.toDS(), warmup, k = 0.5, h = 3.0)
+    val q = out.writeStream.format("memory").queryName("cusumstream")
+      .outputMode("append").start()
+    try {
+      val pts = vals.zipWithIndex.map { case (v, t) => pt(t, v) }
+      input.addData(pts.take(7): _*) // split mid-warmup
+      q.processAllAvailable()
+      input.addData(pts.slice(7, 25): _*)
+      q.processAllAvailable()
+      input.addData(pts.drop(25): _*)
+      q.processAllAvailable()
+      val got = spark.sql("select * from cusumstream").collect()
+        .map(r => (r.getTimestamp(1).getTime, r.getAs[Double]("cusum_hi"),
+          r.getAs[Double]("cusum_lo"), r.getAs[Int]("is_anomaly"))).toSet
+      assert(got === batch)
+      assert(got.count(_._4 == 1) > 5, "the planted shift must alarm")
+    } finally q.stop()
+  }
 }
