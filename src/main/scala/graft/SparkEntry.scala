@@ -438,6 +438,40 @@ object SparkEntry {
           round(col("mk_z"), 6).as("mk_z"),
           round(col("mk_tau"), 6).as("mk_tau"))),
 
+    // A-extra: forecast-accuracy metrics (Hyndman & Koehler 2006) —
+    // RMSE / sMAPE / seasonal-naive MASE per series over the
+    // Holt-Winters one-step forecasts. Inputs rounded to 9 to mirror
+    // the committed q_holtwinters fixture EXACTLY, so the oracle can
+    // recompute the metrics in SQL from that fixture — the metric
+    // math gets a true cross-engine check.
+    "q_forecast_metrics" -> ((s, dir) => {
+      val hw = graft.models.HoltWinters.forecast(ev(s, dir), "user_id",
+          "ts", "value", period = 24)
+        .withColumn("hw_pred", round(col("hw_pred"), 9))
+        .withColumn("hw_resid", round(col("hw_resid"), 9))
+      graft.metrics.Forecast.accuracy(hw, "user_id", "ts", "value",
+          "hw_pred", "hw_resid", m = 24)
+        .select(col("user_id"), col("n"),
+          round(col("rmse"), 6).as("rmse"),
+          round(col("smape"), 6).as("smape"),
+          round(col("mase"), 6).as("mase"))
+    }),
+
+    // M-extra: split-conformal anomaly band (Vovk; Lei 2018 split) —
+    // distribution-free calibration of the Holt-Winters residuals:
+    // exact integer-rank quantile on the first-half calibration
+    // points, flag test points beyond q̂. Same fixture-mirrored
+    // rounding as q_forecast_metrics → SQL oracle over the fixture.
+    "q_conformal" -> ((s, dir) => {
+      val hw = graft.models.HoltWinters.forecast(ev(s, dir), "user_id",
+          "ts", "value", period = 24)
+        .withColumn("hw_resid", round(col("hw_resid"), 9))
+      graft.models.Conformal.splitConformal(hw, "user_id", "ts",
+          "value", "hw_resid", alpha = 0.1)
+        .select(col("user_id"), col("ts"), col("value"), col("resid"),
+          col("qhat"), col("is_anomaly"))
+    }),
+
     // M-extra: deterministic Isolation Forest (Liu/Ting/Zhou 2008) —
     // MCG-selected bounded sample, Park–Miller split streams, map-only
     // scoring over (value, delta) features → fixture oracle.
@@ -1137,6 +1171,24 @@ object SparkEntry {
       val d = docs(s, dir)
       llm.HashingTf.hashedCosineTopK(d, d.filter(col("doc_id") < 5),
         "doc_id", "text", dim = 64, k = 10)
+    }),
+
+    // LLM-pipeline: ranking-quality metrics (recall@5 / MRR / binary
+    // nDCG@5) of the BM25 ranker against the exact hashed-cosine
+    // top-5 as the relevant set — the evaluation face of the
+    // retrieval tier, as a relation. Position-ordered DCG folds →
+    // full chain re-expressed in the SQL oracle.
+    "q_retrieval_eval" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val q = d.filter(col("doc_id") < 5)
+      val bm = llm.Bm25.topK(d, q, "doc_id", "doc_id", "text", k = 20)
+      val truth = llm.HashingTf.hashedCosineTopK(d, q, "doc_id",
+        "text", dim = 64, k = 5)
+      llm.RetrievalEval.evalRanking(bm, truth, k = 5)
+        .select(col("query_id"), col("n_rel"),
+          round(col("recall_at_k"), 6).as("recall_at_k"),
+          round(col("mrr"), 6).as("mrr"),
+          round(col("ndcg_at_k"), 6).as("ndcg_at_k"))
     }),
 
     // LLM-pipeline: hybrid search — BM25 (sparse) and hashed-TF
@@ -2828,6 +2880,49 @@ object SparkEntry {
         |    ORDER BY bm25 DESC, doc_id ASC) AS BIGINT) AS rank
         |FROM scored QUALIFY rank <= 5""".stripMargin,
 
+    // Metric/band math recomputed in SQL from the PINNED q_holtwinters
+    // fixture (whose own gate catches forecast regressions): a true
+    // cross-engine check of the metric formulas, not a replay.
+    "q_forecast_metrics" ->
+      """WITH f AS (SELECT * FROM read_parquet(
+        |    '/root/repo/fixtures/sf0.01/q_holtwinters.parquet/*.parquet')),
+        |b AS (SELECT user_id, value, hw_pred, hw_resid,
+        |    abs(value - lag(value, 24) OVER (PARTITION BY user_id
+        |      ORDER BY ts)) AS naive
+        |  FROM f)
+        |SELECT user_id, count(*) AS n,
+        |  round(sqrt(avg(hw_resid*hw_resid)), 6) AS rmse,
+        |  round(avg(CASE WHEN abs(value) + abs(hw_pred) > 0
+        |    THEN 2.0*abs(hw_resid)/(abs(value) + abs(hw_pred)) END), 6)
+        |    AS smape,
+        |  round(avg(abs(hw_resid)) /
+        |    (CASE WHEN avg(naive) > 0 THEN avg(naive) END), 6) AS mase
+        |FROM b GROUP BY user_id""".stripMargin,
+
+    "q_conformal" ->
+      """WITH f AS (SELECT * FROM read_parquet(
+        |    '/root/repo/fixtures/sf0.01/q_holtwinters.parquet/*.parquet')),
+        |b AS (SELECT user_id, ts, value, hw_resid,
+        |    CAST(row_number() OVER (PARTITION BY user_id ORDER BY ts)
+        |      AS BIGINT) AS rn,
+        |    count(*) OVER (PARTITION BY user_id) AS n
+        |  FROM f),
+        |b2 AS (SELECT *, CAST(floor(n/2.0) AS BIGINT) AS ncal FROM b
+        |  WHERE n >= 4),
+        |cal AS (SELECT user_id, abs(hw_resid) AS a,
+        |    row_number() OVER (PARTITION BY user_id
+        |      ORDER BY abs(hw_resid)) AS r
+        |  FROM b2 WHERE rn <= ncal),
+        |ks AS (SELECT user_id,
+        |    CAST(ceil((ncal + 1) * (1.0 - 0.1)) AS BIGINT) AS k
+        |  FROM (SELECT DISTINCT user_id, ncal FROM b2) x),
+        |qh AS (SELECT cal.user_id, a AS qhat FROM cal
+        |  JOIN ks ON cal.user_id = ks.user_id AND cal.r = ks.k)
+        |SELECT b2.user_id, ts, value, hw_resid AS resid, qhat,
+        |  CASE WHEN abs(hw_resid) > qhat THEN 1 ELSE 0 END AS is_anomaly
+        |FROM b2 JOIN qh ON b2.user_id = qh.user_id
+        |WHERE rn > ncal""".stripMargin,
+
     "q_hashcos" -> (hashVecSql +
       """
         |SELECT query_id, doc_id, cosine,
@@ -2835,38 +2930,35 @@ object SparkEntry {
         |    ORDER BY cosine DESC, doc_id ASC) AS BIGINT) AS rank
         |FROM cos QUALIFY rank <= 10""".stripMargin),
 
-    "q_hybrid_search" -> (hashVecSql +
+    "q_retrieval_eval" -> (hashVecSql + bmRankSql +
       """,
-        |bmwords AS (SELECT doc_id,
-        |    unnest(string_split(text, ' ')) AS term FROM documents),
-        |bmtf AS (SELECT doc_id, term, count(*) AS tf FROM bmwords
-        |  GROUP BY doc_id, term),
-        |bmdl AS (SELECT doc_id, sum(tf) AS dl FROM bmtf GROUP BY doc_id),
-        |bmdf AS (SELECT term, count(*) AS df FROM bmtf GROUP BY term),
-        |bmstats AS (SELECT count(*) AS n_docs,
-        |    CAST(sum(dl) AS DOUBLE)/CAST(count(*) AS DOUBLE) AS avgdl
-        |  FROM bmdl),
-        |bmqt AS (SELECT DISTINCT doc_id AS query_id, term FROM
-        |  (SELECT doc_id, unnest(string_split(text, ' ')) AS term
-        |   FROM documents WHERE doc_id < 5) x),
-        |bmc AS (SELECT query_id, bmtf.doc_id, bmqt.term,
-        |    ln(1.0 + (CAST(n_docs - df AS DOUBLE) + 0.5) /
-        |              (CAST(df AS DOUBLE) + 0.5)) *
-        |    (CAST(tf AS DOUBLE) * (1.2 + 1.0) /
-        |     (CAST(tf AS DOUBLE) + 1.2 * (1.0 - 0.75 +
-        |        0.75 * CAST(dl AS DOUBLE) / avgdl))) AS contrib
-        |  FROM bmqt JOIN bmtf ON bmqt.term = bmtf.term
-        |    JOIN bmdl ON bmtf.doc_id = bmdl.doc_id
-        |    JOIN bmdf ON bmqt.term = bmdf.term CROSS JOIN bmstats),
-        |bmscored AS (SELECT query_id, doc_id,
-        |    round(list_reduce(list_prepend(0.0,
-        |        list_transform(list(contrib ORDER BY term), x -> x)),
-        |      (a, b) -> a + b), 6) AS bm25
-        |  FROM bmc GROUP BY query_id, doc_id),
-        |bmrank AS (SELECT query_id, doc_id,
+        |truth AS (SELECT query_id, doc_id,
         |    CAST(row_number() OVER (PARTITION BY query_id
-        |      ORDER BY bm25 DESC, doc_id ASC) AS BIGINT) AS rank
-        |  FROM bmscored QUALIFY rank <= 20),
+        |      ORDER BY cosine DESC, doc_id ASC) AS BIGINT) AS r
+        |  FROM cos QUALIFY r <= 5),
+        |nrel AS (SELECT query_id, count(*) AS n_rel FROM truth
+        |  GROUP BY query_id),
+        |hitpos AS (SELECT r.query_id, list(r.rank ORDER BY r.rank) AS rp
+        |  FROM bmrank r JOIN truth t
+        |    ON r.query_id = t.query_id AND r.doc_id = t.doc_id
+        |  GROUP BY r.query_id)
+        |SELECT n.query_id, n_rel,
+        |  round(CAST(len(list_filter(rp, p -> p <= 5)) AS DOUBLE) /
+        |    CAST(n_rel AS DOUBLE), 6) AS recall_at_k,
+        |  round(CASE WHEN len(rp) > 0
+        |    THEN 1.0 / CAST(rp[1] AS DOUBLE) ELSE 0.0 END, 6) AS mrr,
+        |  round(list_reduce(list_prepend(0.0,
+        |      list_transform(list_filter(rp, p -> p <= 5),
+        |        p -> 1.0 / (ln(CAST(p + 1 AS DOUBLE)) / ln(2.0)))),
+        |      (a, b) -> a + b) /
+        |    list_reduce(list_prepend(0.0,
+        |      list_transform(range(1, least(n_rel, 5) + 1),
+        |        p -> 1.0 / (ln(CAST(p + 1 AS DOUBLE)) / ln(2.0)))),
+        |      (a, b) -> a + b), 6) AS ndcg_at_k
+        |FROM nrel n JOIN hitpos h ON n.query_id = h.query_id""".stripMargin),
+
+    "q_hybrid_search" -> (hashVecSql + bmRankSql +
+      """,
         |cosrank AS (SELECT query_id, doc_id,
         |    CAST(row_number() OVER (PARTITION BY query_id
         |      ORDER BY cosine DESC, doc_id ASC) AS BIGINT) AS rank
@@ -3310,6 +3402,42 @@ object SparkEntry {
       |      (a, b) -> a + b) / (q.nrm * d.nrm), 6) AS cosine
       |  FROM hnorms d CROSS JOIN
       |    (SELECT * FROM hnorms WHERE doc_id < 5) q)""".stripMargin
+
+  /** BM25 top-20 rank-table CTEs (the q_bm25 formula verbatim) shared
+    * by q_hybrid_search / q_retrieval_eval. Starts with "," (appends
+    * to an open WITH list) and ends inside it. */
+  private val bmRankSql =
+    """,
+      |bmwords AS (SELECT doc_id,
+      |    unnest(string_split(text, ' ')) AS term FROM documents),
+      |bmtf AS (SELECT doc_id, term, count(*) AS tf FROM bmwords
+      |  GROUP BY doc_id, term),
+      |bmdl AS (SELECT doc_id, sum(tf) AS dl FROM bmtf GROUP BY doc_id),
+      |bmdf AS (SELECT term, count(*) AS df FROM bmtf GROUP BY term),
+      |bmstats AS (SELECT count(*) AS n_docs,
+      |    CAST(sum(dl) AS DOUBLE)/CAST(count(*) AS DOUBLE) AS avgdl
+      |  FROM bmdl),
+      |bmqt AS (SELECT DISTINCT doc_id AS query_id, term FROM
+      |  (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+      |   FROM documents WHERE doc_id < 5) x),
+      |bmc AS (SELECT query_id, bmtf.doc_id, bmqt.term,
+      |    ln(1.0 + (CAST(n_docs - df AS DOUBLE) + 0.5) /
+      |              (CAST(df AS DOUBLE) + 0.5)) *
+      |    (CAST(tf AS DOUBLE) * (1.2 + 1.0) /
+      |     (CAST(tf AS DOUBLE) + 1.2 * (1.0 - 0.75 +
+      |        0.75 * CAST(dl AS DOUBLE) / avgdl))) AS contrib
+      |  FROM bmqt JOIN bmtf ON bmqt.term = bmtf.term
+      |    JOIN bmdl ON bmtf.doc_id = bmdl.doc_id
+      |    JOIN bmdf ON bmqt.term = bmdf.term CROSS JOIN bmstats),
+      |bmscored AS (SELECT query_id, doc_id,
+      |    round(list_reduce(list_prepend(0.0,
+      |        list_transform(list(contrib ORDER BY term), x -> x)),
+      |      (a, b) -> a + b), 6) AS bm25
+      |  FROM bmc GROUP BY query_id, doc_id),
+      |bmrank AS (SELECT query_id, doc_id,
+      |    CAST(row_number() OVER (PARTITION BY query_id
+      |      ORDER BY bm25 DESC, doc_id ASC) AS BIGINT) AS rank
+      |  FROM bmscored QUALIFY rank <= 20)""".stripMargin
 
   /** Fixture-oracle SQL (committed sf0.01 parquet, fixtures/README.md). */
   private def fixtureSql(name: String): String =
