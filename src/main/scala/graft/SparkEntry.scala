@@ -438,6 +438,27 @@ object SparkEntry {
           round(col("mk_z"), 6).as("mk_z"),
           round(col("mk_tau"), 6).as("mk_tau"))),
 
+    // M-extra: PELT exact offline changepoint segmentation (Killick
+    // 2012) — globally optimal penalized mean-shift segments on the
+    // standardized series; pruned DP, exactness spec-pinned vs the
+    // unpruned OP recursion → fixture oracle.
+    "q_pelt" -> ((s, dir) =>
+      graft.models.Pelt.segments(ev(s, dir), "user_id", "ts", "value")
+        .select(col("user_id"), col("seg_id"), col("start_ts"),
+          col("end_ts"), col("n_points"),
+          round(col("seg_mean"), 9).as("seg_mean"))),
+
+    // M-extra: Spectral Residual saliency detection (Hou/Zhang 2007
+    // via Ren et al. KDD 2019) — log-spectrum residual → saliency
+    // map → trailing-mean relative score; fixed-order naive DFT keeps
+    // it bit-deterministic → fixture oracle.
+    "q_spectral" -> ((s, dir) =>
+      graft.models.SpectralResidual.detect(ev(s, dir), "user_id", "ts",
+          "value")
+        .select(col("user_id"), col("ts"), col("value"),
+          round(col("saliency"), 9).as("saliency"),
+          round(col("sr_score"), 6).as("sr_score"), col("is_anomaly"))),
+
     // A-extra: forecast-accuracy metrics (Hyndman & Koehler 2006) —
     // RMSE / sMAPE / seasonal-naive MASE per series over the
     // Holt-Winters one-step forecasts. Inputs rounded to 9 to mirror
@@ -2984,6 +3005,8 @@ object SparkEntry {
     "q_ewma" -> fixtureSql("q_ewma"),
     "q_cusum" -> fixtureSql("q_cusum"),
     "q_iforest" -> fixtureSql("q_iforest"),
+    "q_pelt" -> fixtureSql("q_pelt"),
+    "q_spectral" -> fixtureSql("q_spectral"),
     "q_holtwinters" -> fixtureSql("q_holtwinters"),
     "q_matrix_profile" -> fixtureSql("q_matrix_profile"),
     "q_dtw" -> fixtureSql("q_dtw"),
