@@ -438,6 +438,25 @@ object SparkEntry {
           round(col("mk_z"), 6).as("mk_z"),
           round(col("mk_tau"), 6).as("mk_tau"))),
 
+    // J/W-extra: ordered-step funnel conversion (the ClickHouse
+    // windowFunnel shape as sequential filtered min-aggregates, all
+    // user-keyed joins) — view → click → purchase within 7 days of
+    // the first view. Plain SQL oracle.
+    "q_funnel" -> ((s, dir) =>
+      graft.events.Behavior.funnel(ev(s, dir), "user_id", "ts",
+          "event_type", Seq("view", "click", "purchase"), "7 DAYS")
+        .select(col("user_id"), col("level"), col("ts_1"), col("ts_2"),
+          col("ts_3"))),
+
+    // A-extra: weekly cohort retention grid — cohort = ISO week of
+    // first event; exact integer microsecond offset arithmetic.
+    // Plain SQL oracle.
+    "q_retention" -> ((s, dir) =>
+      graft.events.Behavior.retention(ev(s, dir), "user_id", "ts")
+        .select(col("cohort_week"), col("week_offset"),
+          col("cohort_size"), col("n_active"),
+          round(col("retention"), 6).as("retention"))),
+
     // M-extra: PELT exact offline changepoint segmentation (Killick
     // 2012) — globally optimal penalized mean-shift segments on the
     // standardized series; pruned DP, exactness spec-pinned vs the
@@ -2900,6 +2919,48 @@ object SparkEntry {
         |  CAST(row_number() OVER (PARTITION BY query_id
         |    ORDER BY bm25 DESC, doc_id ASC) AS BIGINT) AS rank
         |FROM scored QUALIFY rank <= 5""".stripMargin,
+
+    "q_funnel" ->
+      """WITH u AS (SELECT DISTINCT user_id FROM events),
+        |s1 AS (SELECT user_id, min(ts) AS ts_1 FROM events
+        |  WHERE event_type = 'view' GROUP BY user_id),
+        |a AS (SELECT u.user_id, ts_1, ts_1 + INTERVAL 7 DAY AS dl
+        |  FROM u LEFT JOIN s1 USING (user_id)),
+        |s2 AS (SELECT e.user_id, min(e.ts) AS ts_2 FROM events e
+        |  JOIN a ON e.user_id = a.user_id
+        |  WHERE e.event_type = 'click' AND a.ts_1 IS NOT NULL
+        |    AND e.ts > a.ts_1 AND e.ts <= a.dl
+        |  GROUP BY e.user_id),
+        |s3 AS (SELECT e.user_id, min(e.ts) AS ts_3 FROM events e
+        |  JOIN a ON e.user_id = a.user_id
+        |  JOIN s2 ON e.user_id = s2.user_id
+        |  WHERE e.event_type = 'purchase'
+        |    AND e.ts > s2.ts_2 AND e.ts <= a.dl
+        |  GROUP BY e.user_id)
+        |SELECT a.user_id,
+        |  CASE WHEN ts_3 IS NOT NULL THEN 3
+        |       WHEN ts_2 IS NOT NULL THEN 2
+        |       WHEN ts_1 IS NOT NULL THEN 1 ELSE 0 END AS level,
+        |  ts_1, ts_2, ts_3
+        |FROM a LEFT JOIN s2 ON a.user_id = s2.user_id
+        |  LEFT JOIN s3 ON a.user_id = s3.user_id""".stripMargin,
+
+    "q_retention" ->
+      """WITH weekly AS (SELECT DISTINCT user_id,
+        |    date_trunc('week', ts) AS w FROM events),
+        |cohort AS (SELECT user_id, min(w) AS cohort_week FROM weekly
+        |  GROUP BY user_id),
+        |sz AS (SELECT cohort_week, count(*) AS cohort_size FROM cohort
+        |  GROUP BY cohort_week),
+        |act AS (SELECT cohort_week,
+        |    CAST((epoch_us(w) - epoch_us(cohort_week)) // 604800000000
+        |      AS BIGINT) AS week_offset,
+        |    count(*) AS n_active
+        |  FROM weekly JOIN cohort USING (user_id) GROUP BY 1, 2)
+        |SELECT act.cohort_week, week_offset, cohort_size, n_active,
+        |  round(CAST(n_active AS DOUBLE)/CAST(cohort_size AS DOUBLE), 6)
+        |    AS retention
+        |FROM act JOIN sz USING (cohort_week)""".stripMargin,
 
     // Metric/band math recomputed in SQL from the PINNED q_holtwinters
     // fixture (whose own gate catches forecast regressions): a true
