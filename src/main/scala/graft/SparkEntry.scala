@@ -1213,6 +1213,23 @@ object SparkEntry {
         "doc_id", "text", dim = 64, k = 10)
     }),
 
+    // LLM-pipeline: unigram-LM tokenizer (Kudo 2018, the SentencePiece
+    // unigram model) — the OTHER subword family next to BPE: EM-fit
+    // piece probabilities on the word-type table (driver loop bounded
+    // by the type cap), Viterbi apply over distinct words. Vocab and
+    // per-doc token counts; fixture oracles (driver float EM).
+    "q_unigram" -> ((s, dir) =>
+      llm.Unigram.vocabDf(docs(s, dir), "text", vocabSize = 512)
+        .select(col("piece"), round(col("log_prob"), 9).as("log_prob"))),
+
+    "q_unigram_tokens" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val model = llm.Unigram.train(
+        llm.Bpe.wordCounts(d, "text", 65536), vocabSize = 512)
+      llm.Unigram.tokenize(d, "doc_id", "text", model)
+        .select(col("doc_id"), col("n_words"), col("n_unigram_tokens"))
+    }),
+
     // LLM-pipeline: ranking-quality metrics (recall@5 / MRR / binary
     // nDCG@5) of the BM25 ranker against the exact hashed-cosine
     // top-5 as the relevant set — the evaluation face of the
@@ -3068,6 +3085,8 @@ object SparkEntry {
     "q_iforest" -> fixtureSql("q_iforest"),
     "q_pelt" -> fixtureSql("q_pelt"),
     "q_spectral" -> fixtureSql("q_spectral"),
+    "q_unigram" -> fixtureSql("q_unigram"),
+    "q_unigram_tokens" -> fixtureSql("q_unigram_tokens"),
     "q_holtwinters" -> fixtureSql("q_holtwinters"),
     "q_matrix_profile" -> fixtureSql("q_matrix_profile"),
     "q_dtw" -> fixtureSql("q_dtw"),
