@@ -438,6 +438,43 @@ object SparkEntry {
           round(col("mk_z"), 6).as("mk_z"),
           round(col("mk_tau"), 6).as("mk_tau"))),
 
+    // M-extra: classical additive seasonal decomposition (the
+    // statsmodels seasonal_decompose moving-average method) — the
+    // transparent baseline next to STL, and the one decomposition
+    // whose every step is SQL-expressible → plain SQL oracle (the
+    // STL tier is fixture-pinned).
+    "q_decompose" -> ((s, dir) =>
+      graft.models.Decompose.classical(ev(s, dir), "user_id", "ts",
+          "value", period = 24)
+        .withColumn("user_id", col("user_id").cast("long"))
+        .select(col("user_id"), col("ts"), col("value"),
+          round(col("trend"), 6).as("trend"),
+          round(col("seasonal"), 6).as("seasonal"),
+          round(col("resid"), 6).as("resid"))),
+
+    // M-extra: detector ensemble v3 — the round-11 members (EWMA
+    // chart, Isolation Forest, Spectral Residual) through the M8
+    // voting machinery, 2-of-3. Fixture oracle.
+    "q_ensemble3" -> ((s, dir) => {
+      val base = ev(s, dir)
+      val e = graft.models.Spc.ewmaChart(base, "user_id", "ts", "value")
+        .select(col("user_id"), col("ts"),
+          col("is_anomaly").as("flag_ewma"))
+      val f = graft.models.IsolationForest.score(base, "event_id",
+          "user_id", "ts", "value")
+        .select(col("user_id"), col("ts"),
+          col("is_anomaly").as("flag_if"))
+      val r = graft.models.SpectralResidual.detect(base, "user_id",
+          "ts", "value")
+        .select(col("user_id"), col("ts"),
+          col("is_anomaly").as("flag_sr"))
+      ensemble.Hybrid.voteFlags(
+          e.join(f, Seq("user_id", "ts")).join(r, Seq("user_id", "ts")),
+          Seq("flag_ewma", "flag_if", "flag_sr"), minVotes = 2)
+        .select(col("user_id"), col("ts"), col("flag_ewma"),
+          col("flag_if"), col("flag_sr"), col("detected"))
+    }),
+
     // J/W-extra: ordered-step funnel conversion (the ClickHouse
     // windowFunnel shape as sequential filtered min-aggregates, all
     // user-keyed joins) — view → click → purchase within 7 days of
@@ -2937,6 +2974,37 @@ object SparkEntry {
         |    ORDER BY bm25 DESC, doc_id ASC) AS BIGINT) AS rank
         |FROM scored QUALIFY rank <= 5""".stripMargin,
 
+    "q_decompose" ->
+      """WITH b AS (SELECT user_id, ts, value,
+        |    CAST(row_number() OVER w AS BIGINT) AS rn,
+        |    count(value) OVER f AS cnt,
+        |    sum(value) OVER f AS s,
+        |    lag(value, 12) OVER w AS lg,
+        |    lead(value, 12) OVER w AS ld
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts),
+        |    f AS (PARTITION BY user_id ORDER BY ts
+        |      ROWS BETWEEN 12 PRECEDING AND 12 FOLLOWING)),
+        |b2 AS (SELECT *,
+        |    CASE WHEN cnt = 25
+        |      THEN round((s - 0.5*lg - 0.5*ld)/24, 9) END AS trend,
+        |    (rn - 1) % 24 AS phase FROM b),
+        |si AS (SELECT user_id, phase,
+        |    list_reduce(list_prepend(0.0,
+        |      list_transform(list(value - trend ORDER BY rn), x -> x)),
+        |      (a, b) -> a + b) / CAST(count(*) AS DOUBLE) AS sidx
+        |  FROM b2 WHERE trend IS NOT NULL GROUP BY user_id, phase),
+        |sm AS (SELECT user_id,
+        |    list_reduce(list_prepend(0.0,
+        |      list_transform(list(sidx ORDER BY phase), x -> x)),
+        |      (a, b) -> a + b) / CAST(count(*) AS DOUBLE) AS smean
+        |  FROM si GROUP BY user_id)
+        |SELECT b2.user_id, ts, value, round(trend, 6) AS trend,
+        |  round(sidx - smean, 6) AS seasonal,
+        |  round(value - trend - (sidx - smean), 6) AS resid
+        |FROM b2 JOIN si ON b2.user_id = si.user_id AND b2.phase = si.phase
+        |JOIN sm ON b2.user_id = sm.user_id""".stripMargin,
+
     "q_funnel" ->
       """WITH u AS (SELECT DISTINCT user_id FROM events),
         |s1 AS (SELECT user_id, min(ts) AS ts_1 FROM events
@@ -3086,6 +3154,7 @@ object SparkEntry {
     "q_pelt" -> fixtureSql("q_pelt"),
     "q_spectral" -> fixtureSql("q_spectral"),
     "q_unigram" -> fixtureSql("q_unigram"),
+    "q_ensemble3" -> fixtureSql("q_ensemble3"),
     "q_unigram_tokens" -> fixtureSql("q_unigram_tokens"),
     "q_holtwinters" -> fixtureSql("q_holtwinters"),
     "q_matrix_profile" -> fixtureSql("q_matrix_profile"),

@@ -314,6 +314,57 @@ object StreamingDetect {
       }
   }
 
+  // ---- L61 streaming: ordered-step funnel with per-user state ----
+
+  case class FunnelEvent(user_id: String, ts: Timestamp,
+                         event_type: String)
+  case class FunnelState(matched: Seq[Timestamp], deadline: Long)
+  case class FunnelOut(user_id: String, level: Int, step_ts: Timestamp)
+
+  /** Stateful funnel: per-user O(steps) state, one output row per
+    * LEVEL ADVANCE (level, matched step timestamp). Under in-order
+    * arrival (the watermark contract every stateful op here assumes)
+    * this equals the batch `Behavior.funnel` sequential-min
+    * semantics: the anchor is the first `steps.head` event, each
+    * later step matches its first occurrence strictly after the
+    * previous step and within `windowMillis` of the anchor —
+    * StreamingSpec pins the parity across micro-batch splits.
+    * Deadline precision is milliseconds (Timestamp.getTime); the
+    * batch face's INTERVAL arithmetic is microsecond — identical on
+    * any ms-aligned stream. */
+  def statefulFunnel(events: Dataset[FunnelEvent], steps: Seq[String],
+                     windowMillis: Long): Dataset[FunnelOut] = {
+    require(steps.nonEmpty && windowMillis > 0,
+      "need steps and a positive window")
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[FunnelState, FunnelOut](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (uid: String, it: Iterator[FunnelEvent],
+         state: GroupState[FunnelState]) =>
+          var st = state.getOption.getOrElse(FunnelState(Vector.empty, 0L))
+          val out = scala.collection.mutable.ArrayBuffer.empty[FunnelOut]
+          it.toSeq.sortWith((a, b) => a.ts.compareTo(b.ts) < 0)
+            .foreach { e =>
+              if (st.matched.isEmpty) {
+                if (e.event_type == steps.head) {
+                  st = FunnelState(Vector(e.ts),
+                    e.ts.getTime + windowMillis)
+                  out += FunnelOut(uid, 1, e.ts)
+                }
+              } else if (st.matched.size < steps.size &&
+                  e.event_type == steps(st.matched.size) &&
+                  e.ts.after(st.matched.last) &&
+                  e.ts.getTime <= st.deadline) {
+                st = st.copy(matched = st.matched :+ e.ts)
+                out += FunnelOut(uid, st.matched.size, e.ts)
+              }
+            }
+          state.update(st)
+          out.iterator
+      }
+  }
+
   /** Stateful tabular CUSUM, same Phase-I warmup contract as
     * [[statefulEwma]]; bit-parity with
     * `Spc.cusum(..., baselineN = warmup)`. State fields: a = S⁺,

@@ -618,4 +618,74 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"))
     assert(!p.contains("BroadcastNestedLoopJoin"))
   }
+
+  private def docsFrame(n: Int) = {
+    import spark.implicits._
+    (0L until n.toLong).map(i =>
+      (i, Seq.tabulate(10)(j => s"w${(i * 7 + j * 3) % 29}")
+        .mkString(" "))).toDF("doc_id", "text")
+  }
+
+  test("BM25 joins postings on the term key; corpus stats ride a 1-row broadcast") {
+    val d = docsFrame(60)
+    val p = plan(graft.llm.Bm25.topK(d, d.filter(col("doc_id") < 3),
+      "doc_id", "doc_id", "text", k = 5))
+    assert(!p.contains("CartesianProduct"),
+      "query x corpus cartesian is forbidden — the inverted index IS the point")
+    assert(p.contains("BroadcastExchange"),
+      "the (n_docs, avgdl) stats row must broadcast")
+  }
+
+  test("hashed-cosine broadcasts the query vectors, never the corpus side") {
+    val d = docsFrame(60)
+    val p = plan(graft.llm.HashingTf.hashedCosineTopK(d,
+      d.filter(col("doc_id") < 3), "doc_id", "text", dim = 16, k = 5))
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      "the tiny query block rides the broadcast side of the pair join")
+    assert(!p.contains("CartesianProduct"), "corpus x corpus is forbidden")
+  }
+
+  test("Theil-Sen pair explosion is a series-keyed equi-join") {
+    val p = plan(graft.models.Trend.theilSenMannKendall(series(100),
+      "series_id", "ts", "value"))
+    assert(!p.contains("CartesianProduct"),
+      "pairs must come from the sk equi-join, bounded per series")
+    assert(!p.contains("rangepartitioning"),
+      "no global sort anywhere in the trend plan")
+  }
+
+  test("isolation-forest scoring is one window exchange + a map pass, no join") {
+    import spark.implicits._
+    val df = (0L until 200L).map(i =>
+      (i, if (i % 2 == 0) "a" else "b",
+        new java.sql.Timestamp(1700000000000L + i * 60000L),
+        (i % 13).toDouble)).toDF("event_id", "series_id", "ts", "value")
+    val p = plan(graft.models.IsolationForest.score(df, "event_id",
+      "series_id", "ts", "value", trees = 5, psi = 16))
+    val shuffles = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(shuffles == 1,
+      s"exactly the delta-window exchange expected, found $shuffles:\n$p")
+    assert(!p.contains("Join"), "scoring must not join — the forest rides the closure")
+  }
+
+  test("conformal q-hat table joins back as a broadcast, never an SMJ of facts") {
+    val withResid = series(200).withColumn("resid", col("value") % 5)
+    val p = plan(graft.models.Conformal.splitConformal(withResid,
+      "series_id", "ts", "value", "resid"))
+    assert(p.contains("BroadcastHashJoin"),
+      "per-series q-hat is broadcast-sized by construction")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("funnel is a chain of user-keyed joins — no cartesian, no global sort") {
+    import spark.implicits._
+    val ev = (0 until 300).map { i =>
+      (s"u${i % 29}", new java.sql.Timestamp(1700000000000L + i * 60000L),
+        Seq("view", "click", "purchase")(i % 3))
+    }.toDF("user_id", "ts", "event_type")
+    val p = plan(graft.events.Behavior.funnel(ev, "user_id", "ts",
+      "event_type", Seq("view", "click", "purchase"), "7 DAYS"))
+    assert(!p.contains("CartesianProduct"))
+    assert(!p.contains("rangepartitioning"))
+  }
 }

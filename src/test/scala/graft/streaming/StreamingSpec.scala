@@ -682,4 +682,45 @@ class StreamingSpec extends SparkSpec {
       assert(got.count(_._4 == 1) > 5, "the planted shift must alarm")
     } finally q.stop()
   }
+
+  test("statefulFunnel reaches the batch funnel's levels across splits") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val steps = Seq("view", "click", "purchase")
+    // u1 converts fully; u2 clicks late (outside 1h window); u3 has a
+    // click arriving in a LATER micro-batch than its view; u4 never views
+    def fe(u: String, sec: Int, t: String) = FunnelEvent(u,
+      Timestamp.valueOf(f"2024-01-01 ${sec / 3600}%02d:${(sec / 60) % 60}%02d:${sec % 60}%02d"), t)
+    val evs = Seq(
+      fe("u1", 10, "view"), fe("u1", 100, "click"),
+      fe("u1", 500, "purchase"),
+      fe("u2", 20, "view"), fe("u2", 4000, "click"),
+      fe("u3", 30, "view"), fe("u3", 2000, "click"),
+      fe("u4", 40, "click"), fe("u4", 50, "purchase"))
+    val batch = graft.events.Behavior.funnel(
+        evs.map(e => (e.user_id, e.ts, e.event_type))
+          .toDF("user_id", "ts", "event_type"),
+        "user_id", "ts", "event_type", steps, "1 HOURS")
+      .collect().map(r => r.getAs[String]("user_id") ->
+        r.getAs[Int]("level")).toMap
+    val input = MemoryStream[FunnelEvent]
+    val out = statefulFunnel(input.toDS(), steps, 3600L * 1000)
+    val q = out.writeStream.format("memory").queryName("funnelstream")
+      .outputMode("append").start()
+    try {
+      // split so u3's click lands a batch after its view
+      input.addData(evs.take(5): _*)
+      q.processAllAvailable()
+      input.addData(evs.drop(5): _*)
+      q.processAllAvailable()
+      val levels = spark.sql("select * from funnelstream").collect()
+        .groupBy(_.getAs[String]("user_id"))
+        .view.mapValues(_.map(_.getAs[Int]("level")).max).toMap
+      assert(levels("u1") == 3 && batch("u1") == 3)
+      assert(levels("u2") == 1 && batch("u2") == 1)
+      assert(levels("u3") == 2 && batch("u3") == 2,
+        "state must carry the anchor across micro-batches")
+      assert(!levels.contains("u4") && batch("u4") == 0)
+    } finally q.stop()
+  }
 }

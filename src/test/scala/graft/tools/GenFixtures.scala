@@ -24,7 +24,7 @@ object GenFixtures {
     "q_sig_dedup", "q_langid",
     "q_bpe_merges", "q_bpe_tokens", "q_shesd", "q_holtwinters",
     "q_ewma", "q_cusum", "q_iforest", "q_pelt", "q_spectral",
-    "q_unigram", "q_unigram_tokens",
+    "q_unigram", "q_unigram_tokens", "q_ensemble3",
     "q_matrix_profile", "q_dtw", "q_ensemble2", "q_stem",
     "q_winnow", "q_containment", "q_multimodal", "q_mm_resize",
     "q_mm_decode", "q_mm_video",
