@@ -1250,6 +1250,20 @@ object SparkEntry {
         "doc_id", "text", dim = 64, k = 10)
     }),
 
+    // LLM-pipeline: KMV distinct-count sketch (Bar-Yossef 2002; Beyer
+    // 2007 estimator) — per-source distinct-token estimates from the
+    // k smallest portable hash values; deterministic hash → the
+    // ESTIMATE itself is oracle-checked, exact reference rides along.
+    "q_kmv" -> ((s, dir) => {
+      val words = docs(s, dir).select(col("source"),
+        explode(split(col("text"), " ")).as("term"))
+      llm.Kmv.distinctSketch(words, "source", "term", k = 256)
+        .select(col("source"), col("n_sketch"),
+          round(col("kth_frac"), 9).as("kth_frac"),
+          round(col("est_distinct"), 6).as("est_distinct"),
+          col("exact_distinct"))
+    }),
+
     // LLM-pipeline: unigram-LM tokenizer (Kudo 2018, the SentencePiece
     // unigram model) — the OTHER subword family next to BPE: EM-fit
     // piece probabilities on the word-type table (driver loop bounded
@@ -2973,6 +2987,30 @@ object SparkEntry {
         |  CAST(row_number() OVER (PARTITION BY query_id
         |    ORDER BY bm25 DESC, doc_id ASC) AS BIGINT) AS rank
         |FROM scored QUALIFY rank <= 5""".stripMargin,
+
+    "q_kmv" ->
+      """WITH w AS (SELECT source,
+        |    unnest(string_split(text, ' ')) AS term FROM documents),
+        |h AS (SELECT source, term,
+        |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |      list_transform(string_split(term, ''),
+        |        c -> ascii(c)::BIGINT)),
+        |      (a, b) -> (a * 1000003 + b) % 2147483647) AS hh
+        |  FROM w),
+        |ex AS (SELECT source, count(*) AS exact_distinct FROM
+        |  (SELECT DISTINCT source, term FROM h) x GROUP BY source),
+        |dh AS (SELECT DISTINCT source, hh FROM h),
+        |topk AS (SELECT source, hh,
+        |    row_number() OVER (PARTITION BY source ORDER BY hh ASC) AS r
+        |  FROM dh QUALIFY r <= 256),
+        |sk AS (SELECT source, count(*) AS n_sketch,
+        |    CAST(max(hh) AS DOUBLE) / 2147483647.0 AS kth_frac
+        |  FROM topk GROUP BY source)
+        |SELECT sk.source, n_sketch, round(kth_frac, 9) AS kth_frac,
+        |  round(CASE WHEN n_sketch < 256 THEN CAST(n_sketch AS DOUBLE)
+        |    ELSE 255.0 / kth_frac END, 6) AS est_distinct,
+        |  exact_distinct
+        |FROM sk JOIN ex ON sk.source = ex.source""".stripMargin,
 
     "q_decompose" ->
       """WITH b AS (SELECT user_id, ts, value,

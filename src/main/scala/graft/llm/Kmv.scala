@@ -1,0 +1,60 @@
+package graft.llm
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** KMV — k-minimum-values distinct-count sketch (Bar-Yossef et al.
+  * RANDOM 2002; Beyer et al. SIGMOD 2007 unbiased estimator) — the
+  * mergeable approximate-distinct summary a 100 TB engine needs where
+  * exact `COUNT(DISTINCT)` would shuffle the full key set: keep the k
+  * smallest hash values per group; with U_(k) the k-th smallest as a
+  * fraction of the hash space, D̂ = (k−1)/U_(k).
+  *
+  * DETERMINISTIC twist (the library's oracle contract): the hash is
+  * the engine-portable q_rollhash polynomial, not a seeded murmur —
+  * any engine computes the identical sketch, so the estimate itself
+  * is oracle-checkable, not just "approximately right". The sketch is
+  * the set of k smallest DISTINCT hash values (KMV is defined on the
+  * hash set, so collisions collapse — part of the estimator's ε).
+  *
+  * Plan shape: one distinct aggregate on (group, hash) — the same
+  * exchange exact-distinct would pay on the DEDUPLICATED pairs — then
+  * a per-group top-k window over hash order. At scale the win is the
+  * sketch's MERGEABILITY (k values per partition flow to one tiny
+  * per-group state) and that downstream consumers carry k values, not
+  * the key set. */
+object Kmv {
+
+  private val HashMod = 2147483647L // the portable polynomial's modulus
+
+  /** Per-group sketch + estimate over the distinct values of `value`:
+    * (group, n_sketch, kth_frac, est_distinct, exact_distinct).
+    * When a group has fewer than k distinct hashes the sketch IS the
+    * exact answer (est = n_sketch). `exact_distinct` (distinct raw
+    * values) rides along as the accuracy reference. */
+  def distinctSketch(df: DataFrame, group: String, value: String,
+                     k: Int): DataFrame = {
+    require(k >= 2, s"k=$k must be >= 2")
+    val hashed = df.select(col(group),
+        TextAnalysis.rollingHash(col(value).cast("string")).as("__h"),
+        col(value).cast("string").as("__v"))
+    val exact = hashed.select(col(group), col("__v")).distinct()
+      .groupBy(group).agg(count(lit(1)).as("exact_distinct"))
+    val distinctHashes = hashed.select(col(group), col("__h")).distinct()
+    val w = Window.partitionBy(group).orderBy(col("__h").asc)
+    val sketch = distinctHashes
+      .withColumn("__r", row_number().over(w))
+      .filter(col("__r") <= k)
+      .groupBy(group)
+      .agg(count(lit(1)).as("n_sketch"),
+        (max(col("__h")).cast("double") / lit(HashMod.toDouble))
+          .as("kth_frac"))
+      .withColumn("est_distinct",
+        when(col("n_sketch") < k, col("n_sketch").cast("double"))
+          .otherwise(lit((k - 1).toDouble) / col("kth_frac")))
+    sketch.join(exact, group)
+      .select(col(group), col("n_sketch"), col("kth_frac"),
+        col("est_distinct"), col("exact_distinct"))
+  }
+}
