@@ -376,9 +376,12 @@ object SparkEntry {
     // (parameter-free anomaly), minima = motifs. O(n²) per series via
     // the rolling-dot recurrence, per-series mapGroups → fixture
     // oracle.
+    // w=16 sized to the ~67-row fixture series: 52 subsequences with
+    // an exclusion zone of w/2=8, so the profile is non-vacuous (w=48
+    // excluded every pair and emitted 0 rows on this data).
     "q_matrix_profile" -> ((s, dir) =>
       graft.models.MatrixProfile.profile(ev(s, dir), "user_id", "ts",
-          "value", w = 48)
+          "value", w = 16)
         .select(col("user_id"), col("ts"),
           round(col("mp"), 6).as("mp"), col("mp_index"))),
 
@@ -428,15 +431,23 @@ object SparkEntry {
     // declared as the per-series PAIR SELF-JOIN (bounded by series
     // length), exact `median` + INTEGER S/tie sums → plain SQL oracle.
     "q_trend" -> ((s, dir) =>
+      // Float columns integer-pinned (round(x*1e6) → BIGINT, the
+      // q_quality_calibrate pattern): round(x, 6) yields a DOUBLE whose
+      // binary representation (hence the driver's float-to-text hash)
+      // can differ across engines even when the decimal value agrees.
       graft.models.Trend.theilSenMannKendall(ev(s, dir), "user_id",
           "ts", "value")
         .withColumn("user_id", col("user_id").cast("long"))
         .select(col("user_id"), col("n"),
-          round(col("ts_slope"), 6).as("ts_slope"),
-          round(col("ts_intercept"), 6).as("ts_intercept"), col("mk_s"),
-          round(col("mk_var"), 6).as("mk_var"),
-          round(col("mk_z"), 6).as("mk_z"),
-          round(col("mk_tau"), 6).as("mk_tau"))),
+          round(col("ts_slope") * lit(1e6)).cast("long")
+            .as("ts_slope_i6"),
+          round(col("ts_intercept") * lit(1e6)).cast("long")
+            .as("ts_intercept_i6"),
+          col("mk_s"),
+          round(col("mk_var") * lit(1e6)).cast("long").as("mk_var_i6"),
+          round(col("mk_z") * lit(1e6)).cast("long").as("mk_z_i6"),
+          round(col("mk_tau") * lit(1e6)).cast("long")
+            .as("mk_tau_i6"))),
 
     // M-extra: classical additive seasonal decomposition (the
     // statsmodels seasonal_decompose moving-average method) — the
@@ -2945,15 +2956,16 @@ object SparkEntry {
         |    JOIN nt ON pp.sk = nt.sk JOIN ties ON pp.sk = ties.sk
         |  WHERE n >= 2)
         |SELECT CAST(sk AS BIGINT) AS user_id, n,
-        |  round(ts_slope, 6) AS ts_slope,
-        |  round(ts_intercept, 6) AS ts_intercept, mk_s,
-        |  round(mk_var, 6) AS mk_var,
-        |  round(CASE WHEN mk_var <= 0 THEN 0.0
+        |  CAST(round(ts_slope * 1e6) AS BIGINT) AS ts_slope_i6,
+        |  CAST(round(ts_intercept * 1e6) AS BIGINT) AS ts_intercept_i6,
+        |  mk_s,
+        |  CAST(round(mk_var * 1e6) AS BIGINT) AS mk_var_i6,
+        |  CAST(round((CASE WHEN mk_var <= 0 THEN 0.0
         |    WHEN mk_s > 0 THEN CAST(mk_s - 1 AS DOUBLE)/sqrt(mk_var)
         |    WHEN mk_s < 0 THEN CAST(mk_s + 1 AS DOUBLE)/sqrt(mk_var)
-        |    ELSE 0.0 END, 6) AS mk_z,
-        |  round(2.0*CAST(mk_s AS DOUBLE)/CAST(n*(n-1) AS DOUBLE), 6)
-        |    AS mk_tau
+        |    ELSE 0.0 END) * 1e6) AS BIGINT) AS mk_z_i6,
+        |  CAST(round(2.0*CAST(mk_s AS DOUBLE)/CAST(n*(n-1) AS DOUBLE)
+        |    * 1e6) AS BIGINT) AS mk_tau_i6
         |FROM f""".stripMargin,
 
     "q_bm25" ->
