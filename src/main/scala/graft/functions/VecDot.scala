@@ -125,5 +125,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(PqCodes.info)
     ext.injectFunction(Bloom.aggInfo)
     ext.injectFunction(Bloom.mightContainInfo)
+    ext.injectFunction(KmvAgg.info)
   }
 }

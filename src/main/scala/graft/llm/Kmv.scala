@@ -1,7 +1,6 @@
 package graft.llm
 
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** KMV — k-minimum-values distinct-count sketch (Bar-Yossef et al.
@@ -18,12 +17,14 @@ import org.apache.spark.sql.functions._
   * the set of k smallest DISTINCT hash values (KMV is defined on the
   * hash set, so collisions collapse — part of the estimator's ε).
   *
-  * Plan shape: one distinct aggregate on (group, hash) — the same
-  * exchange exact-distinct would pay on the DEDUPLICATED pairs — then
-  * a per-group top-k window over hash order. At scale the win is the
-  * sketch's MERGEABILITY (k values per partition flow to one tiny
-  * per-group state) and that downstream consumers carry k values, not
-  * the key set. */
+  * Plan shape: the sketch leg is a TRUE partial aggregate
+  * ([[graft.functions.KmvAgg]], a `TypedImperativeAggregate`): each
+  * map task reduces its partition to ≤k minima per group before the
+  * exchange, so the shuffle carries k longs per (partition, group)
+  * instead of the full distinct hash set — the mergeability win that
+  * makes KMV an approximate-distinct at 100 TB. (The `exact_distinct`
+  * reference column still pays the exact-distinct exchange; it exists
+  * only as the accuracy yardstick and is not part of the scale path.) */
 object Kmv {
 
   private val HashMod = 2147483647L // the portable polynomial's modulus
@@ -36,20 +37,19 @@ object Kmv {
   def distinctSketch(df: DataFrame, group: String, value: String,
                      k: Int): DataFrame = {
     require(k >= 2, s"k=$k must be >= 2")
+    graft.functions.KmvAgg.register(df.sparkSession)
     val hashed = df.select(col(group),
         TextAnalysis.rollingHash(col(value).cast("string")).as("__h"),
         col(value).cast("string").as("__v"))
     val exact = hashed.select(col(group), col("__v")).distinct()
       .groupBy(group).agg(count(lit(1)).as("exact_distinct"))
-    val distinctHashes = hashed.select(col(group), col("__h")).distinct()
-    val w = Window.partitionBy(group).orderBy(col("__h").asc)
-    val sketch = distinctHashes
-      .withColumn("__r", row_number().over(w))
-      .filter(col("__r") <= k)
+    val sketch = hashed
       .groupBy(group)
-      .agg(count(lit(1)).as("n_sketch"),
-        (max(col("__h")).cast("double") / lit(HashMod.toDouble))
-          .as("kth_frac"))
+      .agg(call_function("kmv_minima", col("__h"), lit(k)).as("__mins"))
+      .select(col(group),
+        size(col("__mins")).cast("long").as("n_sketch"),
+        (element_at(col("__mins"), size(col("__mins"))).cast("double")
+          / lit(HashMod.toDouble)).as("kth_frac"))
       .withColumn("est_distinct",
         when(col("n_sketch") < k, col("n_sketch").cast("double"))
           .otherwise(lit((k - 1).toDouble) / col("kth_frac")))

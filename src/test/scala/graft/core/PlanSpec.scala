@@ -688,4 +688,20 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"))
     assert(!p.contains("rangepartitioning"))
   }
+
+  test("KMV sketch leg is a partial aggregate — no (group, hash) distinct exchange") {
+    import spark.implicits._
+    val df = (0 until 400).map(i => (s"g${i % 3}", s"tok_${i % 97}_x"))
+      .toDF("g", "v")
+    val p = plan(graft.llm.Kmv.distinctSketch(df, "g", "v", k = 16))
+    // map-side partial keeps ≤k minima before the exchange
+    assert(p.contains("partial_kmv_minima"),
+      s"sketch must pre-aggregate map-side via KmvAgg:\n$p")
+    assert(p.contains("kmv_minima"), "final-mode kmv_minima missing")
+    // the old formulation distinct-aggregated on (g, __h) — that
+    // grouping key must never reappear (the exact_distinct reference
+    // leg groups on __v only)
+    assert(!"""keys=\[[^\]]*__h""".r.findFirstIn(p).isDefined,
+      s"an aggregate is grouping on the hash column again:\n$p")
+  }
 }
