@@ -3155,10 +3155,12 @@ object SparkEntry {
         |  FROM cos QUALIFY r <= 5),
         |nrel AS (SELECT query_id, count(*) AS n_rel FROM truth
         |  GROUP BY query_id),
-        |hitpos AS (SELECT r.query_id, list(r.rank ORDER BY r.rank) AS rp
-        |  FROM bmrank r JOIN truth t
+        |hitpos AS (SELECT t.query_id,
+        |    coalesce(list(r.rank ORDER BY r.rank)
+        |      FILTER (WHERE r.rank IS NOT NULL), []) AS rp
+        |  FROM truth t LEFT JOIN bmrank r
         |    ON r.query_id = t.query_id AND r.doc_id = t.doc_id
-        |  GROUP BY r.query_id)
+        |  GROUP BY t.query_id)
         |SELECT n.query_id, n_rel,
         |  round(CAST(len(list_filter(rp, p -> p <= 5)) AS DOUBLE) /
         |    CAST(n_rel AS DOUBLE), 6) AS recall_at_k,

@@ -25,10 +25,17 @@ import org.apache.spark.sql.functions._
   * q_perplexity convention, mirrored in the oracle's
   * `list_reduce(list(... ORDER BY term))`.
   *
-  * At 100 TB: postings and lengths are one shuffle each on keys with
-  * natural cardinality (term, doc); the candidate fan-out is bounded
-  * by Σ_t df(t) over QUERY terms only — never a corpus cross
-  * product; the final top-k window partitions by query. */
+  * At 100 TB: the postings build is ONE shuffle (the per-doc length
+  * rides the token explode, so no separate lengths aggregate or
+  * doc-keyed join); corpus stats (N, avgdl) are a scan-side
+  * single-partition fold over `documents` (dl ≡ token count, a
+  * projection — no postings re-derivation); document frequency is
+  * computed only for terms the query set mentions (broadcast
+  * LEFT SEMI prefilter on the postings, then one term-keyed window
+  * count over the surviving query-term postings — never the whole
+  * vocabulary); the candidate fan-out is bounded by Σ_t df(t) over
+  * QUERY terms only — never a corpus cross product; the final top-k
+  * window partitions by query. */
 object Bm25 {
 
   /** Top-k docs per query by BM25. `queries` is (queryId, textCol);
@@ -38,17 +45,33 @@ object Bm25 {
            queryId: String, textCol: String, k: Int,
            k1: Double = 1.2, b: Double = 0.75): DataFrame = {
     require(k >= 1, s"k=$k must be >= 1")
+    // dl (token count) carried through the explode: size(split) equals
+    // the exploded term count, so max(dl) per doc reconstructs the
+    // length without a second aggregate + join
     val words = docs.select(col(docId).as("doc_id"),
+      size(split(col(textCol), " ")).cast("long").as("dl"),
       explode(split(col(textCol), " ")).as("term"))
-    val tf = words.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
-    val dl = tf.groupBy("doc_id").agg(sum("tf").as("dl"))
-    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
-    val stats = dl.agg(count(lit(1)).as("n_docs"),
-      (sum("dl").cast("double") / count(lit(1)).cast("double"))
-        .as("avgdl"))
+    val tf = words.groupBy("doc_id", "term")
+      .agg(count(lit(1)).as("tf"), max("dl").as("dl"))
+    // (n_docs, avgdl) from the raw scan: avg token count ≡ avg dl
+    val stats = docs.agg(count(lit(1)).as("n_docs"),
+      avg(size(split(col(textCol), " ")).cast("long")).as("avgdl"))
     val qterms = queries.select(col(queryId).as("query_id"),
         explode(split(col(textCol), " ")).as("term"))
       .distinct()
+    // postings restricted to query terms BEFORE any term-keyed work:
+    // left-semi against the (small, by contract) raw query-term list —
+    // no distinct pass needed, semi joins don't duplicate
+    val tfq = tf.join(
+      broadcast(queries.select(
+        explode(split(col(textCol), " ")).as("term"))),
+      Seq("term"), "left_semi")
+    // df per query term as a whole-partition window count over the
+    // filtered postings: one term-keyed exchange of data the contrib
+    // join carries anyway — a groupBy+join-back would re-derive the
+    // postings (column pruning defeats exchange reuse) and pay two
+    val wTerm = Window.partitionBy("term")
+    val tfqd = tfq.withColumn("df", count(lit(1)).over(wTerm))
     val idf: Column = log(lit(1.0) +
       ((col("n_docs") - col("df")).cast("double") + lit(0.5)) /
         (col("df").cast("double") + lit(0.5)))
@@ -57,9 +80,7 @@ object Bm25 {
         (col("tf").cast("double") +
           lit(k1) * (lit(1.0) - lit(b) +
             lit(b) * col("dl").cast("double") / col("avgdl")))
-    val contribs = qterms.join(tf, "term")
-      .join(dl, "doc_id")
-      .join(dfreq, "term")
+    val contribs = tfqd.join(broadcast(qterms), "term")
       .crossJoin(broadcast(stats))
       .select(col("query_id"), col("doc_id"), col("term"),
         (idf * tfPart).as("contrib"))

@@ -77,20 +77,24 @@ object HashingTf {
   }
 
   /** RRF fusion of two (query_id, doc_id, rank) tables; returns
-    * (query_id, doc_id, rrf rounded to 9, rank ≤ k). */
+    * (query_id, doc_id, rrf rounded to 9, rank ≤ k).
+    *
+    * Shaped as UNION + one keyed aggregate rather than a full-outer
+    * join: full outer can't broadcast, so the join form pays two
+    * exchanges plus a sort per ranker; the union form pays one
+    * partial-aggregated exchange total. Binary float addition is
+    * commutative, so the two-term sum is order-independent —
+    * bit-identical to the coalesce(a)+coalesce(b) join form. */
   def rrfFuse(a: DataFrame, b: DataFrame, k: Int,
               c: Int = 60): DataFrame = {
     require(k >= 1 && c >= 0, "need k >= 1 and c >= 0")
-    val ra = a.select(col("query_id"), col("doc_id"),
-      col("rank").as("rank_a"))
-    val rb = b.select(col("query_id"), col("doc_id"),
-      col("rank").as("rank_b"))
-    val fused = ra.join(rb, Seq("query_id", "doc_id"), "full_outer")
-      .withColumn("rrf", round(
-        coalesce(lit(1.0) / (lit(c.toDouble) +
-          col("rank_a").cast("double")), lit(0.0)) +
-        coalesce(lit(1.0) / (lit(c.toDouble) +
-          col("rank_b").cast("double")), lit(0.0)), 9))
+    val contrib = (df: DataFrame) => df.select(col("query_id"),
+      col("doc_id"),
+      (lit(1.0) / (lit(c.toDouble) + col("rank").cast("double")))
+        .as("__c"))
+    val fused = contrib(a).unionAll(contrib(b))
+      .groupBy("query_id", "doc_id")
+      .agg(round(sum("__c"), 9).as("rrf"))
     val w = Window.partitionBy("query_id")
       .orderBy(col("rrf").desc, col("doc_id").asc)
     fused.withColumn("rank", row_number().over(w).cast("long"))

@@ -31,19 +31,24 @@ object RetrievalEval {
   def evalRanking(result: DataFrame, truth: DataFrame,
                   k: Int): DataFrame = {
     require(k >= 1, s"k=$k must be >= 1")
+    // ONE pass over the relevant set: left-join ranks onto it (a miss
+    // is a null rank) and fold n_rel + hit positions in a single
+    // keyed aggregate — collect_list skips nulls, so relpos is exactly
+    // the ranks where a relevant doc appeared. The old two-aggregate +
+    // re-join form paid an extra exchange and recomputed the truth
+    // ranker's DAG twice.
     val rel = truth.select(col("query_id"), col("doc_id"))
-    val nRel = rel.groupBy("query_id").agg(count(lit(1)).as("n_rel"))
-    // positions (ranks) in `result` where a relevant doc appears
-    val hitPos = result.select(col("query_id"), col("doc_id"),
-        col("rank").cast("long").as("rank"))
-      .join(rel, Seq("query_id", "doc_id"))
-      .groupBy("query_id")
-      .agg(sort_array(collect_list(col("rank"))).as("relpos"))
+    // rank tables are queries × k by construction — broadcast the
+    // result side so the hit join is map-side and the fold can ride
+    // the truth ranker's query_id partitioning
+    val res = broadcast(result.select(col("query_id"), col("doc_id"),
+      col("rank").cast("long").as("rank")))
     val log2 = (c: org.apache.spark.sql.Column) =>
       log(c) / log(lit(2.0))
-    nRel.join(hitPos, Seq("query_id"), "left")
-      .withColumn("relpos",
-        coalesce(col("relpos"), array().cast("array<long>")))
+    rel.join(res, Seq("query_id", "doc_id"), "left")
+      .groupBy("query_id")
+      .agg(count(lit(1)).as("n_rel"),
+        sort_array(collect_list(col("rank"))).as("relpos"))
       .withColumn("recall_at_k",
         size(filter(col("relpos"), p => p <= k)).cast("double") /
           col("n_rel").cast("double"))
