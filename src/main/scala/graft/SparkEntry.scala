@@ -1701,7 +1701,16 @@ object SparkEntry {
     // operator joins the oracle gate (the text is pure ASCII, making
     // byte-substr and char-substr coincide).
     "q_mm_frames" -> ((s, dir) => {
-      val media = llm.Multimodal.synthesize(docs(s, dir), "doc_id",
+      // the byte-substr ⇔ char-substr equivalence the oracle relies on
+      // holds ONLY for ASCII payloads — enforce it loudly (octet_length
+      // == length iff pure ASCII) instead of silently diverging
+      val ascii = docs(s, dir).withColumn("text",
+        when(octet_length(col("text")) === length(col("text")),
+          col("text"))
+          .otherwise(raise_error(concat(
+            lit("q_mm_frames requires ASCII text; non-ASCII doc_id="),
+            col("doc_id")))))
+      val media = llm.Multimodal.synthesize(ascii, "doc_id",
         "text")
       llm.Multimodal.sampleFrames(media, frames = 4)
         .select(col("media_id"), col("frame_idx"),
@@ -3133,8 +3142,10 @@ object SparkEntry {
         |ks AS (SELECT user_id,
         |    CAST(ceil((ncal + 1) * (1.0 - 0.1)) AS BIGINT) AS k
         |  FROM (SELECT DISTINCT user_id, ncal FROM b2) x),
-        |qh AS (SELECT cal.user_id, a AS qhat FROM cal
-        |  JOIN ks ON cal.user_id = ks.user_id AND cal.r = ks.k)
+        |qh AS (SELECT ks.user_id,
+        |    coalesce(a, CAST('infinity' AS DOUBLE)) AS qhat
+        |  FROM ks LEFT JOIN cal
+        |    ON cal.user_id = ks.user_id AND cal.r = ks.k)
         |SELECT b2.user_id, ts, value, hw_resid AS resid, qhat,
         |  CASE WHEN abs(hw_resid) > qhat THEN 1 ELSE 0 END AS is_anomaly
         |FROM b2 JOIN qh ON b2.user_id = qh.user_id

@@ -17,6 +17,19 @@ import org.apache.spark.sql.functions._
   * the set of k smallest DISTINCT hash values (KMV is defined on the
   * hash set, so collisions collapse — part of the estimator's ε).
   *
+  * KNOWN BIAS — short tokens: the (k−1)/U_(k) estimator assumes
+  * uniformly distributed hashes, but the rolling polynomial maps
+  * 1-char tokens into [0, 127] and 2-char tokens into [0, ~1.3e8]
+  * (~6% of the 2³¹ space), so a vocabulary dominated by very short
+  * tokens concentrates small hash values and the estimate
+  * OVERESTIMATES the distinct count (roughly by the inverse of the
+  * occupied hash-space fraction; KmvSpec pins the effect). Tokens of
+  * ≥ 5 chars mix past the modulus and behave uniformly. The portable
+  * hash is kept anyway because cross-engine oracle-checkability is
+  * this library's contract; callers sketching short-key domains
+  * should pre-mix keys (e.g. `xxhash64`, giving up the SQL oracle) or
+  * treat the estimate as an upper bound.
+  *
   * Plan shape: the sketch leg is a TRUE partial aggregate
   * ([[graft.functions.KmvAgg]], a `TypedImperativeAggregate`): each
   * map task reduces its partition to ≤k minima per group before the

@@ -26,7 +26,18 @@ object Decompose {
 
   /** Returns (series, ts, value, trend, seasonal, resid); trend/resid
     * null at the first/last m/2 points (the classical edge). Requires
-    * even period ≥ 2. */
+    * even period ≥ 2.
+    *
+    * Short-series contract: phase means exist only for phases with at
+    * least one non-null-trend (detrended) point, and rows join their
+    * phase mean INNER, so a series with n < period+1 (no detrended
+    * points at all) disappears from the output entirely, and a series
+    * with period+1 ≤ n < 2·period keeps only the rows whose phase was
+    * covered. This is deliberate: a phase with no detrended evidence
+    * has no defensible seasonal estimate (statsmodels emits NaN
+    * there), and the cross-engine oracle pins the same drop. Callers
+    * that need every row back should left-join this output to their
+    * input. */
   def classical(df: DataFrame, series: String, ts: String,
                 value: String, period: Int): DataFrame = {
     require(period >= 2 && period % 2 == 0,

@@ -149,6 +149,11 @@ object IsolationForest {
       .select(col("id"), col("value"), col("delta"))
       .collect()
       .map(r => (r.getLong(0), Array(r.getDouble(1), r.getDouble(2))))
+    // guard the EFFECTIVE psi, not just the parameter: with <= 1
+    // sampled rows cFactor(psi) = 0 and every score would be
+    // 2^(-e/0) = NaN — fail loudly instead
+    require(sample.length >= 2,
+      s"isolation forest needs >= 2 rows to sample, got ${sample.length}")
     val forest = buildForest(sample, trees, math.min(psi, sample.length))
     val cPsi = cFactor(math.min(psi, sample.length))
     val nTrees = forest.length

@@ -47,6 +47,23 @@ class KmvSpec extends SparkSpec {
     assert(est > 1500 && est < 2500, s"estimate $est too far from 2000")
   }
 
+  test("short-token vocabularies overestimate, as documented") {
+    // all 1-2 char lowercase tokens: 26 + 676 = 702 distinct, hashes
+    // confined to ~6% of the 2^31 space -> the uniformity assumption
+    // breaks and (k-1)/U_(k) lands far ABOVE the truth. This pins the
+    // documented bias (Kmv scaladoc "KNOWN BIAS") so it can't silently
+    // change; long-token accuracy is covered by the test above.
+    val short = (('a' to 'z').map(_.toString) ++
+      (for (a <- 'a' to 'z'; b <- 'a' to 'z') yield s"$a$b"))
+    val rows = short.flatMap(t => Seq(("a", t), ("a", t)))
+    val r = Kmv.distinctSketch(frame(rows), "g", "v", k = 128)
+      .collect().head
+    assert(r.getAs[Long]("exact_distinct") == 702L)
+    val est = r.getAs[Double]("est_distinct")
+    assert(est > 2 * 702,
+      s"expected the documented short-token overestimate, got $est")
+  }
+
   test("groups are independent; repartition-invariant") {
     val rows = Seq.tabulate(500)(i => ("big", s"w$i")) ++
       Seq.tabulate(30)(i => ("small", s"w${i % 5}"))
