@@ -340,6 +340,46 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming BM25 over a persisted index equals batch Bm25.topK") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val docsDf = corpus.toDF("doc_id", "text")
+    // self-retrieval queries plus a partial-overlap novel query and a
+    // no-hit query (must emit nothing, like the batch inner join)
+    val queries = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "pack my box with five dozen liquor jugs today"),
+      (10L, "quick zebras judge the dog"),
+      (11L, "zzz yyy xxx"))
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getLong(1), math.round(r.getDouble(2) * 1e6),
+        r.getLong(3))
+    val batch = graft.llm.Bm25.topK(docsDf,
+        queries.toDF("doc_id", "text"), "doc_id", "doc_id", "text",
+        k = 3)
+      .select(col("query_id"), col("doc_id"), col("bm25"), col("rank"))
+      .collect().map(key).toSet
+    assert(batch.nonEmpty && !batch.exists(_._1 == 11L))
+    val index = StreamingRetrieval.buildBm25Index(docsDf, "doc_id",
+      "text")
+    val input = MemoryStream[(Long, String)]
+    val ranked = StreamingRetrieval.bm25TopK(
+      input.toDF().toDF("query_id", "text"), index, "query_id", "text",
+      k = 3)
+    val q = ranked.toDF().writeStream.format("memory")
+      .queryName("sbm25").outputMode("append").start()
+    try {
+      input.addData(queries.take(2): _*)
+      q.processAllAvailable()
+      input.addData(queries.drop(2): _*)
+      q.processAllAvailable()
+      val streamed = spark.sql(
+          "select query_id, doc_id, bm25, rank from sbm25")
+        .collect().map(key).toSet
+      assert(streamed === batch)
+    } finally q.stop()
+  }
+
   test("compaction loop: incremental candidates + periodic sweep converge to batch") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
