@@ -1275,6 +1275,19 @@ object SparkEntry {
           col("exact_distinct"))
     }),
 
+    // Sketch tier: mergeable histogram-quantile sketch — per-series
+    // p50/p90/p99 of `value` from a fixed-range equi-width histogram
+    // (bins=1000 over [0, 500), width 0.5). The (group, bin) count
+    // aggregate IS the sketch (map-side combinable, merge = addition),
+    // and the all-integer bin arithmetic makes the ESTIMATE itself
+    // oracle-checkable — the q_kmv convention for sketches.
+    "q_histq" -> ((s, dir) =>
+      graft.core.Quantiles.histogramQuantiles(ev(s, dir), "user_id",
+          "value", lo = 0.0, hi = 500.0, bins = 1000,
+          qs = Seq(0.5, 0.9, 0.99))
+        .select(col("user_id"), col("q"), col("n"), col("qbin"),
+          round(col("est"), 6).as("est"))),
+
     // LLM-pipeline: unigram-LM tokenizer (Kudo 2018, the SentencePiece
     // unigram model) — the OTHER subword family next to BPE: EM-fit
     // piece probabilities on the word-type table (driver loop bounded
@@ -3032,6 +3045,26 @@ object SparkEntry {
         |    ELSE 255.0 / kth_frac END, 6) AS est_distinct,
         |  exact_distinct
         |FROM sk JOIN ex ON sk.source = ex.source""".stripMargin,
+
+    "q_histq" ->
+      """WITH b AS (SELECT user_id,
+        |    CAST(least(greatest(
+        |      floor((value - 0.0) / ((500.0 - 0.0) / 1000)), 0.0),
+        |      999.0) AS BIGINT) AS bin
+        |  FROM events WHERE value IS NOT NULL),
+        |c AS (SELECT user_id, bin, count(*) AS c FROM b
+        |  GROUP BY user_id, bin),
+        |cu AS (SELECT user_id, bin, c,
+        |    sum(c) OVER (PARTITION BY user_id ORDER BY bin) AS cum,
+        |    sum(c) OVER (PARTITION BY user_id) AS n
+        |  FROM c),
+        |qv AS (SELECT unnest([0.5, 0.9, 0.99]) AS q)
+        |SELECT user_id, q, CAST(max(n) AS BIGINT) AS n,
+        |  min(bin) AS qbin,
+        |  round(0.0 + CAST(min(bin) + 1 AS DOUBLE)
+        |    * ((500.0 - 0.0) / 1000), 6) AS est
+        |FROM cu JOIN qv ON cum >= ceil(q * CAST(n AS DOUBLE))
+        |GROUP BY user_id, q""".stripMargin,
 
     "q_decompose" ->
       """WITH b AS (SELECT user_id, ts, value,

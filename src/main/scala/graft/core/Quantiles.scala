@@ -1,0 +1,69 @@
+package graft.core
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Mergeable histogram-quantile sketch — the one-pass approximate
+  * quantile a 100 TB profile job needs where exact percentiles would
+  * global-sort the column (and where GK/t-digest style sketches give
+  * up cross-engine determinism: their state depends on merge order).
+  *
+  * The sketch is a fixed-range equi-width histogram: bin(v) =
+  * clamp(⌊(v − lo) / w⌋, 0, bins−1) with w = (hi − lo)/bins. Counts
+  * per (group, bin) are an ordinary partial-aggregated `groupBy` —
+  * the map-side combine IS the sketch build, the exchange carries at
+  * most `bins` rows per group per partition, and merging sketches is
+  * plain count addition (associative + commutative), so the result is
+  * identical on any partitioning. The quantile estimate is the RIGHT
+  * EDGE of the first bin whose cumulative count reaches ⌈q·n⌉, giving
+  * the deterministic guarantee exact_q ≤ est < exact_q + w (est is an
+  * upper bound at most one bin width above the exact quantile;
+  * QuantilesSpec pins it against `percentile` exactly).
+  *
+  * Everything is integer-or-IEEE-deterministic arithmetic, so unlike
+  * approx_percentile the estimate itself is oracle-checkable in plain
+  * SQL — the library's L65/KMV convention for sketches.
+  *
+  * Plan shape: one (group, bin) count aggregate, one per-group
+  * cumulative window over ≤ `bins` rows, and a final (group, q) min
+  * that rides the window's group partitioning (no third exchange —
+  * hash(group) already clusters (group, q)). Values outside [lo, hi)
+  * clamp into the edge bins: the range is the sketch's contract, as
+  * with any fixed-range histogram. */
+object Quantiles {
+
+  /** Per-group quantile estimates: (group, q, n, qbin, est) for each
+    * q in `qs` (each must be in (0, 1]). Groups ride through; rows
+    * with null `value` are ignored (SQL aggregate convention). */
+  def histogramQuantiles(df: DataFrame, group: String, value: String,
+                         lo: Double, hi: Double, bins: Int,
+                         qs: Seq[Double]): DataFrame = {
+    require(bins >= 2, s"bins=$bins must be >= 2")
+    require(hi > lo, s"need hi=$hi > lo=$lo")
+    require(qs.nonEmpty && qs.forall(q => q > 0 && q <= 1),
+      "each q must be in (0, 1]")
+    val w = (hi - lo) / bins
+    val spark = df.sparkSession
+    import spark.implicits._
+    val bin = least(greatest(
+      floor((col(value) - lit(lo)) / lit(w)), lit(0.0)),
+      lit((bins - 1).toDouble)).cast("long")
+    val counts = df.filter(col(value).isNotNull)
+      .select(col(group).as("__g"), bin.as("__b"))
+      .groupBy("__g", "__b").agg(count(lit(1)).as("__c"))
+    val wg = Window.partitionBy("__g").orderBy("__b")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = counts
+      .withColumn("__cum", sum("__c").over(wg))
+      .withColumn("__n", sum("__c").over(Window.partitionBy("__g")))
+    val qdf = broadcast(qs.toDF("q"))
+    cum.join(qdf,
+        col("__cum") >= ceil(col("q") * col("__n").cast("double")))
+      .groupBy(col("__g"), col("q"))
+      .agg(min("__b").as("qbin"), max("__n").as("n"))
+      .select(col("__g").as(group), col("q"), col("n"), col("qbin"),
+        (lit(lo) + (col("qbin") + 1).cast("double") * lit(w))
+          .as("est"))
+  }
+}
