@@ -33,37 +33,68 @@ import org.apache.spark.sql.functions._
   * with any fixed-range histogram. */
 object Quantiles {
 
-  /** Per-group quantile estimates: (group, q, n, qbin, est) for each
-    * q in `qs` (each must be in (0, 1]). Groups ride through; rows
-    * with null `value` are ignored (SQL aggregate convention). */
-  def histogramQuantiles(df: DataFrame, group: String, value: String,
-                         lo: Double, hi: Double, bins: Int,
-                         qs: Seq[Double]): DataFrame = {
+  private def checkRange(lo: Double, hi: Double, bins: Int): Unit = {
     require(bins >= 2, s"bins=$bins must be >= 2")
     require(hi > lo, s"need hi=$hi > lo=$lo")
+  }
+
+  /** The clamp-and-floor bin index of `value` for [lo, hi) / bins. */
+  def binExpr(value: org.apache.spark.sql.Column, lo: Double,
+              hi: Double, bins: Int): org.apache.spark.sql.Column = {
+    val w = (hi - lo) / bins
+    least(greatest(floor((value - lit(lo)) / lit(w)), lit(0.0)),
+      lit((bins - 1).toDouble)).cast("long")
+  }
+
+  /** The sketch itself: (group, bin, cnt) counts — map-side
+    * combinable, merge = addition, the relation a caller persists (or
+    * streams — see `StreamingDetect.windowedBinCounts`). Null values
+    * are ignored (SQL aggregate convention). */
+  def binCounts(df: DataFrame, group: String, value: String,
+                lo: Double, hi: Double, bins: Int): DataFrame = {
+    checkRange(lo, hi, bins)
+    df.filter(col(value).isNotNull)
+      .select(col(group).as("group"),
+        binExpr(col(value), lo, hi, bins).as("bin"))
+      .groupBy("group", "bin").agg(count(lit(1)).as("cnt"))
+  }
+
+  /** Finisher over a (group, bin, cnt) sketch relation (same [lo, hi,
+    * bins] it was built with): (group, q, n, qbin, est) per q. Safe to
+    * run over a UNION of sketch increments — duplicate (group, bin)
+    * rows merge by addition first, the sketch's merge law. */
+  def quantilesFromCounts(counts: DataFrame, lo: Double, hi: Double,
+                          bins: Int, qs: Seq[Double]): DataFrame = {
+    checkRange(lo, hi, bins)
     require(qs.nonEmpty && qs.forall(q => q > 0 && q <= 1),
       "each q must be in (0, 1]")
     val w = (hi - lo) / bins
-    val spark = df.sparkSession
+    val spark = counts.sparkSession
     import spark.implicits._
-    val bin = least(greatest(
-      floor((col(value) - lit(lo)) / lit(w)), lit(0.0)),
-      lit((bins - 1).toDouble)).cast("long")
-    val counts = df.filter(col(value).isNotNull)
-      .select(col(group).as("__g"), bin.as("__b"))
-      .groupBy("__g", "__b").agg(count(lit(1)).as("__c"))
-    val wg = Window.partitionBy("__g").orderBy("__b")
+    val merged = counts
+      .groupBy("group", "bin").agg(sum("cnt").as("__c"))
+    val wg = Window.partitionBy("group").orderBy("bin")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val cum = counts
+    val cum = merged
       .withColumn("__cum", sum("__c").over(wg))
-      .withColumn("__n", sum("__c").over(Window.partitionBy("__g")))
+      .withColumn("__n", sum("__c").over(Window.partitionBy("group")))
     val qdf = broadcast(qs.toDF("q"))
     cum.join(qdf,
         col("__cum") >= ceil(col("q") * col("__n").cast("double")))
-      .groupBy(col("__g"), col("q"))
-      .agg(min("__b").as("qbin"), max("__n").as("n"))
-      .select(col("__g").as(group), col("q"), col("n"), col("qbin"),
+      .groupBy(col("group"), col("q"))
+      .agg(min("bin").as("qbin"), max("__n").as("n"))
+      .select(col("group"), col("q"), col("n"), col("qbin"),
         (lit(lo) + (col("qbin") + 1).cast("double") * lit(w))
           .as("est"))
   }
+
+  /** Per-group quantile estimates: (group, q, n, qbin, est) for each
+    * q in `qs` (each must be in (0, 1]); build + finish in one plan.
+    * The output `group` column keeps the caller's name. */
+  def histogramQuantiles(df: DataFrame, group: String, value: String,
+                         lo: Double, hi: Double, bins: Int,
+                         qs: Seq[Double]): DataFrame =
+    quantilesFromCounts(binCounts(df, group, value, lo, hi, bins),
+        lo, hi, bins, qs)
+      .withColumnRenamed("group", group)
 }

@@ -32,6 +32,29 @@ object StreamingDetect {
       .select(col(series), col("start_ts"), col("end_ts"), col("n_points"))
   }
 
+  /** L66 streaming: time-windowed histogram-quantile SKETCH build —
+    * (series, window_start, bin, cnt) increments, append-emitted when
+    * the watermark closes each window. The sketch's merge-by-addition
+    * law is exactly what makes it streaming-native: the stateful op is
+    * a plain windowed count (bounded by `bins` rows per open window),
+    * and quantile extraction is the batch finisher
+    * [[graft.core.Quantiles.quantilesFromCounts]] over the persisted
+    * sink — StreamingSpec pins stream-built ≡ batch-built quantiles.
+    * Works identically on batch frames. */
+  def windowedBinCounts(df: DataFrame, series: String, ts: String,
+                        value: String, windowDuration: String,
+                        lo: Double, hi: Double, bins: Int,
+                        watermark: String = "1 hour"): DataFrame = {
+    val src = if (df.isStreaming) df.withWatermark(ts, watermark) else df
+    src.filter(col(value).isNotNull)
+      .groupBy(col(series), window(col(ts), windowDuration),
+        graft.core.Quantiles.binExpr(col(value), lo, hi, bins)
+          .as("bin"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(col(series), col("window.start").as("window_start"),
+        col("bin"), col("cnt"))
+  }
+
   /** W1 streaming analogue: sliding time-window mean/std per series with
     * a watermark for state cleanup. */
   def rollingStats(df: DataFrame, series: String, ts: String, value: String,

@@ -340,6 +340,52 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("windowed histogram sketch: stream-built counts finish to the batch quantiles") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val base = Timestamp.valueOf("2024-01-01 00:00:00").getTime
+    val rng = new scala.util.Random(3)
+    // two series, three tumbling hours, values in [0, 10)
+    val rows = (0 until 240).map { i =>
+      (if (i % 2 == 0) "a" else "b",
+        new Timestamp(base + i * 45L * 1000), rng.nextDouble() * 10.0)
+    }
+    // batch reference: per (series, hour) quantiles via the one-shot op
+    val batchDf = rows.toDF("series_id", "ts", "value")
+      .withColumn("g", concat(col("series_id"), lit("|"),
+        date_trunc("hour", col("ts")).cast("string")))
+    val batch = graft.core.Quantiles.histogramQuantiles(batchDf, "g",
+        "value", 0.0, 10.0, 100, Seq(0.5, 0.99))
+      .collect()
+      .map(r => (r.getAs[String]("g"), r.getAs[Double]("q")) ->
+        (r.getAs[Long]("n"), r.getAs[Long]("qbin"),
+          r.getAs[Double]("est"))).toMap
+    // stream: sketch increments per (series, 1h window, bin), split
+    // across two micro-batches mid-window; finisher runs on the sink
+    val input = MemoryStream[(String, Timestamp, Double)]
+    val counts = StreamingDetect.windowedBinCounts(
+      input.toDF().toDF("series_id", "ts", "value"), "series_id", "ts",
+      "value", "1 hour", 0.0, 10.0, 100)
+    val q = counts.writeStream.format("memory").queryName("histsink")
+      .outputMode("complete").start()
+    try {
+      input.addData(rows.take(100))
+      q.processAllAvailable()
+      input.addData(rows.drop(100))
+      q.processAllAvailable()
+      val sunk = spark.sql(
+          """select concat(series_id, '|', cast(window_start as string))
+            |  as group, bin, cnt from histsink""".stripMargin)
+      val streamed = graft.core.Quantiles.quantilesFromCounts(sunk,
+          0.0, 10.0, 100, Seq(0.5, 0.99))
+        .collect()
+        .map(r => (r.getAs[String]("group"), r.getAs[Double]("q")) ->
+          (r.getAs[Long]("n"), r.getAs[Long]("qbin"),
+            r.getAs[Double]("est"))).toMap
+      assert(streamed.nonEmpty && streamed === batch)
+    } finally q.stop()
+  }
+
   test("streaming BM25 over a persisted index equals batch Bm25.topK") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
