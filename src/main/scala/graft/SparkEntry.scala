@@ -1275,6 +1275,22 @@ object SparkEntry {
           col("exact_distinct"))
     }),
 
+    // Sketch tier: Count-Min heavy-hitter estimates — top-20 corpus
+    // tokens by exact count with the CMS point estimate riding along
+    // (d=4 salted portable hashes × w=1024 buckets: real collisions at
+    // this vocab, so est > exact is exercised, and the deterministic
+    // hash makes the ESTIMATE itself oracle-checked).
+    "q_cms" -> ((s, dir) => {
+      val words = docs(s, dir).select(
+        explode(split(col("text"), " ")).as("term"))
+      val exact = words.groupBy("term")
+        .agg(count(lit(1)).as("exact_cnt"))
+        .orderBy(col("exact_cnt").desc, col("term").asc).limit(20)
+      val sk = llm.Cms.sketch(words, "term", depth = 4, width = 1024)
+      llm.Cms.estimate(sk, exact, "term", depth = 4, width = 1024)
+        .select(col("term"), col("exact_cnt"), col("cms_est"))
+    }),
+
     // Sketch tier: mergeable histogram-quantile sketch — per-series
     // p50/p90/p99 of `value` from a fixed-range equi-width histogram
     // (bins=1000 over [0, 500), width 0.5). The (group, bin) count
@@ -3045,6 +3061,36 @@ object SparkEntry {
         |    ELSE 255.0 / kth_frac END, 6) AS est_distinct,
         |  exact_distinct
         |FROM sk JOIN ex ON sk.source = ex.source""".stripMargin,
+
+    "q_cms" ->
+      """WITH wds AS (SELECT unnest(string_split(text, ' ')) AS term
+        |  FROM documents),
+        |ex AS (SELECT term, count(*) AS exact_cnt FROM wds
+        |  GROUP BY term ORDER BY exact_cnt DESC, term ASC LIMIT 20),
+        |rws AS (SELECT CAST(unnest(range(4)) AS BIGINT) AS r),
+        |h AS (SELECT w.term, r.r,
+        |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |      list_transform(string_split(
+        |        CAST(r.r AS VARCHAR) || w.term, ''),
+        |        c -> ascii(c)::BIGINT)),
+        |      (a, b) -> (a * 1000003 + b) % 2147483647) % 1024
+        |      AS bucket
+        |  FROM wds w CROSS JOIN rws r),
+        |sk AS (SELECT r, bucket, count(*) AS cnt FROM h
+        |  GROUP BY r, bucket),
+        |probe AS (SELECT e.term, e.exact_cnt, r.r,
+        |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |      list_transform(string_split(
+        |        CAST(r.r AS VARCHAR) || e.term, ''),
+        |        c -> ascii(c)::BIGINT)),
+        |      (a, b) -> (a * 1000003 + b) % 2147483647) % 1024
+        |      AS bucket
+        |  FROM ex e CROSS JOIN rws r)
+        |SELECT p.term, p.exact_cnt,
+        |  CAST(min(coalesce(s.cnt, 0)) AS BIGINT) AS cms_est
+        |FROM probe p LEFT JOIN sk s
+        |  ON p.r = s.r AND p.bucket = s.bucket
+        |GROUP BY p.term, p.exact_cnt""".stripMargin,
 
     "q_histq" ->
       """WITH b AS (SELECT user_id,
