@@ -49,17 +49,20 @@ object Cms {
     * input columns ride through, plus `cms_est` = min over rows of the
     * item's bucket count (0 if a bucket row is absent — an item never
     * counted). The sketch side is d·w rows — broadcast by
-    * construction. */
+    * construction. Safe to feed a UNION of sketch increments (e.g. the
+    * windowed streaming sink): duplicate (row, bucket) rows merge by
+    * addition first — the sketch's merge law. */
   def estimate(sk: DataFrame, items: DataFrame, value: String,
                depth: Int, width: Int): DataFrame = {
     require(depth >= 1 && width >= 2, "need depth >= 1, width >= 2")
+    val merged = sk.groupBy("row", "bucket").agg(sum("cnt").as("cnt"))
     val withRb = items
       .withColumn("__rb", explode(array((0 until depth).map(r =>
         struct(lit(r).as("row"),
           bucketExpr(col(value), r, width).as("bucket"))): _*)))
       .select(items.columns.map(col) :+ col("__rb.row").as("row") :+
         col("__rb.bucket").as("bucket"): _*)
-    withRb.join(broadcast(sk), Seq("row", "bucket"), "left")
+    withRb.join(broadcast(merged), Seq("row", "bucket"), "left")
       .groupBy(items.columns.map(col): _*)
       .agg(min(coalesce(col("cnt"), lit(0L))).as("cms_est"))
   }

@@ -55,6 +55,29 @@ object StreamingDetect {
         col("bin"), col("cnt"))
   }
 
+  /** L67 streaming: time-windowed Count-Min sketch increments —
+    * (window_start, row, bucket, cnt), the same windowed-sketch shape
+    * as [[windowedBinCounts]]. State per open window is d·w counters;
+    * downstream, [[graft.llm.Cms.estimate]] accepts the UNION of sink
+    * increments directly (it merges duplicate (row, bucket) rows by
+    * addition — the sketch's merge law), so per-window AND
+    * whole-stream heavy-hitter reads are both one finisher call.
+    * StreamingSpec pins stream-built ≡ batch estimates. */
+  def windowedCmsCounts(df: DataFrame, ts: String, value: String,
+                        windowDuration: String, depth: Int, width: Int,
+                        watermark: String = "1 hour"): DataFrame = {
+    val src = if (df.isStreaming) df.withWatermark(ts, watermark) else df
+    src.filter(col(value).isNotNull)
+      .select(col(ts), posexplode(array((0 until depth).map(r =>
+        graft.llm.Cms.bucketExpr(col(value), r, width)): _*))
+        .as(Seq("row", "bucket")))
+      .groupBy(window(col(ts), windowDuration), col("row"),
+        col("bucket"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(col("window.start").as("window_start"), col("row"),
+        col("bucket"), col("cnt"))
+  }
+
   /** W1 streaming analogue: sliding time-window mean/std per series with
     * a watermark for state cleanup. */
   def rollingStats(df: DataFrame, series: String, ts: String, value: String,

@@ -386,6 +386,43 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("windowed CMS increments union-merge to the batch estimates") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val base = Timestamp.valueOf("2024-01-01 00:00:00").getTime
+    val rows = (0 until 200).map { i =>
+      (new Timestamp(base + i * 60L * 1000), s"tok_${i % 23}_y")
+    }
+    val batchSk = graft.llm.Cms.sketch(rows.map(_._2).toDF("term"),
+      "term", depth = 4, width = 64)
+    val probe = (0 until 23).map(i => s"tok_${i}_y").toDF("term")
+    def estMap(sk: org.apache.spark.sql.DataFrame) =
+      graft.llm.Cms.estimate(sk, probe, "term", 4, 64)
+        .collect()
+        .map(r => r.getAs[String]("term") -> r.getAs[Long]("cms_est"))
+        .toMap
+    val batch = estMap(batchSk)
+    val input = MemoryStream[(Timestamp, String)]
+    val counts = StreamingDetect.windowedCmsCounts(
+      input.toDF().toDF("ts", "term"), "ts", "term", "1 hour",
+      depth = 4, width = 64)
+    val q = counts.writeStream.format("memory").queryName("cmssink")
+      .outputMode("complete").start()
+    try {
+      input.addData(rows.take(90))
+      q.processAllAvailable()
+      input.addData(rows.drop(90))
+      q.processAllAvailable()
+      // the whole-stream read: estimate over the raw UNION of window
+      // increments — merge law, no pre-aggregation by the caller
+      val sunk = spark.sql("select row, bucket, cnt from cmssink")
+      assert(spark.sql(
+        "select count(distinct window_start) from cmssink")
+        .head.getLong(0) > 1, "test must span multiple windows")
+      assert(estMap(sunk) === batch)
+    } finally q.stop()
+  }
+
   test("streaming BM25 over a persisted index equals batch Bm25.topK") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
