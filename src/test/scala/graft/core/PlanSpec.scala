@@ -689,6 +689,31 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("rangepartitioning"))
   }
 
+  test("histogram-quantile sketch is two exchanges; the (group, q) min rides the group partitioning") {
+    import spark.implicits._
+    val df = (0 until 500).map(i => (s"g${i % 5}", (i % 97) / 10.0))
+      .toDF("g", "v")
+    val p = plan(Quantiles.histogramQuantiles(df, "g", "v",
+      0.0, 10.0, 100, Seq(0.5, 0.99)))
+    val shuffles = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(shuffles == 2,
+      s"sketch agg + cum window only — found $shuffles exchanges:\n$p")
+    assert(!p.contains("CartesianProduct"),
+      "the tiny q frame must broadcast, never cartesian")
+  }
+
+  test("CMS estimate joins the sketch as a broadcast — no sort-merge of probes") {
+    import spark.implicits._
+    val words = (0 until 400).map(i => s"t${i % 37}").toDF("term")
+    val sk = graft.llm.Cms.sketch(words, "term", 4, 128)
+    val items = (0 until 10).map(i => s"t$i").toDF("term")
+    val p = plan(graft.llm.Cms.estimate(sk, items, "term", 4, 128))
+    assert(p.contains("BroadcastHashJoin"),
+      "d*w-row sketch must broadcast to the probes")
+    assert(!p.contains("SortMergeJoin"),
+      "bounded sketch side must never SMJ")
+  }
+
   test("KMV sketch leg is a partial aggregate — no (group, hash) distinct exchange") {
     import spark.implicits._
     val df = (0 until 400).map(i => (s"g${i % 3}", s"tok_${i % 97}_x"))
