@@ -1275,6 +1275,20 @@ object SparkEntry {
           col("exact_distinct"))
     }),
 
+    // LLM-pipeline: GPT-3-style quality classifier (Brown 2020 §A) —
+    // hashed-unigram Naive Bayes trained to separate the curated
+    // slice (src0-src4) from the rest, every doc scored by mean
+    // log-likelihood ratio with a position-ordered fold. The
+    // deterministic member of the fasttext-filter family: integer
+    // counts → the SCORE itself is oracle-checked.
+    "q_nbquality" -> ((s, dir) =>
+      llm.NbQuality.nbQualityScore(docs(s, dir), "doc_id", "text",
+          substring(col("source"), 4, 10).cast("int") < 5,
+          buckets = 1024)
+        .select(col("doc_id"), col("n_tokens"),
+          round(col("nb_llr_mean"), 6).as("nb_llr_mean"),
+          col("is_quality"))),
+
     // Sketch tier: Count-Min heavy-hitter estimates — top-20 corpus
     // tokens by exact count with the CMS point estimate riding along
     // (d=4 salted portable hashes × w=1024 buckets: real collisions at
@@ -3061,6 +3075,38 @@ object SparkEntry {
         |    ELSE 255.0 / kth_frac END, 6) AS est_distinct,
         |  exact_distinct
         |FROM sk JOIN ex ON sk.source = ex.source""".stripMargin,
+
+    "q_nbquality" ->
+      """WITH d AS (SELECT doc_id,
+        |    CAST(substr(source, 4) AS INT) < 5 AS pc,
+        |    string_split(text, ' ') AS w FROM documents),
+        |tok AS (SELECT doc_id, pc, CAST(i AS BIGINT) AS p,
+        |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |      list_transform(string_split(w[i], ''),
+        |        c -> ascii(c)::BIGINT)),
+        |      (a, b) -> (a * 1000003 + b) % 2147483647) % 1024 AS b
+        |  FROM (SELECT doc_id, pc, w,
+        |          unnest(range(1, len(w) + 1)) AS i FROM d) x),
+        |cnt AS (SELECT b,
+        |    sum(CASE WHEN pc THEN 1 ELSE 0 END) AS cp,
+        |    sum(CASE WHEN pc THEN 0 ELSE 1 END) AS cn
+        |  FROM tok GROUP BY b),
+        |tot AS (SELECT sum(cp) AS tp, sum(cn) AS tn FROM cnt),
+        |model AS (SELECT b,
+        |    ln(CAST(cp + 1 AS DOUBLE) / CAST(tp + 1024 AS DOUBLE)) -
+        |    ln(CAST(cn + 1 AS DOUBLE) / CAST(tn + 1024 AS DOUBLE))
+        |      AS llr
+        |  FROM cnt CROSS JOIN tot),
+        |sc AS (SELECT doc_id, count(*) AS n_tokens,
+        |    list_reduce(list_prepend(0.0,
+        |      list_transform(list(llr ORDER BY p), x -> x)),
+        |      (a, b) -> a + b) / count(*) AS m
+        |  FROM (SELECT tok.doc_id, tok.p, llr FROM tok
+        |        JOIN model ON tok.b = model.b) s
+        |  GROUP BY doc_id)
+        |SELECT doc_id, n_tokens, round(m, 6) AS nb_llr_mean,
+        |  CASE WHEN m > 0 THEN 1 ELSE 0 END AS is_quality
+        |FROM sc""".stripMargin,
 
     "q_cms" ->
       """WITH wds AS (SELECT unnest(string_split(text, ' ')) AS term
