@@ -27,6 +27,69 @@ import org.apache.spark.sql.functions._
   * partial-aggregated. At 100 TB the model table is still B rows. */
 object NbQuality {
 
+  /** The trained model as a relation: (bucket, llr) — ≤ `buckets`
+    * rows, the artifact a production pipeline persists once and then
+    * scores months of data against (see [[scoreMapOnly]]). */
+  def train(docs: DataFrame, text: String, isPositive: Column,
+            buckets: Int = 1024): DataFrame = {
+    require(buckets >= 2, s"buckets=$buckets must be >= 2")
+    val toks = docs.select(isPositive.cast("boolean").as("__pos"),
+        explode(split(col(text), " ")).as("__t"))
+      .withColumn("__b",
+        pmod(TextAnalysis.rollingHash(col("__t")), lit(buckets.toLong)))
+    val counts = toks.groupBy("__b")
+      .agg(sum(when(col("__pos"), 1L).otherwise(0L)).as("__cp"),
+        sum(when(col("__pos"), 0L).otherwise(1L)).as("__cn"))
+    val totals = toks.agg(
+      sum(when(col("__pos"), 1L).otherwise(0L)).as("__tp"),
+      sum(when(col("__pos"), 0L).otherwise(1L)).as("__tn"))
+    counts.crossJoin(broadcast(totals))
+      .select(col("__b").as("bucket"),
+        (log((col("__cp") + 1).cast("double") /
+            (col("__tp") + lit(buckets)).cast("double")) -
+          log((col("__cn") + 1).cast("double") /
+            (col("__tn") + lit(buckets)).cast("double"))).as("llr"))
+  }
+
+  /** SHUFFLE-FREE scoring against a collected model: the whole pass is
+    * scan-stage column expressions (split → bucket → map lookup →
+    * position-ordered in-row fold), so scoring 100 TB is a map-only
+    * job — and, being stateless, it runs UNCHANGED on a streaming
+    * frame (the stateless-hygiene streaming contract; StreamingSpec
+    * pins stream ≡ batch ≡ the joined [[nbQualityScore]] form).
+    * Tokens whose bucket is absent from the model carry no evidence
+    * and are excluded from both the fold and `n_tokens`, matching the
+    * joined form's inner join. Output equals [[nbQualityScore]]
+    * bit-for-bit when the model came from [[train]] on the same
+    * corpus. */
+  def scoreMapOnly(docs: DataFrame, id: String, text: String,
+                   model: Map[Long, Double],
+                   buckets: Int): DataFrame = {
+    require(buckets >= 2, s"buckets=$buckets must be >= 2")
+    val mapLit = map_from_arrays(
+      lit(model.keys.toArray),
+      lit(model.values.toArray))
+    val llrs = filter(
+      transform(split(col(text), " "),
+        t => element_at(mapLit,
+          pmod(TextAnalysis.rollingHash(t), lit(buckets.toLong)))),
+      x => x.isNotNull)
+    docs.select(col(id), llrs.as("__l"))
+      .filter(size(col("__l")) > 0)
+      .select(col(id), size(col("__l")).cast("long").as("n_tokens"),
+        (aggregate(col("__l"), lit(0.0), (a, x) => a + x) /
+          size(col("__l")).cast("double")).as("nb_llr_mean"))
+      .withColumn("is_quality", (col("nb_llr_mean") > 0).cast("int"))
+  }
+
+  /** Collect a [[train]] model relation to the driver-side map
+    * [[scoreMapOnly]] takes (≤ `buckets` entries — bounded state, the
+    * codebook convention). */
+  def collectModel(model: DataFrame): Map[Long, Double] =
+    model.collect()
+      .map(r => r.getAs[Long]("bucket") -> r.getAs[Double]("llr"))
+      .toMap
+
   /** Per-doc quality scores, self-trained on `isPositive`:
     * (id, n_tokens, nb_llr_mean, is_quality = llr mean > 0). Docs
     * with no tokens are dropped (no evidence either way). */

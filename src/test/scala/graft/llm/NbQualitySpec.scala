@@ -47,6 +47,32 @@ class NbQualitySpec extends SparkSpec {
     assert(run(df) == run(df.repartition(9)))
   }
 
+  test("shuffle-free map-only scorer is bit-identical to the joined form") {
+    val rng = new scala.util.Random(23)
+    val vocab = (0 until 80).map(i => s"tok$i")
+    val rows = (0L until 50L).map { i =>
+      (i, if (i % 4 == 0) "cur" else "raw",
+        Seq.fill(10)(vocab(rng.nextInt(80))).mkString(" "))
+    }
+    val df = docs(rows)
+    val joined = NbQuality.nbQualityScore(df, "doc_id", "text",
+        col("source") === "cur", 512)
+      .orderBy("doc_id").collect().toSeq
+    val model = NbQuality.collectModel(
+      NbQuality.train(df, "text", col("source") === "cur", 512))
+    val mapOnly = NbQuality.scoreMapOnly(df, "doc_id", "text", model,
+        512)
+      .select(col("doc_id"), col("n_tokens"), col("nb_llr_mean"),
+        col("is_quality"))
+      .orderBy("doc_id").collect().toSeq
+    assert(mapOnly == joined)
+    // and the map-only plan is genuinely shuffle-free
+    val p = NbQuality.scoreMapOnly(df, "doc_id", "text", model, 512)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange"),
+      s"map-only scoring must not shuffle:\n$p")
+  }
+
   test("n_tokens counts every token and rides the score row") {
     val rows = Seq((1L, "a", "x y z"), (2L, "b", "x"))
     val r = NbQuality.nbQualityScore(docs(rows), "doc_id", "text",

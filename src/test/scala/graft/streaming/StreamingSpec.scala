@@ -423,6 +423,42 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("NB quality scoring runs unchanged on a stream (stateless scan-stage)") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val train = Seq(
+      (0L, "cur", "prose article reference careful measured writing"),
+      (1L, "cur", "article prose cited detailed careful"),
+      (2L, "raw", "buy cheap click spam deal now"),
+      (3L, "raw", "spam click buy deal")).toDF("doc_id", "source", "text")
+    val model = graft.llm.NbQuality.collectModel(
+      graft.llm.NbQuality.train(train, "text",
+        col("source") === "cur", 256))
+    val incoming = Seq((10L, "careful cited prose"),
+      (11L, "cheap spam deal"), (12L, "article deal"))
+    val batch = graft.llm.NbQuality.scoreMapOnly(
+        incoming.toDF("doc_id", "text"), "doc_id", "text", model, 256)
+      .orderBy("doc_id").collect().toSeq
+    val input = MemoryStream[(Long, String)]
+    val scored = graft.llm.NbQuality.scoreMapOnly(
+      input.toDF().toDF("doc_id", "text"), "doc_id", "text", model, 256)
+    val q = scored.writeStream.format("memory").queryName("nbq")
+      .outputMode("append").start()
+    try {
+      input.addData(incoming.take(2): _*)
+      q.processAllAvailable()
+      input.addData(incoming.drop(2): _*)
+      q.processAllAvailable()
+      val streamed = spark.sql(
+          "select doc_id, n_tokens, nb_llr_mean, is_quality from nbq")
+        .orderBy("doc_id").collect().toSeq
+      assert(streamed == batch)
+      val flags = streamed.map(r =>
+        r.getAs[Long]("doc_id") -> r.getAs[Int]("is_quality")).toMap
+      assert(flags(10L) == 1 && flags(11L) == 0)
+    } finally q.stop()
+  }
+
   test("streaming BM25 over a persisted index equals batch Bm25.topK") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
