@@ -61,8 +61,11 @@ object Kmv {
       .agg(call_function("kmv_minima", col("__h"), lit(k)).as("__mins"))
       .select(col(group),
         size(col("__mins")).cast("long").as("n_sketch"),
-        (element_at(col("__mins"), size(col("__mins"))).cast("double")
-          / lit(HashMod.toDouble)).as("kth_frac"))
+        // guard the all-null group: an empty sketch has no k-th value
+        // (element_at index 0 would throw under ANSI)
+        when(size(col("__mins")) > 0,
+          element_at(col("__mins"), size(col("__mins"))).cast("double")
+            / lit(HashMod.toDouble)).as("kth_frac"))
       .withColumn("est_distinct",
         when(col("n_sketch") < k, col("n_sketch").cast("double"))
           .otherwise(lit((k - 1).toDouble) / col("kth_frac")))

@@ -64,6 +64,20 @@ class KmvSpec extends SparkSpec {
       s"expected the documented short-token overestimate, got $est")
   }
 
+  test("all-null group survives: empty sketch, null kth_frac, est 0") {
+    import spark.implicits._
+    val df = Seq(("a", Option("x")), ("a", Option("y")),
+      ("nullg", Option.empty[String]))
+      .toDF("g", "v")
+    val r = Kmv.distinctSketch(df, "g", "v", k = 8)
+      .collect().map(x => x.getAs[String]("g") -> x).toMap
+    assert(r("a").getAs[Long]("n_sketch") == 2L)
+    val ng = r("nullg")
+    assert(ng.getAs[Long]("n_sketch") == 0L)
+    assert(ng.isNullAt(ng.fieldIndex("kth_frac")))
+    assert(ng.getAs[Double]("est_distinct") == 0.0)
+  }
+
   test("groups are independent; repartition-invariant") {
     val rows = Seq.tabulate(500)(i => ("big", s"w$i")) ++
       Seq.tabulate(30)(i => ("small", s"w${i % 5}"))
