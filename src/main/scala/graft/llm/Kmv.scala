@@ -50,13 +50,27 @@ object Kmv {
   def distinctSketch(df: DataFrame, group: String, value: String,
                      k: Int): DataFrame = {
     require(k >= 2, s"k=$k must be >= 2")
-    graft.functions.KmvAgg.register(df.sparkSession)
     val hashed = df.select(col(group),
-        TextAnalysis.rollingHash(col(value).cast("string")).as("__h"),
-        col(value).cast("string").as("__v"))
-    val exact = hashed.select(col(group), col("__v")).distinct()
+      col(value).cast("string").as("__v"))
+    val exact = hashed.distinct()
       .groupBy(group).agg(count(lit(1)).as("exact_distinct"))
-    val sketch = hashed
+    sketchOnly(df, group, value, k).join(exact, group)
+      .select(col(group), col("n_sketch"), col("kth_frac"),
+        col("est_distinct"), col("exact_distinct"))
+  }
+
+  /** The production path: sketch + estimate WITHOUT the exact
+    * reference — the whole plan is ONE partial-aggregated exchange
+    * carrying ≤k minima per (partition, group) (PlanSpec-pinned),
+    * which is the entire point of KMV at 100 TB. Returns
+    * (group, n_sketch, kth_frac, est_distinct); an all-null group
+    * keeps its row with n_sketch 0 / null kth_frac / est 0. */
+  def sketchOnly(df: DataFrame, group: String, value: String,
+                 k: Int): DataFrame = {
+    require(k >= 2, s"k=$k must be >= 2")
+    graft.functions.KmvAgg.register(df.sparkSession)
+    df.select(col(group),
+        TextAnalysis.rollingHash(col(value).cast("string")).as("__h"))
       .groupBy(group)
       .agg(call_function("kmv_minima", col("__h"), lit(k)).as("__mins"))
       .select(col(group),
@@ -69,8 +83,5 @@ object Kmv {
       .withColumn("est_distinct",
         when(col("n_sketch") < k, col("n_sketch").cast("double"))
           .otherwise(lit((k - 1).toDouble) / col("kth_frac")))
-    sketch.join(exact, group)
-      .select(col(group), col("n_sketch"), col("kth_frac"),
-        col("est_distinct"), col("exact_distinct"))
   }
 }

@@ -714,6 +714,17 @@ class PlanSpec extends SparkSpec {
       "bounded sketch side must never SMJ")
   }
 
+  test("KMV sketchOnly is ONE exchange end to end") {
+    import spark.implicits._
+    val df = (0 until 300).map(i => (s"g${i % 3}", s"tok_${i % 83}_x"))
+      .toDF("g", "v")
+    val p = plan(graft.llm.Kmv.sketchOnly(df, "g", "v", k = 16))
+    val shuffles = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(shuffles == 1,
+      s"the partial kmv aggregate is the only exchange — found $shuffles:\n$p")
+    assert(p.contains("partial_kmv_minima"))
+  }
+
   test("KMV sketch leg is a partial aggregate — no (group, hash) distinct exchange") {
     import spark.implicits._
     val df = (0 until 400).map(i => (s"g${i % 3}", s"tok_${i % 97}_x"))
