@@ -68,6 +68,8 @@ object Quantiles {
     checkRange(lo, hi, bins)
     require(qs.nonEmpty && qs.forall(q => q > 0 && q <= 1),
       "each q must be in (0, 1]")
+    require(qs.distinct.size == qs.size,
+      "duplicate q values would duplicate output rows")
     val w = (hi - lo) / bins
     val spark = counts.sparkSession
     import spark.implicits._

@@ -55,6 +55,8 @@ object Cms {
   def estimate(sk: DataFrame, items: DataFrame, value: String,
                depth: Int, width: Int): DataFrame = {
     require(depth >= 1 && width >= 2, "need depth >= 1, width >= 2")
+    require(!items.columns.exists(Set("row", "bucket", "cnt")),
+      "items must not carry columns named row/bucket/cnt (sketch keys)")
     val merged = sk.groupBy("row", "bucket").agg(sum("cnt").as("cnt"))
     val withRb = items
       .withColumn("__rb", explode(array((0 until depth).map(r =>

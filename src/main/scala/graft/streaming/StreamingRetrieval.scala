@@ -55,6 +55,7 @@ object StreamingRetrieval {
     val s = docs.agg(count(lit(1)).as("n"),
       avg(size(split(col(textCol), " ")).cast("long")).as("avgdl"))
       .head()
+    require(s.getLong(0) > 0, "cannot build a BM25 index over zero docs")
     Bm25Index(postings, s.getLong(0), s.getDouble(1))
   }
 
