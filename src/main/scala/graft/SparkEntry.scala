@@ -3010,7 +3010,7 @@ object SparkEntry {
         |SELECT CAST(sk AS BIGINT) AS user_id, n,
         |  CAST(round(ts_slope * 1e6) AS BIGINT) AS ts_slope_i6,
         |  CAST(round(ts_intercept * 1e6) AS BIGINT) AS ts_intercept_i6,
-        |  mk_s,
+        |  CAST(mk_s AS BIGINT) AS mk_s,
         |  CAST(round(mk_var * 1e6) AS BIGINT) AS mk_var_i6,
         |  CAST(round((CASE WHEN mk_var <= 0 THEN 0.0
         |    WHEN mk_s > 0 THEN CAST(mk_s - 1 AS DOUBLE)/sqrt(mk_var)

@@ -17,9 +17,12 @@ import org.apache.spark.sql.functions._
   * plain count addition (associative + commutative), so the result is
   * identical on any partitioning. The quantile estimate is the RIGHT
   * EDGE of the first bin whose cumulative count reaches ⌈q·n⌉, giving
-  * the deterministic guarantee exact_q ≤ est < exact_q + w (est is an
-  * upper bound at most one bin width above the exact quantile;
-  * QuantilesSpec pins it against `percentile` exactly).
+  * the deterministic guarantee exact_q ≤ est ≤ exact_q + w for values
+  * inside [lo, hi) (est is an upper bound at most one bin width above
+  * the exact quantile, with equality when the exact order statistic
+  * sits on a bin's left edge; values clamped in from outside the range
+  * void the bracket — the range is the sketch's contract;
+  * QuantilesSpec pins the bracket against `percentile` exactly).
   *
   * Everything is integer-or-IEEE-deterministic arithmetic, so unlike
   * approx_percentile the estimate itself is oracle-checkable in plain

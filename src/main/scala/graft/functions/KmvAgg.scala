@@ -54,9 +54,18 @@ case class KmvAgg(
     else if (!kExpr.foldable || kExpr.dataType != IntegerType)
       TypeCheckResult.TypeCheckFailure(
         "kmv_minima expects a foldable INT k")
-    else if (k < 2)
-      TypeCheckResult.TypeCheckFailure(s"kmv_minima: k=$k must be >= 2")
-    else TypeCheckResult.TypeCheckSuccess
+    else {
+      // eval here (not via the lazy `k`) so CAST(NULL AS INT) yields a
+      // TypeCheckFailure instead of an analysis-time require() crash
+      val v = kExpr.eval(InternalRow.empty)
+      if (v == null)
+        TypeCheckResult.TypeCheckFailure(
+          "kmv_minima: k must be a non-null literal")
+      else if (v.asInstanceOf[Number].intValue < 2)
+        TypeCheckResult.TypeCheckFailure(
+          s"kmv_minima: k=${v.asInstanceOf[Number].intValue} must be >= 2")
+      else TypeCheckResult.TypeCheckSuccess
+    }
   }
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
@@ -137,7 +146,13 @@ object KmvAgg {
     Seq[Expression] => Expression) = (
     FunctionIdentifier("kmv_minima"),
     new ExpressionInfo(classOf[KmvAgg].getName, "kmv_minima"),
-    (children: Seq[Expression]) => KmvAgg(children(0), children(1)))
+    (children: Seq[Expression]) => {
+      if (children.size != 2)
+        throw new IllegalArgumentException(
+          s"kmv_minima requires exactly 2 arguments (hash, k), " +
+            s"got ${children.size}")
+      KmvAgg(children(0), children(1))
+    })
 
   /** Runtime registration (no extensions config needed). */
   def register(spark: SparkSession): Unit =

@@ -45,16 +45,21 @@ object Bm25 {
            queryId: String, textCol: String, k: Int,
            k1: Double = 1.2, b: Double = 0.75): DataFrame = {
     require(k >= 1, s"k=$k must be >= 1")
+    // NULL-text docs produce no postings (explode(split(NULL)) drops
+    // the row), so they must not count in n_docs/avgdl either: one
+    // filtered corpus feeds postings AND stats, keeping idf consistent
+    // with the oracle's dl-derived population
+    val corpus = docs.filter(col(textCol).isNotNull)
     // dl (token count) carried through the explode: size(split) equals
     // the exploded term count, so max(dl) per doc reconstructs the
     // length without a second aggregate + join
-    val words = docs.select(col(docId).as("doc_id"),
+    val words = corpus.select(col(docId).as("doc_id"),
       size(split(col(textCol), " ")).cast("long").as("dl"),
       explode(split(col(textCol), " ")).as("term"))
     val tf = words.groupBy("doc_id", "term")
       .agg(count(lit(1)).as("tf"), max("dl").as("dl"))
     // (n_docs, avgdl) from the raw scan: avg token count ≡ avg dl
-    val stats = docs.agg(count(lit(1)).as("n_docs"),
+    val stats = corpus.agg(count(lit(1)).as("n_docs"),
       avg(size(split(col(textCol), " ")).cast("long")).as("avgdl"))
     val qterms = queries.select(col(queryId).as("query_id"),
         explode(split(col(textCol), " ")).as("term"))

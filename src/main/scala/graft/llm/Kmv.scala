@@ -50,13 +50,17 @@ object Kmv {
   def distinctSketch(df: DataFrame, group: String, value: String,
                      k: Int): DataFrame = {
     require(k >= 2, s"k=$k must be >= 2")
+    // exact leg skips NULLs, matching both the sketch leg and the SQL
+    // count(DISTINCT value) convention — an all-null group reports
+    // exact_distinct=0 (left join + coalesce keeps its row)
     val hashed = df.select(col(group),
       col(value).cast("string").as("__v"))
-    val exact = hashed.distinct()
+    val exact = hashed.filter(col("__v").isNotNull).distinct()
       .groupBy(group).agg(count(lit(1)).as("exact_distinct"))
-    sketchOnly(df, group, value, k).join(exact, group)
+    sketchOnly(df, group, value, k).join(exact, Seq(group), "left")
       .select(col(group), col("n_sketch"), col("kth_frac"),
-        col("est_distinct"), col("exact_distinct"))
+        col("est_distinct"),
+        coalesce(col("exact_distinct"), lit(0L)).as("exact_distinct"))
   }
 
   /** The production path: sketch + estimate WITHOUT the exact

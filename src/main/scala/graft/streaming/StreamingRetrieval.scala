@@ -30,6 +30,24 @@ import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
   * rank on the rounded value. */
 object StreamingRetrieval {
 
+  /** Unsigned byte-wise comparison of UTF-8 encodings — Spark's
+    * `UTF8String` binary string order, which `sort_array` uses in the
+    * batch fold. */
+  private val utf8Ordering: Ordering[String] = new Ordering[String] {
+    def compare(a: String, b: String): Int = {
+      val x = a.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      val y = b.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      val n = math.min(x.length, y.length)
+      var i = 0
+      while (i < n) {
+        val c = java.lang.Integer.compare(x(i) & 0xff, y(i) & 0xff)
+        if (c != 0) return c
+        i += 1
+      }
+      java.lang.Integer.compare(x.length, y.length)
+    }
+  }
+
   /** Persisted-index artifacts: term-keyed postings + corpus scalars.
     * `df` rides each posting row (denormalized at build time — one
     * term-keyed window pass over data the index shuffle carries
@@ -45,14 +63,17 @@ object StreamingRetrieval {
     * tokenization, the [[graft.llm.Bm25]] conventions. */
   def buildBm25Index(docs: DataFrame, docId: String,
                      textCol: String): Bm25Index = {
-    val words = docs.select(col(docId).cast("long").as("doc_id"),
+    // NULL-text docs contribute no postings, so they don't count in
+    // n/avgdl either — the [[graft.llm.Bm25]] population convention
+    val corpus = docs.filter(col(textCol).isNotNull)
+    val words = corpus.select(col(docId).cast("long").as("doc_id"),
       size(split(col(textCol), " ")).cast("long").as("dl"),
       explode(split(col(textCol), " ")).as("term"))
     val tf = words.groupBy("doc_id", "term")
       .agg(count(lit(1)).as("tf"), max("dl").as("dl"))
     val postings = tf.withColumn("df",
       count(lit(1)).over(Window.partitionBy("term")))
-    val s = docs.agg(count(lit(1)).as("n"),
+    val s = corpus.agg(count(lit(1)).as("n"),
       avg(size(split(col(textCol), " ")).cast("long")).as("avgdl"))
       .head()
     require(s.getLong(0) > 0, "cannot build a BM25 index over zero docs")
@@ -92,11 +113,20 @@ object StreamingRetrieval {
       .flatMapGroupsWithState[Int, RankedHit](
         OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
         (qid: Long, it: Iterator[QueryTermHit], _) =>
-          // per-doc fold in (term, contrib) order = the batch
-          // sort_array(collect_list(struct(term, contrib))) fold
-          val scored = it.toSeq.groupBy(_.doc_id).map {
+          // cross-row (query_id, term) dedup: the batch face dedups
+          // query terms GLOBALLY (.distinct()), so two rows carrying
+          // the same query_id in one micro-batch must not double-count
+          // a shared term. Duplicate rows yield structurally identical
+          // (query_id, doc_id, term, contrib) hits, so case-class
+          // distinct is exactly the batch dedup.
+          val scored = it.toSeq.distinct.groupBy(_.doc_id).map {
             case (doc, hs) =>
-              val s = hs.sortBy(h => (h.term, h.contrib))
+              // per-doc fold in term order = the batch
+              // sort_array(collect_list(struct(term, contrib))) fold;
+              // terms are unique per doc after the dedup, and the sort
+              // compares UTF-8 bytes to match Spark's binary string
+              // ordering (Scala's UTF-16 order diverges past the BMP)
+              val s = hs.sortBy(_.term)(utf8Ordering)
                 .foldLeft(0.0)((acc, h) => acc + h.contrib)
               doc -> BigDecimal(s)
                 .setScale(6, scala.math.BigDecimal.RoundingMode.HALF_UP)

@@ -71,6 +71,23 @@ class Bm25Spec extends SparkSpec {
     assert(out(0L) > out(1L))
   }
 
+  test("NULL-text docs are outside the corpus population (n_docs/avgdl)") {
+    import spark.implicits._
+    val clean = corpus(Seq(
+      "cat sat on mat",
+      "cat cat chased the cat",
+      "dog barked all night"))
+    val withNulls = clean.union(
+      Seq((90L, Option.empty[String]), (91L, Option.empty[String]))
+        .toDF("doc_id", "text"))
+    val queries = corpus(Seq("cat")).withColumnRenamed("doc_id", "qid")
+    val a = Bm25.topK(clean, queries, "doc_id", "qid", "text", k = 3)
+      .orderBy("rank").collect().toSeq
+    val b = Bm25.topK(withNulls, queries, "doc_id", "qid", "text", k = 3)
+      .orderBy("rank").collect().toSeq
+    assert(a == b, "null-text docs must not inflate n_docs or skew idf")
+  }
+
   test("deterministic under repartition (ordered contribution fold)") {
     val docs = corpus(Seq.tabulate(40)(i =>
       Seq.tabulate(12)(j => s"w${(i * 7 + j * 3) % 17}").mkString(" ")))

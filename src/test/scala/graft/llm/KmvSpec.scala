@@ -76,6 +76,9 @@ class KmvSpec extends SparkSpec {
     assert(ng.getAs[Long]("n_sketch") == 0L)
     assert(ng.isNullAt(ng.fieldIndex("kth_frac")))
     assert(ng.getAs[Double]("est_distinct") == 0.0)
+    // exact leg shares the null-skipping convention: 0, not 1
+    assert(ng.getAs[Long]("exact_distinct") == 0L)
+    assert(r("a").getAs[Long]("exact_distinct") == 2L)
   }
 
   test("groups are independent; repartition-invariant") {

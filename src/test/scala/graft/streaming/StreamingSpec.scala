@@ -499,6 +499,25 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("bm25TopK dedups a repeated query_id across rows in one batch") {
+    import spark.implicits._
+    val docsDf = corpus.toDF("doc_id", "text")
+    val index = StreamingRetrieval.buildBm25Index(docsDf, "doc_id",
+      "text")
+    val once = Seq((1L, "the quick brown fox jumps over the lazy dog"))
+    // same query_id twice (overlapping term sets) must score exactly
+    // like the single row: the batch face dedups (query_id, term)
+    // globally, so shared terms must not double-count
+    val twice = once ++ Seq((1L, "quick fox dog"))
+    val a = StreamingRetrieval.bm25TopK(
+        once.toDF("query_id", "text"), index, "query_id", "text", k = 3)
+      .collect().toSet
+    val b = StreamingRetrieval.bm25TopK(
+        twice.toDF("query_id", "text"), index, "query_id", "text", k = 3)
+      .collect().toSet
+    assert(a == b, "duplicate query rows must not double-count terms")
+  }
+
   test("compaction loop: incremental candidates + periodic sweep converge to batch") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._

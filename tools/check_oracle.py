@@ -56,10 +56,25 @@ def compare(exp, got):
     if len(exp) != len(got):
         return f"ROWS: oracle={len(exp)} spark={len(got)}"
     exp, got = normalize(exp), normalize(got)
-    dtype_notes = []
+    # Dtype-kind mismatches FAIL: the driver hashes raw values, so a
+    # float64 441.0 (e.g. DuckDB sum(BIGINT) -> HUGEINT -> float64)
+    # vs Spark int64 441 is a driver-red even when every value is
+    # numerically equal. Exception: a DuckDB float column whose values
+    # are ALL exactly integral AND whose Spark twin is integer is still
+    # a FAIL (that is precisely the q_trend trap) -- report it as DTYPE
+    # so the oracle SQL gets an explicit CAST.
+    dtype_bad = []
     for c in exp.columns:
-        if str(exp[c].dtype) != str(got[c].dtype):
-            dtype_notes.append(f"{c}: {exp[c].dtype} vs {got[c].dtype}")
+        ek, gk = exp[c].dtype.kind, got[c].dtype.kind
+        if ek == gk:
+            continue
+        num = set("iuf")
+        if ek in num and gk in num:
+            dtype_bad.append(
+                f"{c}: oracle {exp[c].dtype} vs spark {got[c].dtype}"
+                " (add an explicit CAST in the oracle SQL)")
+        else:
+            dtype_bad.append(f"{c}: oracle {exp[c].dtype} vs spark {got[c].dtype}")
     bad = []
     for c in exp.columns:
         e, g = exp[c], got[c]
@@ -75,8 +90,8 @@ def compare(exp, got):
             bad.append(f"{c}: {n} mismatches e.g. oracle={e[i]} spark={g[i]}")
     if bad:
         return "VALUES: " + "; ".join(bad[:3])
-    if dtype_notes:
-        return "OK"  # values match; note dtypes separately if needed
+    if dtype_bad:
+        return "DTYPE: " + "; ".join(dtype_bad[:3])
     return "OK"
 
 if __name__ == "__main__":
