@@ -449,6 +449,21 @@ object SparkEntry {
           round(col("mk_tau") * lit(1e6)).cast("long")
             .as("mk_tau_i6"))),
 
+    // M-extra: bounded-window Theil–Sen — the production form at
+    // unbounded series length: lag ≤ w pairs via the lag-bucketed
+    // equi-join (O(n·w) pair volume, never an n² self-join). Same
+    // integer-pinning as q_trend.
+    "q_trend_w" -> ((s, dir) =>
+      graft.models.Trend.theilSenWindowed(ev(s, dir), "user_id",
+          "ts", "value", w = 24)
+        .withColumn("user_id", col("user_id").cast("long"))
+        .select(col("user_id"), col("n"), col("n_pairs"),
+          round(col("ts_slope") * lit(1e6)).cast("long")
+            .as("ts_slope_i6"),
+          round(col("ts_intercept") * lit(1e6)).cast("long")
+            .as("ts_intercept_i6"),
+          col("s_w"))),
+
     // M-extra: classical additive seasonal decomposition (the
     // statsmodels seasonal_decompose moving-average method) — the
     // transparent baseline next to STL, and the one decomposition
@@ -1517,6 +1532,46 @@ object SparkEntry {
           col("shard"), col("seq_id"), col("seq_offset"))
     }),
 
+    // LLM-pipeline: corpus assembly v3 — the round-11 NB quality
+    // classifier composed into the assembly chain: C4 clean → NB
+    // score against a PRE-TRAINED persisted model (the map-only
+    // scorer — zero added exchanges, PlanSpec-pinned) → per-source
+    // rank calibration → SPAN dedup (edits docs instead of dropping
+    // them — the C4/CCNet boilerplate remover as the dedup tier) →
+    // shard + pack. One composed job, full-chain SQL-CTE oracle.
+    "q_corpus3" -> ((s, dir) => {
+      val lined = docs(s, dir)
+        .withColumn("__lt", array_join(synthLines, "\n"))
+      val cleaned = llm.TextAnalysis
+        .c4LineFilter(lined, "__lt")
+        .select(col("doc_id"), col("lang"), col("source"),
+          col("clean_text").as("ctext"))
+      // train once on the cleaned corpus (curated sources positive),
+      // collect the ≤1024-row model — the persisted-artifact shape;
+      // the assembly chain below never re-aggregates it
+      val model = llm.NbQuality.collectModel(llm.NbQuality.train(
+        cleaned, "ctext",
+        substring(col("source"), 4, 10).cast("int") < 5,
+        buckets = 1024))
+      val scored = llm.NbQuality
+        .withScoreMapOnly(cleaned, "ctext", model, buckets = 1024)
+        .select(col("doc_id"), col("lang"), col("source"), col("ctext"),
+          round(col("nb_llr_mean"), 6).as("nbq"))
+      val calibrated = llm.Sampling.dropBottomByScore(scored, "doc_id",
+        "source", col("nbq"), 3, 10)
+      val dd = llm.Dedup.spanDedup(calibrated, "doc_id", "ctext",
+        span = 16)
+      val kept = calibrated.drop("ctext")
+        .join(dd.select(col("doc_id"), col("clean_text"),
+          col("n_kept")), "doc_id")
+      llm.Sampling.packSequences(kept, "doc_id",
+          size(split(col("clean_text"), " ")), 128,
+          llm.Sampling.idBucket(col("doc_id"), 8))
+        .select(col("doc_id"), col("lang"), col("source"), col("nbq"),
+          col("n_kept"), col("shard"), col("seq_id"),
+          col("seq_offset"))
+    }),
+
     // LLM-pipeline: Johnson–Lindenstrauss sign-projection compression
     // (Achlioptas 2003) — dim 64 → 16 with the sign matrix DERIVED
     // from the portable Park–Miller map (never stored or shipped);
@@ -2530,6 +2585,98 @@ object SparkEntry {
         |  strt // 128 AS seq_id, strt % 128 AS seq_offset
         |FROM p""".stripMargin,
 
+    "q_corpus3" ->
+      """WITH w AS (SELECT doc_id, lang, source,
+        |    string_split(text, ' ') AS w
+        |  FROM documents),
+        |l AS (SELECT doc_id, lang, source, list_transform(
+        |    range(0, (len(w) + 7) // 8), i ->
+        |    CASE WHEN doc_id % 11 = 0 AND i = 0 THEN 'lorem ipsum '
+        |      ELSE '' END
+        |    || array_to_string(w[i*8+1 : i*8+8], ' ')
+        |    || CASE WHEN (doc_id + i) % 3 <> 0 THEN '.' ELSE '' END
+        |    || CASE WHEN doc_id % 13 = 0 AND i = 1 THEN ' {'
+        |      ELSE '' END) AS lines
+        |  FROM w),
+        |f AS (SELECT doc_id, lang, source,
+        |    list_filter(lines, l ->
+        |      len(string_split(l, ' ')) >= 3
+        |      AND regexp_matches(l, '[.!?"]$')
+        |      AND NOT contains(lower(l), 'lorem ipsum')
+        |      AND NOT contains(l, '{')) AS ks
+        |  FROM l),
+        |c AS (SELECT doc_id, lang, source,
+        |    CAST(substr(source, 4) AS INT) < 5 AS pc,
+        |    array_to_string(ks, chr(10)) AS ctext
+        |  FROM f WHERE len(ks) >= 1),
+        |tok AS (SELECT doc_id, lang, source, pc, ctext,
+        |    CAST(i AS BIGINT) AS p,
+        |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |      list_transform(string_split(cw[i], ''),
+        |        ch -> ascii(ch)::BIGINT)),
+        |      (a, b) -> (a * 1000003 + b) % 2147483647) % 1024 AS b
+        |  FROM (SELECT doc_id, lang, source, pc, ctext,
+        |          string_split(ctext, ' ') AS cw,
+        |          unnest(range(1, len(string_split(ctext, ' ')) + 1))
+        |            AS i FROM c) x),
+        |cnt AS (SELECT b,
+        |    sum(CASE WHEN pc THEN 1 ELSE 0 END) AS cp,
+        |    sum(CASE WHEN pc THEN 0 ELSE 1 END) AS cn
+        |  FROM tok GROUP BY b),
+        |tot AS (SELECT sum(cp) AS tp, sum(cn) AS tn FROM cnt),
+        |model AS (SELECT b,
+        |    ln(CAST(cp + 1 AS DOUBLE) / CAST(tp + 1024 AS DOUBLE)) -
+        |    ln(CAST(cn + 1 AS DOUBLE) / CAST(tn + 1024 AS DOUBLE))
+        |      AS llr
+        |  FROM cnt CROSS JOIN tot),
+        |sc AS (SELECT doc_id, any_value(lang) AS lang,
+        |    any_value(source) AS source, any_value(ctext) AS ctext,
+        |    round(list_reduce(list_prepend(0.0,
+        |      list_transform(list(llr ORDER BY p), x -> x)),
+        |      (a, b) -> a + b) / count(*), 6) AS nbq
+        |  FROM (SELECT tok.doc_id, tok.lang, tok.source, tok.ctext,
+        |          tok.p, llr FROM tok
+        |        JOIN model ON tok.b = model.b) s
+        |  GROUP BY doc_id),
+        |r AS (SELECT *,
+        |    row_number() OVER (PARTITION BY source ORDER BY nbq, doc_id)
+        |      AS rn,
+        |    count(*) OVER (PARTITION BY source) AS n
+        |  FROM sc),
+        |cal AS (SELECT doc_id, lang, source, ctext, nbq FROM r
+        |  WHERE rn > n * 3 // 10),
+        |sp AS (SELECT doc_id, lang, source, nbq,
+        |    string_split(ctext, ' ') AS cw,
+        |    len(string_split(ctext, ' ')) AS nw
+        |  FROM cal),
+        |spans AS (SELECT doc_id, lang, source, nbq,
+        |    CAST(i AS BIGINT) AS span_idx,
+        |    array_to_string(cw[i*16+1 : i*16+16], ' ') AS span_text
+        |  FROM (SELECT doc_id, lang, source, nbq, cw,
+        |          unnest(range(0, (nw - 1) // 16 + 1)) AS i FROM sp) x),
+        |fk AS (SELECT *, row_number() OVER (
+        |    PARTITION BY md5(span_text)
+        |    ORDER BY doc_id, span_idx) AS srn FROM spans),
+        |dd AS (SELECT doc_id, any_value(lang) AS lang,
+        |    any_value(source) AS source, any_value(nbq) AS nbq,
+        |    CAST(count(*) AS BIGINT) AS n_kept,
+        |    array_to_string(list(span_text ORDER BY span_idx), ' ')
+        |      AS clean_text
+        |  FROM fk WHERE srn = 1 GROUP BY doc_id),
+        |m AS (SELECT doc_id, lang, source, nbq, n_kept,
+        |    len(string_split(clean_text, ' ')) AS toks,
+        |    ((doc_id % 2147483646) + 1) * 48271 % 2147483647 % 8
+        |      AS shard
+        |  FROM dd),
+        |p AS (SELECT doc_id, lang, source, nbq, n_kept, shard,
+        |    CAST(sum(toks) OVER (PARTITION BY shard ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - toks
+        |      AS BIGINT) AS strt
+        |  FROM m)
+        |SELECT doc_id, lang, source, nbq, n_kept, shard,
+        |  strt // 128 AS seq_id, strt % 128 AS seq_offset
+        |FROM p""".stripMargin,
+
     "q_attributes" ->
       """WITH d AS (SELECT doc_id, text, length(text) AS len,
         |    length(text) - length(replace(text, ' ', '')) + 1
@@ -3019,6 +3166,31 @@ object SparkEntry {
         |  CAST(round(2.0*CAST(mk_s AS DOUBLE)/CAST(n*(n-1) AS DOUBLE)
         |    * 1e6) AS BIGINT) AS mk_tau_i6
         |FROM f""".stripMargin,
+
+    "q_trend_w" ->
+      """WITH base AS (SELECT CAST(user_id AS VARCHAR) AS sk,
+        |    CAST(row_number() OVER (PARTITION BY user_id ORDER BY ts)
+        |      AS BIGINT) AS i, value AS y FROM events),
+        |pairs AS (SELECT a.sk,
+        |    (b.y - a.y) / CAST(b.i - a.i AS DOUBLE) AS pslope,
+        |    CAST(CASE WHEN b.y > a.y THEN 1 WHEN b.y < a.y THEN -1
+        |      ELSE 0 END AS BIGINT) AS sgn
+        |  FROM base a JOIN base b
+        |    ON a.sk = b.sk AND a.i < b.i AND b.i - a.i <= 24),
+        |pp AS (SELECT sk, median(pslope) AS ts_slope,
+        |    sum(sgn) AS s_w, count(*) AS n_pairs
+        |  FROM pairs GROUP BY sk),
+        |inter AS (SELECT base.sk,
+        |    median(y - ts_slope * CAST(i AS DOUBLE)) AS ts_intercept
+        |  FROM base JOIN pp ON base.sk = pp.sk GROUP BY base.sk),
+        |nt AS (SELECT sk, count(*) AS n FROM base GROUP BY sk)
+        |SELECT CAST(pp.sk AS BIGINT) AS user_id, n, n_pairs,
+        |  CAST(round(ts_slope * 1e6) AS BIGINT) AS ts_slope_i6,
+        |  CAST(round(ts_intercept * 1e6) AS BIGINT) AS ts_intercept_i6,
+        |  CAST(s_w AS BIGINT) AS s_w
+        |FROM pp JOIN inter ON pp.sk = inter.sk
+        |  JOIN nt ON pp.sk = nt.sk
+        |WHERE n >= 2""".stripMargin,
 
     "q_bm25" ->
       """WITH words AS (SELECT doc_id,

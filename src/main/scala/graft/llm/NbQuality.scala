@@ -64,22 +64,42 @@ object NbQuality {
     * corpus. */
   def scoreMapOnly(docs: DataFrame, id: String, text: String,
                    model: Map[Long, Double],
-                   buckets: Int): DataFrame = {
+                   buckets: Int): DataFrame =
+    withScoreMapOnly(docs, text, model, buckets)
+      .select(col(id), col("n_tokens"), col("nb_llr_mean"),
+        col("is_quality"))
+
+  /** [[scoreMapOnly]] that KEEPS the input's columns, appending
+    * (n_tokens, nb_llr_mean, is_quality) — the form a composed
+    * assembly chain uses so scoring adds zero exchanges AND no
+    * join-back (PlanSpec pins the zero-exchange delta in the
+    * corpus-v3 chain). Same row filter (token-less docs drop) and
+    * bit-identical scores. */
+  def withScoreMapOnly(docs: DataFrame, text: String,
+                       model: Map[Long, Double],
+                       buckets: Int): DataFrame = {
     require(buckets >= 2, s"buckets=$buckets must be >= 2")
-    val mapLit = map_from_arrays(
-      lit(model.keys.toArray),
-      lit(model.values.toArray))
+    // the model ships as a DENSE array literal indexed by bucket
+    // (absent buckets are null): element_at on an array is an O(1)
+    // index, where a map literal would linear-scan its B entries per
+    // token — a ~B× difference on the per-token hot path
+    val dense: Seq[Option[Double]] =
+      Seq.tabulate(buckets)(b => model.get(b.toLong))
+    val arrLit = typedlit(dense)
     val llrs = filter(
       transform(split(col(text), " "),
-        t => element_at(mapLit,
-          pmod(TextAnalysis.rollingHash(t), lit(buckets.toLong)))),
+        t => element_at(arrLit,
+          (pmod(TextAnalysis.rollingHash(t), lit(buckets.toLong)) +
+            lit(1L)).cast("int"))),
       x => x.isNotNull)
-    docs.select(col(id), llrs.as("__l"))
+    docs.withColumn("__l", llrs)
       .filter(size(col("__l")) > 0)
-      .select(col(id), size(col("__l")).cast("long").as("n_tokens"),
-        (aggregate(col("__l"), lit(0.0), (a, x) => a + x) /
-          size(col("__l")).cast("double")).as("nb_llr_mean"))
+      .withColumn("n_tokens", size(col("__l")).cast("long"))
+      .withColumn("nb_llr_mean",
+        aggregate(col("__l"), lit(0.0), (a, x) => a + x) /
+          size(col("__l")).cast("double"))
       .withColumn("is_quality", (col("nb_llr_mean") > 0).cast("int"))
+      .drop("__l")
   }
 
   /** Collect a [[train]] model relation to the driver-side map

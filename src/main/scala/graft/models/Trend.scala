@@ -27,7 +27,9 @@ import org.apache.spark.sql.functions._
   * S and the tie term are INTEGER sums — exact in any engine. At
   * scale the axis that grows is series count, which lands as
   * core-parallel work; per-series length is bounded by the
-  * monitoring window.
+  * monitoring window. For UNBOUNDED series length the production
+  * form is [[theilSenWindowed]] — lag-capped pairs, O(n·w) instead
+  * of O(n²).
   */
 object Trend {
 
@@ -81,5 +83,59 @@ object Trend {
       .select(col("sk").as(series), col("n"), col("ts_slope"),
         col("ts_intercept"), col("mk_s"), col("mk_var"), col("mk_z"),
         col("mk_tau"))
+  }
+
+  /** Bounded-window Theil–Sen — the production form at scale: pairwise
+    * slopes restricted to lag ≤ `w` (the standard bounded-memory
+    * monitoring variant; cf. Siegel's repeated-median family), so pair
+    * volume is O(n·w) per series instead of the exact form's O(n²) —
+    * the difference between "fine on a bounded monitoring window" and
+    * "works on an unbounded series history".
+    *
+    * Pairs are generated WITHOUT an n² self-join: each point gets a
+    * lag-bucket `⌊i/w⌋`, the right-hand side is emitted into its own
+    * bucket AND the previous one, and the equi-join on (series,
+    * bucket) finds every lag ≤ w pair exactly once (ia ∈ [ib−w, ib)
+    * implies ⌊ia/w⌋ ∈ {⌊ib/w⌋−1, ⌊ib/w⌋}) — each side carries ≤ 2
+    * rows per point across one keyed exchange, and no group ever
+    * materializes more than O(n·w) candidates.
+    *
+    * Returns (series, n, n_pairs, ts_slope, ts_intercept, s_w) —
+    * `s_w` is the windowed sign sum (the lag-bounded analogue of
+    * Mann–Kendall S; its exact-form variance formula does not apply
+    * under a lag cap, so no z/τ columns are emitted). When w ≥ n−1
+    * every pair is included and (ts_slope, ts_intercept, s_w) equal
+    * [[theilSenMannKendall]]'s exactly (TrendSpec pins it). */
+  def theilSenWindowed(df: DataFrame, series: String, ts: String,
+                      value: String, w: Int): DataFrame = {
+    require(w >= 1, s"w=$w must be >= 1")
+    val base = graft.core.SeriesOps.withRowNumber(
+        df.select(col(series).cast("string").as("sk"),
+          col(ts).cast("timestamp").as("ts"),
+          col(value).cast("double").as("y")), "sk", "ts", "i")
+      .select(col("sk"), col("i").cast("long").as("i"), col("y"))
+    val a = base.select(col("sk"), col("i").as("ia"), col("y").as("ya"),
+      floor(col("i") / w).as("bk"))
+    val b = base.select(col("sk"), col("i").as("ib"), col("y").as("yb"),
+      explode(array(floor(col("i") / w), floor(col("i") / w) - 1))
+        .as("bk"))
+    val pairs = a.join(b, Seq("sk", "bk"))
+      .filter(col("ia") < col("ib") && col("ib") - col("ia") <= w)
+      .select(col("sk"),
+        ((col("yb") - col("ya")) /
+          (col("ib") - col("ia")).cast("double")).as("pslope"),
+        signum(col("yb") - col("ya")).cast("long").as("sgn"))
+    val perPair = pairs.groupBy("sk")
+      .agg(median(col("pslope")).as("ts_slope"),
+        sum(col("sgn")).as("s_w"), count(lit(1)).as("n_pairs"))
+    val inter = base.join(perPair.select("sk", "ts_slope"), "sk")
+      .groupBy("sk")
+      .agg(median(col("y") - col("ts_slope") * col("i").cast("double"))
+        .as("ts_intercept"))
+    val nTab = base.groupBy("sk").agg(count(lit(1)).as("n"))
+    perPair.join(inter, "sk").join(nTab, "sk")
+      .filter(col("n") >= 2)
+      .select(col("sk").as(series), col("n"), col("n_pairs"),
+        col("ts_slope"), col("ts_intercept"), col("s_w"))
   }
 }

@@ -608,6 +608,52 @@ class PlanSpec extends SparkSpec {
         s"found $shuffles:\n$p")
   }
 
+  test("corpus-assembly v3: map-only NB scorer adds ZERO exchanges to the chain") {
+    import spark.implicits._
+    val docs = (0L until 200L)
+      .map(i => (i, Seq.fill(40)(s"w${i % 13}").mkString(" "),
+        if (i % 2 == 0) "en" else "de", s"src${i % 3}"))
+      .toDF("doc_id", "text", "lang", "source")
+    val lined = docs.withColumn("__lt",
+      concat_ws("\n", split(col("text"), " ")))
+    def cleaned = graft.llm.TextAnalysis
+      .c4LineFilter(lined, "__lt", minWordsPerLine = 1)
+      .select(col("doc_id"), col("lang"), col("source"),
+        col("clean_text").as("ctext"))
+    val model = graft.llm.NbQuality.collectModel(
+      graft.llm.NbQuality.train(cleaned, "ctext",
+        col("source") === "src0", buckets = 64))
+    // the q_corpus3 chain from the scored frame down
+    def tail(scored: DataFrame): DataFrame = {
+      val calibrated = graft.llm.Sampling.dropBottomByScore(scored,
+        "doc_id", "source", col("nbq"), 3, 10)
+      val dd = graft.llm.Dedup.spanDedup(calibrated, "doc_id", "ctext",
+        span = 16)
+      val kept = calibrated.drop("ctext")
+        .join(dd.select(col("doc_id"), col("clean_text"),
+          col("n_kept")), "doc_id")
+      graft.llm.Sampling.packSequences(kept, "doc_id",
+        size(split(col("clean_text"), " ")), 128,
+        graft.llm.Sampling.idBucket(col("doc_id"), 8))
+    }
+    val withScorer = plan(tail(graft.llm.NbQuality
+      .withScoreMapOnly(cleaned, "ctext", model, buckets = 64)
+      .select(col("doc_id"), col("lang"), col("source"), col("ctext"),
+        round(col("nb_llr_mean"), 6).as("nbq"))))
+    val withoutScorer = plan(tail(cleaned
+      .withColumn("nbq", (col("doc_id") % 7).cast("double"))))
+    def shuffles(p: String) =
+      "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(shuffles(withScorer) == shuffles(withoutScorer),
+      s"map-only scoring must add no exchange: with=" +
+        s"${shuffles(withScorer)} without=${shuffles(withoutScorer)}")
+    assert(!withScorer.contains("CartesianProduct") &&
+      !withScorer.contains("BroadcastNestedLoopJoin") &&
+      !withScorer.contains("rangepartitioning") &&
+      !withScorer.contains("Exchange SinglePartition"),
+      s"v3 chain must stay keyed and sort-free:\n$withScorer")
+  }
+
   test("eventize stays within the per-key partitioning (no extra wide shuffles)") {
     val flagged = series(200)
       .withColumn("flag", when(col("value") % 7 === 0, 1).otherwise(0))

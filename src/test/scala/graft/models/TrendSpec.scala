@@ -100,4 +100,64 @@ class TrendSpec extends SparkSpec {
       "ts", "value").collect().toSeq
     assert(a == b)
   }
+
+  test("windowed with w >= n-1 equals the exact form") {
+    val vals = Seq(3.0, 1.0, 4.0, 1.0, 5.0, 9.0, 2.0, 6.0, 5.0, 3.0,
+      5.0, 8.0, 9.0, 7.0, 9.0)
+    val df = valueSeries(vals)
+    val ex = Trend.theilSenMannKendall(df, "series_id", "ts", "value")
+      .collect().head
+    for (w <- Seq(vals.length - 1, vals.length, 100)) {
+      val r = Trend.theilSenWindowed(df, "series_id", "ts", "value", w)
+        .collect().head
+      assert(r.getAs[Long]("n") == vals.length.toLong)
+      assert(r.getAs[Long]("n_pairs") ==
+        vals.length.toLong * (vals.length - 1) / 2,
+        s"w=$w must include every pair")
+      assert(r.getAs[Double]("ts_slope") == ex.getAs[Double]("ts_slope"))
+      assert(r.getAs[Double]("ts_intercept") ==
+        ex.getAs[Double]("ts_intercept"))
+      assert(r.getAs[Long]("s_w") == ex.getAs[Long]("mk_s"))
+    }
+  }
+
+  test("windowed pair count is exactly the lag-<=w census") {
+    // n=40, w=7: pairs = sum over ib of min(ib-1, w) — brute force it
+    val n = 40; val w = 7
+    val vals = Seq.tabulate(n)(i => math.sin(i * 0.7) * 10 + i * 0.1)
+    val r = Trend.theilSenWindowed(valueSeries(vals), "series_id",
+      "ts", "value", w).collect().head
+    val expected = (2 to n).map(ib => math.min(ib - 1, w)).sum.toLong
+    assert(r.getAs[Long]("n_pairs") == expected)
+    // brute-force windowed slope/S agree (median of lag<=w slopes)
+    val pairs = for (i <- 0 until n; j <- i + 1 until n
+      if j - i <= w) yield (vals(j) - vals(i)) / (j - i).toDouble
+    val sorted = pairs.sorted
+    val m = sorted.length
+    val med = if (m % 2 == 1) sorted(m / 2)
+      else (sorted(m / 2 - 1) + sorted(m / 2)) / 2.0
+    assert(math.abs(r.getAs[Double]("ts_slope") - med) < 1e-12)
+    val sW = (for (i <- 0 until n; j <- i + 1 until n if j - i <= w)
+      yield math.signum(vals(j) - vals(i)).toLong).sum
+    assert(r.getAs[Long]("s_w") == sW)
+  }
+
+  test("windowed keeps Theil-Sen robustness on a lag-capped budget") {
+    // unit-slope line with a spike: the lag cap still leaves the
+    // outlier's contaminated pairs a minority at every lag
+    val vals = Seq.tabulate(60)(i => i.toDouble).updated(11, 4000.0)
+    val r = Trend.theilSenWindowed(valueSeries(vals), "series_id",
+      "ts", "value", w = 8).collect().head
+    assert(r.getAs[Double]("ts_slope") == 1.0)
+  }
+
+  test("windowed deterministic under repartition") {
+    val vals = Seq.tabulate(50)(i => math.cos(i * 0.3) * 5 + 0.2 * i)
+    val df = valueSeries(vals)
+    val a = Trend.theilSenWindowed(df, "series_id", "ts", "value", 6)
+      .collect().toSeq
+    val b = Trend.theilSenWindowed(df.repartition(7), "series_id",
+      "ts", "value", 6).collect().toSeq
+    assert(a == b)
+  }
 }
