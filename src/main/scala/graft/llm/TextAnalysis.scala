@@ -534,18 +534,37 @@ object TextAnalysis {
     * totals, per-bucket totals, the grid join) — everything downstream
     * is strata×B rows. */
   def vocabDriftKl(df: DataFrame, text: String, stratum: String,
-                   buckets: Int = 256): DataFrame = {
+                   buckets: Int = 256): DataFrame =
+    vocabDriftKlFromCounts(
+      hashedVocabCounts(df, text, stratum, buckets), stratum, buckets)
+
+  /** The drift monitor's COUNT relation: (stratum, bucket, cnt) hashed
+    * unigram counts — map-side combinable, merge = addition, so a
+    * UNION of count increments (e.g. the streaming sink of
+    * `StreamingDetect.windowedVocabCounts`) finishes to the same KL
+    * as one batch pass (StreamingSpec pins it). */
+  def hashedVocabCounts(df: DataFrame, text: String, stratum: String,
+                        buckets: Int): DataFrame = {
     require(buckets >= 2, s"buckets=$buckets must be >= 2")
-    val counts = df.select(col(stratum).as("__s"),
-        explode(split(col(text), " ")).as("__g"))
-      .withColumn("__b", pmod(aggregate(
-        transform(split(col("__g"), ""), c => ascii(c).cast("long")),
-        lit(0L),
-        (a, x) => pmod(a * lit(1000003L) + x, lit(2147483647L))),
-        lit(buckets.toLong)))
-      .groupBy("__s", "__b").agg(count(lit(1)).as("__c"))
-      .localCheckpoint() // one explode shared by all three consumers
-    val spark = df.sparkSession
+    df.select(col(stratum), explode(split(col(text), " ")).as("__g"))
+      .select(col(stratum),
+        pmod(rollingHash(col("__g")), lit(buckets.toLong)).as("bucket"))
+      .groupBy(col(stratum), col("bucket"))
+      .agg(count(lit(1)).as("cnt"))
+  }
+
+  /** Finisher over a (stratum, bucket, cnt) relation built with the
+    * same `buckets`: per-stratum KL vs the rest of the corpus. Safe
+    * over a union of increments — duplicate (stratum, bucket) rows
+    * merge by addition first, the count relation's merge law. */
+  def vocabDriftKlFromCounts(countsIn: DataFrame, stratum: String,
+                             buckets: Int): DataFrame = {
+    require(buckets >= 2, s"buckets=$buckets must be >= 2")
+    val counts = countsIn
+      .groupBy(col(stratum).as("__s"), col("bucket").as("__b"))
+      .agg(sum("cnt").as("__c"))
+      .localCheckpoint() // one strata×B relation shared by 3 consumers
+    val spark = countsIn.sparkSession
     val grid = broadcast(counts.select(col("__s")).distinct()
       .crossJoin(spark.range(buckets).select(col("id").as("__b"))))
     val full = grid.join(counts, Seq("__s", "__b"), "left")

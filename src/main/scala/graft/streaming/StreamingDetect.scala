@@ -78,6 +78,34 @@ object StreamingDetect {
         col("bucket"), col("cnt"))
   }
 
+  /** Drift-monitor streaming face: time-windowed hashed-unigram
+    * vocabulary counts — (stratum, window_start, bucket, cnt)
+    * increments, the same windowed-sketch shape as
+    * [[windowedBinCounts]]/[[windowedCmsCounts]]. State per open
+    * window is bounded by strata×buckets counters; downstream,
+    * [[graft.llm.TextAnalysis.vocabDriftKlFromCounts]] accepts the
+    * UNION of sink increments directly (duplicate (stratum, bucket)
+    * rows merge by addition — the count relation's merge law), so
+    * per-window AND whole-stream drift reads are both one finisher
+    * call. StreamingSpec pins stream-built ≡ batch KL per window. */
+  def windowedVocabCounts(df: DataFrame, stratum: String, ts: String,
+                          text: String, windowDuration: String,
+                          buckets: Int,
+                          watermark: String = "1 hour"): DataFrame = {
+    require(buckets >= 2, s"buckets=$buckets must be >= 2")
+    val src = if (df.isStreaming) df.withWatermark(ts, watermark) else df
+    src.select(col(stratum), col(ts),
+        explode(split(col(text), " ")).as("__g"))
+      .withColumn("bucket",
+        pmod(graft.llm.TextAnalysis.rollingHash(col("__g")),
+          lit(buckets.toLong)))
+      .groupBy(col(stratum), window(col(ts), windowDuration),
+        col("bucket"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(col(stratum), col("window.start").as("window_start"),
+        col("bucket"), col("cnt"))
+  }
+
   /** W1 streaming analogue: sliding time-window mean/std per series with
     * a watermark for state cleanup. */
   def rollingStats(df: DataFrame, series: String, ts: String, value: String,

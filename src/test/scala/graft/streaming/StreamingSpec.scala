@@ -386,6 +386,69 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("windowed vocab-drift increments finish to the batch KL, per window and whole-stream") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val base = Timestamp.valueOf("2024-01-01 00:00:00").getTime
+    // three sources with distinct token mixes, two tumbling hours
+    val rows = (0 until 120).map { i =>
+      val src = s"src${i % 3}"
+      val text = Seq.tabulate(12)(j =>
+        s"w${(i * 7 + j * (i % 3 + 2)) % 31}_${i % 3}").mkString(" ")
+      (src, new Timestamp(base + i * 60L * 1000), text)
+    }
+    val B = 64
+    def klMap(df: org.apache.spark.sql.DataFrame) =
+      graft.llm.TextAnalysis.vocabDriftKl(df, "text", "source", B)
+        .collect()
+        .map(r => r.getAs[String]("source") ->
+          (r.getAs[Long]("n_tokens"), r.getAs[Double]("kl_vs_rest")))
+        .toMap
+    val batchDf = rows.toDF("source", "ts", "text")
+    val batchWhole = klMap(batchDf)
+    val batchByHour = Seq(0, 1).map { h =>
+      h -> klMap(batchDf.filter(
+        hour(col("ts")) === h && col("ts") >= lit(new Timestamp(base))))
+    }.toMap
+    val input = MemoryStream[(String, Timestamp, String)]
+    val counts = StreamingDetect.windowedVocabCounts(
+      input.toDF().toDF("source", "ts", "text"), "source", "ts",
+      "text", "1 hour", B)
+    val q = counts.writeStream.format("memory").queryName("driftsink")
+      .outputMode("complete").start()
+    try {
+      input.addData(rows.take(70))
+      q.processAllAvailable()
+      input.addData(rows.drop(70))
+      q.processAllAvailable()
+      assert(spark.sql(
+        "select count(distinct window_start) from driftsink")
+        .head.getLong(0) == 2, "test must span two windows")
+      // whole-stream read: finisher over the raw UNION of increments
+      val sunk = spark.sql("select source, bucket, cnt from driftsink")
+      val streamedWhole = graft.llm.TextAnalysis
+        .vocabDriftKlFromCounts(sunk, "source", B)
+        .collect()
+        .map(r => r.getAs[String]("source") ->
+          (r.getAs[Long]("n_tokens"), r.getAs[Double]("kl_vs_rest")))
+        .toMap
+      assert(streamedWhole === batchWhole)
+      // per-window reads
+      for (h <- Seq(0, 1)) {
+        val win = spark.sql(
+          s"""select source, bucket, cnt from driftsink
+             |where hour(window_start) = $h""".stripMargin)
+        val streamed = graft.llm.TextAnalysis
+          .vocabDriftKlFromCounts(win, "source", B)
+          .collect()
+          .map(r => r.getAs[String]("source") ->
+            (r.getAs[Long]("n_tokens"), r.getAs[Double]("kl_vs_rest")))
+          .toMap
+        assert(streamed === batchByHour(h), s"window $h diverged")
+      }
+    } finally q.stop()
+  }
+
   test("windowed CMS increments union-merge to the batch estimates") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
