@@ -972,6 +972,16 @@ object SparkEntry {
         .select(col("doc_id"), col("clean_text"), col("n_spans"),
           col("n_kept"))),
 
+    // LLM-pipeline: exact-substring duplicate detection (Lee et al.
+    // 2022 ExactSubstr, relational form) — pairs sharing a verbatim
+    // ≥8-word run, with the LONGEST shared run length from
+    // gaps-and-islands over anchor diagonals; hot-anchor cap 50.
+    "q_substr_dedup" -> ((s, dir) =>
+      llm.Dedup.substringDedup(docs(s, dir), "doc_id", "text",
+          minLen = 8, maxAnchorFreq = 50)
+        .select(col("id_a"), col("id_b"), col("n_anchor_hits"),
+          col("match_len"))),
+
     // LLM-pipeline: exact n-gram Jaccard near-dup (shingle-bucketed join)
     "q_ngram_jaccard" -> ((s, dir) =>
       llm.Dedup.ngramJaccard(docs(s, dir), "doc_id", "text",
@@ -2199,6 +2209,30 @@ object SparkEntry {
         |  least(strt + toks, (seq_id + 1) * 256)
         |    - greatest(strt, seq_id * 256) AS slice_len
         |FROM s""".stripMargin,
+
+    "q_substr_dedup" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS w
+        |  FROM documents),
+        |g AS (SELECT doc_id, CAST(i AS BIGINT) AS pos,
+        |    md5(array_to_string(w[i+1 : i+8], ' ')) AS gk
+        |  FROM (SELECT doc_id, w, unnest(range(0, len(w) - 7)) AS i
+        |        FROM w WHERE len(w) >= 8) x),
+        |c AS (SELECT doc_id, pos, gk,
+        |    count(*) OVER (PARTITION BY gk) AS occ FROM g),
+        |f AS (SELECT doc_id, pos, gk FROM c WHERE occ <= 50),
+        |h AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |    a.pos AS pa, b.pos AS pb
+        |  FROM f a JOIN f b ON a.gk = b.gk AND a.doc_id < b.doc_id),
+        |r AS (SELECT id_a, id_b, pa - pb AS d, pa,
+        |    pa - row_number() OVER (PARTITION BY id_a, id_b, pa - pb
+        |      ORDER BY pa) AS isl
+        |  FROM h),
+        |runs AS (SELECT id_a, id_b, count(*) AS run
+        |  FROM r GROUP BY id_a, id_b, d, isl)
+        |SELECT id_a, id_b,
+        |  CAST(sum(run) AS BIGINT) AS n_anchor_hits,
+        |  CAST(max(run) + 7 AS BIGINT) AS match_len
+        |FROM runs GROUP BY id_a, id_b""".stripMargin,
 
     "q_decontam" ->
       """WITH words AS (SELECT doc_id, string_split(text, ' ') AS w

@@ -264,6 +264,73 @@ object Dedup {
       .select(col(id), col("clean_text"), col("n_spans"), col("n_kept"))
   }
 
+  /** Exact-substring duplicate detection (Lee et al. 2022,
+    * "Deduplicating Training Data Makes Language Models Better" —
+    * their suffix-array ExactSubstr criterion, re-expressed
+    * relationally): report every document pair sharing a verbatim run
+    * of ≥ `minLen` words, with the length of the LONGEST shared run.
+    *
+    * The suffix array is replaced by the anchor identity any common
+    * substring obeys: a shared run of M ≥ L words contains exactly
+    * M−L+1 of the documents' position-indexed L-word shingles, at
+    * CONSECUTIVE positions on one (pos_a − pos_b) diagonal. So:
+    * explode position-indexed L-gram anchors (md5-keyed — fixed-width
+    * join keys, the spanDedup convention), equi-join on the anchor
+    * key (never all-pairs), then gaps-and-islands over each pair's
+    * diagonals: the longest island + L−1 IS the longest common
+    * substring, exactly.
+    *
+    * `maxAnchorFreq` is the hot-anchor cap: anchors occurring more
+    * than that many times corpus-wide (boilerplate floods — the
+    * license header every file carries) are dropped BEFORE the join,
+    * bounding per-anchor fan-out at maxAnchorFreq²; runs through a
+    * dropped anchor report their capped-out remainder, so match_len
+    * is a lower bound when the cap bites (it never invents a match).
+    *
+    * Output: (id_a, id_b, n_anchor_hits, match_len ≥ minLen) per
+    * pair, id_a < id_b.
+    *
+    * Scale shape: one anchor-keyed window (occurrence cap) whose
+    * exchange the self-join reuses, then pair/diagonal-keyed window +
+    * aggregates — every stage keyed, no cartesian, anchor fan-out
+    * capped. */
+  def substringDedup(df: DataFrame, id: String, text: String,
+                     minLen: Int, maxAnchorFreq: Int): DataFrame = {
+    require(minLen >= 2, s"minLen=$minLen must be >= 2")
+    require(maxAnchorFreq >= 2, s"maxAnchorFreq=$maxAnchorFreq must be >= 2")
+    import org.apache.spark.sql.expressions.Window
+    val words = df.select(col(id), split(col(text), " ").as("__w"))
+      .filter(size(col("__w")) >= minLen)
+    val grams = words.select(col(id),
+        posexplode(transform(
+          sequence(lit(0), size(col("__w")) - minLen),
+          i => md5(concat_ws(" ",
+            slice(col("__w"), i + 1, lit(minLen))))))
+          .as(Seq("pos", "gk")))
+      .select(col(id), col("pos").cast("long").as("pos"), col("gk"))
+    val capped = grams
+      .withColumn("__occ", count(lit(1)).over(Window.partitionBy("gk")))
+      .filter(col("__occ") <= maxAnchorFreq)
+      .drop("__occ")
+    val a = capped.select(col("gk"), col(id).as("id_a"),
+      col("pos").as("pa"))
+    val b = capped.select(col("gk"), col(id).as("id_b"),
+      col("pos").as("pb"))
+    // one row per (id_a, id_b, pa, pb): each position carries exactly
+    // one anchor, so the equi-join cannot duplicate — no distinct pass
+    val hits = a.join(b, "gk").filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), col("pa"), col("pb"))
+    val wd = Window.partitionBy(col("id_a"), col("id_b"), col("__d"))
+      .orderBy("pa")
+    val runs = hits.withColumn("__d", col("pa") - col("pb"))
+      .withColumn("__isl", col("pa") - row_number().over(wd))
+      .groupBy(col("id_a"), col("id_b"), col("__d"), col("__isl"))
+      .agg(count(lit(1)).as("__run"))
+    runs.groupBy("id_a", "id_b")
+      .agg(sum("__run").as("n_anchor_hits"),
+        (max("__run") + lit(minLen) - 1).as("match_len"))
+  }
+
   /** 64-bit SimHash per document over whitespace tokens: bit b of the
     * fingerprint is the sign of Σ_token (±1 by bit b of xxhash64(token)).
     * One explode + one groupBy with 64 codegen'd conditional sums. */

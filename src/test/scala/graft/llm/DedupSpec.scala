@@ -260,6 +260,78 @@ class DedupSpec extends SparkSpec {
     assert(out(2L) === "z z e f")
   }
 
+  test("substringDedup: match_len is exactly the longest shared run") {
+    import spark.implicits._
+    val run10 = (1 to 10).map(i => s"r$i").mkString(" ")  // planted 10-word run
+    val pad = (1 to 6).map(i => s"p$i").mkString(" ")
+    val qad = (1 to 6).map(i => s"q$i").mkString(" ")
+    val df = Seq(
+      (1L, s"$pad $run10"),          // shares run10 with 2
+      (2L, s"$run10 $qad"),
+      (3L, s"$pad x1 x2 x3 $qad"))   // shares only <4-word runs
+    .toDF("doc_id", "text")
+    val out = Dedup.substringDedup(df, "doc_id", "text", minLen = 4,
+        maxAnchorFreq = 10)
+      .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b")) ->
+        (r.getAs[Long]("n_anchor_hits"), r.getAs[Long]("match_len")))
+      .toMap
+    // pair (1,2): longest shared run is exactly the planted 10 words ->
+    // 7 consecutive 4-gram anchors on one diagonal, match_len 10
+    assert(out((1L, 2L)) === ((7L, 10L)))
+    // pair (1,3) shares pad (6 words -> 3 anchors, run 3 -> len 6);
+    // pair (2,3) shares qad the same way
+    assert(out((1L, 3L)) === ((3L, 6L)))
+    assert(out((2L, 3L)) === ((3L, 6L)))
+  }
+
+  test("substringDedup: scattered shared grams do not chain into a long match") {
+    import spark.implicits._
+    val g1 = "a1 a2 a3 a4"
+    val g2 = "b1 b2 b3 b4"
+    // shared 4-grams at NON-adjacent, diagonal-breaking offsets: two
+    // islands of run 1 each -> match_len stays 4
+    val df = Seq(
+      (1L, s"$g1 z1 z2 z3 $g2"),
+      (2L, s"$g2 y1 $g1"))
+    .toDF("doc_id", "text")
+    val out = Dedup.substringDedup(df, "doc_id", "text", minLen = 4,
+      maxAnchorFreq = 10).collect()
+    assert(out.length === 1)
+    assert(out.head.getAs[Long]("n_anchor_hits") === 2L)
+    assert(out.head.getAs[Long]("match_len") === 4L)
+  }
+
+  test("substringDedup hot-anchor cap drops flooded anchors, never invents") {
+    import spark.implicits._
+    val boiler = (1 to 8).map(i => s"h$i").mkString(" ")
+    // the boilerplate run appears in 6 docs -> 6 occurrences of each
+    // anchor; cap 5 drops them all -> no pairs at all
+    val df = (1L to 6L).map(i => (i, s"u${i}a u${i}b $boiler"))
+      .toDF("doc_id", "text")
+    val none = Dedup.substringDedup(df, "doc_id", "text", minLen = 8,
+      maxAnchorFreq = 5).collect()
+    assert(none.isEmpty)
+    // cap 6 admits them: every pair reports the full 8-word match
+    val all = Dedup.substringDedup(df, "doc_id", "text", minLen = 8,
+      maxAnchorFreq = 6).collect()
+    assert(all.length === 15) // C(6,2)
+    assert(all.forall(_.getAs[Long]("match_len") == 8L))
+  }
+
+  test("substringDedup within-doc repeated anchors keep diagonals separate") {
+    import spark.implicits._
+    val r = "m1 m2 m3 m4"
+    // doc 1 contains the run twice; doc 2 once -> two (pa, pb) hits on
+    // two diagonals, each an island of 1 -> match_len 4, hits 2
+    val df = Seq((1L, s"$r x0 $r"), (2L, s"$r"))
+      .toDF("doc_id", "text")
+    val out = Dedup.substringDedup(df, "doc_id", "text", minLen = 4,
+      maxAnchorFreq = 10).collect()
+    assert(out.length === 1)
+    assert(out.head.getAs[Long]("n_anchor_hits") === 2L)
+    assert(out.head.getAs[Long]("match_len") === 4L)
+  }
+
   test("lshErrorProfile matches a driver-side midpoint integration exactly") {
     val out = Dedup.lshErrorProfile(spark, numHashes = 32,
         threshold = 0.4, steps = 500)
