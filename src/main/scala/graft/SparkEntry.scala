@@ -464,6 +464,25 @@ object SparkEntry {
             .as("ts_intercept_i6"),
           col("s_w"))),
 
+    // A-extra: exact two-sample Kolmogorov–Smirnov drift of each
+    // event_type's value distribution vs the rest — sup_x
+    // |F_s − F_rest| over the pooled support, one window pass
+    // partitioned by stratum. The exact-analysis face of the drift
+    // pair; q_psi is the mergeable sketch path.
+    "q_ks" -> ((s, dir) =>
+      graft.metrics.Drift.ksDrift(ev(s, dir), "event_type", "value")
+        .select(col("event_type"), col("n_points"),
+          col("ks_vs_rest"))),
+
+    // A-extra: PSI + binned-KS drift on a fixed 50-bin grid over
+    // [0, 500) — (strata × bins) mergeable counts, no sort anywhere:
+    // the 100 TB drift-monitoring path (ks_binned ≤ q_ks's exact sup).
+    "q_psi" -> ((s, dir) =>
+      graft.metrics.Drift.binnedDrift(ev(s, dir), "event_type",
+          "value", bins = 50, lo = 0.0, hi = 500.0)
+        .select(col("stratum").as("event_type"), col("n_points"),
+          col("psi_vs_rest"), col("ks_binned"))),
+
     // M-extra: classical additive seasonal decomposition (the
     // statsmodels seasonal_decompose moving-average method) — the
     // transparent baseline next to STL, and the one decomposition
@@ -3225,6 +3244,68 @@ object SparkEntry {
         |FROM pp JOIN inter ON pp.sk = inter.sk
         |  JOIN nt ON pp.sk = nt.sk
         |WHERE n >= 2""".stripMargin,
+
+    "q_ks" ->
+      """WITH r AS (SELECT CAST(event_type AS VARCHAR) AS s,
+        |    CAST(value AS DOUBLE) AS v FROM events
+        |  WHERE value IS NOT NULL AND event_type IS NOT NULL),
+        |c AS (SELECT s, v, count(*) AS cs FROM r GROUP BY 1, 2),
+        |vt AS (SELECT v, CAST(sum(cs) AS BIGINT) AS cv FROM c
+        |  GROUP BY 1),
+        |st AS (SELECT s, CAST(sum(cs) AS BIGINT) AS ns FROM c
+        |  GROUP BY 1),
+        |tot AS (SELECT CAST(sum(ns) AS BIGINT) AS n FROM st),
+        |g AS (SELECT sl.s, vt.v, vt.cv
+        |  FROM (SELECT DISTINCT s FROM st) sl CROSS JOIN vt),
+        |j AS (SELECT g.s, g.v, g.cv, coalesce(c.cs, 0) AS cs
+        |  FROM g LEFT JOIN c ON c.s = g.s AND c.v = g.v),
+        |w AS (SELECT s, v,
+        |    sum(cs) OVER (PARTITION BY s ORDER BY v) AS cums,
+        |    sum(cv) OVER (PARTITION BY s ORDER BY v) AS cuma
+        |  FROM j),
+        |d AS (SELECT w.s, st.ns,
+        |    abs(CAST(cums AS DOUBLE) / st.ns -
+        |      CAST(cuma - cums AS DOUBLE) / (tot.n - st.ns)) AS d
+        |  FROM w JOIN st ON w.s = st.s CROSS JOIN tot
+        |  WHERE tot.n > st.ns)
+        |SELECT s AS event_type, CAST(max(ns) AS BIGINT) AS n_points,
+        |  round(max(d), 9) AS ks_vs_rest
+        |FROM d GROUP BY 1""".stripMargin,
+
+    "q_psi" ->
+      """WITH r AS (SELECT CAST(event_type AS VARCHAR) AS s,
+        |    CAST(value AS DOUBLE) AS v FROM events
+        |  WHERE value IS NOT NULL AND event_type IS NOT NULL),
+        |bb AS (SELECT s, least(greatest(
+        |    CAST(floor((v - 0.0) / 10.0) AS BIGINT), 0), 49) AS b
+        |  FROM r),
+        |c AS (SELECT s, b, count(*) AS c FROM bb GROUP BY 1, 2),
+        |grid AS (SELECT sl.s, rg.range AS b
+        |  FROM (SELECT DISTINCT s FROM c) sl CROSS JOIN range(50) rg),
+        |fl AS (SELECT grid.s, grid.b, coalesce(c.c, 0) AS c
+        |  FROM grid LEFT JOIN c ON grid.s = c.s AND grid.b = c.b),
+        |bt AS (SELECT b, CAST(sum(c) AS BIGINT) AS bt FROM fl
+        |  GROUP BY b),
+        |st AS (SELECT s, CAST(sum(c) AS BIGINT) AS st FROM fl
+        |  GROUP BY s),
+        |gt AS (SELECT CAST(sum(bt) AS BIGINT) AS gt FROM bt),
+        |t AS (SELECT f.s, f.b, st.st, gt.gt,
+        |    CAST(f.c + 1 AS DOUBLE) / (st.st + 50) AS p,
+        |    CAST(bt.bt - f.c + 1 AS DOUBLE) / (gt.gt - st.st + 50)
+        |      AS q,
+        |    sum(f.c) OVER (PARTITION BY f.s ORDER BY f.b) AS cums,
+        |    sum(bt.bt - f.c) OVER (PARTITION BY f.s ORDER BY f.b)
+        |      AS cumr
+        |  FROM fl f JOIN bt USING (b) JOIN st ON f.s = st.s
+        |  CROSS JOIN gt WHERE gt.gt > st.st)
+        |SELECT s AS event_type, CAST(max(st) AS BIGINT) AS n_points,
+        |  round(list_reduce(list_prepend(0.0,
+        |      list_transform(list((p - q) * ln(p / q) ORDER BY b),
+        |        x -> x)),
+        |    (a, x) -> a + x), 6) AS psi_vs_rest,
+        |  round(max(abs(CAST(cums AS DOUBLE) / st -
+        |    CAST(cumr AS DOUBLE) / (gt - st))), 9) AS ks_binned
+        |FROM t GROUP BY 1""".stripMargin,
 
     "q_bm25" ->
       """WITH words AS (SELECT doc_id,
