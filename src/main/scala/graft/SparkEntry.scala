@@ -603,6 +603,17 @@ object SparkEntry {
         .select(col("user_id"), col("ts"), col("value"),
           round(col("if_score"), 9).as("if_score"), col("is_anomaly"))),
 
+    // M-extra: Local Outlier Factor (Breunig 2000) over per-series
+    // (value, Δ) features — the density-based complement to q_iforest
+    // (catches outliers inside globally dense value ranges). Fully
+    // relational: the series-keyed pair join is the q_trend O(n²)
+    // bounded shape; every downstream step rides the series keys.
+    "q_lof" -> ((s, dir) =>
+      graft.models.Lof.lof(ev(s, dir), "user_id", "ts", "value", k = 5)
+        .withColumn("user_id", col("user_id").cast("long"))
+        .select(col("user_id"), col("ord"), col("value"),
+          round(col("lof"), 6).as("lof"))),
+
     // W9: autocorrelation per lag — the notebook's full EDA grid
     // (notebooks/01 cell 7 plots lags 1..50), still ONE scan + ONE agg
     "q_acf" -> ((s, dir) =>
@@ -3306,6 +3317,44 @@ object SparkEntry {
         |  round(max(abs(CAST(cums AS DOUBLE) / st -
         |    CAST(cumr AS DOUBLE) / (gt - st))), 9) AS ks_binned
         |FROM t GROUP BY 1""".stripMargin,
+
+    "q_lof" ->
+      """WITH base AS (SELECT CAST(user_id AS VARCHAR) AS sk, ts,
+        |    CAST(value AS DOUBLE) AS v FROM events
+        |  WHERE value IS NOT NULL),
+        |pts AS (SELECT sk,
+        |    CAST(row_number() OVER (PARTITION BY sk ORDER BY ts)
+        |      AS BIGINT) AS i,
+        |    v AS x,
+        |    v - coalesce(lag(v) OVER (PARTITION BY sk ORDER BY ts), v)
+        |      AS y
+        |  FROM base),
+        |pairs AS (SELECT a.sk, a.i AS ia, b.i AS ib, a.x AS xa,
+        |    sqrt((a.x - b.x) * (a.x - b.x) +
+        |         (a.y - b.y) * (a.y - b.y)) AS d
+        |  FROM pts a JOIN pts b ON a.sk = b.sk AND a.i <> b.i),
+        |rk AS (SELECT sk, ia, ib, d, row_number() OVER
+        |    (PARTITION BY sk, ia ORDER BY d, ib) AS rn FROM pairs),
+        |kd AS (SELECT sk, ia, max(d) AS kd FROM rk WHERE rn <= 5
+        |  GROUP BY sk, ia),
+        |nbr AS (SELECT p.sk, p.ia, p.ib, p.xa, p.d
+        |  FROM pairs p JOIN kd ON p.sk = kd.sk AND p.ia = kd.ia
+        |  WHERE p.d <= kd.kd),
+        |lrd AS (SELECT n.sk, n.ia, CAST(count(*) AS DOUBLE) /
+        |    greatest(list_reduce(list_prepend(0.0,
+        |      list_transform(list(greatest(kj.kd, n.d) ORDER BY n.ib),
+        |        x -> x)), (a, b) -> a + b), 1e-12) AS lrd
+        |  FROM nbr n JOIN kd kj ON n.sk = kj.sk AND n.ib = kj.ia
+        |  GROUP BY n.sk, n.ia),
+        |lof AS (SELECT n.sk, n.ia, max(n.xa) AS x,
+        |    list_reduce(list_prepend(0.0,
+        |      list_transform(list(lj.lrd ORDER BY n.ib), x -> x)),
+        |      (a, b) -> a + b) / count(*) / max(li.lrd) AS lof
+        |  FROM nbr n JOIN lrd lj ON n.sk = lj.sk AND n.ib = lj.ia
+        |    JOIN lrd li ON n.sk = li.sk AND n.ia = li.ia
+        |  GROUP BY n.sk, n.ia)
+        |SELECT CAST(sk AS BIGINT) AS user_id, ia AS ord, x AS value,
+        |  round(lof, 6) AS lof FROM lof""".stripMargin,
 
     "q_bm25" ->
       """WITH words AS (SELECT doc_id,

@@ -1,0 +1,109 @@
+package graft.models
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Local Outlier Factor (Breunig et al., SIGMOD 2000) over per-series
+  * (value, Δvalue) features — the density-based complement to the
+  * Isolation Forest detector (same feature convention as
+  * `IsolationForest.score`): a point is anomalous when its local
+  * reachability density is low RELATIVE to its neighbors', which
+  * catches outliers that sit inside globally dense value ranges.
+  *
+  * Fully RELATIONAL formulation (no per-group driver math): the
+  * pairwise-distance self-join is keyed by series — the same bounded
+  * O(n²)-per-series shape as the exact Theil–Sen pair join (q_trend),
+  * with every downstream step (k-distance, tie-inclusive neighborhood,
+  * reachability, lrd, lof) an equi-join or keyed aggregate that rides
+  * the series partitioning. At unbounded series length the production
+  * form is the same recipe over bounded monitoring windows (or a
+  * bucketed kNN join); the registered face is the exact algorithm.
+  *
+  * Exactness conventions (engine-reproducible doubles):
+  *  - distances use explicit `dx*dx + dy*dy` (never `pow`, which is
+  *    not required to be exact for integer exponents) + IEEE sqrt;
+  *  - k-distance is the k-th order statistic of the distance multiset
+  *    (row_number ordered by (d, neighbor) — the VALUE is tie-stable);
+  *  - the neighborhood is tie-INCLUSIVE (`d <= kdist`, so |N| ≥ k —
+  *    the paper's definition);
+  *  - every float aggregate is a neighbor-ordered fold (house
+  *    convention), and lrd guards the duplicate-point degeneracy with
+  *    `max(sum_reach, 1e-12)` mirrored verbatim in the oracle.
+  *
+  * Points in series with fewer than 2 rows have no neighbors and are
+  * omitted; series with n ≤ k use all n−1 available neighbors.
+  */
+object Lof {
+
+  /** Neighbor-ordered float fold: Σ over `v` in ascending-`ord` order. */
+  private def orderedSum(ord: Column, v: Column): Column =
+    aggregate(
+      transform(array_sort(collect_list(struct(ord, v.as("__v")))),
+        s => s.getField("__v")),
+      lit(0.0), (a, x) => a + x)
+
+  /** Per-point LOF over (value, Δvalue) features within each series.
+    *
+    * Output: (series, ord, value, lof) — `ord` is the 1-based
+    * timestamp ordinal within the series, `lof` the raw factor
+    * (≈1 inlier, ≫1 outlier).
+    */
+  def lof(df: DataFrame, series: String, order: String, value: String,
+          k: Int): DataFrame = {
+    require(k >= 1, s"k=$k must be >= 1")
+    val w = Window.partitionBy("__sk").orderBy("__o")
+    val pts = df.select(col(series).cast("string").as("__sk"),
+        col(order).as("__o"), col(value).cast("double").as("__x"))
+      .filter(col("__x").isNotNull && col("__sk").isNotNull)
+      .withColumn("__i", row_number().over(w).cast("long"))
+      .withColumn("__y",
+        col("__x") - coalesce(lag("__x", 1).over(w), col("__x")))
+      .select("__sk", "__i", "__x", "__y")
+    val a = pts.select(col("__sk"), col("__i").as("__ia"),
+      col("__x").as("__xa"), col("__y").as("__ya"))
+    val b = pts.select(col("__sk"), col("__i").as("__ib"),
+      col("__x").as("__xb"), col("__y").as("__yb"))
+    val dx = col("__xa") - col("__xb")
+    val dy = col("__ya") - col("__yb")
+    val pairs = a.join(b, Seq("__sk"))
+      .filter(col("__ia") =!= col("__ib"))
+      .withColumn("__d", sqrt(dx * dx + dy * dy))
+      .select("__sk", "__ia", "__ib", "__xa", "__d")
+    // ONE pass over the O(n²) pair volume: rank within (series, point)
+    // and read the k-th order statistic back with an unordered window
+    // over the same partitioning (no second exchange), then keep the
+    // tie-inclusive neighborhood. Checkpointed: it is the bounded
+    // ~n·k relation every downstream step reuses — without this the
+    // self-join would be recomputed by each of its three consumers.
+    val rnw = Window.partitionBy("__sk", "__ia")
+      .orderBy(col("__d"), col("__ib"))
+    val nbr = pairs
+      .withColumn("__rn", row_number().over(rnw))
+      .withColumn("__kd", max(when(col("__rn") <= k, col("__d")))
+        .over(Window.partitionBy("__sk", "__ia")))
+      .filter(col("__d") <= col("__kd"))
+      .select("__sk", "__ia", "__ib", "__xa", "__d")
+      .localCheckpoint()
+    // the k-th order statistic is attained inside the neighborhood,
+    // so kdist(p) = max distance among p's kept neighbor rows
+    val kdJ = nbr.groupBy("__sk", "__ia").agg(max("__d").as("__kdj"))
+      .withColumnRenamed("__ia", "__ib")
+    val lrd = nbr.join(kdJ, Seq("__sk", "__ib"))
+      .withColumn("__rd", greatest(col("__kdj"), col("__d")))
+      .groupBy("__sk", "__ia")
+      .agg((count(lit(1)).cast("double") /
+        greatest(orderedSum(col("__ib"), col("__rd")), lit(1e-12)))
+        .as("__lrd"))
+    val lrdJ = lrd.select(col("__sk"), col("__ia").as("__ib"),
+      col("__lrd").as("__lrdj"))
+    nbr.join(lrdJ, Seq("__sk", "__ib"))
+      .join(lrd, Seq("__sk", "__ia"))
+      .groupBy("__sk", "__ia")
+      .agg(max("__xa").as("__xv"),
+        (orderedSum(col("__ib"), col("__lrdj")) /
+          count(lit(1)).cast("double") / max("__lrd")).as("__lof"))
+      .select(col("__sk").as(series), col("__ia").as("ord"),
+        col("__xv").as(value), col("__lof").as("lof"))
+  }
+}
