@@ -483,6 +483,37 @@ object SparkEntry {
         .select(col("stratum").as("event_type"), col("n_points"),
           col("psi_vs_rest"), col("ks_binned"))),
 
+    // LLM-pipeline: URL/domain hygiene (RefinedWeb §3.1) — the corpus
+    // has no URL column, so a deterministic synthetic URL exercises
+    // every normalization rule (upper scheme/host, www, trailing
+    // slash, utm trackers beside a kept param, fragment) and both
+    // eTLD+1 families (.com/.org 2-label, .co.uk 3-label); mirrored
+    // verbatim in the oracle. Normalize → eTLD+1 → blocklist
+    // (example.org) → per-domain cap 25. Map-only until the cap's one
+    // domain-keyed window.
+    "q_url" -> ((s, dir) => {
+      val tld = element_at(
+        array(lit(".com"), lit(".org"), lit(".co.uk")),
+        (col("doc_id") % 3 + 1).cast("int"))
+      val synthUrl = concat(
+        lit("HTTPS://"),
+        when(col("doc_id") % 7 === 0, lit("WWW.")).otherwise(lit("")),
+        col("source"), lit("-"), (col("doc_id") % 20).cast("string"),
+        lit(".example"), tld,
+        lit("/Doc/"), col("doc_id").cast("string"),
+        when(col("doc_id") % 2 === 0, lit("/")).otherwise(lit("")),
+        when(col("doc_id") % 5 === 0,
+          concat(lit("?utm_source=feed&ref=keep&utm_id="),
+            col("doc_id").cast("string"))).otherwise(lit("")),
+        when(col("doc_id") % 11 === 0, lit("#frag")).otherwise(lit(""))
+      )
+      llm.UrlHygiene.hygiene(
+          docs(s, dir).withColumn("url", synthUrl),
+          "url", "doc_id", Seq("example.org"), cap = 25)
+        .select(col("doc_id"), col("url_norm"), col("domain"),
+          col("domain_rank"))
+    }),
+
     // M-extra: classical additive seasonal decomposition (the
     // statsmodels seasonal_decompose moving-average method) — the
     // transparent baseline next to STL, and the one decomposition
@@ -3355,6 +3386,66 @@ object SparkEntry {
         |  GROUP BY n.sk, n.ia)
         |SELECT CAST(sk AS BIGINT) AS user_id, ia AS ord, x AS value,
         |  round(lof, 6) AS lof FROM lof""".stripMargin,
+
+    "q_url" ->
+      """WITH u AS (SELECT doc_id,
+        |    'HTTPS://' ||
+        |    CASE WHEN doc_id % 7 = 0 THEN 'WWW.' ELSE '' END ||
+        |    source || '-' || CAST(doc_id % 20 AS VARCHAR) ||
+        |    '.example' ||
+        |    CASE doc_id % 3 WHEN 0 THEN '.com' WHEN 1 THEN '.org'
+        |      ELSE '.co.uk' END ||
+        |    '/Doc/' || CAST(doc_id AS VARCHAR) ||
+        |    CASE WHEN doc_id % 2 = 0 THEN '/' ELSE '' END ||
+        |    CASE WHEN doc_id % 5 = 0 THEN
+        |      '?utm_source=feed&ref=keep&utm_id=' ||
+        |        CAST(doc_id AS VARCHAR) ELSE '' END ||
+        |    CASE WHEN doc_id % 11 = 0 THEN '#frag' ELSE '' END AS url
+        |  FROM documents),
+        |nf AS (SELECT doc_id, regexp_replace(url, '#.*', '')
+        |    AS nofrag FROM u),
+        |parts AS (SELECT doc_id,
+        |    lower(regexp_extract(nofrag,
+        |      '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+        |    regexp_replace(regexp_replace(lower(regexp_extract(nofrag,
+        |      '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1)),
+        |      ':(80|443)$', ''), '^www\.', '') AS host,
+        |    regexp_extract(nofrag,
+        |      '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1)
+        |      AS path_raw,
+        |    regexp_extract(nofrag, '\?([^#]*)', 1) AS qs
+        |  FROM nf),
+        |np AS (SELECT doc_id, scheme, host,
+        |    CASE WHEN regexp_replace(path_raw, '/+$', '') = ''
+        |      THEN '/' ELSE regexp_replace(path_raw, '/+$', '') END
+        |      AS path,
+        |    CASE WHEN length(qs) > 0 AND
+        |        array_to_string(list_filter(string_split(qs, '&'),
+        |          p -> NOT regexp_matches(p,
+        |            '^(utm_[^=]*|fbclid|gclid)=')), '&') <> ''
+        |      THEN '?' || array_to_string(
+        |        list_filter(string_split(qs, '&'),
+        |          p -> NOT regexp_matches(p,
+        |            '^(utm_[^=]*|fbclid|gclid)=')), '&')
+        |      ELSE '' END AS qpart
+        |  FROM parts),
+        |normed AS (SELECT doc_id,
+        |    scheme || '://' || host || path || qpart AS url_norm,
+        |    string_split(host, '.') AS l, host FROM np),
+        |domd AS (SELECT doc_id, url_norm,
+        |    CASE WHEN len(l) <= 2 THEN host
+        |         WHEN (l[-2] || '.' || l[-1]) IN ('co.uk', 'org.uk',
+        |            'ac.uk', 'com.au', 'net.au', 'co.jp', 'or.jp',
+        |            'com.br', 'co.in') AND len(l) >= 3
+        |           THEN l[-3] || '.' || l[-2] || '.' || l[-1]
+        |         ELSE l[-2] || '.' || l[-1] END AS domain
+        |  FROM normed),
+        |capd AS (SELECT doc_id, url_norm, domain,
+        |    CAST(row_number() OVER (PARTITION BY domain
+        |      ORDER BY doc_id) AS BIGINT) AS domain_rank
+        |  FROM domd WHERE domain <> 'example.org')
+        |SELECT doc_id, url_norm, domain, domain_rank
+        |FROM capd WHERE domain_rank <= 25""".stripMargin,
 
     "q_bm25" ->
       """WITH words AS (SELECT doc_id,

@@ -1,0 +1,102 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** URL/domain hygiene — the first stage of the web-scale corpus
+  * pipelines (RefinedWeb §3.1 "URL filtering", Gopher/FineWeb crawl
+  * curation): canonicalize URLs, extract the registrable domain
+  * (eTLD+1), drop blocklisted domains, and cap documents per domain so
+  * no single site dominates the mixture.
+  *
+  * Everything before the per-domain cap is PURE column expressions in
+  * the Java-regex ∩ RE2 subset (codegen'd, map-only, runs inside the
+  * scan stage); the cap is ONE window over the domain key — the only
+  * exchange in the tier. At 100 TB the same shape holds: normalization
+  * rides the scan, and the cap's shuffle is keyed by domain (skewed
+  * mega-domains are exactly the rows the cap discards, so the window
+  * can be pre-filtered by an approximate count if a domain exceeds the
+  * cap by orders of magnitude).
+  *
+  * Normalization rules (each one oracle-mirrored):
+  *  - scheme and host lowercased; path/query case PRESERVED;
+  *  - fragment stripped; default ports (:80/:443) stripped;
+  *  - a leading `www.` stripped from the host;
+  *  - tracking params removed (`utm_*`, `fbclid`, `gclid`) while real
+  *    params survive; an emptied query string drops its `?`;
+  *  - trailing slashes collapsed off the path (root stays `/`... and
+  *    an empty path becomes `/`).
+  *
+  * eTLD+1 uses a bundled mini public-suffix set for the multi-label
+  * suffixes the tests exercise — the real list is a data file swap,
+  * not a code change (the lookup shape is identical).
+  */
+object UrlHygiene {
+
+  /** Multi-label public suffixes recognized by [[registrableDomain]]. */
+  val multiSuffixes: Seq[String] = Seq(
+    "co.uk", "org.uk", "ac.uk", "com.au", "net.au", "co.jp", "or.jp",
+    "com.br", "co.in")
+
+  private val trackerRe = "^(utm_[^=]*|fbclid|gclid)="
+
+  /** Canonical form of a raw URL (see rules above). */
+  def normalizeUrl(u: Column): Column = {
+    val noFrag = regexp_replace(u, "#.*", "")
+    val scheme = lower(regexp_extract(noFrag, "^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
+    val host = regexp_replace(
+      regexp_replace(lower(regexp_extract(noFrag, "^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)", 1)),
+        ":(80|443)$", ""),
+      "^www\\.", "")
+    val pathRaw = regexp_extract(noFrag, "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)", 1)
+    val path0 = regexp_replace(pathRaw, "/+$", "")
+    val path = when(path0 === "", lit("/")).otherwise(path0)
+    val qs = regexp_extract(noFrag, "\\?([^#]*)", 1)
+    val kept = filter(split(qs, "&"), p => !p.rlike(trackerRe))
+    val qPart = when(length(qs) > 0 && size(kept) > 0 &&
+        array_join(kept, "&") =!= "",
+      concat(lit("?"), array_join(kept, "&"))).otherwise(lit(""))
+    concat(scheme, lit("://"), host, path, qPart)
+  }
+
+  /** Host component of a normalized URL. */
+  def hostOf(urlNorm: Column): Column =
+    regexp_extract(urlNorm, "^[a-z][a-z0-9+.-]*://([^/?#]*)", 1)
+
+  /** Registrable domain (eTLD+1) of a normalized URL's host: the
+    * public suffix plus one label — `a.b.example.co.uk` →
+    * `example.co.uk`, `sub.example.com` → `example.com`; a host with
+    * too few labels is returned whole. */
+  def registrableDomain(urlNorm: Column): Column = {
+    val labels = split(hostOf(urlNorm), "\\.")
+    val n = size(labels)
+    val last2 = concat(element_at(labels, -2), lit("."),
+      element_at(labels, -1))
+    val isMulti = multiSuffixes.map(s => last2 === lit(s))
+      .reduce(_ || _)
+    when(n <= 2, hostOf(urlNorm))
+      .when(isMulti && n >= 3,
+        concat(element_at(labels, -3), lit("."), last2))
+      .otherwise(last2)
+  }
+
+  /** Full hygiene pass: normalize, extract domain, drop blocklisted
+    * domains, keep at most `cap` docs per domain (deterministic: the
+    * `cap` smallest `orderCol` values win). Adds `url_norm`, `domain`,
+    * `domain_rank` (1-based within domain). */
+  def hygiene(df: DataFrame, urlCol: String, orderCol: String,
+              blockedDomains: Seq[String], cap: Int): DataFrame = {
+    require(cap >= 1, s"cap=$cap must be >= 1")
+    val base = df
+      .withColumn("url_norm", normalizeUrl(col(urlCol)))
+      .withColumn("domain", registrableDomain(col("url_norm")))
+    val blocked: Column = if (blockedDomains.isEmpty) lit(false)
+      else blockedDomains.map(d => col("domain") === lit(d)).reduce(_ || _)
+    base.filter(!blocked)
+      .withColumn("domain_rank",
+        row_number().over(
+          Window.partitionBy("domain").orderBy(col(orderCol))).cast("long"))
+      .filter(col("domain_rank") <= cap)
+  }
+}
