@@ -514,6 +514,20 @@ object SparkEntry {
           col("domain_rank"))
     }),
 
+    // LLM-pipeline: MMR diversified re-ranking (Carbonell–Goldstein
+    // 1998) — greedy λ·rel − (1−λ)·max-sim-to-selected over the
+    // brute-force top-20 candidates, k=5, λ=0.7; the de-duplicating
+    // re-ranker between ANN and RAG context assembly. Oracle unrolls
+    // the five greedy steps as chained CTEs.
+    "q_mmr" -> ((s, dir) => {
+      val e = emb(s, dir)
+      llm.Similarity.mmrTopK(e.filter(col("vec_id") < 5), e,
+          "vec_id", "embedding", k = 5, candidates = 20, lambda = 0.7)
+        .select(col("query_id"), col("mmr_rank"), col("corpus_id"),
+          round(col("rel"), 6).as("rel"),
+          round(col("mmr_score"), 6).as("mmr_score"))
+    }),
+
     // M-extra: classical additive seasonal decomposition (the
     // statsmodels seasonal_decompose moving-average method) — the
     // transparent baseline next to STL, and the one decomposition
@@ -1918,7 +1932,80 @@ object SparkEntry {
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
+  /** q_mmr oracle: greedy MMR unrolled as chained CTEs — step t
+    * anti-joins the already-selected set, computes each remaining
+    * candidate's max cosine to it (same left-to-right component fold
+    * and `dot/(nrm_a·nrm_b + 1e-12)` convention as the Spark side),
+    * and picks the (score DESC, corpus_id ASC) winner. The λ
+    * arithmetic is written `CAST(0.7 AS DOUBLE)·rel − (CAST(1.0 AS
+    * DOUBLE) − CAST(0.7 AS DOUBLE))·ms` so both engines compute the
+    * identical IEEE expression (1.0 − 0.7 ≠ 0.3 in doubles). */
+  private def mmrOracleSql: String = {
+    val head =
+      """WITH q AS (SELECT vec_id AS query_id,
+        |    embedding::DOUBLE[] AS qv FROM embeddings
+        |  WHERE vec_id < 5),
+        |c AS (SELECT vec_id AS corpus_id, embedding::DOUBLE[] AS cv
+        |  FROM embeddings),
+        |p AS (SELECT query_id, corpus_id, cv,
+        |    list_reduce(list_prepend(0.0,
+        |      list_transform(list_zip(qv, cv), x -> x[1]*x[2])),
+        |      (a, b) -> a + b) /
+        |    (sqrt(list_reduce(list_prepend(0.0,
+        |      list_transform(list_zip(qv, qv), x -> x[1]*x[2])),
+        |      (a, b) -> a + b)) *
+        |     sqrt(list_reduce(list_prepend(0.0,
+        |      list_transform(list_zip(cv, cv), x -> x[1]*x[2])),
+        |      (a, b) -> a + b)) + 1e-12) AS rel,
+        |    sqrt(list_reduce(list_prepend(0.0,
+        |      list_transform(list_zip(cv, cv), x -> x[1]*x[2])),
+        |      (a, b) -> a + b)) AS nrm
+        |  FROM q CROSS JOIN c WHERE query_id <> corpus_id),
+        |cand AS (SELECT query_id, corpus_id, cv, nrm, rel,
+        |    row_number() OVER (PARTITION BY query_id
+        |      ORDER BY rel DESC, corpus_id ASC) AS rk
+        |  FROM p QUALIFY rk <= 20),
+        |sel1 AS (SELECT query_id, corpus_id, cv, nrm, rel,
+        |    CAST(0.7 AS DOUBLE) * rel AS score,
+        |    CAST(1 AS BIGINT) AS mmr_rank
+        |  FROM cand WHERE rk = 1),
+        |""".stripMargin
+    val steps = (2 to 5).map { t =>
+      val prev = s"sel${t - 1}"
+      s"""rem$t AS (SELECT * FROM cand WHERE NOT EXISTS (
+         |  SELECT 1 FROM $prev s WHERE s.query_id = cand.query_id
+         |    AND s.corpus_id = cand.corpus_id)),
+         |ms$t AS (SELECT r.query_id, r.corpus_id,
+         |    max(list_reduce(list_prepend(0.0,
+         |      list_transform(list_zip(r.cv, s.cv), x -> x[1]*x[2])),
+         |      (a, b) -> a + b) / (r.nrm * s.nrm + 1e-12)) AS ms
+         |  FROM rem$t r JOIN $prev s ON r.query_id = s.query_id
+         |  GROUP BY 1, 2),
+         |pick$t AS (SELECT r.query_id, r.corpus_id, r.cv, r.nrm,
+         |    r.rel,
+         |    CAST(0.7 AS DOUBLE) * r.rel - (CAST(1.0 AS DOUBLE) -
+         |      CAST(0.7 AS DOUBLE)) * m.ms AS score,
+         |    CAST($t AS BIGINT) AS mmr_rank
+         |  FROM rem$t r JOIN ms$t m ON r.query_id = m.query_id
+         |    AND r.corpus_id = m.corpus_id
+         |  QUALIFY row_number() OVER (PARTITION BY r.query_id
+         |    ORDER BY CAST(0.7 AS DOUBLE) * r.rel -
+         |      (CAST(1.0 AS DOUBLE) - CAST(0.7 AS DOUBLE)) * m.ms
+         |      DESC, r.corpus_id ASC) = 1),
+         |sel$t AS (SELECT * FROM $prev UNION ALL
+         |  SELECT query_id, corpus_id, cv, nrm, rel, score, mmr_rank
+         |  FROM pick$t),
+         |""".stripMargin
+    }.mkString
+    val tail =
+      """fin AS (SELECT * FROM sel5)
+        |SELECT query_id, mmr_rank, corpus_id, round(rel, 6) AS rel,
+        |  round(score, 6) AS mmr_score FROM fin""".stripMargin
+    head + steps + tail
+  }
+
   def oracleSql: Map[String, String] = Map(
+    "q_mmr" -> mmrOracleSql,
     "q_split" ->
       """WITH b AS (SELECT user_id, ts, value,
         |  row_number() OVER (PARTITION BY user_id ORDER BY ts) AS rn,

@@ -466,4 +466,88 @@ object Similarity {
       .select(col("query_id"), col("corpus_id"), col("cosine"),
         col("__r").cast("long").as("rank"))
   }
+
+  /** MMR diversified re-ranking (Carbonell & Goldstein, SIGIR 1998):
+    * greedily select k of the top-`candidates` cosine hits, each step
+    * maximizing `λ·rel(c) − (1−λ)·max_{s∈S} cos(c, s)` — relevance
+    * traded against redundancy with what is already selected. The
+    * de-duplicating re-ranker every retrieval stack wants between ANN
+    * and the consumer (RAG context assembly being the canonical use).
+    *
+    * Distribution shape: candidate generation is [[bruteForceTopK]]
+    * (swap in the IVF/LSH tiers at scale — the re-rank step is
+    * agnostic); the greedy loop runs per query over the BOUNDED
+    * candidate set (≤ `candidates` rows) inside `flatMapGroups`, so
+    * state never exceeds candidates×dim per query and queries fan out
+    * across the cluster.
+    *
+    * Determinism: candidate relevance is the `cosineNative` double;
+    * candidate-candidate cosine uses the identical left-to-right
+    * component fold (bit-equal to the oracle's `list_reduce`); the
+    * diversity term is a MAX over exact doubles; score arithmetic is
+    * `λ·rel − (1.0−λ)·ms` in that literal order; ties break on the
+    * smaller corpus_id. Rank 1 is the pure-relevance argmax (empty-set
+    * diversity term = 0).
+    *
+    * Output: (query_id, mmr_rank, corpus_id, rel, mmr_score). */
+  def mmrTopK(queries: DataFrame, corpus: DataFrame, id: String,
+              vec: String, k: Int, candidates: Int,
+              lambda: Double): DataFrame = {
+    require(k >= 1, s"k=$k must be >= 1")
+    require(candidates >= k, s"candidates=$candidates must be >= k=$k")
+    require(lambda >= 0.0 && lambda <= 1.0, s"lambda=$lambda not in [0,1]")
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val cand = bruteForceTopK(queries, corpus, id, vec, candidates)
+      .join(corpus.select(col(id).cast("long").as("corpus_id"),
+        col(vec).as("__cv")), Seq("corpus_id"))
+    val ds = cand.select(col("query_id").cast("long"),
+        col("corpus_id").cast("long"), col("cosine").cast("double"),
+        col("rank").cast("long"),
+        col("__cv").cast("array<float>"))
+      .as[(Long, Long, Double, Long, Array[Float])]
+    val lam = lambda
+    val kk = k
+    ds.groupByKey(_._1)
+      .flatMapGroups { (qid: Long, it: Iterator[(Long, Long, Double, Long, Array[Float])]) =>
+        val cs = it.toArray.sortBy(_._4)
+        def dot(a: Array[Float], b: Array[Float]): Double = {
+          var s = 0.0; var i = 0
+          while (i < a.length) { s += a(i).toDouble * b(i).toDouble; i += 1 }
+          s
+        }
+        def cos(a: Array[Float], b: Array[Float]): Double =
+          dot(a, b) / (math.sqrt(dot(a, a)) * math.sqrt(dot(b, b)) + 1e-12)
+        val selected = scala.collection.mutable.ArrayBuffer
+          .empty[(Long, Long, Double, Double, Array[Float])]
+        val remaining = scala.collection.mutable.ArrayBuffer(cs: _*)
+        var step = 1L
+        while (step <= kk && remaining.nonEmpty) {
+          var bestI = -1; var bestScore = Double.NegativeInfinity
+          var bestId = Long.MaxValue
+          var i = 0
+          while (i < remaining.length) {
+            val (cid, rel, cv) =
+              (remaining(i)._2, remaining(i)._3, remaining(i)._5)
+            var ms = 0.0
+            var j = 0
+            while (j < selected.length) {
+              val s = cos(cv, selected(j)._5)
+              ms = if (j == 0) s else math.max(ms, s)
+              j += 1
+            }
+            val sc = lam * rel - (1.0 - lam) * ms
+            if (sc > bestScore || (sc == bestScore && cid < bestId)) {
+              bestI = i; bestScore = sc; bestId = cid
+            }
+            i += 1
+          }
+          val pick = remaining.remove(bestI)
+          selected += ((pick._2, step, pick._3, bestScore, pick._5))
+          step += 1
+        }
+        selected.iterator.map(s => (qid, s._2, s._1, s._3, s._4))
+      }
+      .toDF("query_id", "mmr_rank", "corpus_id", "rel", "mmr_score")
+  }
 }
