@@ -786,4 +786,57 @@ class PlanSpec extends SparkSpec {
     assert(!"""keys=\[[^\]]*__h""".r.findFirstIn(p).isDefined,
       s"an aggregate is grouping on the hash column again:\n$p")
   }
+
+  test("exact KS drift: strata side broadcasts, no cartesian blowup") {
+    import spark.implicits._
+    val df = (0 until 500).map(i => (s"s${i % 4}", (i % 37).toDouble))
+      .toDF("g", "v")
+    val p = plan(graft.metrics.Drift.ksDrift(df, "g", "v"))
+    assert(p.contains("Broadcast"),
+      "the distinct-strata grid side must broadcast")
+    assert(!p.contains("CartesianProduct"),
+      "strata x values must be a broadcast product, never cartesian")
+  }
+
+  test("binned drift finisher joins its bounded totals as broadcasts") {
+    import spark.implicits._
+    val df = (0 until 600).map(i => (s"s${i % 3}", (i % 29).toDouble))
+      .toDF("g", "v")
+    val p = plan(graft.metrics.Drift.binnedDrift(df, "g", "v",
+      bins = 16, lo = 0.0, hi = 29.0))
+    assert(p.contains("BroadcastHashJoin"),
+      "bin/stratum totals are bounded relations and must broadcast")
+    assert(!p.contains("SortMergeJoin"),
+      s"no SMJ anywhere in the (strata x bins)-bounded finisher:\n$p")
+  }
+
+  test("URL hygiene is map-only up to ONE domain-keyed window exchange") {
+    import spark.implicits._
+    val df = (1 to 300).map(i =>
+      (i.toLong, s"https://h${i % 11}.dom${i % 5}.com/p$i?utm_s=1&q=$i"))
+      .toDF("doc_id", "url")
+    val p = plan(graft.llm.UrlHygiene.hygiene(df, "url", "doc_id",
+      Seq("dom0.com"), cap = 10))
+    val shuffles = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(shuffles == 1,
+      s"normalize/eTLD+1/blocklist ride the scan; only the cap " +
+        s"shuffles — found $shuffles:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"))
+  }
+
+  test("MMR re-rank: bounded per-query group state, no cartesian") {
+    import spark.implicits._
+    val rng = new scala.util.Random(5)
+    val emb = (0L until 60L).map(i =>
+      (i, Array.fill(8)(rng.nextFloat()))).toDF("vec_id", "embedding")
+    val p = plan(graft.llm.Similarity.mmrTopK(
+      emb.filter(col("vec_id") < 3), emb, "vec_id", "embedding",
+      k = 4, candidates = 10, lambda = 0.7))
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      "candidate generation must broadcast the query side")
+    assert(!p.contains("CartesianProduct"),
+      "corpus x corpus is forbidden in the MMR chain")
+    assert(p.contains("MapGroups"),
+      "the greedy loop runs per query over the bounded candidate set")
+  }
 }
