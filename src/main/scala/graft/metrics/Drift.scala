@@ -78,13 +78,11 @@ object Drift {
                          bins: Int, lo: Double, hi: Double): DataFrame = {
     require(bins >= 2, s"bins=$bins must be >= 2")
     require(hi > lo, s"hi=$hi must be > lo=$lo")
-    val width = (hi - lo) / bins
     df.select(col(stratum).cast("string").as("stratum"),
         col(value).cast("double").as("__v"))
       .filter(col("__v").isNotNull && col("stratum").isNotNull)
-      .withColumn("bin", least(greatest(
-        floor((col("__v") - lit(lo)) / lit(width)).cast("long"),
-        lit(0L)), lit(bins - 1L)))
+      .withColumn("bin",
+        graft.core.Quantiles.binExpr(col("__v"), lo, hi, bins))
       .groupBy("stratum", "bin").agg(count(lit(1)).as("cnt"))
   }
 

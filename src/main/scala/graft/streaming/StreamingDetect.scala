@@ -106,6 +106,32 @@ object StreamingDetect {
         col("bucket"), col("cnt"))
   }
 
+  /** L72 streaming: time-windowed numeric-drift count increments —
+    * (stratum, window_start, bin, cnt) on the fixed [lo, hi) grid,
+    * the same increment-union shape as [[windowedBinCounts]] /
+    * [[windowedVocabCounts]]. State per open window is strata × bins
+    * counters; merge = addition, so
+    * `Drift.binnedDriftFromCounts` accepts the UNION of sink
+    * increments directly — per-window AND whole-stream PSI/binned-KS
+    * reads are both one finisher call. StreamingSpec pins stream ≡
+    * batch for both readings. */
+  def windowedDriftCounts(df: DataFrame, stratum: String, ts: String,
+                          value: String, windowDuration: String,
+                          lo: Double, hi: Double, bins: Int,
+                          watermark: String = "1 hour"): DataFrame = {
+    require(bins >= 2, s"bins=$bins must be >= 2")
+    val src = if (df.isStreaming) df.withWatermark(ts, watermark) else df
+    src.filter(col(value).isNotNull && col(stratum).isNotNull)
+      .select(col(stratum).cast("string").as("stratum"), col(ts),
+        graft.core.Quantiles.binExpr(col(value).cast("double"),
+          lo, hi, bins).as("bin"))
+      .groupBy(col("stratum"), window(col(ts), windowDuration),
+        col("bin"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(col("stratum"), col("window.start").as("window_start"),
+        col("bin"), col("cnt"))
+  }
+
   /** W1 streaming analogue: sliding time-window mean/std per series with
     * a watermark for state cleanup. */
   def rollingStats(df: DataFrame, series: String, ts: String, value: String,

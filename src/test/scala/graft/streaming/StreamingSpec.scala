@@ -449,6 +449,63 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("windowed numeric-drift increments finish to the batch PSI/KS, per window and whole-stream") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val base = Timestamp.valueOf("2024-01-01 00:00:00").getTime
+    // three strata with different value mixes, two tumbling hours
+    val rows = (0 until 180).map { i =>
+      val s = s"s${i % 3}"
+      val v = ((i * 13) % 41).toDouble + (i % 3) * 8.0
+      (s, new Timestamp(base + i * 40L * 1000), v)
+    }
+    val bins = 16; val lo = 0.0; val hi = 60.0
+    def driftMap(df: org.apache.spark.sql.DataFrame) =
+      graft.metrics.Drift.binnedDrift(df, "stratum", "value",
+          bins, lo, hi)
+        .collect()
+        .map(r => r.getAs[String]("stratum") ->
+          (r.getAs[Long]("n_points"), r.getAs[Double]("psi_vs_rest"),
+            r.getAs[Double]("ks_binned")))
+        .toMap
+    val batchDf = rows.toDF("stratum", "ts", "value")
+    val batchWhole = driftMap(batchDf)
+    val batchByHour = Seq(0, 1).map { h =>
+      h -> driftMap(batchDf.filter(hour(col("ts")) === h))
+    }.toMap
+    val input = MemoryStream[(String, Timestamp, Double)]
+    val counts = StreamingDetect.windowedDriftCounts(
+      input.toDF().toDF("stratum", "ts", "value"), "stratum", "ts",
+      "value", "1 hour", lo, hi, bins)
+    val q = counts.writeStream.format("memory").queryName("ndriftsink")
+      .outputMode("complete").start()
+    try {
+      input.addData(rows.take(95))
+      q.processAllAvailable()
+      input.addData(rows.drop(95))
+      q.processAllAvailable()
+      assert(spark.sql(
+        "select count(distinct window_start) from ndriftsink")
+        .head.getLong(0) == 2, "test must span two windows")
+      def fin(df: org.apache.spark.sql.DataFrame) =
+        graft.metrics.Drift.binnedDriftFromCounts(df, bins)
+          .collect()
+          .map(r => r.getAs[String]("stratum") ->
+            (r.getAs[Long]("n_points"), r.getAs[Double]("psi_vs_rest"),
+              r.getAs[Double]("ks_binned")))
+          .toMap
+      val whole = fin(spark.sql(
+        "select stratum, bin, cnt from ndriftsink"))
+      assert(whole === batchWhole)
+      for (h <- Seq(0, 1)) {
+        val win = fin(spark.sql(
+          s"""select stratum, bin, cnt from ndriftsink
+             |where hour(window_start) = $h""".stripMargin))
+        assert(win === batchByHour(h), s"window $h diverged")
+      }
+    } finally q.stop()
+  }
+
   test("windowed CMS increments union-merge to the batch estimates") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
