@@ -514,6 +514,29 @@ object SparkEntry {
           col("domain_rank"))
     }),
 
+    // LLM-pipeline: link-graph authority via PageRank (10 power-
+    // iteration steps, d=0.85) — the crawl-frontier prioritization
+    // stage next to q_url's hygiene tier. The corpus has no link
+    // column, so a deterministic 3-out-link graph over doc_id
+    // (mod max+1) is built identically on both engines; ranks are
+    // integer-pinned at 1e9 (multi-step float pipeline house rule).
+    "q_pagerank" -> ((s, dir) => {
+      val d = docs(s, dir).select(col("doc_id"))
+      val m = d.agg((max("doc_id") + 1).as("__m"))
+      val withM = d.crossJoin(broadcast(m))
+      val edges = withM.select(col("doc_id").as("src"),
+          ((col("doc_id") * 7 + 1) % col("__m")).as("dst"))
+        .unionByName(withM.select(col("doc_id").as("src"),
+          ((col("doc_id") * 13 + 3) % col("__m")).as("dst")))
+        .unionByName(withM.select(col("doc_id").as("src"),
+          ((col("doc_id") * 31 + 11) % col("__m")).as("dst")))
+      graft.graph.PageRank.pageRank(d, "doc_id", edges, "src", "dst",
+          iters = 10)
+        .select(col("doc_id"),
+          round(col("pagerank") * lit(1e9)).cast("long")
+            .as("pagerank_i9"))
+    }),
+
     // LLM-pipeline: MMR diversified re-ranking (Carbonell–Goldstein
     // 1998) — greedy λ·rel − (1−λ)·max-sim-to-selected over the
     // brute-force top-20 candidates, k=5, λ=0.7; the de-duplicating
@@ -2004,7 +2027,56 @@ object SparkEntry {
     head + steps + tail
   }
 
+  /** q_pagerank oracle: the 10 power-iteration steps unrolled as
+    * chained CTEs — per step one edge⋈rank join with a SOURCE-ordered
+    * contribution fold per destination, then the damping update with
+    * the same literal IEEE constants as the Spark side
+    * (`CAST(1.0) − CAST(0.85)`, never a decimal 0.15). */
+  private def pageRankOracleSql: String = {
+    val head =
+      """WITH nodes AS (SELECT doc_id AS id FROM documents),
+        |mm AS (SELECT max(id) + 1 AS m, count(*) AS n FROM nodes),
+        |eraw AS (
+        |  SELECT id AS src, (id * 7 + 1) % m AS dst
+        |  FROM nodes CROSS JOIN mm
+        |  UNION ALL
+        |  SELECT id AS src, (id * 13 + 3) % m AS dst
+        |  FROM nodes CROSS JOIN mm
+        |  UNION ALL
+        |  SELECT id AS src, (id * 31 + 11) % m AS dst
+        |  FROM nodes CROSS JOIN mm),
+        |edges AS (SELECT DISTINCT src, dst FROM eraw
+        |  WHERE src <> dst),
+        |deg AS (SELECT src, count(*) AS deg FROM edges GROUP BY src),
+        |r0 AS (SELECT id, CAST(1.0 AS DOUBLE) / n AS rank
+        |  FROM nodes CROSS JOIN mm),
+        |""".stripMargin
+    val steps = (1 to 10).map { t =>
+      s"""c$t AS (SELECT e.dst AS id,
+         |    list_reduce(list_prepend(0.0, list_transform(
+         |      list(r.rank / deg.deg ORDER BY e.src), x -> x)),
+         |      (a, b) -> a + b) AS cs
+         |  FROM edges e JOIN r${t - 1} r ON e.src = r.id
+         |    JOIN deg ON e.src = deg.src
+         |  GROUP BY e.dst),
+         |r$t AS (SELECT nodes.id,
+         |    (CAST(1.0 AS DOUBLE) - CAST(0.85 AS DOUBLE)) / mm.n +
+         |      CAST(0.85 AS DOUBLE) * coalesce(c$t.cs,
+         |        CAST(0.0 AS DOUBLE)) AS rank
+         |  FROM nodes CROSS JOIN mm
+         |  LEFT JOIN c$t ON nodes.id = c$t.id),
+         |""".stripMargin
+    }.mkString
+    val tail =
+      """fin AS (SELECT * FROM r10)
+        |SELECT id AS doc_id,
+        |  CAST(round(rank * 1e9) AS BIGINT) AS pagerank_i9
+        |FROM fin""".stripMargin
+    head + steps + tail
+  }
+
   def oracleSql: Map[String, String] = Map(
+    "q_pagerank" -> pageRankOracleSql,
     "q_mmr" -> mmrOracleSql,
     "q_split" ->
       """WITH b AS (SELECT user_id, ts, value,

@@ -1,0 +1,80 @@
+package graft.graph
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** PageRank (Brin & Page 1998) as a DataFrame power iteration — the
+  * link-graph authority score a crawl pipeline uses to prioritize its
+  * frontier and weight domain quality (the "link graph" stage of
+  * web-corpus curation next to the L74 URL hygiene tier).
+  *
+  * Formulation: fixed `iters` power-iteration steps of
+  *
+  *   r_{t+1}(v) = (1−d)/N + d · Σ_{u→v} r_t(u) / outdeg(u)
+  *
+  * over the DISTINCT self-loop-free edge set. Nodes without out-links
+  * simply drop their mass (no dangling redistribution — the variant is
+  * documented and oracle-mirrored; rank sums stay ≤ 1 and equal 1 on
+  * dangling-free graphs).
+  *
+  * Distribution shape: the edge relation (with out-degree attached) is
+  * checkpointed ONCE and re-joined each step against the N-row rank
+  * relation — per iteration one equi-join + one dst-keyed aggregate,
+  * the Pregel message-passing shape. Each step's rank relation is
+  * checkpointed to break the 10-deep lineage (without this the plan
+  * doubles per iteration). At 100 TB scale the same loop holds with
+  * the edge table bucketed by src so the per-step join is
+  * co-partitioned; the rank table is nodes-sized, orders of magnitude
+  * smaller than edges.
+  *
+  * Determinism: per-destination contributions are summed in a
+  * source-ordered fold (house float convention), constants are written
+  * as the literal IEEE expressions the oracle uses
+  * (`1.0 − d` computed in doubles, never a decimal 0.15), and the
+  * initial rank is `1.0/N` in double division.
+  */
+object PageRank {
+
+  /** Run `iters` PageRank steps. `nodes` supplies the vertex set (so
+    * isolated nodes keep (1−d)/N mass); `edges` may contain duplicates
+    * and self-loops, which are dropped first. Output: (id, pagerank). */
+  def pageRank(nodes: DataFrame, id: String, edges: DataFrame,
+               src: String, dst: String, iters: Int,
+               damping: Double = 0.85): DataFrame = {
+    require(iters >= 1, s"iters=$iters must be >= 1")
+    require(damping > 0.0 && damping < 1.0,
+      s"damping=$damping not in (0,1)")
+    val nd = nodes.select(col(id).cast("long").as("__id")).distinct()
+      .localCheckpoint()
+    val e = edges.select(col(src).cast("long").as("__src"),
+        col(dst).cast("long").as("__dst"))
+      .filter(col("__src") =!= col("__dst") &&
+        col("__src").isNotNull && col("__dst").isNotNull)
+      .distinct()
+    val deg = e.groupBy("__src").agg(count(lit(1)).as("__deg"))
+    val eDeg = e.join(deg, Seq("__src")).localCheckpoint()
+    val n = nd.count()
+    val base = lit(1.0 - damping) / lit(n)
+    var ranks = nd.select(col("__id"), (lit(1.0) / lit(n)).as("__rank"))
+      .localCheckpoint()
+    var t = 0
+    while (t < iters) {
+      val contrib = eDeg
+        .join(ranks, eDeg("__src") === ranks("__id"))
+        .select(col("__dst"), col("__src"),
+          (col("__rank") / col("__deg")).as("__c"))
+        .groupBy("__dst")
+        .agg(aggregate(
+          transform(array_sort(collect_list(struct(col("__src"),
+            col("__c").as("__c")))), s => s.getField("__c")),
+          lit(0.0), (a, x) => a + x).as("__cs"))
+      ranks = nd.join(contrib, nd("__id") === contrib("__dst"), "left")
+        .select(col("__id"),
+          (base + lit(damping) * coalesce(col("__cs"), lit(0.0)))
+            .as("__rank"))
+        .localCheckpoint()
+      t += 1
+    }
+    ranks.select(col("__id").as(id), col("__rank").as("pagerank"))
+  }
+}

@@ -1,0 +1,84 @@
+package graft.graph
+
+import graft.SparkSpec
+
+/** PageRank power iteration vs hand/driver recomputes. */
+class PageRankSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def run(nodes: Seq[Long], edges: Seq[(Long, Long)],
+                  iters: Int): Map[Long, Double] =
+    PageRank.pageRank(nodes.toDF("id"), "id",
+        edges.toDF("src", "dst"), "src", "dst", iters)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+
+  /** Literal driver recompute with the same conventions (source-
+    * ordered contribution sums, dropped dangling mass). */
+  private def brute(nodes: Seq[Long], edges: Seq[(Long, Long)],
+                    iters: Int, d: Double = 0.85): Map[Long, Double] = {
+    val e = edges.distinct.filter(x => x._1 != x._2)
+    val deg = e.groupBy(_._1).map { case (s, xs) => s -> xs.size }
+    val n = nodes.size
+    var r = nodes.map(_ -> 1.0 / n).toMap
+    (1 to iters).foreach { _ =>
+      val contrib = e.groupBy(_._2).map { case (dstN, es) =>
+        dstN -> es.map(_._1).sorted
+          .foldLeft(0.0)((a, s) => a + r(s) / deg(s))
+      }
+      r = nodes.map(v =>
+        v -> ((1.0 - d) / n + d * contrib.getOrElse(v, 0.0))).toMap
+    }
+    r
+  }
+
+  test("3-cycle stays exactly uniform at every iteration") {
+    val nodes = Seq(0L, 1L, 2L)
+    val edges = Seq((0L, 1L), (1L, 2L), (2L, 0L))
+    val got = run(nodes, edges, 7)
+    got.values.foreach(v => assert(v === 1.0 / 3))
+    assert(math.abs(got.values.sum - 1.0) < 1e-12)
+  }
+
+  test("matches the driver recompute exactly on a tangled graph") {
+    val nodes = (0L until 20L).toSeq
+    val edges = nodes.flatMap(i => Seq(
+      (i, (i * 7 + 1) % 20), (i, (i * 13 + 3) % 20),
+      (i, (i * 3 + 11) % 20)))
+    val got = run(nodes, edges, 10)
+    val exp = brute(nodes, edges, 10)
+    nodes.foreach { v =>
+      assert(got(v) === exp(v), s"node $v: ${got(v)} vs ${exp(v)}")
+    }
+  }
+
+  test("authority hub out-ranks its spokes; isolated node keeps base mass") {
+    // spokes 1..5 all link to hub 0; hub links back to 1; 9 isolated
+    val nodes = Seq(0L, 1L, 2L, 3L, 4L, 5L, 9L)
+    val edges = (1L to 5L).map(i => (i, 0L)) :+ ((0L, 1L))
+    val got = run(nodes, edges, 20)
+    assert(got(0L) > got(1L) && got(1L) > got(2L))
+    assert(got(2L) === got(3L) && got(3L) === got(4L) && got(4L) === got(5L))
+    // isolated node 9: never receives, always (1-d)/N
+    assert(got(9L) === (1.0 - 0.85) / 7)
+  }
+
+  test("dangling mass is dropped: sums < 1 with a sink, = 1 without") {
+    val sink = run(Seq(0L, 1L, 2L), Seq((0L, 1L), (1L, 2L)), 5)
+    assert(sink.values.sum < 1.0 - 1e-6)
+    val cycle = run(Seq(0L, 1L, 2L), Seq((0L, 1L), (1L, 2L), (2L, 0L)), 5)
+    assert(math.abs(cycle.values.sum - 1.0) < 1e-12)
+  }
+
+  test("duplicate edges and self-loops are ignored; repartition-invariant") {
+    val nodes = (0L until 12L).toSeq
+    val clean = nodes.map(i => (i, (i + 1) % 12))
+    val dirty = clean ++ clean ++ nodes.map(i => (i, i))
+    val a = run(nodes, clean, 6)
+    val b = run(nodes, dirty, 6)
+    assert(a === b)
+    val c = PageRank.pageRank(nodes.toDF("id").repartition(7), "id",
+        dirty.toDF("src", "dst").repartition(5), "src", "dst", 6)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(a === c)
+  }
+}
