@@ -514,6 +514,24 @@ object SparkEntry {
           col("domain_rank"))
     }),
 
+    // Engine-extra: skew-defeating hybrid salted join — hot orderkeys
+    // (detected by one count pass) spread over 8 salts against a
+    // replicated build side, the cold majority through the plain join;
+    // row-set ≡ the unsalted join, so the oracle is the plain SQL
+    // join. The registered aggregate totals revenue per order status.
+    "q_salted" -> ((s, dir) => {
+      val li = tbl(s, dir, "lineitem")
+        .withColumnRenamed("l_orderkey", "orderkey")
+      val o = tbl(s, dir, "orders")
+        .withColumnRenamed("o_orderkey", "orderkey")
+      graft.core.Salted.saltedJoinSkewed(li, o, Seq("orderkey"),
+          salts = 8, threshold = 4)
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n_items"),
+          round(sum(col("l_extendedprice") *
+            (lit(1) - col("l_discount"))), 2).as("revenue"))
+    }),
+
     // LLM-pipeline: link-graph authority via PageRank (10 power-
     // iteration steps, d=0.85) — the crawl-frontier prioritization
     // stage next to q_url's hygiene tier. The corpus has no link
@@ -2076,6 +2094,11 @@ object SparkEntry {
   }
 
   def oracleSql: Map[String, String] = Map(
+    "q_salted" ->
+      """SELECT o_orderstatus, count(*) AS n_items,
+        |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderstatus""".stripMargin,
     "q_pagerank" -> pageRankOracleSql,
     "q_mmr" -> mmrOracleSql,
     "q_split" ->
