@@ -514,6 +514,17 @@ object SparkEntry {
           col("domain_rank"))
     }),
 
+    // LLM-pipeline: char-level Shannon entropy quality signal (the
+    // deterministic compression-ratio cousin, RefinedWeb/Gopher
+    // family) — a PURE column expression (sorted-distinct fold, one
+    // list filter per distinct char), shuffle-free in the scan stage.
+    "q_entropy" -> ((s, dir) =>
+      docs(s, dir)
+        .filter(col("text").isNotNull && length(col("text")) > 0)
+        .select(col("doc_id"),
+          round(llm.TextAnalysis.charEntropy(col("text")), 6)
+            .as("entropy_nats"))),
+
     // Engine-extra: skew-defeating hybrid salted join — hot orderkeys
     // (detected by one count pass) spread over 8 salts against a
     // replicated build side, the cold majority through the plain join;
@@ -2094,6 +2105,20 @@ object SparkEntry {
   }
 
   def oracleSql: Map[String, String] = Map(
+    "q_entropy" ->
+      """WITH d AS (SELECT doc_id, string_split(text, '') AS chars
+        |  FROM documents
+        |  WHERE text IS NOT NULL AND length(text) > 0),
+        |c AS (SELECT doc_id, CAST(len(chars) AS DOUBLE) AS n,
+        |    list_transform(list_sort(list_distinct(chars)),
+        |      x -> CAST(len(list_filter(chars, ch -> ch = x))
+        |        AS DOUBLE)) AS cnts
+        |  FROM d)
+        |SELECT doc_id,
+        |  round(ln(n) - list_reduce(list_prepend(0.0,
+        |    list_transform(cnts, cc -> cc * ln(cc))),
+        |    (a, b) -> a + b) / n, 6) AS entropy_nats
+        |FROM c""".stripMargin,
     "q_salted" ->
       """SELECT o_orderstatus, count(*) AS n_items,
         |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue

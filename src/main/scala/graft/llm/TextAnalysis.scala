@@ -689,4 +689,28 @@ object TextAnalysis {
       .select(col("id_a"), col("id_b"), col("shared_fps"),
         col("fps_a"), col("fps_b"), col("containment"))
   }
+
+  /** Character-level Shannon entropy (nats) of a text column — the
+    * deterministic cousin of the compression-ratio quality signal the
+    * web-corpus pipelines use (RefinedWeb/Gopher family): boilerplate,
+    * repeated padding, and binary junk score LOW, natural prose sits
+    * near the language's ~2.3–3.2 nat band, random noise scores high.
+    *
+    * Computed as `H = ln n − (Σ_c c·ln c)/n` over the per-character
+    * counts — a PURE column expression (sorted-distinct fold; the
+    * count of each distinct char via one list filter), so the signal
+    * rides the scan stage with NO shuffle and no per-doc explode.
+    * Distinct-char cardinality bounds the work per row (≤ alphabet
+    * size), not text length squared. NULL on empty/null text. */
+  def charEntropy(text: Column): Column = {
+    val chars = split(text, "")
+    val n = size(chars).cast("double")
+    val counts = transform(array_sort(array_distinct(chars)),
+      x => size(filter(chars, c => c === x)).cast("double"))
+    val sumClnC = aggregate(counts, lit(0.0),
+      (a, c) => a + c * log(c))
+    // guard on length(text), not size(chars): the engines disagree on
+    // splitting the empty string ([""] vs []) and must never reach it
+    when(text.isNotNull && length(text) > 0, log(n) - sumClnC / n)
+  }
 }

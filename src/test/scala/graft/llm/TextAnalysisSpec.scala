@@ -447,4 +447,30 @@ class TextAnalysisSpec extends SparkSpec {
     assert(TextAnalysis.c4LineFilter(d, "text",
       minKeptLines = 2).count() === 0L)
   }
+
+  test("charEntropy: hand-computed values, degenerate and null cases") {
+    import spark.implicits._
+    def ent(s: String): Option[Double] =
+      Seq(Option(s)).toDF("text")
+        .select(TextAnalysis.charEntropy(col("text")))
+        .collect().head match {
+          case r if r.isNullAt(0) => None
+          case r => Some(r.getDouble(0))
+        }
+    // uniform 2-char alphabet: H = ln 2
+    assert(math.abs(ent("abab").get - math.log(2)) < 1e-12)
+    // single repeated char: H = 0 (up to the (n·ln n)/n rounding ulp)
+    assert(math.abs(ent("aaaaaa").get) < 1e-12)
+    // "aab": H = ln 3 - (2 ln 2 + 1 ln 1)/3
+    val exp = math.log(3) - 2 * math.log(2) / 3
+    assert(math.abs(ent("aab").get - exp) < 1e-12)
+    // empty and null are NULL, not 0 or NaN
+    assert(ent("") === None)
+    assert(ent(null) === None)
+    // padding scores below prose, prose below noise-like mixes
+    val pad = ent("xxxxxxxxxxxxxxxxxxxx").get
+    val prose = ent("the quick brown fox jumps over the lazy dog").get
+    val noisy = ent("q7#kZ!p9@wL2$mX5^vB8").get
+    assert(pad < prose && prose < noisy)
+  }
 }
