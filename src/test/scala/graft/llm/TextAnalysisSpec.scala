@@ -467,10 +467,11 @@ class TextAnalysisSpec extends SparkSpec {
     // empty and null are NULL, not 0 or NaN
     assert(ent("") === None)
     assert(ent(null) === None)
-    // padding scores below prose, prose below noise-like mixes
-    val pad = ent("xxxxxxxxxxxxxxxxxxxx").get
+    // at MATCHED length (43 chars): padding < prose < all-distinct
+    // noise (entropy compares only at comparable lengths)
+    val pad = ent("x" * 43).get
     val prose = ent("the quick brown fox jumps over the lazy dog").get
-    val noisy = ent("q7#kZ!p9@wL2$mX5^vB8").get
-    assert(pad < prose && prose < noisy)
+    val noisy = ent(('!' to 'Z').take(43).mkString).get
+    assert(pad < prose && prose < noisy, s"$pad $prose $noisy")
   }
 }
