@@ -514,6 +514,18 @@ object SparkEntry {
           col("domain_rank"))
     }),
 
+    // Engine-extra: Morton z-value computation (the clustering key
+    // behind io.Zorder.writeZordered — Delta/Iceberg OPTIMIZE ZORDER's
+    // core): 16-bit interleave of (value cents, user id), a pure
+    // codegen'd shift/mask fold. The layout write itself is proven by
+    // ZorderSpec's measured both-axes pruning contract.
+    "q_zorder" -> ((s, dir) =>
+      ev(s, dir).select(col("event_id"),
+        graft.io.Zorder.zValue(
+          least(greatest(round(col("value") * 100).cast("long"),
+            lit(0L)), lit(65535L)),
+          pmod(col("user_id"), lit(65536L)), 16).as("zval"))),
+
     // LLM-pipeline: char-level Shannon entropy quality signal (the
     // deterministic compression-ratio cousin, RefinedWeb/Gopher
     // family) — a PURE column expression (sorted-distinct fold, one
@@ -2104,7 +2116,25 @@ object SparkEntry {
     head + steps + tail
   }
 
+  /** q_zorder oracle: the 16-bit Morton interleave written out as the
+    * 32 shift/mask terms OR-ed together — bit-identical to the Spark
+    * fold by construction. */
+  private def zorderOracleSql: String = {
+    val terms = (0 until 16).flatMap(b => Seq(
+      s"(((x >> $b) & 1) << ${2 * b})",
+      s"(((y >> $b) & 1) << ${2 * b + 1})"))
+    s"""WITH e AS (SELECT event_id,
+       |    least(greatest(CAST(round(value * 100) AS BIGINT), 0),
+       |      65535) AS x,
+       |    user_id % 65536 AS y
+       |  FROM events)
+       |SELECT event_id,
+       |  ${terms.mkString(" |\n  ")} AS zval
+       |FROM e""".stripMargin
+  }
+
   def oracleSql: Map[String, String] = Map(
+    "q_zorder" -> zorderOracleSql,
     "q_entropy" ->
       """WITH d AS (SELECT doc_id, string_split(text, '') AS chars
         |  FROM documents
