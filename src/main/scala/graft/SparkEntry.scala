@@ -514,6 +514,16 @@ object SparkEntry {
           col("domain_rank"))
     }),
 
+    // A-extra: Tukey-fence (boxplot-rule) outlier summary per series
+    // — exact integer order-statistic quartiles (cents fixed-point,
+    // no interpolation) and the 1.5·IQR rule compared at 4× scale,
+    // every quantity a long: zero float hazard by construction.
+    "q_tukey" -> ((s, dir) =>
+      SeriesOps.tukeyFences(ev(s, dir), "user_id", "value")
+        .withColumn("user_id", col("user_id").cast("long"))
+        .select(col("user_id"), col("n"), col("q1_c"), col("q3_c"),
+          col("n_out"))),
+
     // Engine-extra: Morton z-value computation (the clustering key
     // behind io.Zorder.writeZordered — Delta/Iceberg OPTIMIZE ZORDER's
     // core): 16-bit interleave of (value cents, user id), a pure
@@ -2134,6 +2144,27 @@ object SparkEntry {
   }
 
   def oracleSql: Map[String, String] = Map(
+    "q_tukey" ->
+      """WITH pts AS (SELECT CAST(user_id AS VARCHAR) AS u,
+        |    CAST(round(value * 100) AS BIGINT) AS c
+        |  FROM events WHERE value IS NOT NULL),
+        |r AS (SELECT u, c,
+        |    row_number() OVER (PARTITION BY u ORDER BY c) AS rn,
+        |    count(*) OVER (PARTITION BY u) AS n
+        |  FROM pts),
+        |s AS (SELECT u, max(n) AS n,
+        |    max(CASE WHEN rn = (n + 3) // 4 THEN c END) AS q1_c,
+        |    max(CASE WHEN rn = (3 * n + 3) // 4 THEN c END) AS q3_c
+        |  FROM r GROUP BY u)
+        |SELECT CAST(p.u AS BIGINT) AS user_id,
+        |  CAST(max(s.n) AS BIGINT) AS n,
+        |  max(q1_c) AS q1_c, max(q3_c) AS q3_c,
+        |  CAST(sum(CASE
+        |    WHEN 4 * p.c < 4 * q1_c - 6 * (q3_c - q1_c) THEN 1
+        |    WHEN 4 * p.c > 4 * q3_c + 6 * (q3_c - q1_c) THEN 1
+        |    ELSE 0 END) AS BIGINT) AS n_out
+        |FROM pts p JOIN s ON p.u = s.u
+        |GROUP BY p.u""".stripMargin,
     "q_zorder" -> zorderOracleSql,
     "q_entropy" ->
       """WITH d AS (SELECT doc_id, string_split(text, '') AS chars

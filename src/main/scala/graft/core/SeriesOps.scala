@@ -414,4 +414,46 @@ object SeriesOps {
         chained.otherwise(lit(('a' + bps.length).toChar.toString)))
       .select(col(series), col("frame"), col("paa"), col("symbol"))
   }
+
+  /** Tukey-fence (boxplot-rule) outlier summary per series, computed
+    * ENTIRELY in integer arithmetic so both engines agree bit-for-bit:
+    * values are fixed-pointed to cents, the quartiles are the EXACT
+    * ⌈n/4⌉-th / ⌈3n/4⌉-th order statistics (discrete convention — no
+    * interpolation, hence no float boundary hazard in the fences), and
+    * the fences are compared at 4× scale:
+    * `4c < 4·q1 − 6·(q3−q1)` / `4c > 4·q3 + 6·(q3−q1)` — the literal
+    * `1.5·IQR` rule with every quantity a long. The classic robust
+    * baseline detector next to MAD (A4) and the SPC tier (L51).
+    *
+    * One ranking window + one keyed aggregate, both riding the series
+    * partitioning. Output: (series, n, q1_c, q3_c, n_out). */
+  def tukeyFences(df: DataFrame, series: String, value: String,
+                  scale: Int = 100): DataFrame = {
+    require(scale >= 1, s"scale=$scale must be >= 1")
+    val pts = df.select(col(series).cast("string").as("__u"),
+        round(col(value) * scale).cast("long").as("__c"))
+      .filter(col("__c").isNotNull && col("__u").isNotNull)
+    val w = Window.partitionBy("__u").orderBy("__c")
+    val ranked = pts
+      .withColumn("__rn", row_number().over(w))
+      .withColumn("__n", count(lit(1))
+        .over(Window.partitionBy("__u")))
+    val stats = ranked.groupBy("__u").agg(
+      max("__n").as("n"),
+      max(when(col("__rn") === expr("(__n + 3) DIV 4"), col("__c")))
+        .as("q1_c"),
+      max(when(col("__rn") === expr("(3 * __n + 3) DIV 4"), col("__c")))
+        .as("q3_c"))
+    pts.join(stats, Seq("__u"))
+      .groupBy(col("__u").as(series))
+      .agg(max("n").as("n"), max("q1_c").as("q1_c"),
+        max("q3_c").as("q3_c"),
+        sum(when(
+          lit(4) * col("__c") < lit(4) * col("q1_c") -
+            lit(6) * (col("q3_c") - col("q1_c")), 1L)
+          .when(
+            lit(4) * col("__c") > lit(4) * col("q3_c") +
+              lit(6) * (col("q3_c") - col("q1_c")), 1L)
+          .otherwise(0L)).as("n_out"))
+  }
 }

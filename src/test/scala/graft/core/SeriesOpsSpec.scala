@@ -242,4 +242,40 @@ class SeriesOpsSpec extends SparkSpec {
     assert(SeriesOps.sax(rows.toDF("sid", "ts", "v"), "sid", "ts", "v",
       frameLen = 3, alphabet = 4).count() === 4L)
   }
+
+  test("tukeyFences: exact order-statistic quartiles and the 1.5 IQR rule") {
+    import spark.implicits._
+    // n=8 sorted cents 100..800: q1 rank ceil(8/4)=2 -> 200,
+    // q3 rank ceil(24/4)=6 -> 600; IQR=400 -> fences [-400, 1200]
+    val vals = Seq(1.0, 2.0, 3.0, 4.0, 5.0, 6.0, 7.0, 8.0)
+    val df = vals.map(("s", _)).toDF("sid", "v")
+    val r = SeriesOps.tukeyFences(df, "sid", "v").collect().head
+    assert(r.getAs[Long]("n") === 8L)
+    assert(r.getAs[Long]("q1_c") === 200L)
+    assert(r.getAs[Long]("q3_c") === 600L)
+    assert(r.getAs[Long]("n_out") === 0L)
+    // planted far outlier is counted; fences move with the quartiles
+    val r2 = SeriesOps.tukeyFences(
+      (vals :+ 500.0).map(("s", _)).toDF("sid", "v"), "sid", "v")
+      .collect().head
+    // n=9: q1 rank 3 -> 300, q3 rank ceil(30/4)=7 -> 700, IQR 400,
+    // hi fence 7+6 = 1300 cents = 13.0 -> 500.0 is way out
+    assert(r2.getAs[Long]("q1_c") === 300L)
+    assert(r2.getAs[Long]("q3_c") === 700L)
+    assert(r2.getAs[Long]("n_out") === 1L)
+    // degenerate: identical values -> IQR 0, no outliers
+    val r3 = SeriesOps.tukeyFences(
+      Seq.fill(10)(("s", 4.2)).toDF("sid", "v"), "sid", "v")
+      .collect().head
+    assert(r3.getAs[Long]("n_out") === 0L)
+    // per-series isolation + repartition invariance
+    val multi = (vals.map(("a", _)) ++ Seq(("b", 1.0), ("b", 99.0),
+      ("b", 1.1), ("b", 0.9), ("b", 1.05))).toDF("sid", "v")
+    val one = SeriesOps.tukeyFences(multi, "sid", "v").collect()
+      .map(r => r.getString(0) -> r.getAs[Long]("n_out")).toMap
+    assert(one("a") === 0L && one("b") === 1L)
+    val two = SeriesOps.tukeyFences(multi.repartition(5), "sid", "v")
+      .collect().map(r => r.getString(0) -> r.getAs[Long]("n_out")).toMap
+    assert(one === two)
+  }
 }
