@@ -1425,6 +1425,16 @@ object SparkEntry {
         "text", k = 5)
     }),
 
+    // LLM-pipeline: RM3 pseudo-relevance feedback (Lavrenko–Croft) —
+    // BM25, lift the top-3 docs' best 5 non-query terms (Σ tf/dl,
+    // doc-ordered fold), expand, score again. The Anserini/Indri
+    // default recall lever on top of the sparse leg.
+    "q_rm3" -> ((s, dir) => {
+      val d = docs(s, dir)
+      llm.Bm25.rm3TopK(d, d.filter(col("doc_id") < 5), "doc_id",
+        "doc_id", "text", k = 5, fbDocs = 3, fbTerms = 5)
+    }),
+
     // LLM-pipeline: exact cosine top-k in hashed-TF space (feature
     // hashing, Weinberger 2009 — no vocabulary table, the portable
     // q_rollhash polynomial as the bucket hash) — the dense leg of
@@ -2143,7 +2153,78 @@ object SparkEntry {
        |FROM e""".stripMargin
   }
 
+  /** q_rm3 oracle: two full BM25 passes (the q_bm25 formula verbatim,
+    * rounded-rank convention) around the feedback stage — top-3 docs'
+    * term weights as a doc-ordered Σ tf/dl fold, top-5 non-query terms
+    * by (weight DESC, term ASC), expanded term set = qt ∪ exp. */
+  private def rm3OracleSql: String =
+    """WITH words AS (SELECT doc_id,
+      |    unnest(string_split(text, ' ')) AS term FROM documents),
+      |tf AS (SELECT doc_id, term, count(*) AS tf FROM words
+      |  GROUP BY doc_id, term),
+      |dl AS (SELECT doc_id, sum(tf) AS dl FROM tf GROUP BY doc_id),
+      |dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+      |stats AS (SELECT count(*) AS n_docs,
+      |    CAST(sum(dl) AS DOUBLE)/CAST(count(*) AS DOUBLE) AS avgdl
+      |  FROM dl),
+      |qt AS (SELECT DISTINCT doc_id AS query_id, term FROM
+      |  (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+      |   FROM documents WHERE doc_id < 5) x),
+      |contribs1 AS (SELECT query_id, tf.doc_id, qt.term,
+      |    ln(1.0 + (CAST(n_docs - df AS DOUBLE) + 0.5) /
+      |              (CAST(df AS DOUBLE) + 0.5)) *
+      |    (CAST(tf AS DOUBLE) * (1.2 + 1.0) /
+      |     (CAST(tf AS DOUBLE) + 1.2 * (1.0 - 0.75 +
+      |        0.75 * CAST(dl AS DOUBLE) / avgdl))) AS contrib
+      |  FROM qt JOIN tf ON qt.term = tf.term
+      |    JOIN dl ON tf.doc_id = dl.doc_id
+      |    JOIN dfreq ON qt.term = dfreq.term CROSS JOIN stats),
+      |scored1 AS (SELECT query_id, doc_id,
+      |    round(list_reduce(list_prepend(0.0,
+      |        list_transform(list(contrib ORDER BY term), x -> x)),
+      |      (a, b) -> a + b), 6) AS bm25
+      |  FROM contribs1 GROUP BY query_id, doc_id),
+      |top1 AS (SELECT query_id, doc_id FROM (SELECT query_id, doc_id,
+      |    row_number() OVER (PARTITION BY query_id
+      |      ORDER BY bm25 DESC, doc_id ASC) AS rk
+      |  FROM scored1) x WHERE rk <= 3),
+      |fbw AS (SELECT t1.query_id, tf.term,
+      |    list_reduce(list_prepend(0.0, list_transform(
+      |      list(CAST(tf.tf AS DOUBLE) / CAST(dl.dl AS DOUBLE)
+      |        ORDER BY tf.doc_id), x -> x)), (a, b) -> a + b) AS w
+      |  FROM top1 t1 JOIN tf ON t1.doc_id = tf.doc_id
+      |    JOIN dl ON tf.doc_id = dl.doc_id
+      |  GROUP BY t1.query_id, tf.term),
+      |expn AS (SELECT query_id, term FROM (
+      |    SELECT f.query_id, f.term, row_number() OVER (
+      |      PARTITION BY f.query_id
+      |      ORDER BY f.w DESC, f.term ASC) AS rk
+      |    FROM fbw f WHERE NOT EXISTS (SELECT 1 FROM qt
+      |      WHERE qt.query_id = f.query_id AND qt.term = f.term)
+      |  ) x WHERE rk <= 5),
+      |q2 AS (SELECT query_id, term FROM qt
+      |  UNION SELECT query_id, term FROM expn),
+      |contribs2 AS (SELECT query_id, tf.doc_id, q2.term,
+      |    ln(1.0 + (CAST(n_docs - df AS DOUBLE) + 0.5) /
+      |              (CAST(df AS DOUBLE) + 0.5)) *
+      |    (CAST(tf AS DOUBLE) * (1.2 + 1.0) /
+      |     (CAST(tf AS DOUBLE) + 1.2 * (1.0 - 0.75 +
+      |        0.75 * CAST(dl AS DOUBLE) / avgdl))) AS contrib
+      |  FROM q2 JOIN tf ON q2.term = tf.term
+      |    JOIN dl ON tf.doc_id = dl.doc_id
+      |    JOIN dfreq ON q2.term = dfreq.term CROSS JOIN stats),
+      |scored2 AS (SELECT query_id, doc_id,
+      |    round(list_reduce(list_prepend(0.0,
+      |        list_transform(list(contrib ORDER BY term), x -> x)),
+      |      (a, b) -> a + b), 6) AS bm25
+      |  FROM contribs2 GROUP BY query_id, doc_id)
+      |SELECT query_id, doc_id, bm25,
+      |  CAST(row_number() OVER (PARTITION BY query_id
+      |    ORDER BY bm25 DESC, doc_id ASC) AS BIGINT) AS rank
+      |FROM scored2 QUALIFY rank <= 5""".stripMargin
+
   def oracleSql: Map[String, String] = Map(
+    "q_rm3" -> rm3OracleSql,
     "q_tukey" ->
       """WITH pts AS (SELECT CAST(user_id AS VARCHAR) AS u,
         |    CAST(round(value * 100) AS BIGINT) AS c

@@ -99,4 +99,62 @@ object Bm25 {
     scored.withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= k)
   }
+
+  /** RM3-style pseudo-relevance feedback (Lavrenko–Croft relevance
+    * models, the Anserini/Indri default expansion): run BM25, take the
+    * top `fbDocs` documents per query, weight their terms by
+    * `Σ_d tf(t,d)/dl(d)` (a doc-ordered fold — the simplified
+    * deterministic relevance-model estimate), keep the `fbTerms` best
+    * NON-query terms (weight desc, term asc), append them to the query
+    * and score again. Recall goes up where the vocabulary gap between
+    * query and relevant docs hurts plain BM25.
+    *
+    * Both BM25 passes are [[topK]] itself (same rounded-rank
+    * convention); the feedback stage adds one doc-keyed join against
+    * the tf relation and one query-keyed rank window — all bounded by
+    * queries × fbDocs upstream. */
+  def rm3TopK(docs: DataFrame, queries: DataFrame, docId: String,
+              queryId: String, textCol: String, k: Int,
+              fbDocs: Int = 3, fbTerms: Int = 5,
+              k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(fbDocs >= 1, s"fbDocs=$fbDocs must be >= 1")
+    require(fbTerms >= 1, s"fbTerms=$fbTerms must be >= 1")
+    val first = topK(docs, queries, docId, queryId, textCol, fbDocs,
+      k1, b)
+    val corpus = docs.filter(col(textCol).isNotNull)
+    val words = corpus.select(col(docId).as("doc_id"),
+      size(split(col(textCol), " ")).cast("long").as("dl"),
+      explode(split(col(textCol), " ")).as("term"))
+    val tf = words.groupBy("doc_id", "term")
+      .agg(count(lit(1)).as("tf"), max("dl").as("dl"))
+    val fbw = first.select("query_id", "doc_id")
+      .join(tf, Seq("doc_id"))
+      .select(col("query_id"), col("term"), col("doc_id"),
+        (col("tf").cast("double") / col("dl").cast("double"))
+          .as("__w"))
+      .groupBy("query_id", "term")
+      .agg(aggregate(
+        sort_array(collect_list(struct(col("doc_id"),
+          col("__w").as("__w")))),
+        lit(0.0), (a, x) => a + x.getField("__w")).as("__w"))
+    val qterms = queries.select(col(queryId).as("query_id"),
+        explode(split(col(textCol), " ")).as("term"))
+      .distinct()
+    val wRank = Window.partitionBy("query_id")
+      .orderBy(col("__w").desc, col("term").asc)
+    val expansion = fbw
+      .join(qterms, Seq("query_id", "term"), "left_anti")
+      .withColumn("__rk", row_number().over(wRank))
+      .filter(col("__rk") <= fbTerms)
+    val expText = expansion.groupBy("query_id")
+      .agg(concat_ws(" ", array_sort(collect_list("term")))
+        .as("__ext"))
+    val q2 = queries.select(col(queryId).as("query_id"), col(textCol))
+      .join(expText, Seq("query_id"), "left")
+      .select(col("query_id").as(queryId),
+        when(col("__ext").isNotNull,
+          concat_ws(" ", col(textCol), col("__ext")))
+          .otherwise(col(textCol)).as(textCol))
+    topK(docs, q2, docId, queryId, textCol, k, k1, b)
+  }
 }

@@ -99,4 +99,63 @@ class Bm25Spec extends SparkSpec {
       .orderBy("query_id", "rank").collect().toSeq
     assert(a == b)
   }
+
+  test("RM3 expansion bridges the vocabulary gap plain BM25 cannot") {
+    import spark.implicits._
+    // doc 10 pairs 'apple' with 'banana'; doc 11 is banana-only.
+    // query 'apple' can never reach doc 11 under plain BM25, but the
+    // feedback pass lifts 'banana' from doc 10 and finds it.
+    val docs = Seq(
+      (10L, "apple banana banana"),
+      (11L, "banana cherry plum"),
+      (12L, "kiwi melon grape"),
+      (13L, "pear fig date")).toDF("doc_id", "text")
+    val q = Seq((0L, "apple")).toDF("doc_id", "text")
+    val plain = Bm25.topK(docs, q, "doc_id", "doc_id", "text", k = 4)
+      .collect().map(_.getAs[Long]("doc_id")).toSet
+    assert(plain === Set(10L), "plain BM25 only reaches the apple doc")
+    val rm3 = Bm25.rm3TopK(docs, q, "doc_id", "doc_id", "text", k = 4,
+        fbDocs = 1, fbTerms = 2)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        r.getAs[Long]("rank")).toMap
+    assert(rm3.contains(11L), s"expansion must reach the banana doc: $rm3")
+    assert(rm3(10L) === 1L, "the original match still ranks first")
+  }
+
+  test("RM3 with no expandable terms degenerates to plain BM25") {
+    import spark.implicits._
+    // the only feedback doc contains nothing but the query term
+    val docs = Seq(
+      (20L, "solo solo solo"),
+      (21L, "alpha beta gamma"),
+      (22L, "delta epsilon zeta")).toDF("doc_id", "text")
+    val q = Seq((0L, "solo")).toDF("doc_id", "text")
+    val plain = Bm25.topK(docs, q, "doc_id", "doc_id", "text", k = 3)
+      .orderBy("rank").collect().toSeq
+    val rm3 = Bm25.rm3TopK(docs, q, "doc_id", "doc_id", "text", k = 3,
+        fbDocs = 1, fbTerms = 5)
+      .orderBy("rank").collect().toSeq
+    assert(rm3 === plain)
+  }
+
+  test("RM3 term weights follow sum tf/dl and exclude query terms") {
+    import spark.implicits._
+    // feedback docs (top-2 for 'x'): doc 0 'x a a b', doc 1 'x a c'.
+    // weights: a = 2/4 + 1/3, b = 1/4, c = 1/3; fbTerms=2 -> {a, c};
+    // 'x' itself is excluded. Verify via the expanded ranking reaching
+    // the c-doc but not the b-doc's unique term.
+    val docs = Seq(
+      (0L, "x a a b"),
+      (1L, "x a c"),
+      (2L, "c c c"),
+      (3L, "b b b"),
+      (4L, "q r s")).toDF("doc_id", "text")
+    val q = Seq((9L, "x")).toDF("doc_id", "text")
+    val rm3 = Bm25.rm3TopK(docs, q, "doc_id", "doc_id", "text", k = 5,
+        fbDocs = 2, fbTerms = 2)
+      .collect().map(_.getAs[Long]("doc_id")).toSet
+    assert(rm3.contains(2L), "c (w=1/3) expands in and reaches doc 2")
+    assert(!rm3.contains(3L), "b (w=1/4) is cut by fbTerms=2")
+    assert(!rm3.contains(4L), "unrelated doc stays out")
+  }
 }
