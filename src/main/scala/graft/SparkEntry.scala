@@ -588,6 +588,20 @@ object SparkEntry {
             .as("pagerank_i9"))
     }),
 
+    // LLM-pipeline: hard-negative mining (the DPR / sentence-
+    // transformers contrastive-batch recipe) — for each of 5 anchors,
+    // the 4 nearest embeddings with a DIFFERENT label: the boundary
+    // negatives contrastive fine-tuning wants. Label inequality rides
+    // the broadcast join condition.
+    "q_hardneg" -> ((s, dir) => {
+      val e = emb(s, dir)
+      llm.Similarity.hardNegatives(e.filter(col("vec_id") < 5), e,
+          "vec_id", "embedding", "label", k = 4)
+        .select(col("query_id"), col("corpus_id"),
+          col("anchor_label"), col("neg_label"),
+          round(col("cosine"), 6).as("cosine"), col("rank"))
+    }),
+
     // LLM-pipeline: MMR diversified re-ranking (Carbonell–Goldstein
     // 1998) — greedy λ·rel − (1−λ)·max-sim-to-selected over the
     // brute-force top-20 candidates, k=5, λ=0.7; the de-duplicating
@@ -2224,6 +2238,29 @@ object SparkEntry {
       |FROM scored2 QUALIFY rank <= 5""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
+    "q_hardneg" ->
+      """WITH q AS (SELECT vec_id AS query_id,
+        |    embedding::DOUBLE[] AS qv, label AS anchor_label
+        |  FROM embeddings WHERE vec_id < 5),
+        |c AS (SELECT vec_id AS corpus_id, embedding::DOUBLE[] AS cv,
+        |    label AS neg_label FROM embeddings),
+        |p AS (SELECT query_id, corpus_id, anchor_label, neg_label,
+        |    list_reduce(list_prepend(0.0,
+        |      list_transform(list_zip(qv, cv), x -> x[1]*x[2])),
+        |      (a, b) -> a + b) /
+        |    (sqrt(list_reduce(list_prepend(0.0,
+        |      list_transform(list_zip(qv, qv), x -> x[1]*x[2])),
+        |      (a, b) -> a + b)) *
+        |     sqrt(list_reduce(list_prepend(0.0,
+        |      list_transform(list_zip(cv, cv), x -> x[1]*x[2])),
+        |      (a, b) -> a + b)) + 1e-12) AS raw_cos
+        |  FROM q CROSS JOIN c
+        |  WHERE query_id <> corpus_id AND anchor_label <> neg_label)
+        |SELECT query_id, corpus_id, anchor_label, neg_label,
+        |  round(raw_cos, 6) AS cosine,
+        |  CAST(row_number() OVER (PARTITION BY query_id
+        |    ORDER BY raw_cos DESC, corpus_id ASC) AS BIGINT) AS rank
+        |FROM p QUALIFY rank <= 4""".stripMargin,
     "q_rm3" -> rm3OracleSql,
     "q_tukey" ->
       """WITH pts AS (SELECT CAST(user_id AS VARCHAR) AS u,

@@ -467,6 +467,37 @@ object Similarity {
         col("__r").cast("long").as("rank"))
   }
 
+  /** Hard-negative mining for contrastive training data (the DPR /
+    * sentence-transformers recipe): for each anchor, the k NEAREST
+    * vectors carrying a DIFFERENT label — the negatives that sit
+    * closest to the decision boundary, which is exactly what
+    * contrastive fine-tuning wants in its batches. Same broadcast-
+    * query / corpus-scan shape as [[bruteForceTopK]] (swap in the
+    * IVF/LSH candidate generators at corpus scale); the label
+    * inequality rides the join condition so mismatched pairs never
+    * materialize. Output: (query_id, corpus_id, anchor_label,
+    * neg_label, cosine, rank). */
+  def hardNegatives(queries: DataFrame, corpus: DataFrame, id: String,
+                    vec: String, label: String, k: Int): DataFrame = {
+    require(k >= 1, s"k=$k must be >= 1")
+    val q = queries.select(col(id).as("query_id"), col(vec).as("__qv"),
+      col(label).as("anchor_label"))
+    val c = corpus.select(col(id).as("corpus_id"), col(vec).as("__cv"),
+      col(label).as("neg_label"))
+    val scored = c.join(broadcast(q),
+        col("query_id") =!= col("corpus_id") &&
+          col("anchor_label") =!= col("neg_label"))
+      .withColumn("cosine", cosineNative(col("__qv"), col("__cv")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id")
+      .orderBy(col("cosine").desc, col("corpus_id").asc)
+    scored.withColumn("__r", row_number().over(w))
+      .filter(col("__r") <= k)
+      .select(col("query_id"), col("corpus_id"), col("anchor_label"),
+        col("neg_label"), col("cosine"),
+        col("__r").cast("long").as("rank"))
+  }
+
   /** MMR diversified re-ranking (Carbonell & Goldstein, SIGIR 1998):
     * greedily select k of the top-`candidates` cosine hits, each step
     * maximizing `λ·rel(c) − (1−λ)·max_{s∈S} cos(c, s)` — relevance

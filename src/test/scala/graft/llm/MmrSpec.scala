@@ -102,6 +102,26 @@ class MmrSpec extends SparkSpec {
     assert(mmr.toSeq === rel.toSeq)
   }
 
+  test("hardNegatives: nearest different-label vectors only") {
+    import org.apache.spark.sql.functions._
+    val rows = Seq(
+      // anchor 0 label 1; same-label near-dup 1 must be EXCLUDED
+      (0L, Array(1f, 0f, 0f), 1),
+      (1L, Array(0.99f, 0.1f, 0f), 1),
+      (2L, Array(0.9f, 0.2f, 0f), 2), // nearest cross-label
+      (3L, Array(0.5f, 0.5f, 0f), 2),
+      (4L, Array(0f, 1f, 0f), 3),
+      (5L, Array(0f, 0f, 1f), 3)).toDF("vec_id", "embedding", "label")
+    val got = Similarity.hardNegatives(
+        rows.filter(col("vec_id") === 0L), rows, "vec_id", "embedding",
+        "label", k = 3)
+      .collect().sortBy(_.getAs[Long]("rank"))
+      .map(r => (r.getAs[Long]("corpus_id"), r.getAs[Int]("neg_label")))
+    assert(got.map(_._1).toSeq === Seq(2L, 3L, 4L),
+      s"expected boundary-ordered cross-label negatives, got ${got.toSeq}")
+    assert(got.forall(_._2 != 1), "no same-label vector may appear")
+  }
+
   test("k capped by candidate count; output is repartition-invariant") {
     val rnd = new scala.util.Random(3)
     val corpus = (0L until 12L).map(i =>
