@@ -588,6 +588,15 @@ object SparkEntry {
             .as("pagerank_i9"))
     }),
 
+    // LLM-pipeline: n-gram novelty / memorization audit — fraction of
+    // each doc's distinct 5-grams appearing in ANY other document
+    // (novelty = 1 − shared/total). The measurement face of the dedup
+    // tier: no pair join, one df aggregate + one doc aggregate.
+    "q_novelty" -> ((s, dir) =>
+      llm.Dedup.noveltyScore(docs(s, dir), "doc_id", "text", n = 5)
+        .select(col("doc_id"), col("n_shingles"), col("n_shared"),
+          col("novelty"))),
+
     // LLM-pipeline: hard-negative mining (the DPR / sentence-
     // transformers contrastive-batch recipe) — for each of 5 anchors,
     // the 4 nearest embeddings with a DIFFERENT label: the boundary
@@ -2238,6 +2247,23 @@ object SparkEntry {
       |FROM scored2 QUALIFY rank <= 5""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
+    "q_novelty" ->
+      """WITH words AS (SELECT doc_id, string_split(text, ' ') AS w
+        |  FROM documents),
+        |sh AS (SELECT DISTINCT doc_id,
+        |    w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' ||
+        |      w[i+3] || ' ' || w[i+4] AS shingle
+        |  FROM (SELECT doc_id, w, unnest(range(1, len(w) - 3)) AS i
+        |        FROM words) wi),
+        |freq AS (SELECT shingle, count(*) AS df FROM sh
+        |  GROUP BY shingle)
+        |SELECT sh.doc_id, CAST(count(*) AS BIGINT) AS n_shingles,
+        |  CAST(sum(CASE WHEN freq.df >= 2 THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_shared,
+        |  round(1.0 - CAST(sum(CASE WHEN freq.df >= 2 THEN 1
+        |      ELSE 0 END) AS DOUBLE) / count(*), 6) AS novelty
+        |FROM sh JOIN freq USING (shingle)
+        |GROUP BY sh.doc_id""".stripMargin,
     "q_hardneg" ->
       """WITH q AS (SELECT vec_id AS query_id,
         |    embedding::DOUBLE[] AS qv, label AS anchor_label

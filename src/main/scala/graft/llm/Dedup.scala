@@ -161,6 +161,35 @@ object Dedup {
     * and blow the join up); the benchmark shingle set after the cap is
     * deduplicated, so each (train doc, shingle) pair counts once no
     * matter how many benchmark docs contain it. */
+  /** Per-document n-gram novelty / memorization audit (the Lee 2022 /
+    * Carlini memorization-risk lens turned into a relation): what
+    * fraction of a doc's distinct word n-grams appear in ANY other
+    * document. `novelty = 1 − shared/total` — 1.0 is fully original
+    * text, 0.0 is fully reconstructable from the rest of the corpus.
+    * The audit face of the dedup tier: L1/L23/L71 REMOVE duplication,
+    * this MEASURES the residue (and, run train-vs-train, bounds what a
+    * model could memorize from cross-document repetition).
+    *
+    * Shape: the L3 shingle relation (distinct per doc) → one
+    * shingle-keyed document-frequency aggregate → join back (rides the
+    * shingle partitioning) → one doc-keyed aggregate. Linear in
+    * shingle volume; no pair join at all — this is why the audit runs
+    * at corpus scale even where pairwise dedup needs banding.
+    * Docs with fewer than `n` words have no shingles and are omitted. */
+  def noveltyScore(df: DataFrame, id: String, text: String,
+                   n: Int = 5): DataFrame = {
+    val sh = shingles(df, id, text, n)
+    val freq = sh.groupBy("shingle")
+      .agg(count(lit(1)).as("__df"))
+    sh.join(freq, Seq("shingle"))
+      .groupBy(col(id))
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(when(col("__df") >= 2, 1L).otherwise(0L)).as("n_shared"))
+      .withColumn("novelty",
+        round(lit(1.0) - col("n_shared").cast("double") /
+          col("n_shingles"), 6))
+  }
+
   def decontaminate(train: DataFrame, bench: DataFrame, id: String,
                     text: String, n: Int = 3, minShared: Int = 2,
                     maxDocFreq: Int = 100): DataFrame = {

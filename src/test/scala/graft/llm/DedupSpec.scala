@@ -362,4 +362,35 @@ class DedupSpec extends SparkSpec {
     val best = out.minBy { case (_, (fp, fn)) => fp + fn }._1
     assert(best._1 > 1 && best._1 < 32, s"optimum $best not interior")
   }
+
+  test("noveltyScore: shared-shingle fractions, no pair join semantics") {
+    import spark.implicits._
+    // doc 1 and 2 share one exact 5-gram run; doc 3 is fully original;
+    // doc 4 is a verbatim copy of doc 1 (novelty 0); doc 5 too short
+    val docs = Seq(
+      (1L, "a b c d e f g"),          // 3 shingles
+      (2L, "x a b c d e y z w q"),    // 6 shingles, 1 shared (a b c d e)
+      (3L, "p q r s t u v"),          // 3 shingles, none shared
+      (4L, "a b c d e f g"),          // copy of doc 1
+      (5L, "too short here")          // < 5 words -> omitted
+    ).toDF("doc_id", "text")
+    val out = Dedup.noveltyScore(docs, "doc_id", "text", n = 5)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getAs[Long]("n_shingles"),
+        r.getAs[Long]("n_shared"), r.getAs[Double]("novelty")))).toMap
+    assert(!out.contains(5L))
+    // docs 1 and 4 are identical: every shingle shared -> novelty 0
+    assert(out(1L) === ((3L, 3L, 0.0)))
+    assert(out(4L) === ((3L, 3L, 0.0)))
+    // doc 2 shares exactly the 'a b c d e' shingle with docs 1/4
+    assert(out(2L)._1 === 6L && out(2L)._2 === 1L)
+    assert(math.abs(out(2L)._3 - (1.0 - 1.0 / 6)) < 1e-6) // round-6 output
+    // doc 3 is fully novel
+    assert(out(3L) === ((3L, 0L, 1.0)))
+    // repartition invariance
+    val again = Dedup.noveltyScore(docs.repartition(5), "doc_id",
+      "text", n = 5).collect()
+      .map(r => r.getLong(0) -> r.getAs[Double]("novelty")).toMap
+    assert(again === out.map { case (k, v) => k -> v._3 })
+  }
 }
