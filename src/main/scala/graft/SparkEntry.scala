@@ -514,6 +514,25 @@ object SparkEntry {
           col("domain_rank"))
     }),
 
+    // J-extra: general point-in-time (as-of backward) join — the
+    // feature-assembly primitive: each click gets the user's most
+    // recent purchase value at that instant (leakage-safe). Union
+    // trick: one key shuffle + one ordered window, never an |L|×|R|
+    // range join. Sentinels replace nulls for driver-hash stability.
+    "q_asof" -> ((s, dir) => {
+      val e = ev(s, dir)
+      graft.core.AsofJoin.asofJoin(
+          e.filter(col("event_type") === "click")
+            .select(col("event_id"), col("user_id"), col("ts")),
+          e.filter(col("event_type") === "purchase")
+            .select(col("user_id"), col("ts").as("pts"), col("value")),
+          Seq("user_id"), "ts", "pts", Seq("value"))
+        .select(col("event_id"), col("user_id"), col("ts"),
+          coalesce(col("asof_ts"),
+            lit("1970-01-01 00:00:00").cast("timestamp")).as("asof_ts"),
+          coalesce(col("asof_value"), lit(-1.0)).as("asof_value"))
+    }),
+
     // A-extra: Tukey-fence (boxplot-rule) outlier summary per series
     // — exact integer order-statistic quartiles (cents fixed-point,
     // no interpolation) and the 1.5·IQR rule compared at 4× scale,
@@ -2247,6 +2266,16 @@ object SparkEntry {
       |FROM scored2 QUALIFY rank <= 5""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
+    "q_asof" ->
+      """WITH l AS (SELECT event_id, user_id, ts FROM events
+        |  WHERE event_type = 'click'),
+        |r AS (SELECT user_id, ts, value FROM events
+        |  WHERE event_type = 'purchase')
+        |SELECT l.event_id, l.user_id, l.ts,
+        |  coalesce(r.ts, TIMESTAMP '1970-01-01 00:00:00') AS asof_ts,
+        |  coalesce(r.value, -1.0) AS asof_value
+        |FROM l ASOF LEFT JOIN r
+        |  ON l.user_id = r.user_id AND l.ts >= r.ts""".stripMargin,
     "q_novelty" ->
       """WITH words AS (SELECT doc_id, string_split(text, ' ') AS w
         |  FROM documents),
