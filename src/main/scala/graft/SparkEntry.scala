@@ -514,6 +514,17 @@ object SparkEntry {
           col("domain_rank"))
     }),
 
+    // M-extra: per-series DBSCAN over integer (value, Δ) cents
+    // features — density CLUSTERING next to q_lof's density SCORING:
+    // regimes come out as clusters, isolated behavior as noise.
+    // All-integer ε-test (dx²+dy² ≤ eps², no sqrt), component labels
+    // via the L6 pointer-jumping components, min-label border rule.
+    "q_dbscan" -> ((s, dir) =>
+      graft.models.Dbscan.dbscan(ev(s, dir), "user_id", "ts", "value",
+          scale = 100, eps = 1000L, minPts = 4)
+        .select(col("user_id"), col("ord"), col("role"),
+          col("cluster"))),
+
     // J-extra: general point-in-time (as-of backward) join — the
     // feature-assembly primitive: each click gets the user's most
     // recent purchase value at that instant (leakage-safe). Union
@@ -2266,6 +2277,42 @@ object SparkEntry {
       |FROM scored2 QUALIFY rank <= 5""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
+    "q_dbscan" ->
+      """WITH RECURSIVE pts AS (SELECT CAST(user_id AS BIGINT) AS u,
+        |    CAST(row_number() OVER (PARTITION BY user_id ORDER BY ts)
+        |      AS BIGINT) AS i,
+        |    CAST(round(value * 100) AS BIGINT) AS c
+        |  FROM events WHERE value IS NOT NULL),
+        |pd AS (SELECT u, i, u * 1000000 + i AS nid, c,
+        |    c - coalesce(lag(c) OVER (PARTITION BY u ORDER BY i), c)
+        |      AS d
+        |  FROM pts),
+        |nbp AS (SELECT a.nid AS na, b.nid AS nx
+        |  FROM pd a JOIN pd b ON a.u = b.u AND a.nid <> b.nid
+        |  WHERE (a.c - b.c) * (a.c - b.c) +
+        |        (a.d - b.d) * (a.d - b.d) <= 1000000),
+        |deg AS (SELECT na, count(*) AS n FROM nbp GROUP BY na),
+        |core AS (SELECT na FROM deg WHERE n + 1 >= 4),
+        |ce AS (SELECT nbp.na AS src, nbp.nx AS dst FROM nbp
+        |  JOIN core ca ON nbp.na = ca.na
+        |  JOIN core cb ON nbp.nx = cb.na),
+        |reach(root, node) AS (
+        |  SELECT na, na FROM core
+        |  UNION
+        |  SELECT r.root, e.dst FROM reach r
+        |    JOIN ce e ON e.src = r.node),
+        |comp AS (SELECT node AS na, min(root) AS cl FROM reach
+        |  GROUP BY node),
+        |bord AS (SELECT nbp.na, min(comp.cl) AS cl
+        |  FROM nbp JOIN comp ON nbp.nx = comp.na
+        |  WHERE nbp.na NOT IN (SELECT na FROM core)
+        |  GROUP BY nbp.na),
+        |lab AS (SELECT na, cl, 'core' AS role FROM comp
+        |  UNION ALL SELECT na, cl, 'border' AS role FROM bord)
+        |SELECT pd.u AS user_id, pd.i AS ord,
+        |  coalesce(lab.role, 'noise') AS role,
+        |  CAST(coalesce(lab.cl, -1) AS BIGINT) AS cluster
+        |FROM pd LEFT JOIN lab ON pd.nid = lab.na""".stripMargin,
     "q_asof" ->
       """WITH l AS (SELECT event_id, user_id, ts FROM events
         |  WHERE event_type = 'click'),

@@ -1,0 +1,92 @@
+package graft.models
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** DBSCAN (Ester et al., KDD 1996) over per-series (value, Δvalue)
+  * features — the density-based CLUSTERING complement to LOF's
+  * density-based SCORING: recurring operating regimes come out as
+  * clusters, isolated behavior as noise, with no cluster count chosen
+  * up front.
+  *
+  * Determinism by construction: features are fixed-pointed to cents,
+  * the ε-test is `dx² + dy² ≤ eps²` in LONG arithmetic (no sqrt, no
+  * float anywhere), the neighborhood count is tie-free integer math,
+  * cluster labels are component MINIMUM node ids (via the L6
+  * pointer-jumping components), and a border point joins the smallest
+  * cluster label among its core neighbors (the classic
+  * order-dependence of DBSCAN border assignment pinned to a total
+  * order both engines share).
+  *
+  * Distribution shape: the candidate pair join is series-keyed (the
+  * LOF/Theil–Sen bounded O(n²)-per-series shape — at unbounded series
+  * length the documented swap is ε-grid cell bucketing, which turns
+  * candidate generation linear); everything downstream is keyed
+  * aggregates plus the logarithmic pointer-jumping rounds.
+  *
+  * Node identity: `series.cast(long) * 1_000_000 + ordinal` — series
+  * keys must be numeric and ordinals < 1e6 (documented; the driver
+  * corpus satisfies both).
+  *
+  * Output: (series, ord, role ∈ core|border|noise, cluster — the
+  * component's min composite id, or −1 for noise).
+  */
+object Dbscan {
+
+  def dbscan(df: DataFrame, series: String, order: String,
+             value: String, scale: Int = 100, eps: Long = 1000L,
+             minPts: Int = 4): DataFrame = {
+    require(eps >= 1, s"eps=$eps must be >= 1")
+    require(minPts >= 2, s"minPts=$minPts must be >= 2")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("__sk").orderBy("__o")
+    val pts = df.select(col(series).cast("long").as("__sk"),
+        col(order).as("__o"),
+        round(col(value) * scale).cast("long").as("__c"))
+      .filter(col("__c").isNotNull && col("__sk").isNotNull)
+      .withColumn("__i", row_number().over(w).cast("long"))
+      .withColumn("__d",
+        col("__c") - coalesce(lag("__c", 1).over(w), col("__c")))
+      .withColumn("__nid", col("__sk") * lit(1000000L) + col("__i"))
+      .select("__sk", "__i", "__nid", "__c", "__d")
+    val a = pts.select(col("__sk"), col("__nid").as("__na"),
+      col("__c").as("__ca"), col("__d").as("__da"))
+    val b = pts.select(col("__sk"), col("__nid").as("__nb"),
+      col("__c").as("__cb"), col("__d").as("__db"))
+    val dx = col("__ca") - col("__cb")
+    val dy = col("__da") - col("__db")
+    val nbrs = a.join(b, Seq("__sk"))
+      .filter(col("__na") =!= col("__nb") &&
+        dx * dx + dy * dy <= lit(eps * eps))
+      .select("__sk", "__na", "__nb")
+      .localCheckpoint() // bounded ε-graph shared by 4 consumers
+    val deg = nbrs.groupBy("__na").agg(count(lit(1)).as("__n"))
+    val core = deg.filter(col("__n") + 1 >= minPts).select("__na")
+      .localCheckpoint()
+    val coreB = core.withColumnRenamed("__na", "__nb")
+    val coreEdges = nbrs
+      .join(core, Seq("__na"))
+      .join(coreB, Seq("__nb"))
+      .filter(col("__na") < col("__nb"))
+      .select(col("__na").as("id_a"), col("__nb").as("id_b"))
+    val comp = graft.llm.Dedup
+      .resolveComponents(core.withColumnRenamed("__na", "doc_id"),
+        coreEdges, "doc_id")
+      .select(col("doc_id").as("__na"), col("keep_id").as("__cl"))
+    // border: non-core points take the SMALLEST cluster label among
+    // their core neighbors (deterministic total order)
+    val borders = nbrs
+      .join(core, Seq("__na"), "left_anti")
+      .join(comp.select(col("__na").as("__nb"),
+        col("__cl").as("__ncl")), Seq("__nb"))
+      .groupBy("__na").agg(min("__ncl").as("__cl"))
+    val coreOut = comp.withColumn("role", lit("core"))
+    val borderOut = borders.withColumn("role", lit("border"))
+    val roles = coreOut.unionByName(borderOut)
+      .withColumnRenamed("__na", "__nid")
+    pts.join(roles, Seq("__nid"), "left")
+      .select(col("__sk").as(series), col("__i").as("ord"),
+        coalesce(col("role"), lit("noise")).as("role"),
+        coalesce(col("__cl"), lit(-1L)).as("cluster"))
+  }
+}
