@@ -513,4 +513,73 @@ object StreamingDetect {
           out.iterator
       }
   }
+
+  // ---- L84 streaming: stateful as-of enrichment ----
+
+  case class AsofEvent(key: String, ts: Timestamp, side: Int,
+                       value: Double)
+  case class AsofStreamOut(key: String, ts: Timestamp,
+                           asof_ts: Option[Timestamp],
+                           asof_value: Option[Double])
+  case class AsofBufState(ts: Seq[Long], v: Seq[Double])
+
+  /** L84 streaming face: stream-stream as-of enrichment. Input is the
+    * UNION of both sides tagged `side` (0 = right/reference,
+    * 1 = left/probe); per key the state is a BOUNDED ordered history
+    * of the newest `maxKeep` right rows, so a left row arriving a
+    * micro-batch (or several) after newer reference rows still matches
+    * the right row that was current AT ITS EVENT TIME — the leakage
+    * guarantee survives out-of-order arrival up to the history bound.
+    * Within a batch rows process in (ts, side) order — the batch
+    * face's inclusive-equality convention. StreamingSpec pins
+    * stream ≡ `AsofJoin.asofJoin` across micro-batch splits including
+    * the late-left case. */
+  def statefulAsof(events: Dataset[AsofEvent],
+                   maxKeep: Int = 1024): Dataset[AsofStreamOut] = {
+    require(maxKeep >= 1, s"maxKeep=$maxKeep must be >= 1")
+    import events.sparkSession.implicits._
+    events.groupByKey(_.key)
+      .flatMapGroupsWithState[AsofBufState, AsofStreamOut](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (k: String, it: Iterator[AsofEvent],
+         state: GroupState[AsofBufState]) =>
+          var buf = state.getOption.getOrElse(AsofBufState(Nil, Nil))
+          val out = scala.collection.mutable.ArrayBuffer
+            .empty[AsofStreamOut]
+          def fromMicros(m: Long): Timestamp = {
+            val t = new Timestamp(m / 1000L)
+            t.setNanos(((m % 1000000L) * 1000L).toInt)
+            t
+          }
+          // epoch micros: getTime already carries the millis, so only
+          // the sub-millisecond part of getNanos is added
+          def micros(t: Timestamp): Long =
+            t.getTime * 1000L + (t.getNanos % 1000000) / 1000
+          def insertRight(tsM: Long, v: Double): Unit = {
+            // ordered insert (late rows land mid-buffer), newest kept
+            val i = buf.ts.lastIndexWhere(_ <= tsM) + 1
+            val nt = (buf.ts.take(i) :+ tsM) ++ buf.ts.drop(i)
+            val nv = (buf.v.take(i) :+ v) ++ buf.v.drop(i)
+            val from = math.max(0, nt.length - maxKeep)
+            buf = AsofBufState(nt.drop(from), nv.drop(from))
+          }
+          def lookup(tsM: Long): (Option[Timestamp], Option[Double]) = {
+            val i = buf.ts.lastIndexWhere(_ <= tsM)
+            if (i < 0) (None, None)
+            else (Some(fromMicros(buf.ts(i))), Some(buf.v(i)))
+          }
+          it.toSeq
+            .sortBy(e => (micros(e.ts), e.side))
+            .foreach { e =>
+              val tsM = micros(e.ts)
+              if (e.side == 0) insertRight(tsM, e.value)
+              else {
+                val (mt, mv) = lookup(tsM)
+                out += AsofStreamOut(k, e.ts, mt, mv)
+              }
+            }
+          state.update(buf)
+          out.iterator
+      }
+  }
 }

@@ -506,6 +506,59 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stateful as-of enrichment matches the batch join across splits") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    def t(sec: Int) = Timestamp.valueOf(
+      f"2024-01-01 00:${sec / 60}%02d:${sec % 60}%02d")
+    // two keys; rights (side 0) and lefts (side 1) interleaved; the
+    // split is chosen so one left arrives a BATCH AFTER a newer right
+    // already updated the state (the bounded history must serve the
+    // older match), and one left precedes any right
+    val events = Seq(
+      AsofEvent("a", t(5), 0, 1.0),
+      AsofEvent("a", t(10), 1, 0.0),  // -> r@5
+      AsofEvent("a", t(20), 0, 2.0),
+      AsofEvent("b", t(3), 1, 0.0),   // -> none
+      // ---- split here ----
+      AsofEvent("a", t(30), 0, 3.0),  // newer right arrives FIRST
+      AsofEvent("a", t(25), 1, 0.0),  // late left -> r@20, NOT r@30
+      AsofEvent("a", t(30), 1, 0.0),  // equal ts -> r@30 (inclusive)
+      AsofEvent("b", t(8), 0, 9.0),
+      AsofEvent("b", t(9), 1, 0.0))   // -> r@8
+    // batch reference via the relational as-of join
+    val l = events.filter(_.side == 1)
+      .map(e => (e.key, e.ts)).toDF("k", "lts")
+    val r = events.filter(_.side == 0)
+      .map(e => (e.key, e.ts, e.value)).toDF("k", "rts", "v")
+    val batch = graft.core.AsofJoin.asofJoin(l, r, Seq("k"), "lts",
+        "rts", Seq("v"))
+      .collect()
+      .map(row => (row.getAs[String]("k"),
+        row.getAs[Timestamp]("lts").getTime) ->
+        ((Option(row.getAs[Timestamp]("asof_ts")).map(_.getTime),
+          Option(row.getAs[java.lang.Double]("asof_v"))
+            .map(_.toDouble))))
+      .toMap
+    val input = MemoryStream[AsofEvent]
+    val out = statefulAsof(input.toDS(), maxKeep = 16)
+    val q = out.writeStream.format("memory").queryName("asofsink")
+      .outputMode("append").start()
+    try {
+      input.addData(events.take(4))
+      q.processAllAvailable()
+      input.addData(events.drop(4))
+      q.processAllAvailable()
+      val streamed = spark.table("asofsink").as[AsofStreamOut]
+        .collect()
+        .map(o => (o.key, o.ts.getTime) ->
+          ((o.asof_ts.map(_.getTime), o.asof_value)))
+        .toMap
+      assert(streamed === batch)
+      assert(streamed.size === 5)
+    } finally q.stop()
+  }
+
   test("windowed CMS increments union-merge to the batch estimates") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
