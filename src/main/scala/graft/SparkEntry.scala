@@ -514,6 +514,15 @@ object SparkEntry {
           col("domain_rank"))
     }),
 
+    // W-extra: top event-type paths (user-flow / Sankey analysis) —
+    // the path-exploration read next to q_funnel: one user-keyed
+    // ordered window builds length-3 sequences in place, one count,
+    // one top-k; ties (count DESC, path ASC).
+    "q_paths" -> ((s, dir) =>
+      graft.events.Behavior.topPaths(ev(s, dir), "user_id", "ts",
+          "event_type", n = 3, k = 20)
+        .select(col("path"), col("n_occurrences"), col("rank"))),
+
     // M-extra: per-series DBSCAN over integer (value, Δ) cents
     // features — density CLUSTERING next to q_lof's density SCORING:
     // regimes come out as clusters, isolated behavior as noise.
@@ -2277,6 +2286,20 @@ object SparkEntry {
       |FROM scored2 QUALIFY rank <= 5""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
+    "q_paths" ->
+      """WITH o AS (SELECT user_id, event_type,
+        |    lead(event_type, 1) OVER w AS e1,
+        |    lead(event_type, 2) OVER w AS e2
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+        |p AS (SELECT event_type || '>' || e1 || '>' || e2 AS path
+        |  FROM o WHERE e2 IS NOT NULL),
+        |c AS (SELECT path, count(*) AS n_occurrences FROM p
+        |  GROUP BY path)
+        |SELECT path, n_occurrences,
+        |  CAST(row_number() OVER (ORDER BY n_occurrences DESC,
+        |    path ASC) AS BIGINT) AS rank
+        |FROM c QUALIFY rank <= 20""".stripMargin,
     "q_dbscan" ->
       """WITH RECURSIVE pts AS (SELECT CAST(user_id AS BIGINT) AS u,
         |    CAST(row_number() OVER (PARTITION BY user_id ORDER BY ts)

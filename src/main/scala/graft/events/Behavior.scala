@@ -1,6 +1,7 @@
 package graft.events
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Behavioral event analytics — the funnel / cohort-retention pair
@@ -78,5 +79,31 @@ object Behavior {
     active.join(size, "cohort_week")
       .withColumn("retention",
         col("n_active").cast("double") / col("cohort_size").cast("double"))
+  }
+
+  /** Top event-type paths ("Sankey" / user-flow analysis): the k most
+    * frequent length-`n` consecutive event-type sequences across all
+    * users — the path-exploration read every product-analytics engine
+    * ships next to funnels (which test ONE hypothesized path; this
+    * surfaces the paths worth hypothesizing). One user-keyed ordered
+    * window builds the n-grams in place (no self-join), one global
+    * count, one top-k — the n-gram-over-events twin of the text
+    * n-gram machinery. Ties break (count DESC, path ASC). */
+  def topPaths(df: DataFrame, user: String, ts: String,
+               typeCol: String, n: Int = 3, k: Int = 20): DataFrame = {
+    require(n >= 2, s"n=$n must be >= 2")
+    require(k >= 1, s"k=$k must be >= 1")
+    val w = Window.partitionBy(user).orderBy(ts)
+    val steps = (0 until n).map(i =>
+      if (i == 0) col(typeCol) else lead(col(typeCol), i).over(w))
+    val withPath = df
+      .withColumn("__last", steps.last)
+      .withColumn("__path", concat_ws(">", steps: _*))
+      .filter(col("__last").isNotNull) // window tail has no full path
+    val counts = withPath.groupBy(col("__path").as("path"))
+      .agg(count(lit(1)).as("n_occurrences"))
+    val rk = Window.orderBy(col("n_occurrences").desc, col("path").asc)
+    counts.withColumn("rank", row_number().over(rk).cast("long"))
+      .filter(col("rank") <= k)
   }
 }

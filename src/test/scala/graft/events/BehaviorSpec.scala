@@ -122,4 +122,31 @@ class BehaviorSpec extends SparkSpec {
       .orderBy("cohort_week", "week_offset").collect().toSeq
     assert(r1 == r2)
   }
+
+  test("topPaths counts consecutive event-type n-grams with tie-broken ranks") {
+    import spark.implicits._
+    def t(sec: Int) = java.sql.Timestamp.valueOf(
+      f"2024-01-01 00:${sec / 60}%02d:${sec % 60}%02d")
+    // user 1: view>click>buy, click>buy>view ; user 2: view>click>buy
+    val df = Seq(
+      (1L, t(1), "view"), (1L, t(2), "click"), (1L, t(3), "buy"),
+      (1L, t(4), "view"),
+      (2L, t(1), "view"), (2L, t(2), "click"), (2L, t(3), "buy"))
+      .toDF("user_id", "ts", "event_type")
+    val out = Behavior.topPaths(df, "user_id", "ts", "event_type",
+        n = 3, k = 10)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .sortBy(_._3)
+    // paths: u1 rows 1-3 view>click>buy, rows 2-4 click>buy>view,
+    // u2 view>click>buy -> counts 2 and 1; no cross-user chaining
+    assert(out.toSeq === Seq(("view>click>buy", 2L, 1L),
+      ("click>buy>view", 1L, 2L)))
+    // bigram form counts every adjacent pair
+    val bi = Behavior.topPaths(df, "user_id", "ts", "event_type",
+        n = 2, k = 10)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(bi === Map("view>click" -> 2L, "click>buy" -> 2L,
+      "buy>view" -> 1L))
+  }
 }
