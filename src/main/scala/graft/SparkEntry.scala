@@ -514,6 +514,17 @@ object SparkEntry {
           col("domain_rank"))
     }),
 
+    // LLM-pipeline: out-of-fold target encoding (the CatBoost/Kaggle
+    // leakage-safe categorical feature): each row's encoding uses
+    // only rows OUTSIDE its own deterministic fold; one (category,
+    // fold) aggregate broadcast back to the scan — the fact rows
+    // never shuffle.
+    "q_target_enc" -> ((s, dir) =>
+      graft.core.TargetEncode.oofTargetEncode(ev(s, dir), "event_id",
+          "event_type", "value", k = 5, smoothing = 10.0)
+        .select(col("event_id"), col("event_type"), col("fold"),
+          round(col("target_enc"), 6).as("target_enc"))),
+
     // W-extra: top event-type paths (user-flow / Sankey analysis) —
     // the path-exploration read next to q_funnel: one user-keyed
     // ordered window builds length-3 sequences in place, one count,
@@ -2286,6 +2297,27 @@ object SparkEntry {
       |FROM scored2 QUALIFY rank <= 5""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
+    "q_target_enc" ->
+      """WITH rows_ AS (SELECT event_id, event_type AS c, value AS v,
+        |    event_id % 5 AS fold FROM events),
+        |cf AS (SELECT c, fold, sum(v) AS scf, count(*) AS ncf
+        |  FROM rows_ GROUP BY 1, 2),
+        |cc AS (SELECT c, sum(scf) AS sc,
+        |    CAST(sum(ncf) AS BIGINT) AS nc FROM cf GROUP BY 1),
+        |ff AS (SELECT fold, sum(scf) AS sf,
+        |    CAST(sum(ncf) AS BIGINT) AS nf FROM cf GROUP BY 1),
+        |gg AS (SELECT sum(scf) AS s,
+        |    CAST(sum(ncf) AS BIGINT) AS n FROM cf),
+        |st AS (SELECT cf.c, cf.fold,
+        |    (sc - scf + 10.0 * ((s - sf) /
+        |      CAST(n - nf AS DOUBLE))) /
+        |    (CAST(nc - ncf AS DOUBLE) + 10.0) AS enc
+        |  FROM cf JOIN cc USING (c) JOIN ff USING (fold)
+        |  CROSS JOIN gg)
+        |SELECT r.event_id, r.c AS event_type,
+        |  CAST(r.fold AS BIGINT) AS fold,
+        |  round(st.enc, 6) AS target_enc
+        |FROM rows_ r JOIN st ON r.c = st.c AND r.fold = st.fold""".stripMargin,
     "q_paths" ->
       """WITH o AS (SELECT user_id, event_type,
         |    lead(event_type, 1) OVER w AS e1,
