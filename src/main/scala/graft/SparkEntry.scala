@@ -552,11 +552,14 @@ object SparkEntry {
     // range join. Sentinels replace nulls for driver-hash stability.
     "q_asof" -> ((s, dir) => {
       val e = ev(s, dir)
+      // the right side is pre-aggregated to one row per (user, ts):
+      // AsofJoin's uniqueness contract, enforced rather than assumed
       graft.core.AsofJoin.asofJoin(
           e.filter(col("event_type") === "click")
             .select(col("event_id"), col("user_id"), col("ts")),
           e.filter(col("event_type") === "purchase")
-            .select(col("user_id"), col("ts").as("pts"), col("value")),
+            .groupBy(col("user_id"), col("ts").as("pts"))
+            .agg(max("value").as("value")),
           Seq("user_id"), "ts", "pts", Seq("value"))
         .select(col("event_id"), col("user_id"), col("ts"),
           coalesce(col("asof_ts"),
@@ -597,22 +600,22 @@ object SparkEntry {
           round(llm.TextAnalysis.charEntropy(col("text")), 6)
             .as("entropy_nats"))),
 
-    // Engine-extra: skew-defeating hybrid salted join — hot orderkeys
-    // (detected by one count pass) spread over 8 salts against a
-    // replicated build side, the cold majority through the plain join;
-    // row-set ≡ the unsalted join, so the oracle is the plain SQL
-    // join. The registered aggregate totals revenue per order status.
+    // Engine-extra: skew-defeating hybrid salted join on a REAL skew
+    // shape — a 5-value key (event_type) against a tiny derived dim:
+    // every key exceeds the hot threshold, so the hot set is
+    // CARDINALITY-bounded (5 rows at any scale factor) and the whole
+    // fact side flows through the salted path, spreading each hot key
+    // over 8 shuffle partitions. Row-set ≡ the plain join (the
+    // SaltedSpec contract), so the oracle is the unsalted SQL join.
     "q_salted" -> ((s, dir) => {
-      val li = tbl(s, dir, "lineitem")
-        .withColumnRenamed("l_orderkey", "orderkey")
-      val o = tbl(s, dir, "orders")
-        .withColumnRenamed("o_orderkey", "orderkey")
-      graft.core.Salted.saltedJoinSkewed(li, o, Seq("orderkey"),
-          salts = 8, threshold = 4)
-        .groupBy("o_orderstatus")
-        .agg(count(lit(1)).as("n_items"),
-          round(sum(col("l_extendedprice") *
-            (lit(1) - col("l_discount"))), 2).as("revenue"))
+      val e = ev(s, dir)
+      val dim = e.groupBy("event_type")
+        .agg(round(avg("value"), 6).as("type_avg"))
+      graft.core.Salted.saltedJoinSkewed(e, dim, Seq("event_type"),
+          salts = 8, threshold = 1000)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_events"),
+          round(sum(col("value") - col("type_avg")), 2).as("dev_sum"))
     }),
 
     // LLM-pipeline: link-graph authority via PageRank (10 power-
@@ -2322,7 +2325,7 @@ object SparkEntry {
       """WITH o AS (SELECT user_id, event_type,
         |    lead(event_type, 1) OVER w AS e1,
         |    lead(event_type, 2) OVER w AS e2
-        |  FROM events
+        |  FROM events WHERE event_type IS NOT NULL
         |  WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
         |p AS (SELECT event_type || '>' || e1 || '>' || e2 AS path
         |  FROM o WHERE e2 IS NOT NULL),
@@ -2338,7 +2341,7 @@ object SparkEntry {
         |      AS BIGINT) AS i,
         |    CAST(round(value * 100) AS BIGINT) AS c
         |  FROM events WHERE value IS NOT NULL),
-        |pd AS (SELECT u, i, u * 1000000 + i AS nid, c,
+        |pd AS (SELECT u, i, u * 4294967296 + i AS nid, c,
         |    c - coalesce(lag(c) OVER (PARTITION BY u ORDER BY i), c)
         |      AS d
         |  FROM pts),
@@ -2371,8 +2374,8 @@ object SparkEntry {
     "q_asof" ->
       """WITH l AS (SELECT event_id, user_id, ts FROM events
         |  WHERE event_type = 'click'),
-        |r AS (SELECT user_id, ts, value FROM events
-        |  WHERE event_type = 'purchase')
+        |r AS (SELECT user_id, ts, max(value) AS value FROM events
+        |  WHERE event_type = 'purchase' GROUP BY user_id, ts)
         |SELECT l.event_id, l.user_id, l.ts,
         |  coalesce(r.ts, TIMESTAMP '1970-01-01 00:00:00') AS asof_ts,
         |  coalesce(r.value, -1.0) AS asof_value
@@ -2456,10 +2459,13 @@ object SparkEntry {
         |    (a, b) -> a + b) / n, 6) AS entropy_nats
         |FROM c""".stripMargin,
     "q_salted" ->
-      """SELECT o_orderstatus, count(*) AS n_items,
-        |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
-        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
-        |GROUP BY o_orderstatus""".stripMargin,
+      """WITH d AS (SELECT event_type,
+        |    round(avg(value), 6) AS type_avg
+        |  FROM events GROUP BY 1)
+        |SELECT e.event_type, count(*) AS n_events,
+        |  round(sum(e.value - d.type_avg), 2) AS dev_sum
+        |FROM events e JOIN d USING (event_type)
+        |GROUP BY e.event_type""".stripMargin,
     "q_pagerank" -> pageRankOracleSql,
     "q_mmr" -> mmrOracleSql,
     "q_split" ->
@@ -3947,17 +3953,24 @@ object SparkEntry {
         |  FROM documents),
         |nf AS (SELECT doc_id, regexp_replace(url, '#.*', '')
         |    AS nofrag FROM u),
-        |parts AS (SELECT doc_id,
+        |parts0 AS (SELECT doc_id, nofrag,
         |    lower(regexp_extract(nofrag,
         |      '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
-        |    regexp_replace(regexp_replace(lower(regexp_extract(nofrag,
-        |      '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1)),
-        |      ':(80|443)$', ''), '^www\.', '') AS host,
+        |    lower(regexp_extract(nofrag,
+        |      '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1)) AS host0
+        |  FROM nf),
+        |parts AS (SELECT doc_id, scheme,
+        |    regexp_replace(CASE
+        |      WHEN scheme = 'http' THEN regexp_replace(host0,
+        |        ':80$', '')
+        |      WHEN scheme = 'https' THEN regexp_replace(host0,
+        |        ':443$', '')
+        |      ELSE host0 END, '^www\.', '') AS host,
         |    regexp_extract(nofrag,
         |      '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1)
         |      AS path_raw,
         |    regexp_extract(nofrag, '\?([^#]*)', 1) AS qs
-        |  FROM nf),
+        |  FROM parts0),
         |np AS (SELECT doc_id, scheme, host,
         |    CASE WHEN regexp_replace(path_raw, '/+$', '') = ''
         |      THEN '/' ELSE regexp_replace(path_raw, '/+$', '') END

@@ -39,6 +39,9 @@ object AsofJoin {
                toleranceSeconds: Option[Long] = None): DataFrame = {
     require(keys.nonEmpty, "keys must be non-empty")
     require(payloadCols.nonEmpty, "payloadCols must be non-empty")
+    require(!payloadCols.contains("ts"),
+      "a payload column named 'ts' would overwrite the matched-" +
+        "timestamp output column <prefix>ts — rename it first")
     val rSel = right.select(
       keys.map(col) ++ Seq(
         col(rightTs).as("__ts"),

@@ -31,15 +31,23 @@ object TargetEncode {
     require(k >= 2, s"k=$k must be >= 2")
     require(smoothing >= 0.0, s"smoothing=$smoothing must be >= 0")
     val rows = df.withColumn("fold", pmod(col(idCol), lit(k.toLong)))
+    // NULL-target rows receive an encoding but contribute to neither
+    // sums nor counts (count(target), not count(*) — otherwise a
+    // category with NULL targets is silently biased toward zero);
+    // an all-NULL (category, fold) cell keeps its row via coalesce
     val cf = rows.groupBy(col(category).as("__c"), col("fold"))
-      .agg(sum(col(target)).as("__scf"),
-        count(lit(1)).as("__ncf"))
+      .agg(coalesce(sum(col(target)), lit(0.0)).as("__scf"),
+        count(col(target)).as("__ncf"))
     val c = cf.groupBy("__c")
       .agg(sum("__scf").as("__sc"), sum("__ncf").as("__nc"))
     val f = cf.groupBy("fold")
       .agg(sum("__scf").as("__sf"), sum("__ncf").as("__nf"))
     val g = cf.agg(sum("__scf").as("__s"), sum("__ncf").as("__n"))
-    val stats = cf.join(c, Seq("__c")).join(f, Seq("fold"))
+    // the internal category joins must be null-safe too, or the NULL
+    // group is lost before it ever reaches the output join
+    val c2 = c.withColumnRenamed("__c", "__c2")
+    val stats = cf.join(c2, col("__c") <=> col("__c2")).drop("__c2")
+      .join(f, Seq("fold"))
       .crossJoin(g)
       .withColumn("__prior",
         (col("__s") - col("__sf")) / (col("__n") - col("__nf")))
@@ -47,8 +55,10 @@ object TargetEncode {
         ((col("__sc") - col("__scf") + lit(smoothing) * col("__prior"))
           / (col("__nc") - col("__ncf") + lit(smoothing)))
           .as("target_enc"))
+    // null-SAFE category equality: a NULL category is its own group
+    // and must not be silently dropped by the join
     rows.join(broadcast(stats),
-      rows(category) === stats("__c") && rows("fold") === stats("fold"))
+      rows(category) <=> stats("__c") && rows("fold") === stats("fold"))
       .drop(stats("fold")).drop("__c")
   }
 }

@@ -96,7 +96,10 @@ object Behavior {
     val w = Window.partitionBy(user).orderBy(ts)
     val steps = (0 until n).map(i =>
       if (i == 0) col(typeCol) else lead(col(typeCol), i).over(w))
-    val withPath = df
+    // NULL event types are dropped BEFORE the windows: concat_ws
+    // silently skips NULLs, which would otherwise conflate an
+    // (A, NULL, B) window with a genuine shorter path
+    val withPath = df.filter(col(typeCol).isNotNull)
       .withColumn("__last", steps.last)
       .withColumn("__path", concat_ws(">", steps: _*))
       .filter(col("__last").isNotNull) // window tail has no full path

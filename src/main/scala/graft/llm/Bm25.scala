@@ -38,21 +38,18 @@ import org.apache.spark.sql.functions._
   * window partitions by query. */
 object Bm25 {
 
-  /** Top-k docs per query by BM25. `queries` is (queryId, textCol);
-    * scores are rounded to 6 digits and ranked (score desc, doc_id
-    * asc) on the ROUNDED value — the q_tfidf ranking convention. */
-  def topK(docs: DataFrame, queries: DataFrame, docId: String,
-           queryId: String, textCol: String, k: Int,
-           k1: Double = 1.2, b: Double = 0.75): DataFrame = {
-    require(k >= 1, s"k=$k must be >= 1")
-    // NULL-text docs produce no postings (explode(split(NULL)) drops
-    // the row), so they must not count in n_docs/avgdl either: one
-    // filtered corpus feeds postings AND stats, keeping idf consistent
-    // with the oracle's dl-derived population
+  /** The (doc_id, term, tf, dl) postings relation + the 1-row
+    * (n_docs, avgdl) stats — the shared index both [[topK]] and
+    * [[rm3TopK]]'s feedback stage consume. NULL-text docs produce no
+    * postings (explode(split(NULL)) drops the row), so they must not
+    * count in n_docs/avgdl either: one filtered corpus feeds postings
+    * AND stats, keeping idf consistent with the oracle's dl-derived
+    * population. dl (token count) is carried through the explode:
+    * size(split) equals the exploded term count, so max(dl) per doc
+    * reconstructs the length without a second aggregate + join. */
+  private[llm] def postingsAndStats(docs: DataFrame, docId: String,
+      textCol: String): (DataFrame, DataFrame) = {
     val corpus = docs.filter(col(textCol).isNotNull)
-    // dl (token count) carried through the explode: size(split) equals
-    // the exploded term count, so max(dl) per doc reconstructs the
-    // length without a second aggregate + join
     val words = corpus.select(col(docId).as("doc_id"),
       size(split(col(textCol), " ")).cast("long").as("dl"),
       explode(split(col(textCol), " ")).as("term"))
@@ -61,6 +58,26 @@ object Bm25 {
     // (n_docs, avgdl) from the raw scan: avg token count ≡ avg dl
     val stats = corpus.agg(count(lit(1)).as("n_docs"),
       avg(size(split(col(textCol), " ")).cast("long")).as("avgdl"))
+    (tf, stats)
+  }
+
+  /** Top-k docs per query by BM25. `queries` is (queryId, textCol);
+    * scores are rounded to 6 digits and ranked (score desc, doc_id
+    * asc) on the ROUNDED value — the q_tfidf ranking convention. */
+  def topK(docs: DataFrame, queries: DataFrame, docId: String,
+           queryId: String, textCol: String, k: Int,
+           k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val (tf, stats) = postingsAndStats(docs, docId, textCol)
+    topKWith(tf, stats, queries, queryId, textCol, k, k1, b)
+  }
+
+  /** [[topK]] over a PRECOMPUTED (and possibly checkpointed) postings
+    * relation — lets multi-pass callers (RM3) pay the corpus
+    * tokenization once. */
+  private[llm] def topKWith(tf: DataFrame, stats: DataFrame,
+      queries: DataFrame, queryId: String, textCol: String, k: Int,
+      k1: Double, b: Double): DataFrame = {
+    require(k >= 1, s"k=$k must be >= 1")
     val qterms = queries.select(col(queryId).as("query_id"),
         explode(split(col(textCol), " ")).as("term"))
       .distinct()
@@ -119,14 +136,13 @@ object Bm25 {
               k1: Double = 1.2, b: Double = 0.75): DataFrame = {
     require(fbDocs >= 1, s"fbDocs=$fbDocs must be >= 1")
     require(fbTerms >= 1, s"fbTerms=$fbTerms must be >= 1")
-    val first = topK(docs, queries, docId, queryId, textCol, fbDocs,
+    // tokenize + aggregate the corpus ONCE; the checkpointed postings
+    // serve both BM25 passes and the feedback stage (without this the
+    // dominant split/explode/groupBy cost is paid three times)
+    val (tf0, stats) = postingsAndStats(docs, docId, textCol)
+    val tf = tf0.localCheckpoint()
+    val first = topKWith(tf, stats, queries, queryId, textCol, fbDocs,
       k1, b)
-    val corpus = docs.filter(col(textCol).isNotNull)
-    val words = corpus.select(col(docId).as("doc_id"),
-      size(split(col(textCol), " ")).cast("long").as("dl"),
-      explode(split(col(textCol), " ")).as("term"))
-    val tf = words.groupBy("doc_id", "term")
-      .agg(count(lit(1)).as("tf"), max("dl").as("dl"))
     val fbw = first.select("query_id", "doc_id")
       .join(tf, Seq("doc_id"))
       .select(col("query_id"), col("term"), col("doc_id"),
@@ -155,6 +171,6 @@ object Bm25 {
         when(col("__ext").isNotNull,
           concat_ws(" ", col(textCol), col("__ext")))
           .otherwise(col(textCol)).as(textCol))
-    topK(docs, q2, docId, queryId, textCol, k, k1, b)
+    topKWith(tf, stats, q2, queryId, textCol, k, k1, b)
   }
 }

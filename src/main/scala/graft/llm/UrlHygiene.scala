@@ -21,7 +21,8 @@ import org.apache.spark.sql.functions._
   *
   * Normalization rules (each one oracle-mirrored):
   *  - scheme and host lowercased; path/query case PRESERVED;
-  *  - fragment stripped; default ports (:80/:443) stripped;
+  *  - fragment stripped; default ports stripped scheme-conditionally
+  *    (:80 for http, :443 for https — http://h:443 keeps its port);
   *  - a leading `www.` stripped from the host;
   *  - tracking params removed (`utm_*`, `fbclid`, `gclid`) while real
   *    params survive; an emptied query string drops its `?`;
@@ -41,14 +42,19 @@ object UrlHygiene {
 
   private val trackerRe = "^(utm_[^=]*|fbclid|gclid)="
 
-  /** Canonical form of a raw URL (see rules above). */
+  /** Canonical form of a raw URL (see rules above). Default-port
+    * stripping is SCHEME-conditional (:80 for http, :443 for https) —
+    * `http://h:443` is a distinct origin and keeps its port. */
   def normalizeUrl(u: Column): Column = {
     val noFrag = regexp_replace(u, "#.*", "")
     val scheme = lower(regexp_extract(noFrag, "^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
-    val host = regexp_replace(
-      regexp_replace(lower(regexp_extract(noFrag, "^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)", 1)),
-        ":(80|443)$", ""),
-      "^www\\.", "")
+    val hostRaw = lower(regexp_extract(noFrag,
+      "^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)", 1))
+    val hostPort = when(scheme === "http",
+        regexp_replace(hostRaw, ":80$", ""))
+      .when(scheme === "https", regexp_replace(hostRaw, ":443$", ""))
+      .otherwise(hostRaw)
+    val host = regexp_replace(hostPort, "^www\\.", "")
     val pathRaw = regexp_extract(noFrag, "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)", 1)
     val path0 = regexp_replace(pathRaw, "/+$", "")
     val path = when(path0 === "", lit("/")).otherwise(path0)

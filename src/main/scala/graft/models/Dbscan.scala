@@ -24,9 +24,10 @@ import org.apache.spark.sql.functions._
   * candidate generation linear); everything downstream is keyed
   * aggregates plus the logarithmic pointer-jumping rounds.
   *
-  * Node identity: `series.cast(long) * 1_000_000 + ordinal` — series
-  * keys must be numeric and ordinals < 1e6 (documented; the driver
-  * corpus satisfies both).
+  * Node identity: `series.cast(long) * 2^32 + ordinal` — series keys
+  * must be numeric non-negative below 2^31 and ordinals below 2^32
+  * (4.3 B rows per series — far beyond any per-series window this
+  * operator's O(n²) pair join could run on anyway).
   *
   * Output: (series, ord, role ∈ core|border|noise, cluster — the
   * component's min composite id, or −1 for noise).
@@ -47,7 +48,7 @@ object Dbscan {
       .withColumn("__i", row_number().over(w).cast("long"))
       .withColumn("__d",
         col("__c") - coalesce(lag("__c", 1).over(w), col("__c")))
-      .withColumn("__nid", col("__sk") * lit(1000000L) + col("__i"))
+      .withColumn("__nid", col("__sk") * lit(4294967296L) + col("__i"))
       .select("__sk", "__i", "__nid", "__c", "__d")
     val a = pts.select(col("__sk"), col("__nid").as("__na"),
       col("__c").as("__ca"), col("__d").as("__da"))

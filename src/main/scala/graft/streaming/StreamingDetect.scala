@@ -535,14 +535,28 @@ object StreamingDetect {
     * stream ≡ `AsofJoin.asofJoin` across micro-batch splits including
     * the late-left case. */
   def statefulAsof(events: Dataset[AsofEvent],
-                   maxKeep: Int = 1024): Dataset[AsofStreamOut] = {
+                   maxKeep: Int = 1024,
+                   stateTtl: Option[String] = None
+                  ): Dataset[AsofStreamOut] = {
     require(maxKeep >= 1, s"maxKeep=$maxKeep must be >= 1")
     import events.sparkSession.implicits._
+    // stateTtl bounds state in KEY CARDINALITY the way maxKeep bounds
+    // it per key: keys idle longer than the TTL drop their history
+    // (the sibling windowed faces get this from their watermark; a
+    // keyed-state op must opt in explicitly or grow forever on
+    // churning key spaces)
+    val timeoutConf =
+      if (stateTtl.isDefined) GroupStateTimeout.ProcessingTimeTimeout()
+      else GroupStateTimeout.NoTimeout()
     events.groupByKey(_.key)
       .flatMapGroupsWithState[AsofBufState, AsofStreamOut](
-        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        OutputMode.Append(), timeoutConf) {
         (k: String, it: Iterator[AsofEvent],
          state: GroupState[AsofBufState]) =>
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
           var buf = state.getOption.getOrElse(AsofBufState(Nil, Nil))
           val out = scala.collection.mutable.ArrayBuffer
             .empty[AsofStreamOut]
@@ -579,7 +593,9 @@ object StreamingDetect {
               }
             }
           state.update(buf)
+          stateTtl.foreach(t => state.setTimeoutDuration(t))
           out.iterator
+          }
       }
   }
 }

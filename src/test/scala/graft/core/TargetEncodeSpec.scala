@@ -87,4 +87,34 @@ class TargetEncodeSpec extends SparkSpec {
       assert(math.abs(b(id)._2 - e) < 1e-9)
     }
   }
+
+  test("NULL categories and NULL targets are handled, not dropped or biased") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(StructField("id", LongType),
+      StructField("cat", StringType), StructField("y", DoubleType)))
+    val rows = Seq(
+      Row(0L, "a", 1.0), Row(1L, "a", 3.0), Row(2L, "a", null),
+      Row(3L, "a", 5.0),
+      Row(4L, null, 7.0), Row(5L, null, 9.0),
+      Row(6L, "b", 2.0), Row(7L, "b", 4.0))
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows), schema)
+    val out = TargetEncode.oofTargetEncode(df, "id", "cat", "y",
+        k = 2, smoothing = 0.5)
+      .collect()
+      .map(r => r.getAs[Long]("id") -> r.getAs[Double]("target_enc"))
+      .toMap
+    // EVERY input row keeps a row — including the NULL-category pair
+    assert(out.keySet === (0L until 8L).toSet)
+    // row 2 (NULL target) still gets an encoding from fold-1 'a' rows:
+    // out-of-fold-0 'a' observed targets = {3.0, 5.0} (ids 1, 3)
+    val prior0 = (3.0 + 5.0 + 9.0 + 4.0) / 4 // observed, fold-1 rows
+    val exp2 = (3.0 + 5.0 + 0.5 * prior0) / (2 + 0.5)
+    assert(math.abs(out(2L) - exp2) < 1e-9, s"${out(2L)} vs $exp2")
+    // the NULL category is its own group: id 4 (fold 0) encodes from
+    // id 5 (fold 1, y=9.0) only
+    val exp4 = (9.0 + 0.5 * prior0) / (1 + 0.5)
+    assert(math.abs(out(4L) - exp4) < 1e-9, s"${out(4L)} vs $exp4")
+  }
 }

@@ -23,6 +23,12 @@ class UrlHygieneSpec extends SparkSpec {
     assert(norm("https://example.com:443/a") === "https://example.com/a")
     assert(norm("https://example.com:8080/a") ===
       "https://example.com:8080/a") // non-default port survives
+    // default-port stripping is scheme-conditional: these are real,
+    // distinct origins and must keep their ports
+    assert(norm("http://example.com:443/a") ===
+      "http://example.com:443/a")
+    assert(norm("https://example.com:80/a") ===
+      "https://example.com:80/a")
     assert(norm("https://example.com/a#section-2") ===
       "https://example.com/a")
     assert(norm("https://example.com/a?utm_source=x&ref=keep&utm_id=9") ===

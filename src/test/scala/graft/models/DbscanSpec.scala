@@ -31,7 +31,7 @@ class DbscanSpec extends SparkSpec {
     val nbrs = (0 until n).map(i =>
       (0 until n).filter(j => j != i && near(i, j)))
     val isCore = (0 until n).map(i => nbrs(i).size + 1 >= minPts)
-    def nid(i: Int): Long = sk * 1000000L + (i + 1)
+    def nid(i: Int): Long = sk * 4294967296L + (i + 1)
     // components over core-core edges by repeated min propagation
     var label = (0 until n).map(i =>
       if (isCore(i)) nid(i) else -1L).toArray
