@@ -525,6 +525,18 @@ object SparkEntry {
         .select(col("event_id"), col("event_type"), col("fold"),
           round(col("target_enc"), 6).as("target_enc"))),
 
+    // W-extra: M4 time-series downsampling (Jugel VLDB 2014) — the
+    // error-free visualization reduction: first/last/min/max per
+    // integer time bucket reproduces every pixel a full-resolution
+    // line render would light. One map-combinable aggregate; output
+    // bounded by series × buckets.
+    "q_m4" -> ((s, dir) =>
+      SeriesOps.m4Downsample(ev(s, dir), "user_id", "ts", "value",
+          buckets = 48)
+        .withColumn("user_id", col("user_id").cast("long"))
+        .select(col("user_id"), col("bucket"), col("n"),
+          col("v_first"), col("v_last"), col("v_min"), col("v_max"))),
+
     // W-extra: top event-type paths (user-flow / Sankey analysis) —
     // the path-exploration read next to q_funnel: one user-keyed
     // ordered window builds length-3 sequences in place, one count,
@@ -2300,6 +2312,20 @@ object SparkEntry {
       |FROM scored2 QUALIFY rank <= 5""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
+    "q_m4" ->
+      """WITH base AS (SELECT CAST(user_id AS BIGINT) AS u,
+        |    epoch_us(ts) AS us, CAST(value AS DOUBLE) AS v
+        |  FROM events WHERE value IS NOT NULL),
+        |rng AS (SELECT u, min(us) AS lo, max(us) AS hi FROM base
+        |  GROUP BY 1),
+        |b AS (SELECT base.u,
+        |    ((us - lo) * 48) // (hi - lo + 1) AS bucket, us, v
+        |  FROM base JOIN rng ON base.u = rng.u)
+        |SELECT u AS user_id, bucket,
+        |  CAST(count(*) AS BIGINT) AS n,
+        |  arg_min(v, us) AS v_first, arg_max(v, us) AS v_last,
+        |  min(v) AS v_min, max(v) AS v_max
+        |FROM b GROUP BY 1, 2""".stripMargin,
     "q_target_enc" ->
       """WITH rows_ AS (SELECT event_id, event_type AS c, value AS v,
         |    event_id % 5 AS fold FROM events),

@@ -456,4 +456,35 @@ object SeriesOps {
               lit(6) * (col("q3_c") - col("q1_c")), 1L)
           .otherwise(0L)).as("n_out"))
   }
+
+  /** M4 time-series downsampling (Jugel et al., VLDB 2014) — the
+    * error-free visualization reduction: per (series, time-bucket)
+    * keep first/last/min/max, which provably reproduces every pixel a
+    * line rendering of the full series would light at that bucket
+    * width. THE way to serve dashboard reads of a 100 TB series store
+    * without shipping raw points — one aggregate, map-side
+    * combinable, output bounded by series × buckets.
+    *
+    * Determinism: buckets are ALL-INTEGER epoch-micros arithmetic
+    * (`(us − lo) · B DIV (hi − lo + 1)` — no float edges), first/last
+    * are `min_by/max_by(value, ts)` (exact under the per-series
+    * unique-timestamp contract), min/max are exact copies. */
+  def m4Downsample(df: DataFrame, series: String, ts: String,
+                   value: String, buckets: Int): DataFrame = {
+    require(buckets >= 1, s"buckets=$buckets must be >= 1")
+    val base = df.select(col(series).as("__sk"),
+        unix_micros(col(ts)).as("__us"),
+        col(value).cast("double").as("__v"))
+      .filter(col("__v").isNotNull)
+    val rng = base.groupBy("__sk")
+      .agg(min("__us").as("__lo"), max("__us").as("__hi"))
+    base.join(broadcast(rng), Seq("__sk"))
+      .withColumn("bucket", expr(
+        s"((__us - __lo) * $buckets) DIV (__hi - __lo + 1)"))
+      .groupBy(col("__sk").as(series), col("bucket"))
+      .agg(count(lit(1)).as("n"),
+        min_by(col("__v"), col("__us")).as("v_first"),
+        max_by(col("__v"), col("__us")).as("v_last"),
+        min("__v").as("v_min"), max("__v").as("v_max"))
+  }
 }

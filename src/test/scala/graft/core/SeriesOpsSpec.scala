@@ -278,4 +278,47 @@ class SeriesOpsSpec extends SparkSpec {
       .collect().map(r => r.getString(0) -> r.getAs[Long]("n_out")).toMap
     assert(one === two)
   }
+
+  test("m4Downsample keeps first/last/min/max per integer time bucket") {
+    import spark.implicits._
+    def t(sec: Int) = java.sql.Timestamp.valueOf(
+      f"2024-01-01 00:${sec / 60}%02d:${sec % 60}%02d")
+    // 8 points over [0, 70s], 2 buckets -> split at 35.5s (integer
+    // arithmetic: (us-lo)*2 DIV (hi-lo+1))
+    val rows = Seq((0, 5.0), (10, 1.0), (20, 9.0), (30, 4.0),
+      (40, 7.0), (50, 0.5), (60, 8.0), (70, 6.0))
+      .map { case (sec, v) => ("s", t(sec), v) }
+      .toDF("sid", "ts", "v")
+    val out = SeriesOps.m4Downsample(rows, "sid", "ts", "v", 2)
+      .collect().map(r => r.getAs[Long]("bucket") ->
+        ((r.getAs[Long]("n"), r.getAs[Double]("v_first"),
+          r.getAs[Double]("v_last"), r.getAs[Double]("v_min"),
+          r.getAs[Double]("v_max")))).toMap
+    assert(out(0L) === ((4L, 5.0, 4.0, 1.0, 9.0)))
+    assert(out(1L) === ((4L, 7.0, 6.0, 0.5, 8.0)))
+    // single-point series: bucket 0, all four stats are the point
+    val solo = SeriesOps.m4Downsample(
+      Seq(("x", t(3), 2.5)).toDF("sid", "ts", "v"), "sid", "ts", "v", 16)
+      .collect().head
+    assert(solo.getAs[Long]("bucket") === 0L)
+    assert(solo.getAs[Double]("v_first") === 2.5)
+    assert(solo.getAs[Double]("v_max") === 2.5)
+    // the rendering contract: per-bucket min/max envelope covers every
+    // raw point (the M4 error-free property, checked bucket-wise)
+    val rnd = new scala.util.Random(5)
+    val big = (0 until 500).map(i => ("s", t(i), rnd.nextDouble() * 50))
+      .toDF("sid", "ts", "v")
+    val m4 = SeriesOps.m4Downsample(big, "sid", "ts", "v", 25)
+      .collect().map(r => r.getAs[Long]("bucket") ->
+        ((r.getAs[Double]("v_min"), r.getAs[Double]("v_max")))).toMap
+    val raw = big.collect().map(r =>
+      (r.getAs[java.sql.Timestamp]("ts"), r.getAs[Double]("v")))
+    val lo = raw.map(_._1.getTime).min; val hi = raw.map(_._1.getTime).max
+    raw.foreach { case (tsv, v) =>
+      val b = ((tsv.getTime - lo) * 1000L * 25) /
+        ((hi - lo) * 1000L + 1)
+      assert(v >= m4(b)._1 && v <= m4(b)._2, s"point $v outside $b")
+    }
+    assert(m4.keySet === (0L until 25L).toSet)
+  }
 }
