@@ -132,6 +132,28 @@ object StreamingDetect {
         col("bin"), col("cnt"))
   }
 
+  /** L88 streaming: M4 downsampling over tumbling event-time windows —
+    * (series, window_start, n, v_first, v_last, v_min, v_max), the
+    * epoch-aligned streaming convention of the batch bucketing (the
+    * window IS the bucket). first/last ride `min_by/max_by(value, ts)`
+    * under the per-series unique-timestamp contract, so late rows
+    * within the watermark revise the window to exactly the batch
+    * answer. Works identically on batch frames. */
+  def windowedM4(df: DataFrame, series: String, ts: String,
+                 value: String, windowDuration: String,
+                 watermark: String = "1 hour"): DataFrame = {
+    val src = if (df.isStreaming) df.withWatermark(ts, watermark) else df
+    src.filter(col(value).isNotNull)
+      .groupBy(col(series), window(col(ts), windowDuration))
+      .agg(count(lit(1)).as("n"),
+        min_by(col(value), col(ts)).as("v_first"),
+        max_by(col(value), col(ts)).as("v_last"),
+        min(col(value)).as("v_min"), max(col(value)).as("v_max"))
+      .select(col(series), col("window.start").as("window_start"),
+        col("n"), col("v_first"), col("v_last"), col("v_min"),
+        col("v_max"))
+  }
+
   /** W1 streaming analogue: sliding time-window mean/std per series with
     * a watermark for state cleanup. */
   def rollingStats(df: DataFrame, series: String, ts: String, value: String,

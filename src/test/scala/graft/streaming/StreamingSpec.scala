@@ -506,6 +506,42 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("windowed M4 stream equals the batch epoch-window reduction") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val base = Timestamp.valueOf("2024-01-01 00:00:00").getTime
+    val rng = new scala.util.Random(9)
+    val rows = (0 until 240).map { i =>
+      (if (i % 2 == 0) "a" else "b",
+        new Timestamp(base + i * 37L * 1000), rng.nextDouble() * 40)
+    }
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getString(0), r.getAs[Timestamp]("window_start").getTime)
+    def m4map(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => key(r) -> ((r.getAs[Long]("n"),
+        r.getAs[Double]("v_first"), r.getAs[Double]("v_last"),
+        r.getAs[Double]("v_min"), r.getAs[Double]("v_max")))).toMap
+    val batch = m4map(StreamingDetect.windowedM4(
+      rows.toDF("series_id", "ts", "value"), "series_id", "ts",
+      "value", "30 minutes"))
+    val input = MemoryStream[(String, Timestamp, Double)]
+    val out = StreamingDetect.windowedM4(
+      input.toDF().toDF("series_id", "ts", "value"), "series_id",
+      "ts", "value", "30 minutes")
+    val q = out.writeStream.format("memory").queryName("m4sink")
+      .outputMode("complete").start()
+    try {
+      // split mid-window: the second batch revises open windows
+      input.addData(rows.take(130))
+      q.processAllAvailable()
+      input.addData(rows.drop(130))
+      q.processAllAvailable()
+      val streamed = m4map(spark.table("m4sink"))
+      assert(streamed === batch)
+      assert(streamed.size > 2, "test must span multiple windows")
+    } finally q.stop()
+  }
+
   test("stateful as-of enrichment matches the batch join across splits") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
