@@ -821,6 +821,18 @@ object SparkEntry {
         .select(col("user_id"), col("ord"), col("value"),
           round(col("lof"), 6).as("lof"))),
 
+    // M-extra: bounded-window LOF — the production face at unbounded
+    // series length: kNN candidates restricted to time-lag ≤ w via
+    // the lag-bucket equi-join (O(n·w) pair volume, no n² self-join;
+    // the L69 theilSenWindowed precedent applied to LOF). Output ≡
+    // q_lof when w ≥ n−1 (LofSpec pins it).
+    "q_lof_w" -> ((s, dir) =>
+      graft.models.Lof.lofWindowed(ev(s, dir), "user_id", "ts",
+          "value", k = 5, w = 8)
+        .withColumn("user_id", col("user_id").cast("long"))
+        .select(col("user_id"), col("ord"), col("value"),
+          round(col("lof"), 6).as("lof"))),
+
     // W9: autocorrelation per lag — the notebook's full EDA grid
     // (notebooks/01 cell 7 plots lags 1..50), still ONE scan + ONE agg
     "q_acf" -> ((s, dir) =>
@@ -2200,14 +2212,22 @@ object SparkEntry {
         |r0 AS (SELECT id, CAST(1.0 AS DOUBLE) / n AS rank
         |  FROM nodes CROSS JOIN mm),
         |""".stripMargin
+    // two-level source-ordered fold mirroring PageRank.scala's
+    // skew-safe shape: salt-bucket (src % 64) partial sums in src
+    // order, then the ordered merge of bucket subtotals
     val steps = (1 to 10).map { t =>
-      s"""c$t AS (SELECT e.dst AS id,
+      s"""p$t AS (SELECT e.dst, e.src % 64 AS sb,
          |    list_reduce(list_prepend(0.0, list_transform(
          |      list(r.rank / deg.deg ORDER BY e.src), x -> x)),
-         |      (a, b) -> a + b) AS cs
+         |      (a, b) -> a + b) AS ps
          |  FROM edges e JOIN r${t - 1} r ON e.src = r.id
          |    JOIN deg ON e.src = deg.src
-         |  GROUP BY e.dst),
+         |  GROUP BY e.dst, e.src % 64),
+         |c$t AS (SELECT dst AS id,
+         |    list_reduce(list_prepend(0.0, list_transform(
+         |      list(ps ORDER BY sb), x -> x)),
+         |      (a, b) -> a + b) AS cs
+         |  FROM p$t GROUP BY dst),
          |r$t AS (SELECT nodes.id,
          |    (CAST(1.0 AS DOUBLE) - CAST(0.85 AS DOUBLE)) / mm.n +
          |      CAST(0.85 AS DOUBLE) * coalesce(c$t.cs,
@@ -2329,7 +2349,8 @@ object SparkEntry {
     "q_target_enc" ->
       """WITH rows_ AS (SELECT event_id, event_type AS c, value AS v,
         |    event_id % 5 AS fold FROM events),
-        |cf AS (SELECT c, fold, sum(v) AS scf, count(*) AS ncf
+        |cf AS (SELECT c, fold, coalesce(sum(v), 0.0) AS scf,
+        |    count(v) AS ncf
         |  FROM rows_ GROUP BY 1, 2),
         |cc AS (SELECT c, sum(scf) AS sc,
         |    CAST(sum(ncf) AS BIGINT) AS nc FROM cf GROUP BY 1),
@@ -2341,12 +2362,14 @@ object SparkEntry {
         |    (sc - scf + 10.0 * ((s - sf) /
         |      CAST(n - nf AS DOUBLE))) /
         |    (CAST(nc - ncf AS DOUBLE) + 10.0) AS enc
-        |  FROM cf JOIN cc USING (c) JOIN ff USING (fold)
+        |  FROM cf JOIN cc ON cf.c IS NOT DISTINCT FROM cc.c
+        |  JOIN ff USING (fold)
         |  CROSS JOIN gg)
         |SELECT r.event_id, r.c AS event_type,
         |  CAST(r.fold AS BIGINT) AS fold,
         |  round(st.enc, 6) AS target_enc
-        |FROM rows_ r JOIN st ON r.c = st.c AND r.fold = st.fold""".stripMargin,
+        |FROM rows_ r JOIN st ON r.c IS NOT DISTINCT FROM st.c
+        |  AND r.fold = st.fold""".stripMargin,
     "q_paths" ->
       """WITH o AS (SELECT user_id, event_type,
         |    lead(event_type, 1) OVER w AS e1,
@@ -2484,12 +2507,16 @@ object SparkEntry {
         |    list_transform(cnts, cc -> cc * ln(cc))),
         |    (a, b) -> a + b) / n, 6) AS entropy_nats
         |FROM c""".stripMargin,
+    // `+ 0.0` normalizes IEEE signed zero: DuckDB's round preserves
+    // the sign of a tiny negative cancellation residue (-0.0, bits
+    // 0x8000...), while Spark's round goes through BigDecimal which
+    // has no negative zero (+0.0). Numerically equal, hash-different.
     "q_salted" ->
       """WITH d AS (SELECT event_type,
         |    round(avg(value), 6) AS type_avg
         |  FROM events GROUP BY 1)
         |SELECT e.event_type, count(*) AS n_events,
-        |  round(sum(e.value - d.type_avg), 2) AS dev_sum
+        |  round(sum(e.value - d.type_avg), 2) + 0.0 AS dev_sum
         |FROM events e JOIN d USING (event_type)
         |GROUP BY e.event_type""".stripMargin,
     "q_pagerank" -> pageRankOracleSql,
@@ -2639,9 +2666,9 @@ object SparkEntry {
         |  GROUP BY user_id, phase),
         |sc AS (SELECT user_id, phase,
         |    sraw - avg(sraw) OVER (PARTITION BY user_id) AS seasonal FROM sr)
-        |SELECT d.user_id, d.ts, round(d.trend, 9) AS trend,
-        |  round(sc.seasonal, 9) AS seasonal,
-        |  round(d.value - d.trend - sc.seasonal, 9) AS resid
+        |SELECT d.user_id, d.ts, round(d.trend, 9) + 0.0 AS trend,
+        |  round(sc.seasonal, 9) + 0.0 AS seasonal,
+        |  round(d.value - d.trend - sc.seasonal, 9) + 0.0 AS resid
         |FROM d JOIN sc ON d.user_id = sc.user_id AND d.phase = sc.phase""".stripMargin,
 
     "q_acf" -> acfSql,
@@ -3446,7 +3473,7 @@ object SparkEntry {
         |    PARTITION BY ref_id, other_id
         |    ORDER BY c6 DESC, lag) AS rkk
         |  FROM c)
-        |SELECT ref_id, other_id, lag AS best_lag, c6 AS best_corr
+        |SELECT ref_id, other_id, lag AS best_lag, c6 + 0.0 AS best_corr
         |FROM r WHERE rkk = 1""".stripMargin,
 
     "q_sax" ->
@@ -3962,6 +3989,46 @@ object SparkEntry {
         |SELECT CAST(sk AS BIGINT) AS user_id, ia AS ord, x AS value,
         |  round(lof, 6) AS lof FROM lof""".stripMargin,
 
+    // identical to q_lof with candidates restricted to |lag| <= 8
+    "q_lof_w" ->
+      """WITH base AS (SELECT CAST(user_id AS VARCHAR) AS sk, ts,
+        |    CAST(value AS DOUBLE) AS v FROM events
+        |  WHERE value IS NOT NULL),
+        |pts AS (SELECT sk,
+        |    CAST(row_number() OVER (PARTITION BY sk ORDER BY ts)
+        |      AS BIGINT) AS i,
+        |    v AS x,
+        |    v - coalesce(lag(v) OVER (PARTITION BY sk ORDER BY ts), v)
+        |      AS y
+        |  FROM base),
+        |pairs AS (SELECT a.sk, a.i AS ia, b.i AS ib, a.x AS xa,
+        |    sqrt((a.x - b.x) * (a.x - b.x) +
+        |         (a.y - b.y) * (a.y - b.y)) AS d
+        |  FROM pts a JOIN pts b ON a.sk = b.sk AND a.i <> b.i
+        |    AND abs(a.i - b.i) <= 8),
+        |rk AS (SELECT sk, ia, ib, d, row_number() OVER
+        |    (PARTITION BY sk, ia ORDER BY d, ib) AS rn FROM pairs),
+        |kd AS (SELECT sk, ia, max(d) AS kd FROM rk WHERE rn <= 5
+        |  GROUP BY sk, ia),
+        |nbr AS (SELECT p.sk, p.ia, p.ib, p.xa, p.d
+        |  FROM pairs p JOIN kd ON p.sk = kd.sk AND p.ia = kd.ia
+        |  WHERE p.d <= kd.kd),
+        |lrd AS (SELECT n.sk, n.ia, CAST(count(*) AS DOUBLE) /
+        |    greatest(list_reduce(list_prepend(0.0,
+        |      list_transform(list(greatest(kj.kd, n.d) ORDER BY n.ib),
+        |        x -> x)), (a, b) -> a + b), 1e-12) AS lrd
+        |  FROM nbr n JOIN kd kj ON n.sk = kj.sk AND n.ib = kj.ia
+        |  GROUP BY n.sk, n.ia),
+        |lof AS (SELECT n.sk, n.ia, max(n.xa) AS x,
+        |    list_reduce(list_prepend(0.0,
+        |      list_transform(list(lj.lrd ORDER BY n.ib), x -> x)),
+        |      (a, b) -> a + b) / count(*) / max(li.lrd) AS lof
+        |  FROM nbr n JOIN lrd lj ON n.sk = lj.sk AND n.ib = lj.ia
+        |    JOIN lrd li ON n.sk = li.sk AND n.ia = li.ia
+        |  GROUP BY n.sk, n.ia)
+        |SELECT CAST(sk AS BIGINT) AS user_id, ia AS ord, x AS value,
+        |  round(lof, 6) AS lof FROM lof""".stripMargin,
+
     "q_url" ->
       """WITH u AS (SELECT doc_id,
         |    'HTTPS://' ||
@@ -4192,9 +4259,9 @@ object SparkEntry {
         |      list_transform(list(sidx ORDER BY phase), x -> x)),
         |      (a, b) -> a + b) / CAST(count(*) AS DOUBLE) AS smean
         |  FROM si GROUP BY user_id)
-        |SELECT b2.user_id, ts, value, round(trend, 6) AS trend,
-        |  round(sidx - smean, 6) AS seasonal,
-        |  round(value - trend - (sidx - smean), 6) AS resid
+        |SELECT b2.user_id, ts, value, round(trend, 6) + 0.0 AS trend,
+        |  round(sidx - smean, 6) + 0.0 AS seasonal,
+        |  round(value - trend - (sidx - smean), 6) + 0.0 AS resid
         |FROM b2 JOIN si ON b2.user_id = si.user_id AND b2.phase = si.phase
         |JOIN sm ON b2.user_id = sm.user_id""".stripMargin,
 
@@ -4854,13 +4921,14 @@ object SparkEntry {
       |        + -1.556989798598866e+02)*rc + 6.680131188771972e+01)*rc
       |        + -1.328068155288572e+01)*rc + 1.0)
       |    END, 6) AS theoretical_q,
-      |  round(resid, 9) AS sample_q
+      |  round(resid, 9) + 0.0 AS sample_q
       |FROM q""".stripMargin
 
   private val acfSql = {
     val lags = 1 to 50
     val one = (k: Int) =>
-      s"""SELECT user_id, $k AS lag, round(corr(value, l$k), 6) AS acf
+      s"""SELECT user_id, $k AS lag,
+         |  round(corr(value, l$k), 6) + 0.0 AS acf
          |FROM L WHERE l$k IS NOT NULL GROUP BY user_id""".stripMargin
     "WITH L AS (SELECT user_id, ts, value,\n  " +
       lags.map(k => s"lag(value, $k) OVER w AS l$k").mkString(",\n  ") +

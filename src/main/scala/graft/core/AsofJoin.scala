@@ -57,11 +57,15 @@ object AsofJoin {
     val matched = u
       .withColumn("__last", last("__p", ignoreNulls = true).over(w))
       .filter(col("__side") === 1)
+    // tolerance gap in exact integer MICROSECONDS (unix_timestamp
+    // truncates to whole seconds — a right row 1.9s old would pass a
+    // 1s tolerance; unix_micros matches the m4Downsample convention)
     val inTol: Column = toleranceSeconds match {
       case Some(t) =>
         col("__last").isNotNull &&
-          unix_timestamp(col("__ts")) -
-            unix_timestamp(col("__last").getField("__rts")) <= t
+          unix_micros(col("__ts")) -
+            unix_micros(col("__last").getField("__rts")) <=
+              t * 1000000L
       case None => col("__last").isNotNull
     }
     val withCols = matched

@@ -105,8 +105,17 @@ object Behavior {
       .filter(col("__last").isNotNull) // window tail has no full path
     val counts = withPath.groupBy(col("__path").as("path"))
       .agg(count(lit(1)).as("n_occurrences"))
+    // Top-k via orderBy().limit(k) — plans as TakeOrderedAndProject
+    // (per-partition heap + driver merge of k rows), NOT the global
+    // un-partitioned row_number window, which would funnel the whole
+    // distinct-path relation through ONE partition's sort. With a
+    // high-cardinality type alphabet (|vocab|^n paths) the window form
+    // is the classic single-partition bottleneck; TakeOrdered stays
+    // distributed. Rank is derived AFTER the limit, over k rows only.
+    val top = counts
+      .orderBy(col("n_occurrences").desc, col("path").asc)
+      .limit(k)
     val rk = Window.orderBy(col("n_occurrences").desc, col("path").asc)
-    counts.withColumn("rank", row_number().over(rk).cast("long"))
-      .filter(col("rank") <= k)
+    top.withColumn("rank", row_number().over(rk).cast("long"))
   }
 }

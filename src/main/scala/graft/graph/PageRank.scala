@@ -27,23 +27,45 @@ import org.apache.spark.sql.functions._
   * co-partitioned; the rank table is nodes-sized, orders of magnitude
   * smaller than edges.
   *
-  * Determinism: per-destination contributions are summed in a
-  * source-ordered fold (house float convention), constants are written
-  * as the literal IEEE expressions the oracle uses
-  * (`1.0 − d` computed in doubles, never a decimal 0.15), and the
-  * initial rank is `1.0/N` in double division.
+  * Determinism + hub safety: per-destination contributions are summed
+  * in a TWO-LEVEL source-ordered fold (house float convention, made
+  * skew-safe): level 1 groups by (dst, src % S) and folds each salt
+  * bucket's contributions in src order; level 2 merges the ≤ S bucket
+  * subtotals in bucket order. The result is deterministic under any
+  * partitioning (both levels are total-ordered folds), and no single
+  * aggregation buffer ever holds more than max(indeg/S, S) entries —
+  * a 10⁹-in-link hub on a power-law web graph materializes ≤ indeg/S
+  * contributions per buffer instead of its entire in-neighbor array
+  * (the one-level fold's failure mode). The oracle mirrors the same
+  * two-level grouping verbatim, so the doubles are bit-identical.
+  * Constants are written as the literal IEEE expressions the oracle
+  * uses (`1.0 − d` computed in doubles, never a decimal 0.15), and
+  * the initial rank is `1.0/N` in double division.
   */
 object PageRank {
 
+  /** Source-ordered float fold: Σ over `v` in ascending-`ord` order. */
+  private def orderedSum(ord: org.apache.spark.sql.Column,
+                         v: org.apache.spark.sql.Column) =
+    aggregate(
+      transform(array_sort(collect_list(struct(ord, v.as("__v")))),
+        s => s.getField("__v")),
+      lit(0.0), (a, x) => a + x)
+
   /** Run `iters` PageRank steps. `nodes` supplies the vertex set (so
     * isolated nodes keep (1−d)/N mass); `edges` may contain duplicates
-    * and self-loops, which are dropped first. Output: (id, pagerank). */
+    * and self-loops, which are dropped first. `saltBuckets` bounds the
+    * per-destination fold buffer (see object doc); it changes float
+    * grouping, so oracle SQL must use the same S. Output:
+    * (id, pagerank). */
   def pageRank(nodes: DataFrame, id: String, edges: DataFrame,
                src: String, dst: String, iters: Int,
-               damping: Double = 0.85): DataFrame = {
+               damping: Double = 0.85,
+               saltBuckets: Int = 64): DataFrame = {
     require(iters >= 1, s"iters=$iters must be >= 1")
     require(damping > 0.0 && damping < 1.0,
       s"damping=$damping not in (0,1)")
+    require(saltBuckets >= 1, s"saltBuckets=$saltBuckets must be >= 1")
     val nd = nodes.select(col(id).cast("long").as("__id")).distinct()
       .localCheckpoint()
     val e = edges.select(col(src).cast("long").as("__src"),
@@ -59,15 +81,18 @@ object PageRank {
       .localCheckpoint()
     var t = 0
     while (t < iters) {
+      // two-level fold: salt-bucket partial ordered sums (buffer ≤
+      // indeg/S per group even on a hub), then the ordered merge of
+      // the ≤ S subtotals
       val contrib = eDeg
         .join(ranks, eDeg("__src") === ranks("__id"))
         .select(col("__dst"), col("__src"),
-          (col("__rank") / col("__deg")).as("__c"))
+          (col("__rank") / col("__deg")).as("__c"),
+          pmod(col("__src"), lit(saltBuckets.toLong)).as("__sb"))
+        .groupBy("__dst", "__sb")
+        .agg(orderedSum(col("__src"), col("__c")).as("__ps"))
         .groupBy("__dst")
-        .agg(aggregate(
-          transform(array_sort(collect_list(struct(col("__src"),
-            col("__c").as("__c")))), s => s.getField("__c")),
-          lit(0.0), (a, x) => a + x).as("__cs"))
+        .agg(orderedSum(col("__sb"), col("__ps")).as("__cs"))
       ranks = nd.join(contrib, nd("__id") === contrib("__dst"), "left")
         .select(col("__id"),
           (base + lit(damping) * coalesce(col("__cs"), lit(0.0)))

@@ -703,7 +703,12 @@ object TextAnalysis {
     * Distinct-char cardinality bounds the work per row (≤ alphabet
     * size), not text length squared. NULL on empty/null text. */
   def charEntropy(text: Column): Column = {
-    val chars = split(text, "")
+    // per-CODE-POINT characters: `(?s).` matches one code point in
+    // java.util.regex (a surrogate pair is ONE match), matching the
+    // oracle's per-codepoint string_split — `split(text, "")` would
+    // count a non-BMP char (emoji, CJK extensions) as two surrogate
+    // halves and diverge
+    val chars = regexp_extract_all(text, lit("(?s)."), lit(0))
     val n = size(chars).cast("double")
     val counts = transform(array_sort(array_distinct(chars)),
       x => size(filter(chars, c => c === x)).cast("double"))

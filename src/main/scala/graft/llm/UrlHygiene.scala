@@ -29,16 +29,28 @@ import org.apache.spark.sql.functions._
   *  - trailing slashes collapsed off the path (root stays `/`... and
   *    an empty path becomes `/`).
   *
-  * eTLD+1 uses a bundled mini public-suffix set for the multi-label
-  * suffixes the tests exercise — the real list is a data file swap,
-  * not a code change (the lookup shape is identical).
+  * eTLD+1 loads its multi-label public-suffix set from the bundled
+  * resource `graft/public_suffixes.txt` (one suffix per line, `#`
+  * comments) — a curated subset of the public suffix list
+  * (publicsuffix.org). Swapping in the FULL list is a data-file
+  * change only: the lookup compiles to a set-membership test on the
+  * host's last two labels (Catalyst turns a large literal IN into an
+  * O(1) hash-set `InSet`), so list size never changes the plan shape.
   */
 object UrlHygiene {
 
-  /** Multi-label public suffixes recognized by [[registrableDomain]]. */
-  val multiSuffixes: Seq[String] = Seq(
-    "co.uk", "org.uk", "ac.uk", "com.au", "net.au", "co.jp", "or.jp",
-    "com.br", "co.in")
+  /** Multi-label public suffixes recognized by [[registrableDomain]] —
+    * loaded once from the classpath resource (driver-side, plan
+    * literal; ~200 entries here, ~9k for the full public list). */
+  val multiSuffixes: Seq[String] = {
+    val in = getClass.getResourceAsStream("/graft/public_suffixes.txt")
+    require(in != null, "resource graft/public_suffixes.txt missing")
+    try {
+      scala.io.Source.fromInputStream(in, "UTF-8").getLines()
+        .map(_.trim).filter(l => l.nonEmpty && !l.startsWith("#"))
+        .toVector
+    } finally in.close()
+  }
 
   private val trackerRe = "^(utm_[^=]*|fbclid|gclid)="
 
@@ -79,8 +91,11 @@ object UrlHygiene {
     val n = size(labels)
     val last2 = concat(element_at(labels, -2), lit("."),
       element_at(labels, -1))
-    val isMulti = multiSuffixes.map(s => last2 === lit(s))
-      .reduce(_ || _)
+    // set membership, NOT an OR-chain: Catalyst converts a >10-item
+    // IN to an O(1) hash-set InSet, and an OR-chain of hundreds of
+    // comparisons overflows janino's 64KB codegen method limit
+    // (whole-stage codegen falls back to interpreted mode)
+    val isMulti = last2.isin(multiSuffixes: _*)
     when(n <= 2, hostOf(urlNorm))
       .when(isMulti && n >= 3,
         concat(element_at(labels, -3), lit("."), last2))

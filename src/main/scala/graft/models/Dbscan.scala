@@ -18,16 +18,25 @@ import org.apache.spark.sql.functions._
   * order-dependence of DBSCAN border assignment pinned to a total
   * order both engines share).
   *
-  * Distribution shape: the candidate pair join is series-keyed (the
-  * LOF/Theil–Sen bounded O(n²)-per-series shape — at unbounded series
-  * length the documented swap is ε-grid cell bucketing, which turns
-  * candidate generation linear); everything downstream is keyed
-  * aggregates plus the logarithmic pointer-jumping rounds.
+  * Distribution shape — candidate generation is ε-GRID CELL BUCKETING
+  * (the default, `grid = true`): each point lands in the eps×eps cell
+  * `(⌊c/eps⌋, ⌊d/eps⌋)` of the integer feature plane; one side is
+  * keyed by its own cell, the other is emitted into the 3×3 cell
+  * neighborhood, and the equi-join on (series, cell) followed by the
+  * exact ε-test finds every qualifying pair exactly once (a pair
+  * within radius eps differs by ≤ 1 in each cell coordinate; the 9
+  * emitted cells are distinct). Candidate volume is linear in points
+  * for bounded density (≤ 9·|cell| candidates per point) instead of
+  * the naive form's O(n²) per series — the ε-filter itself is
+  * unchanged, so the output is IDENTICAL to the naive self-join
+  * (`grid = false`, kept for the DbscanSpec equivalence pin).
+  * Everything downstream is keyed aggregates plus the logarithmic
+  * pointer-jumping rounds.
   *
   * Node identity: `series.cast(long) * 2^32 + ordinal` — series keys
   * must be numeric non-negative below 2^31 and ordinals below 2^32
-  * (4.3 B rows per series — far beyond any per-series window this
-  * operator's O(n²) pair join could run on anyway).
+  * (4.3 B rows per series — far beyond any per-series window the
+  * naive pair join could run on anyway).
   *
   * Output: (series, ord, role ∈ core|border|noise, cluster — the
   * component's min composite id, or −1 for noise).
@@ -36,7 +45,7 @@ object Dbscan {
 
   def dbscan(df: DataFrame, series: String, order: String,
              value: String, scale: Int = 100, eps: Long = 1000L,
-             minPts: Int = 4): DataFrame = {
+             minPts: Int = 4, grid: Boolean = true): DataFrame = {
     require(eps >= 1, s"eps=$eps must be >= 1")
     require(minPts >= 2, s"minPts=$minPts must be >= 2")
     val w = org.apache.spark.sql.expressions.Window
@@ -50,15 +59,37 @@ object Dbscan {
         col("__c") - coalesce(lag("__c", 1).over(w), col("__c")))
       .withColumn("__nid", col("__sk") * lit(4294967296L) + col("__i"))
       .select("__sk", "__i", "__nid", "__c", "__d")
-    val a = pts.select(col("__sk"), col("__nid").as("__na"),
-      col("__c").as("__ca"), col("__d").as("__da"))
-    val b = pts.select(col("__sk"), col("__nid").as("__nb"),
-      col("__c").as("__cb"), col("__d").as("__db"))
     val dx = col("__ca") - col("__cb")
     val dy = col("__da") - col("__db")
-    val nbrs = a.join(b, Seq("__sk"))
-      .filter(col("__na") =!= col("__nb") &&
-        dx * dx + dy * dy <= lit(eps * eps))
+    val epsTest = dx * dx + dy * dy <= lit(eps * eps)
+    val candidates =
+      if (grid) {
+        // integer floor-division cell ids (Spark's long `/` on two
+        // longs is float division — use explicit floor semantics that
+        // stay exact for negative coordinates)
+        def cell(c: org.apache.spark.sql.Column) =
+          floor(c.cast("double") / lit(eps.toDouble)).cast("long")
+        val a = pts.select(col("__sk"), col("__nid").as("__na"),
+          col("__c").as("__ca"), col("__d").as("__da"),
+          cell(col("__c")).as("__cx"), cell(col("__d")).as("__cy"))
+        val off = array((-1 to 1).flatMap(i => (-1 to 1).map(j =>
+          struct(lit(i.toLong).as("__ox"), lit(j.toLong).as("__oy")))): _*)
+        val b = pts.select(col("__sk"), col("__nid").as("__nb"),
+          col("__c").as("__cb"), col("__d").as("__db"),
+          explode(off).as("__off"))
+          .select(col("__sk"), col("__nb"), col("__cb"), col("__db"),
+            (cell(col("__cb")) + col("__off.__ox")).as("__cx"),
+            (cell(col("__db")) + col("__off.__oy")).as("__cy"))
+        a.join(b, Seq("__sk", "__cx", "__cy"))
+      } else {
+        val a = pts.select(col("__sk"), col("__nid").as("__na"),
+          col("__c").as("__ca"), col("__d").as("__da"))
+        val b = pts.select(col("__sk"), col("__nid").as("__nb"),
+          col("__c").as("__cb"), col("__d").as("__db"))
+        a.join(b, Seq("__sk"))
+      }
+    val nbrs = candidates
+      .filter(col("__na") =!= col("__nb") && epsTest)
       .select("__sk", "__na", "__nb")
       .localCheckpoint() // bounded ε-graph shared by 4 consumers
     val deg = nbrs.groupBy("__na").agg(count(lit(1)).as("__n"))

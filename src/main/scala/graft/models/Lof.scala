@@ -11,14 +11,21 @@ import org.apache.spark.sql.functions._
   * reachability density is low RELATIVE to its neighbors', which
   * catches outliers that sit inside globally dense value ranges.
   *
-  * Fully RELATIONAL formulation (no per-group driver math): the
-  * pairwise-distance self-join is keyed by series — the same bounded
-  * O(n²)-per-series shape as the exact Theil–Sen pair join (q_trend),
-  * with every downstream step (k-distance, tie-inclusive neighborhood,
-  * reachability, lrd, lof) an equi-join or keyed aggregate that rides
-  * the series partitioning. At unbounded series length the production
-  * form is the same recipe over bounded monitoring windows (or a
-  * bucketed kNN join); the registered face is the exact algorithm.
+  * Fully RELATIONAL formulation (no per-group driver math), in two
+  * faces sharing one downstream pipeline:
+  *
+  *  - [[lof]] — the EXACT face: the pairwise-distance self-join is
+  *    keyed by series, the bounded O(n²)-per-series shape of the exact
+  *    Theil–Sen pair join (q_trend). Fine on a bounded monitoring
+  *    window; the shape OOMs at unbounded series length (BENCH_SCALE
+  *    measured the identical form dying at length ≈1.6k on an 8g heap
+  *    for exact Theil–Sen).
+  *  - [[lofWindowed]] — the PRODUCTION face at scale: candidate
+  *    neighbors restricted to time-lag ≤ `w`, generated WITHOUT an n²
+  *    self-join via the same lag-bucket equi-join as
+  *    `Trend.theilSenWindowed` — O(n·w) pair volume per series. When
+  *    w ≥ n−1 every pair is a candidate and the output equals [[lof]]
+  *    exactly (LofSpec pins it).
   *
   * Exactness conventions (engine-reproducible doubles):
   *  - distances use explicit `dx*dx + dy*dy` (never `pow`, which is
@@ -43,39 +50,30 @@ object Lof {
         s => s.getField("__v")),
       lit(0.0), (a, x) => a + x)
 
-  /** Per-point LOF over (value, Δvalue) features within each series.
-    *
-    * Output: (series, ord, value, lof) — `ord` is the 1-based
-    * timestamp ordinal within the series, `lof` the raw factor
-    * (≈1 inlier, ≫1 outlier).
-    */
-  def lof(df: DataFrame, series: String, order: String, value: String,
-          k: Int): DataFrame = {
-    require(k >= 1, s"k=$k must be >= 1")
+  /** (series, ordinal, value, Δvalue) feature frame shared by both
+    * faces: __sk, __i, __x, __y. */
+  private def features(df: DataFrame, series: String, order: String,
+                       value: String): DataFrame = {
     val w = Window.partitionBy("__sk").orderBy("__o")
-    val pts = df.select(col(series).cast("string").as("__sk"),
+    df.select(col(series).cast("string").as("__sk"),
         col(order).as("__o"), col(value).cast("double").as("__x"))
       .filter(col("__x").isNotNull && col("__sk").isNotNull)
       .withColumn("__i", row_number().over(w).cast("long"))
       .withColumn("__y",
         col("__x") - coalesce(lag("__x", 1).over(w), col("__x")))
       .select("__sk", "__i", "__x", "__y")
-    val a = pts.select(col("__sk"), col("__i").as("__ia"),
-      col("__x").as("__xa"), col("__y").as("__ya"))
-    val b = pts.select(col("__sk"), col("__i").as("__ib"),
-      col("__x").as("__xb"), col("__y").as("__yb"))
-    val dx = col("__xa") - col("__xb")
-    val dy = col("__ya") - col("__yb")
-    val pairs = a.join(b, Seq("__sk"))
-      .filter(col("__ia") =!= col("__ib"))
-      .withColumn("__d", sqrt(dx * dx + dy * dy))
-      .select("__sk", "__ia", "__ib", "__xa", "__d")
-    // ONE pass over the O(n²) pair volume: rank within (series, point)
-    // and read the k-th order statistic back with an unordered window
-    // over the same partitioning (no second exchange), then keep the
-    // tie-inclusive neighborhood. Checkpointed: it is the bounded
-    // ~n·k relation every downstream step reuses — without this the
-    // self-join would be recomputed by each of its three consumers.
+  }
+
+  /** Shared downstream: candidate pairs (__sk, __ia, __ib, __xa, __d)
+    * → per-point LOF. One pass over the pair volume: rank within
+    * (series, point) and read the k-th order statistic back with an
+    * unordered window over the same partitioning (no second
+    * exchange), then keep the tie-inclusive neighborhood.
+    * Checkpointed: it is the bounded ~n·k relation every downstream
+    * step reuses — without this the candidate join would be
+    * recomputed by each of its three consumers. */
+  private def lofFromPairs(pairs: DataFrame, series: String,
+                           value: String, k: Int): DataFrame = {
     val rnw = Window.partitionBy("__sk", "__ia")
       .orderBy(col("__d"), col("__ib"))
     val nbr = pairs
@@ -105,5 +103,67 @@ object Lof {
           count(lit(1)).cast("double") / max("__lrd")).as("__lof"))
       .select(col("__sk").as(series), col("__ia").as("ord"),
         col("__xv").as(value), col("__lof").as("lof"))
+  }
+
+  /** Per-point LOF over (value, Δvalue) features within each series —
+    * the EXACT face (all n·(n−1) candidate pairs per series).
+    *
+    * Output: (series, ord, value, lof) — `ord` is the 1-based
+    * timestamp ordinal within the series, `lof` the raw factor
+    * (≈1 inlier, ≫1 outlier).
+    */
+  def lof(df: DataFrame, series: String, order: String, value: String,
+          k: Int): DataFrame = {
+    require(k >= 1, s"k=$k must be >= 1")
+    val pts = features(df, series, order, value)
+    val a = pts.select(col("__sk"), col("__i").as("__ia"),
+      col("__x").as("__xa"), col("__y").as("__ya"))
+    val b = pts.select(col("__sk"), col("__i").as("__ib"),
+      col("__x").as("__xb"), col("__y").as("__yb"))
+    val dx = col("__xa") - col("__xb")
+    val dy = col("__ya") - col("__yb")
+    val pairs = a.join(b, Seq("__sk"))
+      .filter(col("__ia") =!= col("__ib"))
+      .withColumn("__d", sqrt(dx * dx + dy * dy))
+      .select("__sk", "__ia", "__ib", "__xa", "__d")
+    lofFromPairs(pairs, series, value, k)
+  }
+
+  /** Bounded-window LOF — the production form at unbounded series
+    * length: each point's kNN search is restricted to neighbors
+    * within time-lag ≤ `w` (the bounded-memory monitoring variant —
+    * density is judged against the point's temporal locality).
+    *
+    * Candidate pairs are generated WITHOUT an n² self-join: each
+    * point gets a lag-bucket `⌊i/w⌋`; the right-hand side is emitted
+    * into its own bucket and BOTH adjacent ones, and the equi-join on
+    * (series, bucket) finds every |ia−ib| ≤ w pair exactly once
+    * (|ia−ib| ≤ w implies |⌊ia/w⌋ − ⌊ib/w⌋| ≤ 1, and the three
+    * emitted buckets are distinct) — ≤ 3 rows per point across one
+    * keyed exchange, O(n·w) candidate volume per series instead of
+    * the exact face's O(n²).
+    *
+    * When w ≥ n−1 every pair qualifies and the output equals [[lof]]
+    * exactly (LofSpec pins it). */
+  def lofWindowed(df: DataFrame, series: String, order: String,
+                  value: String, k: Int, w: Int): DataFrame = {
+    require(k >= 1, s"k=$k must be >= 1")
+    require(w >= k, s"w=$w must be >= k=$k (a point needs k " +
+      "candidates inside its lag window)")
+    val pts = features(df, series, order, value)
+    val bk = floor(col("__i") / w)
+    val a = pts.select(col("__sk"), col("__i").as("__ia"),
+      col("__x").as("__xa"), col("__y").as("__ya"), bk.as("__bk"))
+    val b = pts.select(col("__sk"), col("__i").as("__ib"),
+      col("__x").as("__xb"), col("__y").as("__yb"),
+      explode(array(bk - 1, bk, bk + 1)).as("__bk"))
+    val dx = col("__xa") - col("__xb")
+    val dy = col("__ya") - col("__yb")
+    val pairs = a.join(b, Seq("__sk", "__bk"))
+      .filter(col("__ia") =!= col("__ib") &&
+        abs(col("__ia") - col("__ib")) <= w)
+      .withColumn("__d", sqrt(dx * dx + dy * dy))
+      .select("__sk", "__ia", "__ib", "__xa", "__d")
+    lofFromPairs(pairs, series, value, k)
   }
 }

@@ -548,14 +548,24 @@ object StreamingDetect {
   /** L84 streaming face: stream-stream as-of enrichment. Input is the
     * UNION of both sides tagged `side` (0 = right/reference,
     * 1 = left/probe); per key the state is a BOUNDED ordered history
-    * of the newest `maxKeep` right rows, so a left row arriving a
-    * micro-batch (or several) after newer reference rows still matches
-    * the right row that was current AT ITS EVENT TIME — the leakage
-    * guarantee survives out-of-order arrival up to the history bound.
-    * Within a batch rows process in (ts, side) order — the batch
+    * of the newest `maxKeep` right rows, so a LATE-LEFT probe — a left
+    * row arriving a micro-batch (or several) after newer reference
+    * rows — still matches the right row that was current AT ITS EVENT
+    * TIME: the LEAKAGE guarantee (never matching a right row from the
+    * probe's event-time future) is unconditional, and batch parity
+    * survives late-left arrival up to the history bound.
+    *
+    * Asymmetry (by Append-mode construction): a LATE-RIGHT row — a
+    * reference row arriving AFTER a probe it should have matched was
+    * already processed — lands in the history for FUTURE probes only;
+    * the already-emitted probe row is not revised, so stream ≡ batch
+    * parity does NOT cover late-right-after-probe arrival. Callers
+    * needing that must delay the left side past the right side's
+    * lateness bound upstream (watermark-buffered union) or accept the
+    * miss. Within a batch rows process in (ts, side) order — the batch
     * face's inclusive-equality convention. StreamingSpec pins
-    * stream ≡ `AsofJoin.asofJoin` across micro-batch splits including
-    * the late-left case. */
+    * stream ≡ `AsofJoin.asofJoin` across micro-batch splits for the
+    * late-LEFT case. */
   def statefulAsof(events: Dataset[AsofEvent],
                    maxKeep: Int = 1024,
                    stateTtl: Option[String] = None

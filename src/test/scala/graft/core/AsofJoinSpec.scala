@@ -59,6 +59,22 @@ class AsofJoinSpec extends SparkSpec {
     assert(got(ts(100).getTime) === None)      // 90s old, stale
   }
 
+  test("tolerance is exact at sub-second granularity (micros, not" +
+      " truncated seconds)") {
+    // right row 1.9s older than the left row: a whole-second
+    // unix_timestamp gap computes 1s and would PASS a 1s tolerance;
+    // the micros gap computes 1.9e6 > 1e6 and must null the match
+    val l = Seq(("a", new Timestamp(1700000001900L))).toDF("k", "lts")
+    val r = Seq(("a", new Timestamp(1700000000000L), 7.0))
+      .toDF("k", "rts", "v")
+    val strict = run(l, r, tol = Some(1L))
+    assert(strict.head._4 === None, s"1.9s-old match passed 1s tol")
+    // and a genuinely in-tolerance sub-second gap survives
+    val l2 = Seq(("a", new Timestamp(1700000000900L))).toDF("k", "lts")
+    val ok = run(l2, r, tol = Some(1L))
+    assert(ok.head._4 === Some(7.0))
+  }
+
   test("keys are isolated; repartition-invariant") {
     val l = leftDf(("a", 10), ("b", 10))
     val r = rightDf(("a", 5, 1.0), ("b", 6, 2.0))

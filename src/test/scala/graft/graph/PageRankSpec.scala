@@ -31,6 +31,46 @@ class PageRankSpec extends SparkSpec {
     r
   }
 
+  /** The skew-safe TWO-LEVEL fold (src % 64 bucket partials in src
+    * order, then subtotals in bucket order) — what the engine computes
+    * when buckets hold more than one contribution each. */
+  private def bruteTwoLevel(nodes: Seq[Long], edges: Seq[(Long, Long)],
+                            iters: Int,
+                            d: Double = 0.85): Map[Long, Double] = {
+    val e = edges.distinct.filter(x => x._1 != x._2)
+    val deg = e.groupBy(_._1).map { case (s, xs) => s -> xs.size }
+    val n = nodes.size
+    var r = nodes.map(_ -> 1.0 / n).toMap
+    (1 to iters).foreach { _ =>
+      val contrib = e.groupBy(_._2).map { case (dstN, es) =>
+        val partials = es.map(_._1).groupBy(_ % 64).toSeq
+          .map { case (sb, srcs) =>
+            sb -> srcs.sorted.foldLeft(0.0)((a, s) => a + r(s) / deg(s))
+          }.sortBy(_._1)
+        dstN -> partials.foldLeft(0.0)((a, p) => a + p._2)
+      }
+      r = nodes.map(v =>
+        v -> ((1.0 - d) / n + d * contrib.getOrElse(v, 0.0))).toMap
+    }
+    r
+  }
+
+  test("hub with multi-element salt buckets matches the two-level brute") {
+    // 300 spokes all pointing at one hub: every one of the 64 salt
+    // buckets holds ~5 contributions, so the two-level float grouping
+    // is genuinely exercised (ids < 64 degrade to the flat fold)
+    val nodes = (0L until 301L).toSeq
+    val edges = (1L until 301L).map(i => (i, 0L)) ++
+      (1L until 301L).map(i => (0L, i)) // hub links back (no dangling)
+    val got = run(nodes, edges, 8)
+    val exp = bruteTwoLevel(nodes, edges, 8)
+    nodes.foreach { v =>
+      assert(got(v) === exp(v), s"node $v: ${got(v)} vs ${exp(v)}")
+    }
+    // and the hub genuinely dominates
+    assert(got(0L) > got(1L) * 50)
+  }
+
   test("3-cycle stays exactly uniform at every iteration") {
     val nodes = Seq(0L, 1L, 2L)
     val edges = Seq((0L, 1L), (1L, 2L), (2L, 0L))

@@ -473,5 +473,13 @@ class TextAnalysisSpec extends SparkSpec {
     val prose = ent("the quick brown fox jumps over the lazy dog").get
     val noisy = ent(('!' to 'Z').take(43).mkString).get
     assert(pad < prose && prose < noisy, s"$pad $prose $noisy")
+    // non-BMP characters count as ONE code point each (the oracle's
+    // string_split convention), not two surrogate halves: "a😀b" is a
+    // uniform 3-symbol alphabet → H = ln 3 exactly
+    val emoji = new String(Character.toChars(0x1F600))
+    assert(math.abs(ent("a" + emoji + "b").get - math.log(3)) < 1e-12)
+    // and a repeated non-BMP char is zero-entropy, not ln 2 over the
+    // alternating high/low surrogate pattern
+    assert(math.abs(ent(emoji * 5).get) < 1e-12)
   }
 }

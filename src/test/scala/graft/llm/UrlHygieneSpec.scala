@@ -52,6 +52,21 @@ class UrlHygieneSpec extends SparkSpec {
     assert(dom("https://deep.sub.site.example.com/x") === "example.com")
   }
 
+  test("suffix set is resource-backed: entries beyond the old mini set") {
+    // co.nz / gob.mx / com.sg were NOT in the pre-r13 hard-coded
+    // 9-entry set — they resolve correctly only because the lookup now
+    // reads graft/public_suffixes.txt (the data-file-swap contract)
+    assert(dom("https://a.b.example.co.nz/x") === "example.co.nz")
+    assert(dom("https://www.tramites.gob.mx/x") === "tramites.gob.mx")
+    assert(dom("https://shop.example.com.sg/x") === "example.com.sg")
+    // a host ON a multi-label suffix with no third label is returned
+    // whole (too few labels to form eTLD+1)
+    assert(dom("https://co.nz/x") === "co.nz")
+    // sanity: the resource loaded a real set, not a stub
+    assert(UrlHygiene.multiSuffixes.size > 100)
+    assert(UrlHygiene.multiSuffixes.contains("co.uk"))
+  }
+
   test("hygiene: blocklist drop + deterministic per-domain cap") {
     val rows = Seq(
       (1L, "https://a.example.com/1"),

@@ -93,6 +93,36 @@ class DbscanSpec extends SparkSpec {
     assert(got.values.forall(_ == (("noise", -1L))))
   }
 
+  test("eps-grid candidate generation equals the naive self-join") {
+    // irregular series with large NEGATIVE deltas so the grid cells
+    // go negative (the floor-division edge the naive path never hits)
+    val rnd = new scala.util.Random(61)
+    val xs = Seq.tabulate(80)(i =>
+      (if (i % 9 == 0) -45.0 else (i % 5) * 12.0) + rnd.nextInt(4) * 0.5)
+    val df = seriesDf(xs)
+    for (eps <- Seq(300L, 800L, 1500L)) {
+      val grid = Dbscan.dbscan(df, "sk", "o", "v", eps = eps,
+          minPts = 4, grid = true).collect()
+        .map(r => r.getLong(1) -> ((r.getString(2), r.getLong(3))))
+        .toMap
+      val naive = Dbscan.dbscan(df, "sk", "o", "v", eps = eps,
+          minPts = 4, grid = false).collect()
+        .map(r => r.getLong(1) -> ((r.getString(2), r.getLong(3))))
+        .toMap
+      assert(grid === naive, s"eps=$eps")
+    }
+  }
+
+  test("grid pairs sit exactly on cell boundaries: eps-distance kept") {
+    // two points exactly eps apart along one axis land in cells that
+    // differ by exactly 1 — the <= (not <) contract of the eps test
+    val xs = Seq(10.0, 10.0, 10.0, 20.0, 20.0, 20.0)
+    // cents: 1000 vs 2000, eps=1000 → boundary-inclusive neighbors
+    val got = run(xs, eps = 1000, minPts = 3)
+    val exp = brute(xs, 7L, 1000, 3)
+    assert(got === exp)
+  }
+
   test("series are isolated and output is repartition-invariant") {
     val df = (Seq.tabulate(20)(i => (1L, i.toLong, 10.0 + (i % 2))) ++
       Seq.tabulate(20)(i => (2L, i.toLong, 10.0 + (i % 2))))

@@ -102,6 +102,75 @@ class LofSpec extends SparkSpec {
     assert(rows.forall(_.getString(0) == "b") && rows.length === 3)
   }
 
+  /** Windowed brute: the paper algorithm with candidates restricted
+    * to |i−j| ≤ w (what lofWindowed computes). */
+  private def bruteLofW(pts: Seq[(Double, Double)], k: Int,
+                        w: Int): Map[Int, Double] = {
+    val n = pts.size
+    def d(i: Int, j: Int): Double = {
+      val dx = pts(i)._1 - pts(j)._1; val dy = pts(i)._2 - pts(j)._2
+      math.sqrt(dx * dx + dy * dy)
+    }
+    val dists = Array.tabulate(n) { i =>
+      (0 until n).filter(j => j != i && math.abs(i - j) <= w)
+        .map(j => (d(i, j), j)).sorted
+    }
+    val kdist = dists.map(ds => ds.take(k).map(_._1).max)
+    val nbrs = Array.tabulate(n) { i =>
+      dists(i).filter(_._1 <= kdist(i)).map(_._2)
+    }
+    val lrd = Array.tabulate(n) { i =>
+      val s = nbrs(i).sortBy(identity)
+        .map(j => math.max(kdist(j), d(i, j))).sum
+      nbrs(i).size.toDouble / math.max(s, 1e-12)
+    }
+    (0 until n).map { i =>
+      i -> (nbrs(i).sortBy(identity).map(lrd).sum / nbrs(i).size / lrd(i))
+    }.toMap
+  }
+
+  test("lofWindowed with w >= n-1 equals the exact face exactly") {
+    val xs = Seq(1.0, 2.0, 1.5, 8.0, 2.2, 1.8, 2.05, 40.0, 2.5, 1.9,
+      2.3, 1.7, 9.5, 2.0, 2.6)
+    val exact = Lof.lof(seriesDf(xs), "sk", "o", "v", k = 3)
+      .collect().map(r => r.getLong(1) -> r.getDouble(3)).toMap
+    val win = Lof.lofWindowed(seriesDf(xs), "sk", "o", "v", k = 3,
+        w = xs.size - 1)
+      .collect().map(r => r.getLong(1) -> r.getDouble(3)).toMap
+    assert(win === exact)
+  }
+
+  test("lofWindowed matches the lag-restricted brute recompute") {
+    val rnd = new scala.util.Random(41)
+    val xs = Seq.tabulate(50)(i => (i % 6) * 2.0 + rnd.nextInt(4) * 0.25)
+    val exp = bruteLofW(featuresOf(xs), k = 3, w = 8)
+    val got = Lof.lofWindowed(seriesDf(xs), "sk", "o", "v", k = 3, w = 8)
+      .collect().map(r => r.getLong(1) -> r.getDouble(3)).toMap
+    (0 until xs.size).foreach { i =>
+      assert(math.abs(got(i + 1L) - exp(i)) < 1e-12,
+        s"point $i: ${got(i + 1L)} vs ${exp(i)}")
+    }
+  }
+
+  test("lofWindowed still ranks the planted outlier on top") {
+    val xs = Seq.tabulate(60)(i => 10.0 + (i % 5) * 0.1 + i * 0.001) ++
+      Seq(500.0) ++
+      Seq.tabulate(60)(i => 10.0 + ((i + 2) % 5) * 0.1 + i * 0.001)
+    val rows = Lof.lofWindowed(seriesDf(xs), "sk", "o", "v", k = 5,
+        w = 12)
+      .collect().map(r => (r.getLong(1), r.getDouble(3)))
+    val top = rows.maxBy(_._2)
+    assert(Set(61L, 62L).contains(top._1), s"top=$top")
+    assert(top._2 > 5.0)
+  }
+
+  test("lofWindowed rejects w < k") {
+    intercept[IllegalArgumentException] {
+      Lof.lofWindowed(seriesDf(Seq(1.0, 2.0)), "sk", "o", "v",
+        k = 5, w = 3)
+    }
+  }
+
   test("multi-series isolation and repartition invariance") {
     val xs1 = Seq.tabulate(30)(i => (i % 7).toDouble)
     val xs2 = Seq.tabulate(25)(i => 100.0 + (i % 4) * 3.0)

@@ -10,6 +10,7 @@ Usage: python3 tools/check_oracle.py /root/testdata/sf0.01 /tmp/verify_out
 """
 import sys, json, glob, math
 import duckdb
+import numpy as np
 import pandas as pd
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
@@ -82,6 +83,14 @@ def compare(exp, got):
             e = e.astype(float); g = g.astype(float)
             mism = ~((e.isna() & g.isna()) | (e - g).abs().le(1e-12)
                      | (e == g))
+            # Signed zero: IEEE says -0.0 == 0.0, but the driver hashes
+            # raw bytes, so a DuckDB -0.0 vs Spark +0.0 is a driver-red
+            # (the r12 q_salted trap). Flag exact zeros whose sign bit
+            # differs -> fix with `+ 0.0` after the final round in the
+            # oracle SQL, or integer-pin the output.
+            zsign = ((e == 0.0) & (g == 0.0)
+                     & (np.signbit(e.to_numpy()) != np.signbit(g.to_numpy())))
+            mism = mism | zsign
         else:
             mism = ~((e.isna() & g.isna()) | (e.astype(str) == g.astype(str)))
         n = int(mism.sum())
