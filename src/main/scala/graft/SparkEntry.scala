@@ -653,6 +653,29 @@ object SparkEntry {
             .as("pagerank_i9"))
     }),
 
+    // L-extra: HITS hubs & authorities (Kleinberg 1999) over the same
+    // synthetic doc link graph as q_pagerank — the crawl-seeding /
+    // quality-weighting companion read. Max-normalized (exact,
+    // order-independent — no global float-norm fold), two-level
+    // salt-bucketed contribution sums, integer-pinned at 1e9.
+    "q_hits" -> ((s, dir) => {
+      val d = docs(s, dir).select(col("doc_id"))
+      val m = d.agg((max("doc_id") + 1).as("__m"))
+      val withM = d.crossJoin(broadcast(m))
+      val edges = withM.select(col("doc_id").as("src"),
+          ((col("doc_id") * 7 + 1) % col("__m")).as("dst"))
+        .unionByName(withM.select(col("doc_id").as("src"),
+          ((col("doc_id") * 13 + 3) % col("__m")).as("dst")))
+        .unionByName(withM.select(col("doc_id").as("src"),
+          ((col("doc_id") * 31 + 11) % col("__m")).as("dst")))
+      graft.graph.Hits.hits(d, "doc_id", edges, "src", "dst",
+          iters = 5)
+        .select(col("doc_id"),
+          round(col("authority") * lit(1e9)).cast("long")
+            .as("authority_i9"),
+          round(col("hub") * lit(1e9)).cast("long").as("hub_i9"))
+    }),
+
     // LLM-pipeline: n-gram novelty / memorization audit — fraction of
     // each doc's distinct 5-grams appearing in ANY other document
     // (novelty = 1 − shared/total). The measurement face of the dedup
@@ -746,6 +769,59 @@ object SparkEntry {
           col("cohort_size"), col("n_active"),
           round(col("retention"), 6).as("retention"))),
 
+    // L-extra: blocked edit-distance near-dup pairs — the entity-
+    // resolution face of the dedup tier (character-level edits where
+    // minhash is token-level). Blocking = (length bucket ±1, 16-char
+    // prefix); exact levenshtein only inside blocks; both engines
+    // compute the identical plain edit distance.
+    "q_editdist" -> ((s, dir) =>
+      graft.llm.Dedup.editDistancePairs(docs(s, dir), "doc_id",
+          "text", maxDist = 40, lenBucket = 50, prefixLen = 16)
+        .select(col("id_a"), col("id_b"), col("dist"),
+          round(col("sim"), 6).as("sim"))),
+
+    // L-extra: HyperLogLog distinct sketch (Flajolet 2007) in pure
+    // relational form — fixed m-byte summary, merge = per-bucket MAX
+    // (map-side combinable, HllSpec plan pin). Portable polynomial
+    // hash + xorshift finalizer → the ESTIMATE itself is
+    // oracle-checked, not just "approximately right". Keys padded to
+    // 10 chars (the KMV short-token convention).
+    "q_hll" -> ((s, dir) =>
+      graft.llm.Hll.distinctSketch(
+          ev(s, dir).select(col("event_type"),
+            concat(lit("u"), lpad(col("user_id").cast("string"), 8,
+              "0"), lit("x")).as("ukey")),
+          "event_type", "ukey", m = 16)
+        .select(col("event_type"), col("m"), col("v_zero"),
+          col("s_sum"), round(col("est_distinct"), 6)
+            .as("est_distinct"), col("exact_distinct"))),
+
+    // L-extra: market-basket association rules over session baskets —
+    // support/confidence/lift per unordered event-type pair ("users
+    // who X also Y", order-free companion to q_funnel). Pair join is
+    // session-keyed (per-basket items bounded by the type vocab);
+    // type/global counts broadcast. All ratios of exact integer
+    // counts.
+    "q_assoc" -> ((s, dir) =>
+      graft.events.Assoc.associationRules(ev(s, dir), "user_id", "ts",
+          "event_type", gapSeconds = 14400L)
+        .select(col("item_a"), col("item_b"), col("n_a"), col("n_b"),
+          col("n_ab"), round(col("support"), 6).as("support"),
+          round(col("conf_a_b"), 6).as("conf_a_b"),
+          round(col("conf_b_a"), 6).as("conf_b_a"),
+          round(col("lift"), 6).as("lift"))),
+
+    // L-extra: inactivity-gap sessionization (4h gap) + per-session
+    // rollup — the gaps-and-islands rank trick: ONE user-keyed ordered
+    // window, stats reuse the user partitioning; exact integer-micros
+    // gap test. duration_secs is micros/1e6 — exact in double.
+    "q_sessions" -> ((s, dir) =>
+      graft.events.Sessions.sessionStats(ev(s, dir), "user_id", "ts",
+          "event_type", gapSeconds = 14400L)
+        .select(col("user_id"), col("session_seq"),
+          col("session_start"), col("session_end"), col("n_events"),
+          col("duration_secs"), col("n_types"))),
+
     // M-extra: PELT exact offline changepoint segmentation (Killick
     // 2012) — globally optimal penalized mean-shift segments on the
     // standardized series; pruned DP, exactness spec-pinned vs the
@@ -832,6 +908,31 @@ object SparkEntry {
         .withColumn("user_id", col("user_id").cast("long"))
         .select(col("user_id"), col("ord"), col("value"),
           round(col("lof"), 6).as("lof"))),
+
+    // M-extra: Croston intermittent-demand forecast (1972) — SES on
+    // demand sizes and inter-demand intervals (demand = value > 113,
+    // the ~p90 threshold → genuine intermittency), forecast = ẑ/p̂.
+    // The two recursions run as ONE per-series ordered struct fold,
+    // mirrored lambda-for-lambda in the oracle.
+    "q_croston" -> ((s, dir) =>
+      graft.models.Croston.croston(ev(s, dir), "user_id", "ts",
+          "value", demandIf = col("value") > 113.0, alpha = 0.25)
+        .withColumn("user_id", col("user_id").cast("long"))
+        .select(col("user_id"), col("n_demands"),
+          round(col("z_hat"), 6).as("z_hat"),
+          round(col("p_hat"), 6).as("p_hat"),
+          round(col("croston_forecast"), 6).as("croston_forecast"))),
+
+    // M-extra: HBOS (Goldstein 2012) over the same (value, Δ) feature
+    // convention — the CHEAPEST outlier face (two histogram
+    // aggregates, no pairs, no trees): the first-pass detector at
+    // 100 TB. Fact rows shuffle once; bin counts broadcast back.
+    "q_hbos" -> ((s, dir) =>
+      graft.models.Hbos.hbos(ev(s, dir), "user_id", "ts", "value",
+          bins = 16)
+        .withColumn("user_id", col("user_id").cast("long"))
+        .select(col("user_id"), col("ord"), col("value"),
+          round(col("hbos"), 6).as("hbos"))),
 
     // W9: autocorrelation per lag — the notebook's full EDA grid
     // (notebooks/01 cell 7 plots lags 1..50), still ONE scan + ONE agg
@@ -2244,6 +2345,68 @@ object SparkEntry {
     head + steps + tail
   }
 
+  /** q_hits oracle: 5 unrolled UNNORMALIZED HITS iterations mirroring
+    * Hits.scala — per pass the two-level (neighbor % 64)-bucketed
+    * ordered fold over the nonzero-score relation, then ONE
+    * end-of-chain max normalization over the zero-coalesced full node
+    * set; 1e9-integer-pinned. Every CTE is referenced exactly once up
+    * to the final normalization (DuckDB inlines CTEs — a
+    * multiply-referenced per-pass CTE would blow up the query tree
+    * exponentially over 10 passes). */
+  private def hitsOracleSql: String = {
+    val head =
+      """WITH nodes AS MATERIALIZED (SELECT doc_id AS id FROM documents),
+        |mm AS (SELECT max(id) + 1 AS m FROM nodes),
+        |eraw AS (
+        |  SELECT id AS src, (id * 7 + 1) % m AS dst
+        |  FROM nodes CROSS JOIN mm
+        |  UNION ALL
+        |  SELECT id AS src, (id * 13 + 3) % m AS dst
+        |  FROM nodes CROSS JOIN mm
+        |  UNION ALL
+        |  SELECT id AS src, (id * 31 + 11) % m AS dst
+        |  FROM nodes CROSS JOIN mm),
+        |edges AS MATERIALIZED (SELECT DISTINCT src, dst FROM eraw
+        |  WHERE src <> dst),
+        |h0 AS (SELECT id, CAST(1.0 AS DOUBLE) AS score FROM nodes),
+        |""".stripMargin
+    // one unnormalized two-level-fold pass: scores keyed `from` fold
+    // into `to` groups in from-order (absent node = score 0, exact)
+    def pass(out: String, in: String, from: String, to: String) =
+      s"""p$out AS (SELECT e.$to AS id, e.$from % 64 AS sb,
+         |    list_reduce(list_prepend(0.0, list_transform(
+         |      list(s.score ORDER BY e.$from), x -> x)),
+         |      (a, b) -> a + b) AS ps
+         |  FROM edges e JOIN $in s ON e.$from = s.id
+         |  GROUP BY e.$to, e.$from % 64),
+         |$out AS MATERIALIZED (SELECT id,
+         |    list_reduce(list_prepend(0.0, list_transform(
+         |      list(ps ORDER BY sb), x -> x)),
+         |      (a, b) -> a + b) AS score
+         |  FROM p$out GROUP BY id),
+         |""".stripMargin
+    val steps = (1 to 5).map { t =>
+      pass(s"a$t", if (t == 1) "h0" else s"h${t - 1}", "src", "dst") +
+        pass(s"h$t", s"a$t", "dst", "src")
+    }.mkString
+    val tail =
+      """fa AS MATERIALIZED (SELECT n.id, coalesce(a5.score, CAST(0.0 AS DOUBLE))
+        |    AS raw FROM nodes n LEFT JOIN a5 ON n.id = a5.id),
+        |fh AS MATERIALIZED (SELECT n.id, coalesce(h5.score, CAST(0.0 AS DOUBLE))
+        |    AS raw FROM nodes n LEFT JOIN h5 ON n.id = h5.id),
+        |na AS (SELECT id, CASE WHEN mx > CAST(0.0 AS DOUBLE)
+        |    THEN raw / mx ELSE CAST(0.0 AS DOUBLE) END AS authority
+        |  FROM fa CROSS JOIN (SELECT max(raw) AS mx FROM fa) m),
+        |nh AS (SELECT id, CASE WHEN mx > CAST(0.0 AS DOUBLE)
+        |    THEN raw / mx ELSE CAST(0.0 AS DOUBLE) END AS hub
+        |  FROM fh CROSS JOIN (SELECT max(raw) AS mx FROM fh) m)
+        |SELECT na.id AS doc_id,
+        |  CAST(round(authority * 1e9) AS BIGINT) AS authority_i9,
+        |  CAST(round(hub * 1e9) AS BIGINT) AS hub_i9
+        |FROM na JOIN nh ON na.id = nh.id""".stripMargin
+    head + steps + tail
+  }
+
   /** q_zorder oracle: the 16-bit Morton interleave written out as the
     * 32 shift/mask terms OR-ed together — bit-identical to the Spark
     * fold by construction. */
@@ -2520,6 +2683,7 @@ object SparkEntry {
         |FROM events e JOIN d USING (event_type)
         |GROUP BY e.event_type""".stripMargin,
     "q_pagerank" -> pageRankOracleSql,
+    "q_hits" -> hitsOracleSql,
     "q_mmr" -> mmrOracleSql,
     "q_split" ->
       """WITH b AS (SELECT user_id, ts, value,
@@ -3989,6 +4153,66 @@ object SparkEntry {
         |SELECT CAST(sk AS BIGINT) AS user_id, ia AS ord, x AS value,
         |  round(lof, 6) AS lof FROM lof""".stripMargin,
 
+    "q_croston" ->
+      """WITH pts AS (SELECT CAST(user_id AS VARCHAR) AS sk,
+        |    CAST(row_number() OVER (PARTITION BY user_id ORDER BY ts)
+        |      AS BIGINT) AS i,
+        |    CAST(value AS DOUBLE) AS v
+        |  FROM events WHERE value IS NOT NULL),
+        |dm AS (SELECT sk, i, v AS d,
+        |    CAST(i - coalesce(lag(i) OVER
+        |      (PARTITION BY sk ORDER BY i), 0) AS DOUBLE) AS q
+        |  FROM pts WHERE v > 113.0),
+        |st AS (SELECT sk, count(*) AS n_demands,
+        |    list_reduce(list_prepend(
+        |      {'z': CAST(0.0 AS DOUBLE), 'p': CAST(0.0 AS DOUBLE),
+        |       'k': CAST(0 AS BIGINT)},
+        |      list_transform(list({'z': d, 'p': q,
+        |        'k': CAST(1 AS BIGINT)} ORDER BY i), x -> x)),
+        |      (a, e) -> {
+        |        'z': CASE WHEN a.k = 0 THEN e.z
+        |          ELSE CAST(0.25 AS DOUBLE) * e.z +
+        |               CAST(0.75 AS DOUBLE) * a.z END,
+        |        'p': CASE WHEN a.k = 0 THEN e.p
+        |          ELSE CAST(0.25 AS DOUBLE) * e.p +
+        |               CAST(0.75 AS DOUBLE) * a.p END,
+        |        'k': a.k + 1}) AS s
+        |  FROM dm GROUP BY sk)
+        |SELECT CAST(sk AS BIGINT) AS user_id, n_demands,
+        |  round(s.z, 6) AS z_hat, round(s.p, 6) AS p_hat,
+        |  round(s.z / s.p, 6) AS croston_forecast
+        |FROM st""".stripMargin,
+
+    "q_hbos" ->
+      """WITH pts AS (SELECT CAST(user_id AS VARCHAR) AS sk,
+        |    CAST(row_number() OVER w AS BIGINT) AS i,
+        |    CAST(value AS DOUBLE) AS x,
+        |    CAST(value AS DOUBLE) - coalesce(
+        |      lag(CAST(value AS DOUBLE)) OVER w,
+        |      CAST(value AS DOUBLE)) AS y
+        |  FROM events WHERE value IS NOT NULL
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+        |st AS (SELECT sk, min(x) AS xlo, max(x) AS xhi,
+        |    min(y) AS ylo, max(y) AS yhi, count(*) AS n
+        |  FROM pts GROUP BY sk),
+        |b AS (SELECT pts.sk, i, x, n,
+        |    CASE WHEN xhi = xlo THEN 0 ELSE
+        |      CAST(least(greatest(
+        |        floor((x - xlo) / ((xhi - xlo) / 16.0)), 0.0), 15.0)
+        |        AS BIGINT) END AS bx,
+        |    CASE WHEN yhi = ylo THEN 0 ELSE
+        |      CAST(least(greatest(
+        |        floor((y - ylo) / ((yhi - ylo) / 16.0)), 0.0), 15.0)
+        |        AS BIGINT) END AS byy
+        |  FROM pts JOIN st ON pts.sk = st.sk),
+        |cx AS (SELECT sk, bx, count(*) AS cx FROM b GROUP BY 1, 2),
+        |cy AS (SELECT sk, byy, count(*) AS cy FROM b GROUP BY 1, 2)
+        |SELECT CAST(b.sk AS BIGINT) AS user_id, i AS ord, x AS value,
+        |  round(-ln(CAST(cx AS DOUBLE) / n)
+        |    - ln(CAST(cy AS DOUBLE) / n), 6) AS hbos
+        |FROM b JOIN cx ON b.sk = cx.sk AND b.bx = cx.bx
+        |  JOIN cy ON b.sk = cy.sk AND b.byy = cy.byy""".stripMargin,
+
     // identical to q_lof with candidates restricted to |lag| <= 8
     "q_lof_w" ->
       """WITH base AS (SELECT CAST(user_id AS VARCHAR) AS sk, ts,
@@ -4306,6 +4530,136 @@ object SparkEntry {
         |  round(CAST(n_active AS DOUBLE)/CAST(cohort_size AS DOUBLE), 6)
         |    AS retention
         |FROM act JOIN sz USING (cohort_week)""".stripMargin,
+
+    "q_editdist" ->
+      """WITH base AS (SELECT doc_id AS id, text AS t,
+        |    CAST(length(text) AS BIGINT) AS len,
+        |    substr(text, 1, 16) AS pf,
+        |    CAST(floor(CAST(length(text) AS BIGINT) / 50) AS BIGINT)
+        |      AS lb
+        |  FROM documents WHERE text IS NOT NULL),
+        |b AS (SELECT id AS id_b, t AS tb, len AS lbn, pf,
+        |    unnest([lb - 1, lb, lb + 1]) AS lb FROM base),
+        |j AS (SELECT a.id AS id_a, b.id_b,
+        |    CAST(levenshtein(a.t, b.tb) AS BIGINT) AS dist,
+        |    greatest(a.len, b.lbn) AS mx
+        |  FROM base a JOIN b ON a.pf = b.pf AND a.lb = b.lb
+        |  WHERE a.id < b.id_b AND abs(a.len - b.lbn) <= 50)
+        |SELECT id_a, id_b, dist,
+        |  round(CAST(1.0 AS DOUBLE) -
+        |    CAST(dist AS DOUBLE) / CAST(mx AS DOUBLE), 6) AS sim
+        |FROM j WHERE dist <= 40""".stripMargin,
+
+    // mirrors Hll.scala token for token: polynomial -> 3-round
+    // xorshift-multiply finalizer -> bucket/rho via bin() bitlen ->
+    // exact power-of-two indicator sum -> raw / linear-counting CASE
+    "q_hll" ->
+      """WITH k AS (SELECT event_type,
+        |    'u' || lpad(CAST(user_id AS VARCHAR), 8, '0') || 'x'
+        |      AS ukey
+        |  FROM events WHERE user_id IS NOT NULL),
+        |ph AS (SELECT event_type, ukey,
+        |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |      list_transform(string_split(ukey, ''),
+        |        c -> ascii(c)::BIGINT)),
+        |      (a, b) -> (a * 1000003 + b) % 2147483647) AS p
+        |  FROM k),
+        |m1 AS (SELECT event_type,
+        |    (xor(p, p >> 16) * 73244475) & 2147483647 AS x FROM ph),
+        |m2 AS (SELECT event_type,
+        |    (xor(x, x >> 16) * 73244475) & 2147483647 AS x FROM m1),
+        |mx AS (SELECT event_type, xor(x, x >> 16) AS h FROM m2),
+        |hb AS (SELECT event_type, h % 16 AS b,
+        |    CAST(floor(CAST(h AS DOUBLE) / 16.0) AS BIGINT) AS r
+        |  FROM mx),
+        |mj AS (SELECT event_type, b,
+        |    max(CASE WHEN r = 0 THEN 28
+        |      ELSE 28 - length(bin(r)) END) AS mj
+        |  FROM hb GROUP BY 1, 2),
+        |sk AS (SELECT event_type, count(*) AS nb,
+        |    sum(CAST(1.0 AS DOUBLE) /
+        |      CAST((CAST(1 AS BIGINT) << CAST(mj AS INT)) AS DOUBLE))
+        |      AS s1
+        |  FROM mj GROUP BY 1),
+        |fin AS (SELECT event_type,
+        |    16 - nb AS v_zero,
+        |    s1 + CAST(16 - nb AS DOUBLE) AS s_sum
+        |  FROM sk),
+        |est AS (SELECT event_type, v_zero, s_sum,
+        |    CAST(0.673 AS DOUBLE) * CAST(16.0 AS DOUBLE) *
+        |      CAST(16.0 AS DOUBLE) / s_sum AS raw
+        |  FROM fin),
+        |ex AS (SELECT event_type,
+        |    count(DISTINCT ukey) AS exact_distinct FROM k GROUP BY 1)
+        |SELECT est.event_type, CAST(16 AS BIGINT) AS m,
+        |  CAST(v_zero AS BIGINT) AS v_zero, s_sum,
+        |  round(CASE WHEN raw <= CAST(40.0 AS DOUBLE) AND v_zero > 0
+        |    THEN CAST(16.0 AS DOUBLE) *
+        |      ln(CAST(16.0 AS DOUBLE) / CAST(v_zero AS DOUBLE))
+        |    ELSE raw END, 6) AS est_distinct,
+        |  exact_distinct
+        |FROM est JOIN ex ON est.event_type = ex.event_type""".stripMargin,
+
+    "q_assoc" ->
+      """WITH b0 AS (SELECT user_id, ts, event_type,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |      OR epoch_us(CAST(ts AS TIMESTAMP)) -
+        |         epoch_us(CAST(lag(ts) OVER w AS TIMESTAMP)) >
+        |           14400000000
+        |      THEN 1 ELSE 0 END AS nw
+        |  FROM events WHERE event_type IS NOT NULL
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+        |s AS (SELECT user_id, event_type,
+        |    sum(nw) OVER (PARTITION BY user_id ORDER BY ts
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS sq
+        |  FROM b0),
+        |bk AS (SELECT DISTINCT user_id AS u, sq,
+        |    CAST(event_type AS VARCHAR) AS it FROM s),
+        |nn AS (SELECT count(*) AS n FROM
+        |  (SELECT DISTINCT u, sq FROM bk)),
+        |ic AS (SELECT it, count(*) AS cnt FROM bk GROUP BY it),
+        |p AS (SELECT a.it AS item_a, b.it AS item_b,
+        |    count(*) AS n_ab
+        |  FROM bk a JOIN bk b ON a.u = b.u AND a.sq = b.sq
+        |    AND a.it < b.it
+        |  GROUP BY 1, 2)
+        |SELECT item_a, item_b, ia.cnt AS n_a, ib.cnt AS n_b, n_ab,
+        |  round(CAST(n_ab AS DOUBLE) / CAST(n AS DOUBLE), 6)
+        |    AS support,
+        |  round(CAST(n_ab AS DOUBLE) / CAST(ia.cnt AS DOUBLE), 6)
+        |    AS conf_a_b,
+        |  round(CAST(n_ab AS DOUBLE) / CAST(ib.cnt AS DOUBLE), 6)
+        |    AS conf_b_a,
+        |  round(CAST(n AS DOUBLE) * CAST(n_ab AS DOUBLE) /
+        |    (CAST(ia.cnt AS DOUBLE) * CAST(ib.cnt AS DOUBLE)), 6)
+        |    AS lift
+        |FROM p JOIN ic ia ON p.item_a = ia.it
+        |  JOIN ic ib ON p.item_b = ib.it
+        |  CROSS JOIN nn""".stripMargin,
+
+    "q_sessions" ->
+      """WITH b AS (SELECT user_id, ts, event_type,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |      OR epoch_us(CAST(ts AS TIMESTAMP)) -
+        |         epoch_us(CAST(lag(ts) OVER w AS TIMESTAMP)) >
+        |           14400000000
+        |      THEN 1 ELSE 0 END AS nw
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+        |s AS (SELECT user_id, ts, event_type,
+        |    CAST(sum(nw) OVER (PARTITION BY user_id ORDER BY ts
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS BIGINT) AS session_seq
+        |  FROM b)
+        |SELECT user_id, session_seq,
+        |  min(ts) AS session_start, max(ts) AS session_end,
+        |  count(*) AS n_events,
+        |  CAST(epoch_us(CAST(max(ts) AS TIMESTAMP)) -
+        |       epoch_us(CAST(min(ts) AS TIMESTAMP)) AS DOUBLE) / 1e6
+        |    AS duration_secs,
+        |  CAST(count(DISTINCT event_type) AS BIGINT) AS n_types
+        |FROM s GROUP BY 1, 2""".stripMargin,
 
     // Metric/band math recomputed in SQL from the PINNED q_holtwinters
     // fixture (whose own gate catches forecast regressions): a true

@@ -1,0 +1,101 @@
+package graft.graph
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** HITS — hubs & authorities (Kleinberg, JACM 1999) as a DataFrame
+  * power iteration: the query-independent companion to PageRank for
+  * link-graph curation (an authority is pointed to by good hubs; a hub
+  * points to good authorities — crawl seeding wants hubs, quality
+  * weighting wants authorities).
+  *
+  * Per iteration: auth(v) = Σ_{u→v} hub(u), then hub(u) = Σ_{u→v}
+  * auth(v) using the UPDATED authorities (the standard sequential
+  * update). Normalization happens ONCE at the end, by the MAXIMUM
+  * score: every pass is a linear map, so per-pass scalar
+  * normalization only rescales the vector — the end-normalized result
+  * is exactly proportional (HitsSpec pins it against a per-pass-
+  * normalized recompute) — and skipping it saves an action + global
+  * aggregate per pass. Unnormalized scores grow like
+  * (max degree)^(2·iters), overflow-safe in doubles for any physical
+  * graph (d^10 > 1e308 needs d > 1e30). Max (not an L2 norm) because
+  * max is an order-independent exact aggregate — a float-sum norm
+  * would need a GLOBAL ordered fold, a single-partition collect of
+  * the whole node set. Scores land in [0, 1] with the top
+  * hub/authority pinned at exactly 1.0.
+  *
+  * Determinism + skew safety (shared with [[PageRank]]): both
+  * contribution sums are TWO-LEVEL ordered folds — salt-bucketed
+  * partial sums in neighbor order, then the ≤ `saltBuckets` subtotals
+  * merged in bucket order — so the result is independent of
+  * partitioning and no aggregation buffer ever holds more than
+  * max(degree/S, S) entries even on a power-law hub. Mid-iteration
+  * score relations carry only nodes with a NONZERO score (absent =
+  * 0.0; a zero contribution is exact under IEEE addition, so the
+  * folds are unchanged) — the full node set joins back once at the
+  * end, zero-coalesced.
+  *
+  * Edge hygiene matches PageRank: duplicates and self-loops dropped.
+  * Isolated or un-pointed-to nodes keep score 0 (no damping mass in
+  * HITS).
+  */
+object Hits {
+
+  private def orderedSum(ord: Column, v: Column) =
+    aggregate(
+      transform(array_sort(collect_list(struct(ord, v.as("__v")))),
+        s => s.getField("__v")),
+      lit(0.0), (a, x) => a + x)
+
+  /** Run `iters` HITS iterations. Output: (id, authority, hub). */
+  def hits(nodes: DataFrame, id: String, edges: DataFrame,
+           src: String, dst: String, iters: Int,
+           saltBuckets: Int = 64): DataFrame = {
+    require(iters >= 1, s"iters=$iters must be >= 1")
+    require(saltBuckets >= 1, s"saltBuckets=$saltBuckets must be >= 1")
+    val nd = nodes.select(col(id).cast("long").as("__id")).distinct()
+      .localCheckpoint()
+    val e = edges.select(col(src).cast("long").as("__src"),
+        col(dst).cast("long").as("__dst"))
+      .filter(col("__src") =!= col("__dst") &&
+        col("__src").isNotNull && col("__dst").isNotNull)
+      .distinct()
+      .localCheckpoint()
+    // one two-level-fold pass: scores keyed `fromCol` fold into
+    // `toCol` groups in from-order (only nonzero-score nodes present)
+    def pass(scores: DataFrame, fromCol: String, toCol: String): DataFrame =
+      e.join(scores, e(fromCol) === scores("__id"))
+        .select(col(toCol), col(fromCol),
+          pmod(col(fromCol), lit(saltBuckets.toLong)).as("__sb"),
+          col("__score").as("__s"))
+        .groupBy(col(toCol), col("__sb"))
+        .agg(orderedSum(col(fromCol), col("__s")).as("__ps"))
+        .groupBy(col(toCol))
+        .agg(orderedSum(col("__sb"), col("__ps")).as("__score"))
+        .withColumnRenamed(toCol, "__id")
+        .localCheckpoint()
+    var auth = nd.select(col("__id"), lit(1.0).as("__score"))
+      .localCheckpoint()
+    var hub = auth
+    var t = 0
+    while (t < iters) {
+      auth = pass(hub, "__src", "__dst")   // auth(v) = Σ hub(u), u→v
+      hub = pass(auth, "__dst", "__src")   // hub(u) = Σ auth(v), u→v
+      t += 1
+    }
+    // end normalization over the full node set, zero-coalesced
+    def normalized(scores: DataFrame, out: String): DataFrame = {
+      val full = nd.join(scores, Seq("__id"), "left")
+        .select(col("__id"),
+          coalesce(col("__score"), lit(0.0)).as("__raw"))
+      val mx = full.agg(max("__raw").as("__mx"))
+      full.crossJoin(broadcast(mx))
+        .select(col("__id"),
+          when(col("__mx") > 0.0, col("__raw") / col("__mx"))
+            .otherwise(lit(0.0)).as(out))
+    }
+    normalized(auth, "authority")
+      .join(normalized(hub, "hub"), Seq("__id"))
+      .select(col("__id").as(id), col("authority"), col("hub"))
+  }
+}

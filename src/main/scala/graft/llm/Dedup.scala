@@ -363,6 +363,53 @@ object Dedup {
   /** 64-bit SimHash per document over whitespace tokens: bit b of the
     * fingerprint is the sign of Σ_token (±1 by bit b of xxhash64(token)).
     * One explode + one groupBy with 64 codegen'd conditional sums. */
+  /** Blocked edit-distance near-dup pairs — the ENTITY-RESOLUTION
+    * face of the dedup tier (record linkage / fuzzy matching):
+    * Levenshtein distance is the right similarity when edits are
+    * CHARACTER-level (OCR noise, typos, template fills) where
+    * shingle/minhash similarity is token-level.
+    *
+    * Candidate generation is classic BLOCKING, never all-pairs: block
+    * key = (⌊len/`lenBucket`⌋, first `prefixLen` chars); the right
+    * side emits into its own and both adjacent length buckets, so any
+    * pair within `lenBucket` length difference and a shared prefix is
+    * found exactly once. The prefix block is the documented RECALL
+    * contract (edits inside the first `prefixLen` chars hide a pair —
+    * the standard blocking trade; tighten with multiple passes on
+    * different keys if needed). The exact `levenshtein(a, b) ≤
+    * maxDist` filter runs only inside blocks; Spark and DuckDB
+    * compute the identical plain edit distance, so the pair set and
+    * distances are oracle-exact.
+    *
+    * Output: (id_a, id_b, dist, sim) with id_a < id_b and
+    * sim = 1 − dist/max(len_a, len_b). */
+  def editDistancePairs(df: DataFrame, id: String, text: String,
+                        maxDist: Int, lenBucket: Int = 50,
+                        prefixLen: Int = 16): DataFrame = {
+    require(maxDist >= 0, s"maxDist=$maxDist must be >= 0")
+    require(lenBucket >= 1 && prefixLen >= 1,
+      "lenBucket and prefixLen must be >= 1")
+    val base = df.select(col(id).as("__id"),
+        col(text).cast("string").as("__t"))
+      .filter(col("__t").isNotNull)
+      .withColumn("__len", length(col("__t")).cast("long"))
+      .withColumn("__pf", substring(col("__t"), 1, prefixLen))
+    val lb = floor(col("__len") / lenBucket)
+    val a = base.select(col("__id").as("id_a"), col("__t").as("__ta"),
+      col("__len").as("__la"), col("__pf"), lb.as("__lb"))
+    val b = base.select(col("__id").as("id_b"), col("__t").as("__tb"),
+      col("__len").as("__lbn"), col("__pf"),
+      explode(array(lb - 1, lb, lb + 1)).as("__lb"))
+    a.join(b, Seq("__pf", "__lb"))
+      .filter(col("id_a") < col("id_b") &&
+        abs(col("__la") - col("__lbn")) <= lenBucket)
+      .withColumn("dist", levenshtein(col("__ta"), col("__tb")))
+      .filter(col("dist") <= maxDist)
+      .select(col("id_a"), col("id_b"), col("dist").cast("long").as("dist"),
+        (lit(1.0) - col("dist").cast("double") /
+          greatest(col("__la"), col("__lbn")).cast("double")).as("sim"))
+  }
+
   def simhash(df: DataFrame, id: String, text: String): DataFrame = {
     val toks = df.select(col(id), explode(split(col(text), " ")).as("tok"))
       .withColumn("h", xxhash64(col("tok")))
@@ -608,17 +655,26 @@ object Dedup {
     * connected components over the similarity graph by iterative
     * min-label propagation WITH pointer jumping — each round propagates
     * the neighborhood minimum one hop AND shortcuts every label to its
-    * label's label (path halving), so convergence takes O(log diameter)
-    * rounds rather than O(diameter): a 10⁶-node duplicate chain resolves
-    * in ~20 rounds instead of 10⁶. The driver loop schedules ROUNDS, not
+    * label's label (path halving). On chains whose node ids decrease
+    * monotonically toward the minimum the travel distance DOUBLES per
+    * round (O(log diameter): a 10⁶-node orderly chain resolves in ~20
+    * rounds); on TANGLED id orders the one-level jump finds less to
+    * shortcut and convergence degrades toward one hop per round —
+    * measured: ~300-node ε-graph components with feature-order ids
+    * (the DBSCAN probe shape) needed 22+ rounds. `maxIters` is
+    * therefore sized to the worst PLAUSIBLE component diameter, not
+    * the log bound; rounds after convergence are never run (the
+    * changed-count check exits early), so a generous bound costs
+    * nothing on easy graphs. The driver loop schedules ROUNDS, not
     * rows — the same fixpoint structure GraphX/GraphFrames use;
     * `localCheckpoint` truncates lineage per round (a persisted table on
-    * a cluster). Throws if `maxIters` rounds do not converge — a
-    * silently-partial component labeling would merge/keep the wrong
+    * a cluster). Labels only decrease (monotone, bounded), so the loop
+    * always terminates; it THROWS if `maxIters` rounds do not converge —
+    * a silently-partial component labeling would merge/keep the wrong
     * documents. Output: (id, keep_id, is_kept) — keep the minimum id of
     * each component, like `exact`. */
   def resolveComponents(docs: DataFrame, pairs: DataFrame, id: String,
-                        maxIters: Int = 20): DataFrame = {
+                        maxIters: Int = 64): DataFrame = {
     val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
       .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
       .localCheckpoint(true)
@@ -636,20 +692,31 @@ object Dedup {
           least(col("comp"), coalesce(col("ncomp"), col("comp")))
             .as("comp"),
           coalesce(col("ncomp") < col("comp"), lit(false)).as("__chg"))
-      // pointer jumping: comp := prevComp(comp) — doubling through the
-      // PREVIOUS round's (checkpointed) labels, so nothing recomputes and
-      // the round stays one job. Labels only decrease, so the lookup is
-      // monotone-safe; a root label is a no-op (join miss keeps comp).
+      // pointer jumping: comp := prevComp(prevComp(comp)) — TWO
+      // shortcut levels through the PREVIOUS round's (checkpointed)
+      // labels, so nothing recomputes and the round stays one job.
+      // Two levels because one level only doubles on orderly id
+      // chains; on tangled orders (measured on the DBSCAN ε-graph)
+      // the extra nodes-sized join roughly halves the rounds. Labels
+      // only decrease, so the lookups are monotone-safe; a root label
+      // is a no-op (join miss keeps comp).
       val jump = labels.select(col("node").as("__jn"), col("comp").as("__jc"))
+      val jump2 = labels.select(col("node").as("__kn"), col("comp").as("__kc"))
       // the changed flag rides along in the round's own projection, so
       // ONE count() both materializes the lazy checkpoint (it scans every
       // partition) and answers convergence — one scheduled job per round
       // instead of a separate join+action on top of the checkpoint
-      val updated = prop
+      val hop1 = prop
         .join(jump, prop("comp") === jump("__jn"), "left")
         .select(col("node"),
           coalesce(col("__jc"), col("comp")).as("comp"),
           (col("__chg") || coalesce(col("__jc") < col("comp"), lit(false)))
+            .as("__chg"))
+      val updated = hop1
+        .join(jump2, hop1("comp") === jump2("__kn"), "left")
+        .select(col("node"),
+          coalesce(col("__kc"), col("comp")).as("comp"),
+          (col("__chg") || coalesce(col("__kc") < col("comp"), lit(false)))
             .as("__chg"))
         .localCheckpoint(false)
       converged = updated.filter(col("__chg")).count() == 0

@@ -1,0 +1,104 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** HyperLogLog distinct-count sketch (Flajolet et al., AofA 2007) in
+  * PURE relational form — the fixed-size companion to the KMV sketch
+  * (L65): a KMV sketch is k longs per group; HLL is m bytes per group
+  * and merges by per-bucket MAX, the cheapest possible mergeable
+  * distinct summary for a 100 TB groupBy.
+  *
+  * DETERMINISTIC twist (the library's oracle contract, shared with
+  * KMV): the hash is the engine-portable q_rollhash polynomial
+  * (31-bit) pushed through a NONLINEAR xorshift-multiply finalizer —
+  * both engines build the identical sketch and the ESTIMATE itself is
+  * oracle-checkable. The finalizer matters here where KMV didn't:
+  * sequential keys give the polynomial arithmetic-progression-like
+  * values whose LEADING-ZERO statistics (what ρ measures) are wildly
+  * non-geometric (observed: 300 sequential keys estimated as 84);
+  * three xor-shift/multiply rounds break the linear structure
+  * (estimates land inside the m=16 ±26% band; HllSpec pins both the
+  * exactness and the band). All mixer arithmetic is exact int64 —
+  * mirrored token-for-token in the oracle SQL.
+  *
+  * Sketch math, all exactly reproducible:
+  *  - bucket j = h mod m; remainder r = ⌊h/m⌋ lives in [0, 2³¹/m);
+  *  - ρ = (bit width of the remainder space) − bitlen(r) + 1, with
+  *    bitlen via the engine-shared `bin()` string length (exact
+  *    integer, no float log2);
+  *  - the indicator sum S = Σ_j 2^(−M_j) uses 1/(1 << M_j): every
+  *    term is an exact power of two and the 53-bit significand holds
+  *    the full sum exactly (m ≤ 256, M_j ≤ 28 → span < 2⁵³), so S is
+  *    order-independent and bit-identical on any engine;
+  *  - raw estimate E = α_m·m²/S; small-range (E ≤ 2.5m, V empty
+  *    buckets > 0) switches to linear counting m·ln(m/V) — the one ln
+  *    in the operator (documented; the registered fixture stays in
+  *    the raw regime).
+  *
+  * Plan shape: one (group, bucket) max aggregate — map-side
+  * combinable, merge = MAX (the HLL merge law) — then one m-row-per-
+  * group finisher. The exact-distinct reference column rides along as
+  * the accuracy yardstick (not part of the scale path, same as KMV).
+  */
+object Hll {
+
+  /** Per-group HLL sketch + estimate: (group, m, v_zero, s_sum,
+    * est_distinct, exact_distinct). */
+  def distinctSketch(df: DataFrame, group: String, value: String,
+                     m: Int = 16): DataFrame = {
+    require(m >= 4 && (m & (m - 1)) == 0, s"m=$m must be a power of 2 >= 4")
+    // remainder space width: 31-bit hash minus log2(m) bucket bits
+    val restBits = 31 - Integer.numberOfTrailingZeros(m)
+    // xorshift-multiply finalizer (3 rounds, 31-bit): breaks the
+    // polynomial's linear structure; every step exact in int64
+    def mix(c: Column): Column = {
+      val s1 = c.bitwiseXOR(shiftright(c, 16))
+      val m1 = (s1 * lit(73244475L)).bitwiseAND(lit(0x7FFFFFFFL))
+      val s2 = m1.bitwiseXOR(shiftright(m1, 16))
+      val m2 = (s2 * lit(73244475L)).bitwiseAND(lit(0x7FFFFFFFL))
+      m2.bitwiseXOR(shiftright(m2, 16))
+    }
+    val h = mix(TextAnalysis.rollingHash(col(value).cast("string")))
+    val hashed = df.filter(col(value).isNotNull)
+      .select(col(group), h.as("__h"))
+      .withColumn("__b", pmod(col("__h"), lit(m.toLong)))
+      .withColumn("__r",
+        floor(col("__h").cast("double") / lit(m.toDouble)).cast("long"))
+      .withColumn("__rho",
+        when(col("__r") === 0, lit(restBits + 1))
+          .otherwise(lit(restBits + 1) - length(bin(col("__r")))))
+    val buckets = hashed.groupBy(col(group), col("__b"))
+      .agg(max("__rho").as("__mj"))
+    val sketch = buckets.groupBy(group)
+      .agg(count(lit(1)).as("__nb"),
+        // scala shiftleft() wants a literal distance — the SQL form
+        // takes a column (same ShiftLeft expression underneath)
+        sum(lit(1.0) /
+          expr("CAST(shiftleft(1L, CAST(__mj AS INT)) AS DOUBLE)"))
+          .as("__s1"))
+      .withColumn("v_zero", lit(m.toLong) - col("__nb"))
+      // empty buckets contribute 2^0 = 1 each — exact addition
+      .withColumn("s_sum", col("__s1") + col("v_zero").cast("double"))
+    val alpha = m match {
+      case 16 => 0.673
+      case 32 => 0.697
+      case 64 => 0.709
+      case _  => 0.7213 / (1.0 + 1.079 / m)
+    }
+    val raw = lit(alpha) * lit(m.toDouble) * lit(m.toDouble) /
+      col("s_sum")
+    val est = when(raw <= lit(2.5 * m) && col("v_zero") > 0,
+        lit(m.toDouble) *
+          log(lit(m.toDouble) / col("v_zero").cast("double")))
+      .otherwise(raw)
+    val exact = df.filter(col(value).isNotNull)
+      .select(col(group), col(value).cast("string").as("__v"))
+      .distinct()
+      .groupBy(group).agg(count(lit(1)).as("exact_distinct"))
+    sketch.join(exact, Seq(group), "left")
+      .select(col(group), lit(m.toLong).as("m"), col("v_zero"),
+        col("s_sum"), est.as("est_distinct"),
+        coalesce(col("exact_distinct"), lit(0L)).as("exact_distinct"))
+  }
+}

@@ -150,6 +150,16 @@ object Lof {
     require(k >= 1, s"k=$k must be >= 1")
     require(w >= k, s"w=$w must be >= k=$k (a point needs k " +
       "candidates inside its lag window)")
+    lofFromPairs(windowedPairs(df, series, order, value, w),
+      series, value, k)
+  }
+
+  /** Lag-bucketed candidate pairs (package-visible so LofSpec can pin
+    * the join's physical shape — the downstream localCheckpoint hides
+    * this stage from the public face's executed plan). */
+  private[models] def windowedPairs(df: DataFrame, series: String,
+                                    order: String, value: String,
+                                    w: Int): DataFrame = {
     val pts = features(df, series, order, value)
     val bk = floor(col("__i") / w)
     val a = pts.select(col("__sk"), col("__i").as("__ia"),
@@ -159,11 +169,10 @@ object Lof {
       explode(array(bk - 1, bk, bk + 1)).as("__bk"))
     val dx = col("__xa") - col("__xb")
     val dy = col("__ya") - col("__yb")
-    val pairs = a.join(b, Seq("__sk", "__bk"))
+    a.join(b, Seq("__sk", "__bk"))
       .filter(col("__ia") =!= col("__ib") &&
         abs(col("__ia") - col("__ib")) <= w)
       .withColumn("__d", sqrt(dx * dx + dy * dy))
       .select("__sk", "__ia", "__ib", "__xa", "__d")
-    lofFromPairs(pairs, series, value, k)
   }
 }

@@ -487,6 +487,54 @@ object StreamingDetect {
       }
   }
 
+  // ---- sessionization streaming face ----
+
+  case class SessionEvent(user_id: String, ts: Timestamp)
+  case class SessionAssign(user_id: String, ts: Timestamp,
+                           session_seq: Long)
+  case class SessState(lastMicros: Long, seq: Long)
+
+  /** Streaming face of `Sessions.sessionize`: per key the state is
+    * TWO numbers (last event-time micros + current session ordinal);
+    * each event gets its 1-based `session_seq` with the batch face's
+    * exact integer-micros gap test (`gap > gapSeconds·1e6` opens a
+    * new session; ties and equal-gap events stay in-session). Within
+    * a micro-batch events process in ts order. Parity contract
+    * (StreamingSpec): stream ≡ batch for IN-ORDER arrival across any
+    * micro-batch split — an event older than its key's last processed
+    * event would join a session retroactively in batch; Append mode
+    * cannot revise, so out-of-order events get the CURRENT session
+    * (documented, same asymmetry family as statefulAsof's late-right
+    * case). */
+  def statefulSessions(events: Dataset[SessionEvent],
+                       gapSeconds: Long): Dataset[SessionAssign] = {
+    require(gapSeconds >= 1, s"gapSeconds=$gapSeconds must be >= 1")
+    import events.sparkSession.implicits._
+    val gapMicros = gapSeconds * 1000000L
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessState, SessionAssign](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (uid: String, it: Iterator[SessionEvent],
+         state: GroupState[SessState]) =>
+          var st = state.getOption.getOrElse(SessState(Long.MinValue, 0L))
+          def micros(t: Timestamp): Long =
+            t.getTime * 1000L + (t.getNanos % 1000000) / 1000
+          val out = scala.collection.mutable.ArrayBuffer
+            .empty[SessionAssign]
+          it.toSeq.sortWith((a, b) => a.ts.compareTo(b.ts) < 0)
+            .foreach { e =>
+              val m = micros(e.ts)
+              if (st.seq == 0L || m - st.lastMicros > gapMicros)
+                st = SessState(m, st.seq + 1)
+              else
+                st = SessState(math.max(st.lastMicros, m), st.seq)
+              out += SessionAssign(uid, e.ts, st.seq)
+            }
+          state.update(st)
+          out.iterator
+      }
+  }
+
   /** Stateful tabular CUSUM, same Phase-I warmup contract as
     * [[statefulEwma]]; bit-parity with
     * `Spc.cusum(..., baselineN = warmup)`. State fields: a = S⁺,

@@ -824,6 +824,23 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"))
   }
 
+  test("topPaths top-k plans as TakeOrdered, not a global window sort") {
+    import spark.implicits._
+    val df = (0 until 400).map(i =>
+      (i % 7L, new java.sql.Timestamp(1700000000000L + i * 60000L),
+        s"t${i % 13}")).toDF("user_id", "ts", "event_type")
+    val p = plan(graft.events.Behavior.topPaths(
+      df, "user_id", "ts", "event_type", n = 3, k = 20))
+    assert(p.contains("TakeOrderedAndProject"),
+      s"top-k over the distinct-path relation must be TakeOrdered " +
+        s"(per-partition heap + driver merge), not a single-partition " +
+        s"window sort:\n$p")
+    // the only single-partition exchange allowed is the one under the
+    // post-limit rank window, which sees at most k rows by then
+    val single = "Exchange SinglePartition".r.findAllIn(p).size
+    assert(single <= 1, s"found $single SinglePartition exchanges:\n$p")
+  }
+
   test("MMR re-rank: bounded per-query group state, no cartesian") {
     import spark.implicits._
     val rng = new scala.util.Random(5)

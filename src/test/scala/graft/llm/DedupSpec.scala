@@ -393,4 +393,78 @@ class DedupSpec extends SparkSpec {
       .map(r => r.getLong(0) -> r.getAs[Double]("novelty")).toMap
     assert(again === out.map { case (k, v) => k -> v._3 })
   }
+
+  /** Driver Levenshtein for the edit-distance blocking tests. */
+  private def lev(a: String, b: String): Int = {
+    val d = Array.tabulate(a.length + 1, b.length + 1)((i, j) =>
+      if (i == 0) j else if (j == 0) i else 0)
+    for (i <- 1 to a.length; j <- 1 to b.length)
+      d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+        d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+    d(a.length)(b.length)
+  }
+
+  test("editDistancePairs: exact distances inside blocks; a < b once") {
+    import spark.implicits._
+    val base = "the quick brown fox jumps over the lazy dog " * 3
+    val docs = Seq(
+      (1L, base),                               // original
+      (2L, base.replace("lazy", "hazy")),       // 1 edit
+      (3L, base + "tail words appended here"),  // same prefix, longer
+      (4L, "completely different text that shares no prefix at all"),
+      (5L, base.replace("lazy", "very sleepy")) // several edits
+    ).toDF("doc_id", "text")
+    val got = Dedup.editDistancePairs(docs, "doc_id", "text",
+        maxDist = 30, lenBucket = 50, prefixLen = 16)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getDouble(3)))).toMap
+    // every pair appears once, ordered id_a < id_b
+    assert(got.keys.forall { case (a, b) => a < b })
+    // distances match the driver recompute
+    val texts = Map(1L -> base, 2L -> base.replace("lazy", "hazy"),
+      3L -> (base + "tail words appended here"),
+      5L -> base.replace("lazy", "very sleepy"))
+    got.foreach { case ((a, b), (d, sim)) =>
+      val exp = lev(texts(a), texts(b))
+      assert(d === exp.toLong, s"pair ($a,$b)")
+      val mx = math.max(texts(a).length, texts(b).length)
+      assert(sim === 1.0 - d.toDouble / mx)
+    }
+    // (1,2) found (one edit per repeat of the base phrase = 3);
+    // doc 4 shares no prefix -> blocked out
+    assert(got.contains((1L, 2L)) && got((1L, 2L))._1 === 3L)
+    assert(!got.keys.exists { case (a, b) => a == 4L || b == 4L })
+  }
+
+  test("editDistancePairs: adjacent length buckets bridge the boundary") {
+    import spark.implicits._
+    // two docs sharing a 16-char prefix whose lengths straddle a
+    // bucket edge (len 49 vs 53, bucket 0 vs 1) but differ by <= 50
+    val t1 = "shared-prefix-16." + ("a" * 32)   // len 49
+    val t2 = "shared-prefix-16." + ("a" * 36)   // len 53
+    val got = Dedup.editDistancePairs(
+        Seq((1L, t1), (2L, t2)).toDF("doc_id", "text"),
+        "doc_id", "text", maxDist = 10)
+      .collect()
+    assert(got.length === 1)
+    assert(got.head.getLong(2) === 4L) // 4 appended chars
+  }
+
+  test("editDistancePairs: maxDist prunes, repartition-invariant") {
+    import spark.implicits._
+    val docs = (0L until 30L).map(i =>
+      (i, "prefix-shared-xx " + ("w" * 40) + ("z" * (i % 3).toInt)))
+      .toDF("doc_id", "text")
+    val one = Dedup.editDistancePairs(docs, "doc_id", "text", 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val two = Dedup.editDistancePairs(docs.repartition(7), "doc_id",
+        "text", 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(one === two && one.nonEmpty)
+    // distance 0/1/2 kept only
+    val far = Dedup.editDistancePairs(docs, "doc_id", "text", 0)
+      .collect()
+    assert(far.forall(_.getLong(2) == 0L))
+  }
 }

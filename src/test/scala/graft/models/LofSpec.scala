@@ -164,6 +164,23 @@ class LofSpec extends SparkSpec {
     assert(top._2 > 5.0)
   }
 
+  test("windowed candidate pairs plan as a lag-bucket equi-join") {
+    // the public face localCheckpoints downstream, hiding this stage
+    // from its executed plan — pin the pair-generation stage directly
+    val p = Lof.windowedPairs(seriesDf(Seq.tabulate(200)(_.toDouble)),
+      "sk", "o", "v", w = 10).queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct"),
+      "windowed LOF must never plan a cartesian candidate join")
+    assert(p.contains("__bk"),
+      s"the candidate join must key on the (series, lag-bucket) " +
+        s"pair, not explode per-series:\n$p")
+    // pair volume is O(n·w), not O(n²): 200 points, w=10 → < 2·n·w
+    val n = Lof.windowedPairs(seriesDf(Seq.tabulate(200)(_.toDouble)),
+      "sk", "o", "v", w = 10).count()
+    assert(n <= 2L * 200 * 10, s"pair volume $n exceeds 2nw")
+    assert(n >= 200L * 10, s"pair volume $n suspiciously low")
+  }
+
   test("lofWindowed rejects w < k") {
     intercept[IllegalArgumentException] {
       Lof.lofWindowed(seriesDf(Seq(1.0, 2.0)), "sk", "o", "v",

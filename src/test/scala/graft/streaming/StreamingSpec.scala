@@ -1110,4 +1110,46 @@ class StreamingSpec extends SparkSpec {
       assert(!levels.contains("u4") && batch("u4") == 0)
     } finally q.stop()
   }
+
+  test("statefulSessions assigns batch-identical session ordinals " +
+      "across micro-batch splits") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    def se(u: String, sec: Int) = SessionEvent(u,
+      Timestamp.valueOf(
+        f"2024-01-01 ${sec / 3600}%02d:${(sec / 60) % 60}%02d:${sec % 60}%02d"))
+    // u1: sessions split by a 200s silence (gap 60s); the split lands
+    // MID-SESSION across micro-batches; u2 interleaves
+    val evs = Seq(
+      se("u1", 0), se("u1", 30), se("u1", 55),
+      se("u2", 10),
+      se("u1", 300), se("u1", 330),   // second session
+      se("u2", 400),                  // u2 second session
+      se("u1", 700))                  // third session
+    val batch = graft.events.Sessions.sessionize(
+        evs.map(e => (e.user_id, e.ts)).toDF("user_id", "ts"),
+        "user_id", "ts", gapSeconds = 60L)
+      .collect()
+      .map(r => (r.getAs[String]("user_id"), r.getAs[Timestamp]("ts"))
+        -> r.getAs[Long]("session_seq")).toMap
+    val input = MemoryStream[SessionEvent]
+    val out = statefulSessions(input.toDS(), gapSeconds = 60L)
+    val q = out.writeStream.format("memory").queryName("sessstream")
+      .outputMode("append").start()
+    try {
+      // split mid-first-session AND mid-second-session
+      input.addData(evs.take(2): _*)
+      q.processAllAvailable()
+      input.addData(evs.slice(2, 6): _*)
+      q.processAllAvailable()
+      input.addData(evs.drop(6): _*)
+      q.processAllAvailable()
+      val got = spark.sql("select * from sessstream").collect()
+        .map(r => (r.getAs[String]("user_id"), r.getAs[Timestamp]("ts"))
+          -> r.getAs[Long]("session_seq")).toMap
+      assert(got === batch,
+        "stream session ordinals must equal the batch face for " +
+          "in-order arrival at any micro-batch split")
+    } finally q.stop()
+  }
 }
