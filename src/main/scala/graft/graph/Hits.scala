@@ -63,17 +63,20 @@ object Hits {
       .localCheckpoint()
     // one two-level-fold pass: scores keyed `fromCol` fold into
     // `toCol` groups in from-order (only nonzero-score nodes present)
+    // stats-safe checkpoint per pass: plain localCheckpoint carries
+    // multiplied sizeInBytes forward and compounds across passes
+    // (core/Checkpoints.scala)
     def pass(scores: DataFrame, fromCol: String, toCol: String): DataFrame =
-      e.join(scores, e(fromCol) === scores("__id"))
-        .select(col(toCol), col(fromCol),
-          pmod(col(fromCol), lit(saltBuckets.toLong)).as("__sb"),
-          col("__score").as("__s"))
-        .groupBy(col(toCol), col("__sb"))
-        .agg(orderedSum(col(fromCol), col("__s")).as("__ps"))
-        .groupBy(col(toCol))
-        .agg(orderedSum(col("__sb"), col("__ps")).as("__score"))
-        .withColumnRenamed(toCol, "__id")
-        .localCheckpoint()
+      graft.core.Checkpoints.fresh(
+        e.join(scores, e(fromCol) === scores("__id"))
+          .select(col(toCol), col(fromCol),
+            pmod(col(fromCol), lit(saltBuckets.toLong)).as("__sb"),
+            col("__score").as("__s"))
+          .groupBy(col(toCol), col("__sb"))
+          .agg(orderedSum(col(fromCol), col("__s")).as("__ps"))
+          .groupBy(col(toCol))
+          .agg(orderedSum(col("__sb"), col("__ps")).as("__score"))
+          .withColumnRenamed(toCol, "__id"))
     var auth = nd.select(col("__id"), lit(1.0).as("__score"))
       .localCheckpoint()
     var hub = auth

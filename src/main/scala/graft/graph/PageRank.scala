@@ -93,11 +93,14 @@ object PageRank {
         .agg(orderedSum(col("__src"), col("__c")).as("__ps"))
         .groupBy("__dst")
         .agg(orderedSum(col("__sb"), col("__ps")).as("__cs"))
-      ranks = nd.join(contrib, nd("__id") === contrib("__dst"), "left")
-        .select(col("__id"),
-          (base + lit(damping) * coalesce(col("__cs"), lit(0.0)))
-            .as("__rank"))
-        .localCheckpoint()
+      // stats-safe checkpoint: plain localCheckpoint carries the
+      // round's multiplied sizeInBytes forward and compounds it
+      // across iterations (core/Checkpoints.scala)
+      ranks = graft.core.Checkpoints.fresh(
+        nd.join(contrib, nd("__id") === contrib("__dst"), "left")
+          .select(col("__id"),
+            (base + lit(damping) * coalesce(col("__cs"), lit(0.0)))
+              .as("__rank")))
       t += 1
     }
     ranks.select(col("__id").as(id), col("__rank").as("pagerank"))

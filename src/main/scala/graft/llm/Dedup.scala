@@ -712,13 +712,17 @@ object Dedup {
           coalesce(col("__jc"), col("comp")).as("comp"),
           (col("__chg") || coalesce(col("__jc") < col("comp"), lit(false)))
             .as("__chg"))
-      val updated = hop1
+      // Checkpoints.fresh, NOT plain localCheckpoint: a carried-stats
+      // checkpoint compounds sizeInBytes multiplicatively through the
+      // loop and overflows BigInteger around round ~25 (see
+      // core/Checkpoints.scala — measured, and it killed a 64-round
+      // run before this)
+      val updated = graft.core.Checkpoints.fresh(hop1
         .join(jump2, hop1("comp") === jump2("__kn"), "left")
         .select(col("node"),
           coalesce(col("__kc"), col("comp")).as("comp"),
           (col("__chg") || coalesce(col("__kc") < col("comp"), lit(false)))
-            .as("__chg"))
-        .localCheckpoint(false)
+            .as("__chg")), eager = false)
       converged = updated.filter(col("__chg")).count() == 0
       labels = updated.drop("__chg")
       i += 1

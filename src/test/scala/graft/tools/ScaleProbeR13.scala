@@ -41,6 +41,12 @@ object ScaleProbeR13 {
       time(df) // untimed warmup
       (1 to 3).map(_ => { System.gc(); time(df) }).sorted.apply(1)
     }
+    // warmup + ONE timed run — for the minutes-long dbscan legs where
+    // med3 would burn half an hour on a curve-shape probe
+    def once1(df: => DataFrame): Double = {
+      time(df)
+      System.gc(); time(df)
+    }
     val ev = graft.SparkEntry.readEvents(spark, "/root/testdata/sf0.1")
       .select(col("user_id").cast("long").as("uid"), col("ts"),
         col("value").cast("double").as("value"))
@@ -74,17 +80,21 @@ object ScaleProbeR13 {
     // ---- 2. DBSCAN length axis ----
     if (which("dbscan")) {
       val naiveAll = sys.env.contains("DBSCAN_PROBE_NAIVE_ALL")
+      def leg(body: => Double): String =
+        try r3(body)
+        catch { case e: Throwable =>
+          "\"" + e.getClass.getSimpleName + "\"" }
       val out = for (k <- Seq(256, 64, 26)) yield {
         val df = rekeyed(k).cache()
         df.count()
         val naive = if (k >= 256 || naiveAll)
-          r3(med3(graft.models.Dbscan.dbscan(
+          leg(once1(graft.models.Dbscan.dbscan(
             df, "user_id", "ts", "value", grid = false)))
         else "\"skipped-8g\""
-        val grid = med3(graft.models.Dbscan.dbscan(
-          df, "user_id", "ts", "value", grid = true))
+        val grid = leg(once1(graft.models.Dbscan.dbscan(
+          df, "user_id", "ts", "value", grid = true)))
         df.unpersist()
-        s""""k$k":{"len":${100000 / k},"naive":$naive,"grid":${r3(grid)}}"""
+        s""""k$k":{"len":${100000 / k},"naive":$naive,"grid":$grid}"""
       }
       println(s"""{"op":"dbscan_length_axis(eps=1000,minPts=4)",${out.mkString(",")}}""")
     }
