@@ -612,6 +612,19 @@ object SparkEntry {
           round(llm.TextAnalysis.charEntropy(col("text")), 6)
             .as("entropy_nats"))),
 
+    // LLM-pipeline: Flesch readability band signals — the classic
+    // prose-complexity filter next to q_quality; three regexp_count
+    // integers + two ratio formulas, all map-only in the scan stage.
+    "q_readability" -> ((s, dir) =>
+      docs(s, dir)
+        .filter(col("text").isNotNull && length(col("text")) > 0)
+        .select(col("doc_id"),
+          llm.TextAnalysis.readability(col("text")).as("__r"))
+        .select(col("doc_id"), col("__r.n_sentences"),
+          col("__r.n_words"), col("__r.n_syllables"),
+          round(col("__r.flesch_ease"), 6).as("flesch_ease"),
+          round(col("__r.fk_grade"), 6).as("fk_grade"))),
+
     // Engine-extra: skew-defeating hybrid salted join on a REAL skew
     // shape — a 5-value key (event_type) against a tiny derived dim:
     // every key exceeds the hot threshold, so the hot set is
@@ -4530,6 +4543,30 @@ object SparkEntry {
         |  round(CAST(n_active AS DOUBLE)/CAST(cohort_size AS DOUBLE), 6)
         |    AS retention
         |FROM act JOIN sz USING (cohort_week)""".stripMargin,
+
+    "q_readability" ->
+      """WITH c AS (SELECT doc_id,
+        |    greatest(len(regexp_extract_all(text, '[.!?]+')), 1)
+        |      AS s,
+        |    greatest(len(regexp_extract_all(text, '\S+')), 1) AS w,
+        |    len(regexp_extract_all(text, '[aeiouyAEIOUY]+')) AS y
+        |  FROM documents WHERE text IS NOT NULL AND length(text) > 0)
+        |SELECT doc_id,
+        |  CAST(s AS BIGINT) AS n_sentences,
+        |  CAST(w AS BIGINT) AS n_words,
+        |  CAST(y AS BIGINT) AS n_syllables,
+        |  round(CAST(206.835 AS DOUBLE)
+        |    - CAST(1.015 AS DOUBLE) *
+        |      (CAST(w AS DOUBLE) / CAST(s AS DOUBLE))
+        |    - CAST(84.6 AS DOUBLE) *
+        |      (CAST(y AS DOUBLE) / CAST(w AS DOUBLE)), 6)
+        |    AS flesch_ease,
+        |  round(CAST(0.39 AS DOUBLE) *
+        |      (CAST(w AS DOUBLE) / CAST(s AS DOUBLE))
+        |    + CAST(11.8 AS DOUBLE) *
+        |      (CAST(y AS DOUBLE) / CAST(w AS DOUBLE))
+        |    - CAST(15.59 AS DOUBLE), 6) AS fk_grade
+        |FROM c""".stripMargin,
 
     "q_editdist" ->
       """WITH base AS (SELECT doc_id AS id, text AS t,

@@ -43,34 +43,55 @@ import org.apache.spark.sql.functions._
   */
 object Hll {
 
-  /** Per-group HLL sketch + estimate: (group, m, v_zero, s_sum,
-    * est_distinct, exact_distinct). */
-  def distinctSketch(df: DataFrame, group: String, value: String,
-                     m: Int = 16): DataFrame = {
+  /** The xorshift-multiply finalizer (3 rounds, 31-bit): breaks the
+    * polynomial's linear structure; every step exact in int64. */
+  private def mix(c: Column): Column = {
+    val s1 = c.bitwiseXOR(shiftright(c, 16))
+    val m1 = (s1 * lit(73244475L)).bitwiseAND(lit(0x7FFFFFFFL))
+    val s2 = m1.bitwiseXOR(shiftright(m1, 16))
+    val m2 = (s2 * lit(73244475L)).bitwiseAND(lit(0x7FFFFFFFL))
+    m2.bitwiseXOR(shiftright(m2, 16))
+  }
+
+  private def checkM(m: Int): Unit =
     require(m >= 4 && (m & (m - 1)) == 0, s"m=$m must be a power of 2 >= 4")
+
+  /** Row-level (bucket, ρ) expressions over a value column — shared
+    * by the batch sketch and the windowed streaming face. */
+  private[graft] def bucketAndRho(value: Column, m: Int): (Column, Column) = {
+    checkM(m)
     // remainder space width: 31-bit hash minus log2(m) bucket bits
     val restBits = 31 - Integer.numberOfTrailingZeros(m)
-    // xorshift-multiply finalizer (3 rounds, 31-bit): breaks the
-    // polynomial's linear structure; every step exact in int64
-    def mix(c: Column): Column = {
-      val s1 = c.bitwiseXOR(shiftright(c, 16))
-      val m1 = (s1 * lit(73244475L)).bitwiseAND(lit(0x7FFFFFFFL))
-      val s2 = m1.bitwiseXOR(shiftright(m1, 16))
-      val m2 = (s2 * lit(73244475L)).bitwiseAND(lit(0x7FFFFFFFL))
-      m2.bitwiseXOR(shiftright(m2, 16))
-    }
-    val h = mix(TextAnalysis.rollingHash(col(value).cast("string")))
-    val hashed = df.filter(col(value).isNotNull)
-      .select(col(group), h.as("__h"))
-      .withColumn("__b", pmod(col("__h"), lit(m.toLong)))
-      .withColumn("__r",
-        floor(col("__h").cast("double") / lit(m.toDouble)).cast("long"))
-      .withColumn("__rho",
-        when(col("__r") === 0, lit(restBits + 1))
-          .otherwise(lit(restBits + 1) - length(bin(col("__r")))))
-    val buckets = hashed.groupBy(col(group), col("__b"))
-      .agg(max("__rho").as("__mj"))
-    val sketch = buckets.groupBy(group)
+    val h = mix(TextAnalysis.rollingHash(value.cast("string")))
+    val r = floor(h.cast("double") / lit(m.toDouble)).cast("long")
+    val rho = when(r === 0, lit(restBits + 1))
+      .otherwise(lit(restBits + 1) - length(bin(r)))
+    (pmod(h, lit(m.toLong)), rho)
+  }
+
+  /** The sketch itself: per-group (bucket, max-ρ) rows — the relation
+    * a caller persists or streams (see
+    * `StreamingDetect.windowedHllMaxes`); merge law = per-bucket MAX,
+    * applied automatically by [[estimateFromBuckets]]. */
+  def bucketMaxes(df: DataFrame, group: String, value: String,
+                  m: Int = 16): DataFrame = {
+    val (bucket, rho) = bucketAndRho(col(value), m)
+    df.filter(col(value).isNotNull)
+      .select(col(group).as("group"), bucket.as("bucket"),
+        rho.as("__rho"))
+      .groupBy(col("group"), col("bucket"))
+      .agg(max("__rho").as("mj"))
+  }
+
+  /** Finisher over a (group, bucket, mj) sketch relation. Safe to run
+    * over a UNION of sketch increments — duplicate (group, bucket)
+    * rows merge by MAX first, the sketch's merge law. Output:
+    * (group, m, v_zero, s_sum, est_distinct). */
+  def estimateFromBuckets(buckets: DataFrame, m: Int = 16): DataFrame = {
+    checkM(m)
+    val merged = buckets.groupBy("group", "bucket")
+      .agg(max("mj").as("__mj"))
+    val sketch = merged.groupBy("group")
       .agg(count(lit(1)).as("__nb"),
         // scala shiftleft() wants a literal distance — the SQL form
         // takes a column (same ShiftLeft expression underneath)
@@ -92,13 +113,24 @@ object Hll {
         lit(m.toDouble) *
           log(lit(m.toDouble) / col("v_zero").cast("double")))
       .otherwise(raw)
+    sketch.select(col("group"), lit(m.toLong).as("m"), col("v_zero"),
+      col("s_sum"), est.as("est_distinct"))
+  }
+
+  /** Per-group HLL sketch + estimate with the exact-distinct accuracy
+    * reference riding along: (group, m, v_zero, s_sum, est_distinct,
+    * exact_distinct). */
+  def distinctSketch(df: DataFrame, group: String, value: String,
+                     m: Int = 16): DataFrame = {
+    val est = estimateFromBuckets(bucketMaxes(df, group, value, m), m)
     val exact = df.filter(col(value).isNotNull)
-      .select(col(group), col(value).cast("string").as("__v"))
+      .select(col(group).as("group"),
+        col(value).cast("string").as("__v"))
       .distinct()
-      .groupBy(group).agg(count(lit(1)).as("exact_distinct"))
-    sketch.join(exact, Seq(group), "left")
-      .select(col(group), lit(m.toLong).as("m"), col("v_zero"),
-        col("s_sum"), est.as("est_distinct"),
+      .groupBy("group").agg(count(lit(1)).as("exact_distinct"))
+    est.join(exact, Seq("group"), "left")
+      .select(col("group").as(group), col("m"), col("v_zero"),
+        col("s_sum"), col("est_distinct"),
         coalesce(col("exact_distinct"), lit(0L)).as("exact_distinct"))
   }
 }

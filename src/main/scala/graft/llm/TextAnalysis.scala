@@ -718,4 +718,41 @@ object TextAnalysis {
     // splitting the empty string ([""] vs []) and must never reach it
     when(text.isNotNull && length(text) > 0, log(n) - sumClnC / n)
   }
+
+  /** Flesch readability signals (Flesch 1948 / Kincaid 1975) — the
+    * classic data-quality filter complement to [[qualitySignals]]: a
+    * pretraining corpus wants prose in a sane complexity band, and
+    * these are the standard band edges.
+    *
+    *   ease  = 206.835 − 1.015·(W/S) − 84.6·(Y/W)
+    *   grade = 0.39·(W/S) + 11.8·(Y/W) − 15.59
+    *
+    * with deterministic engine-shared counting conventions (all three
+    * counts are `regexp_count` in the Java∩RE2 subset, so any engine
+    * reproduces them exactly):
+    *  - S sentences = runs of `[.!?]+`, floored at 1 (headline text);
+    *  - W words     = runs of `\S+`, floored at 1;
+    *  - Y syllables = vowel GROUPS `[aeiouyAEIOUY]+` — the standard
+    *    cheap syllable proxy (no silent-e/diphthong adjustments; a
+    *    documented heuristic, not a dictionary).
+    *
+    * PURE column expressions — the whole signal rides the scan stage
+    * (the q_entropy plan shape). Returns a struct column
+    * (n_sentences, n_words, n_syllables, flesch_ease, fk_grade);
+    * NULL on null/empty text. */
+  def readability(text: Column): Column = {
+    val s = greatest(regexp_count(text, lit("[.!?]+")), lit(1))
+      .cast("long")
+    val w = greatest(regexp_count(text, lit("\\S+")), lit(1))
+      .cast("long")
+    val y = regexp_count(text, lit("[aeiouyAEIOUY]+")).cast("long")
+    val wps = w.cast("double") / s.cast("double")
+    val ypw = y.cast("double") / w.cast("double")
+    val ease = lit(206.835) - lit(1.015) * wps - lit(84.6) * ypw
+    val grade = lit(0.39) * wps + lit(11.8) * ypw - lit(15.59)
+    when(text.isNotNull && length(text) > 0,
+      struct(s.as("n_sentences"), w.as("n_words"),
+        y.as("n_syllables"), ease.as("flesch_ease"),
+        grade.as("fk_grade")))
+  }
 }

@@ -55,6 +55,29 @@ object StreamingDetect {
         col("bin"), col("cnt"))
   }
 
+  /** L94 streaming: time-windowed HyperLogLog sketch increments —
+    * (group, window_start, bucket, mj), the same windowed-sketch
+    * shape as [[windowedBinCounts]]/[[windowedCmsCounts]]. State per
+    * open (group, window) is ≤ m bucket maxima; downstream,
+    * `Hll.estimateFromBuckets` accepts the UNION of sink increments
+    * directly (duplicate (group, bucket) rows merge by MAX — the HLL
+    * merge law), so per-window AND whole-stream distinct reads are
+    * both one finisher call. StreamingSpec pins stream-built ≡ batch
+    * estimates per window and over the union. */
+  def windowedHllMaxes(df: DataFrame, group: String, ts: String,
+                       value: String, windowDuration: String,
+                       m: Int = 16,
+                       watermark: String = "1 hour"): DataFrame = {
+    val src = if (df.isStreaming) df.withWatermark(ts, watermark) else df
+    val (bucket, rho) = graft.llm.Hll.bucketAndRho(col(value), m)
+    src.filter(col(value).isNotNull)
+      .groupBy(col(group).as("group"),
+        window(col(ts), windowDuration), bucket.as("bucket"))
+      .agg(max(rho).as("mj"))
+      .select(col("group"), col("window.start").as("window_start"),
+        col("bucket"), col("mj"))
+  }
+
   /** L67 streaming: time-windowed Count-Min sketch increments —
     * (window_start, row, bucket, cnt), the same windowed-sketch shape
     * as [[windowedBinCounts]]. State per open window is d·w counters;

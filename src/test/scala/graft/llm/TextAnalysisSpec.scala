@@ -482,4 +482,33 @@ class TextAnalysisSpec extends SparkSpec {
     // alternating high/low surrogate pattern
     assert(math.abs(ent(emoji * 5).get) < 1e-12)
   }
+
+  test("readability: hand-counted Flesch signals and band ordering") {
+    import spark.implicits._
+    def read(s: String) =
+      Seq(s).toDF("text")
+        .select(TextAnalysis.readability(col("text")).as("r"))
+        .select("r.n_sentences", "r.n_words", "r.n_syllables",
+          "r.flesch_ease", "r.fk_grade")
+        .collect().head
+    // "The cat sat. It purred!" -> 2 sentences, 5 words,
+    // vowel groups: e/a/a/I(+u+e in purred: u, e) -> count by hand:
+    // The(e) cat(a) sat(a) It(I) purred(u, e) = 6
+    val r = read("The cat sat. It purred!")
+    assert(r.getLong(0) === 2L && r.getLong(1) === 5L &&
+      r.getLong(2) === 6L)
+    val wps = 5.0 / 2.0; val ypw = 6.0 / 5.0
+    assert(r.getDouble(3) === 206.835 - 1.015 * wps - 84.6 * ypw)
+    assert(r.getDouble(4) === 0.39 * wps + 11.8 * ypw - 15.59)
+    // no terminal punctuation -> sentence floor of 1
+    assert(read("headline with no period").getLong(0) === 1L)
+    // simple prose scores EASIER (higher ease, lower grade) than
+    // long-winded polysyllabic prose
+    val simple = read("The dog ran. The dog sat. It was fun.")
+    val dense = read("Notwithstanding considerable organizational " +
+      "heterogeneity, multidimensional evaluation methodologies " +
+      "necessitate comprehensive interdisciplinary collaboration.")
+    assert(simple.getDouble(3) > dense.getDouble(3))
+    assert(simple.getDouble(4) < dense.getDouble(4))
+  }
 }

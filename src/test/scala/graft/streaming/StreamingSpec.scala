@@ -632,6 +632,55 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("windowedHllMaxes: stream increments give batch-identical " +
+      "estimates per window and over the union") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val base = Timestamp.valueOf("2024-01-01 00:00:00").getTime
+    // 240 events over 4 hours, two groups, repeating key vocab so
+    // distinct << rows; keys padded (the short-token convention)
+    val rows = (0 until 240).map { i =>
+      (if (i % 2 == 0) "g1" else "g2",
+        new Timestamp(base + i * 60L * 1000),
+        f"key-${i % 37}%05d-pad")
+    }
+    def estimates(buckets: org.apache.spark.sql.DataFrame) =
+      graft.llm.Hll.estimateFromBuckets(buckets, m = 16)
+        .collect()
+        .map(r => r.getAs[String]("group") ->
+          ((r.getAs[Long]("v_zero"), r.getAs[Double]("s_sum"),
+            r.getAs[Double]("est_distinct")))).toMap
+    val batch = estimates(graft.llm.Hll.bucketMaxes(
+      rows.toDF("g", "ts", "k"), "g", "k"))
+    val input = MemoryStream[(String, Timestamp, String)]
+    val maxes = StreamingDetect.windowedHllMaxes(
+      input.toDF().toDF("g", "ts", "k"), "g", "ts", "k", "1 hour")
+    val q = maxes.writeStream.format("memory").queryName("hllsink")
+      .outputMode("complete").start()
+    try {
+      input.addData(rows.take(100): _*)
+      q.processAllAvailable()
+      input.addData(rows.drop(100): _*)
+      q.processAllAvailable()
+      assert(spark.sql(
+        "select count(distinct window_start) from hllsink")
+        .head.getLong(0) > 1, "test must span multiple windows")
+      // whole-stream read: the raw UNION of increments through the
+      // finisher (merge = per-bucket MAX)
+      val union = spark.sql("select group, bucket, mj from hllsink")
+      assert(estimates(union) === batch)
+      // per-window read ≡ batch sketch of that window's rows
+      val w0end = base + 3600L * 1000
+      val w0 = spark.sql(
+        s"select group, bucket, mj from hllsink where window_start = " +
+          s"timestamp'2024-01-01 00:00:00'")
+      val w0batch = estimates(graft.llm.Hll.bucketMaxes(
+        rows.filter(_._2.getTime < w0end).toDF("g", "ts", "k"),
+        "g", "k"))
+      assert(estimates(w0) === w0batch)
+    } finally q.stop()
+  }
+
   test("NB quality scoring runs unchanged on a stream (stateless scan-stage)") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
