@@ -4266,6 +4266,10 @@ object SparkEntry {
         |SELECT CAST(sk AS BIGINT) AS user_id, ia AS ord, x AS value,
         |  round(lof, 6) AS lof FROM lof""".stripMargin,
 
+    // the multi-label suffix IN-list is GENERATED from the same
+    // resource file the engine loads (graft/public_suffixes.txt) —
+    // the "full public list is a data-file swap" claim holds for the
+    // oracle too, not just the Spark side
     "q_url" ->
       """WITH u AS (SELECT doc_id,
         |    'HTTPS://' ||
@@ -4320,9 +4324,8 @@ object SparkEntry {
         |    string_split(host, '.') AS l, host FROM np),
         |domd AS (SELECT doc_id, url_norm,
         |    CASE WHEN len(l) <= 2 THEN host
-        |         WHEN (l[-2] || '.' || l[-1]) IN ('co.uk', 'org.uk',
-        |            'ac.uk', 'com.au', 'net.au', 'co.jp', 'or.jp',
-        |            'com.br', 'co.in') AND len(l) >= 3
+        |         WHEN (l[-2] || '.' || l[-1]) IN (__MULTI_SUFFIXES__)
+        |            AND len(l) >= 3
         |           THEN l[-3] || '.' || l[-2] || '.' || l[-1]
         |         ELSE l[-2] || '.' || l[-1] END AS domain
         |  FROM normed),
@@ -4331,7 +4334,9 @@ object SparkEntry {
         |      ORDER BY doc_id) AS BIGINT) AS domain_rank
         |  FROM domd WHERE domain <> 'example.org')
         |SELECT doc_id, url_norm, domain, domain_rank
-        |FROM capd WHERE domain_rank <= 25""".stripMargin,
+        |FROM capd WHERE domain_rank <= 25""".stripMargin
+        .replace("__MULTI_SUFFIXES__", graft.llm.UrlHygiene.multiSuffixes
+          .map(x => "'" + x + "'").mkString(", ")),
 
     "q_bm25" ->
       """WITH words AS (SELECT doc_id,
@@ -4548,7 +4553,8 @@ object SparkEntry {
       """WITH c AS (SELECT doc_id,
         |    greatest(len(regexp_extract_all(text, '[.!?]+')), 1)
         |      AS s,
-        |    greatest(len(regexp_extract_all(text, '\S+')), 1) AS w,
+        |    greatest(len(regexp_extract_all(text,
+        |      '[^ \t\n\f\r\x0B]+')), 1) AS w,
         |    len(regexp_extract_all(text, '[aeiouyAEIOUY]+')) AS y
         |  FROM documents WHERE text IS NOT NULL AND length(text) > 0)
         |SELECT doc_id,
@@ -4635,7 +4641,9 @@ object SparkEntry {
         |      ln(CAST(16.0 AS DOUBLE) / CAST(v_zero AS DOUBLE))
         |    ELSE raw END, 6) AS est_distinct,
         |  exact_distinct
-        |FROM est JOIN ex ON est.event_type = ex.event_type""".stripMargin,
+        |FROM est JOIN ex
+        |  ON est.event_type IS NOT DISTINCT FROM ex.event_type"""
+        .stripMargin,
 
     "q_assoc" ->
       """WITH b0 AS (SELECT user_id, ts, event_type,

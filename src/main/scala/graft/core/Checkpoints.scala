@@ -22,10 +22,13 @@ import org.apache.spark.sql.DataFrame
   * checkpointed RDD via the public `createDataFrame(RDD[Row],
   * schema)`, which constructs a `LogicalRDD` with NO carried stats —
   * every round restarts from the default size estimate, so nothing
-  * compounds. Costs one Row conversion pass over the (state-sized,
-  * e.g. nodes-sized) relation per round; physical join choices for
-  * the next round fall to AQE, which replans from RUNTIME sizes and
-  * re-derives broadcasts where they are genuinely safe.
+  * compounds. Cost: the InternalRow→Row→InternalRow conversion runs
+  * once per CONSUMER SCAN of the returned frame (the rebuilt frame is
+  * not cached — resolveComponents reads its labels three times per
+  * round), which is acceptable because the loop state is the small
+  * (nodes-sized) relation, never the fact table; physical join
+  * choices for the next round fall to AQE, which replans from RUNTIME
+  * sizes and re-derives broadcasts where they are genuinely safe.
   */
 object Checkpoints {
 

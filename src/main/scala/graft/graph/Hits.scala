@@ -42,10 +42,7 @@ import org.apache.spark.sql.functions._
 object Hits {
 
   private def orderedSum(ord: Column, v: Column) =
-    aggregate(
-      transform(array_sort(collect_list(struct(ord, v.as("__v")))),
-        s => s.getField("__v")),
-      lit(0.0), (a, x) => a + x)
+    graft.core.Folds.orderedSum(ord, v)
 
   /** Run `iters` HITS iterations. Output: (id, authority, hub). */
   def hits(nodes: DataFrame, id: String, edges: DataFrame,

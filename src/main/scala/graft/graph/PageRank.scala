@@ -44,13 +44,10 @@ import org.apache.spark.sql.functions._
   */
 object PageRank {
 
-  /** Source-ordered float fold: Σ over `v` in ascending-`ord` order. */
+  /** Source-ordered float fold (the shared house convention). */
   private def orderedSum(ord: org.apache.spark.sql.Column,
                          v: org.apache.spark.sql.Column) =
-    aggregate(
-      transform(array_sort(collect_list(struct(ord, v.as("__v")))),
-        s => s.getField("__v")),
-      lit(0.0), (a, x) => a + x)
+    graft.core.Folds.orderedSum(ord, v)
 
   /** Run `iters` PageRank steps. `nodes` supplies the vertex set (so
     * isolated nodes keep (1−d)/N mass); `edges` may contain duplicates

@@ -124,11 +124,14 @@ object Hll {
                      m: Int = 16): DataFrame = {
     val est = estimateFromBuckets(bucketMaxes(df, group, value, m), m)
     val exact = df.filter(col(value).isNotNull)
-      .select(col(group).as("group"),
+      .select(col(group).as("__xg"),
         col(value).cast("string").as("__v"))
       .distinct()
-      .groupBy("group").agg(count(lit(1)).as("exact_distinct"))
-    est.join(exact, Seq("group"), "left")
+      .groupBy("__xg").agg(count(lit(1)).as("exact_distinct"))
+    // null-SAFE group equality: a NULL group is its own group and
+    // must not lose its exact reference to a null-blind join (the
+    // TargetEncode convention)
+    est.join(exact, est("group") <=> exact("__xg"), "left")
       .select(col("group").as(group), col("m"), col("v_zero"),
         col("s_sum"), col("est_distinct"),
         coalesce(col("exact_distinct"), lit(0L)).as("exact_distinct"))

@@ -731,7 +731,10 @@ object TextAnalysis {
     * counts are `regexp_count` in the Java∩RE2 subset, so any engine
     * reproduces them exactly):
     *  - S sentences = runs of `[.!?]+`, floored at 1 (headline text);
-    *  - W words     = runs of `\S+`, floored at 1;
+    *  - W words     = runs of non-whitespace, floored at 1 — written
+    *    as the EXPLICIT class `[^ \t\n\f\r\x0B]+` because `\S` is NOT
+    *    engine-portable (Java's `\s` includes vertical tab \x0B,
+    *    RE2/DuckDB's does not — verified divergence);
     *  - Y syllables = vowel GROUPS `[aeiouyAEIOUY]+` — the standard
     *    cheap syllable proxy (no silent-e/diphthong adjustments; a
     *    documented heuristic, not a dictionary).
@@ -743,7 +746,8 @@ object TextAnalysis {
   def readability(text: Column): Column = {
     val s = greatest(regexp_count(text, lit("[.!?]+")), lit(1))
       .cast("long")
-    val w = greatest(regexp_count(text, lit("\\S+")), lit(1))
+    val w = greatest(
+      regexp_count(text, lit("[^ \\t\\n\\f\\r\\x0B]+")), lit(1))
       .cast("long")
     val y = regexp_count(text, lit("[aeiouyAEIOUY]+")).cast("long")
     val wps = w.cast("double") / s.cast("double")

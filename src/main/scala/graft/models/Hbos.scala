@@ -26,11 +26,15 @@ import org.apache.spark.sql.functions._
   *    the natural log.
   *
   * Distribution shape: ONE per-series window builds the Δ feature and
-  * the per-series (lo, hi, n) come from ONE keyed aggregate joined
-  * back broadcast; each feature's (series, bin) count relation is
-  * bounded by series × bins and joins back as a broadcast — fact rows
-  * shuffle exactly once (the series window), everything else rides
-  * small relations.
+  * the per-series (lo, hi, n) come from ONE keyed aggregate; each
+  * feature's (series, bin) count relation is bounded by series × bins.
+  * The stats/count joins are all keyed by the series (± bin) — they
+  * ride the window's partitioning or broadcast when AQE measures them
+  * small. Deliberately NO broadcast() hints: the relations scale with
+  * SERIES CARDINALITY, and a forced broadcast of a series-sized
+  * relation is exactly the 8 GB-limit / driver-OOM trap at the 10⁸-
+  * series scale this detector is pitched at. Fact rows shuffle only
+  * for the series window.
   */
 object Hbos {
 
@@ -58,7 +62,7 @@ object Hbos {
         least(greatest(floor((f - lo) / bw), lit(0.0)),
           lit((bins - 1).toDouble)).cast("long"))
     }
-    val binned = pts.join(broadcast(stats), Seq("__sk"))
+    val binned = pts.join(stats, Seq("__sk"))
       .withColumn("__bx", binOf(col("__x"), col("__xlo"), col("__xhi")))
       .withColumn("__by", binOf(col("__y"), col("__ylo"), col("__yhi")))
       .select("__sk", "__i", "__x", "__bx", "__by", "__n")
@@ -67,8 +71,8 @@ object Hbos {
     val cy = binned.groupBy("__sk", "__by")
       .agg(count(lit(1)).as("__cy"))
     binned
-      .join(broadcast(cx), Seq("__sk", "__bx"))
-      .join(broadcast(cy), Seq("__sk", "__by"))
+      .join(cx, Seq("__sk", "__bx"))
+      .join(cy, Seq("__sk", "__by"))
       .select(col("__sk").as(series), col("__i").as("ord"),
         col("__x").as(value),
         (-log(col("__cx").cast("double") / col("__n").cast("double"))

@@ -43,12 +43,9 @@ import org.apache.spark.sql.functions._
   */
 object Lof {
 
-  /** Neighbor-ordered float fold: Σ over `v` in ascending-`ord` order. */
+  /** Neighbor-ordered float fold (the shared house convention). */
   private def orderedSum(ord: Column, v: Column): Column =
-    aggregate(
-      transform(array_sort(collect_list(struct(ord, v.as("__v")))),
-        s => s.getField("__v")),
-      lit(0.0), (a, x) => a + x)
+    graft.core.Folds.orderedSum(ord, v)
 
   /** (series, ordinal, value, Δvalue) feature frame shared by both
     * faces: __sk, __i, __x, __y. */

@@ -67,6 +67,17 @@ class UrlHygieneSpec extends SparkSpec {
     assert(UrlHygiene.multiSuffixes.contains("co.uk"))
   }
 
+  test("the q_url oracle SQL is GENERATED from the same resource set") {
+    // the DuckDB side must agree with the engine on every suffix —
+    // a hardcoded oracle copy would silently diverge on a data-file
+    // swap (suffixes beyond the pre-r13 hard-coded 9 must be present)
+    val sql = graft.SparkEntry.oracleSql("q_url")
+    assert(!sql.contains("__MULTI_SUFFIXES__"), "placeholder unreplaced")
+    assert(sql.contains("'gov.uk'") && sql.contains("'co.nz'") &&
+      sql.contains("'gob.mx'"))
+    assert(UrlHygiene.multiSuffixes.forall(x => sql.contains(s"'$x'")))
+  }
+
   test("hygiene: blocklist drop + deterministic per-domain cap") {
     val rows = Seq(
       (1L, "https://a.example.com/1"),
