@@ -782,6 +782,20 @@ object SparkEntry {
           col("cohort_size"), col("n_active"),
           round(col("retention"), 6).as("retention"))),
 
+    // Engine-extra: ROLLUP grouping-sets aggregate — the OLAP
+    // subtotal/grand-total read (Spark rollup() ≡ SQL GROUP BY
+    // ROLLUP); grouping_id disambiguates a rolled-up NULL from a
+    // data NULL, same bitmask convention on both engines. One
+    // Expand + one aggregate — map-side combinable like any groupBy.
+    "q_rollup" -> ((s, dir) =>
+      ev(s, dir)
+        .select(col("event_type"),
+          pmod(col("user_id"), lit(10L)).as("user_mod"), col("value"))
+        .rollup("event_type", "user_mod")
+        .agg(grouping_id().cast("long").as("gid"),
+          count(lit(1)).as("n_events"),
+          round(sum("value"), 9).as("sum_value"))),
+
     // L-extra: blocked edit-distance near-dup pairs — the entity-
     // resolution face of the dedup tier (character-level edits where
     // minhash is token-level). Blocking = (length bucket ±1, 16-char
@@ -4548,6 +4562,15 @@ object SparkEntry {
         |  round(CAST(n_active AS DOUBLE)/CAST(cohort_size AS DOUBLE), 6)
         |    AS retention
         |FROM act JOIN sz USING (cohort_week)""".stripMargin,
+
+    "q_rollup" ->
+      """WITH e AS (SELECT event_type, user_id % 10 AS user_mod,
+        |    value FROM events)
+        |SELECT event_type, user_mod,
+        |  CAST(GROUPING(event_type, user_mod) AS BIGINT) AS gid,
+        |  count(*) AS n_events,
+        |  round(sum(value), 9) AS sum_value
+        |FROM e GROUP BY ROLLUP(event_type, user_mod)""".stripMargin,
 
     "q_readability" ->
       """WITH c AS (SELECT doc_id,

@@ -841,6 +841,21 @@ class PlanSpec extends SparkSpec {
     assert(single <= 1, s"found $single SinglePartition exchanges:\n$p")
   }
 
+  test("rollup is ONE Expand + one partial-agged exchange") {
+    import spark.implicits._
+    val df = (0 until 300).map(i =>
+      (s"t${i % 5}", i.toLong % 10, i * 0.5)).toDF("t", "m", "v")
+    val p = plan(df.rollup("t", "m")
+      .agg(grouping_id().as("gid"), sum("v").as("s")))
+    assert(p.contains("Expand"),
+      "grouping sets must plan as Expand (row replication per set), " +
+        "not a union of re-scans")
+    val shuffles = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(shuffles == 1, s"one aggregate exchange expected:\n$p")
+    assert(p.contains("partial_"),
+      "the rollup aggregate must combine map-side like any groupBy")
+  }
+
   test("MMR re-rank: bounded per-query group state, no cartesian") {
     import spark.implicits._
     val rng = new scala.util.Random(5)
