@@ -632,6 +632,11 @@ object SparkEntry {
     // fact side flows through the salted path, spreading each hot key
     // over 8 shuffle partitions. Row-set ≡ the plain join (the
     // SaltedSpec contract), so the oracle is the unsalted SQL join.
+    // dev_sum is an integer-micros pin (house rule): each deviation
+    // is rounded to 1e-6 and summed as a long — exact, associative,
+    // so the result is partition-order-independent on BOTH engines
+    // (the unordered double sum it replaces relied on cancellation of
+    // ±O(250) terms and could flake at a 0.005 rounding boundary).
     "q_salted" -> ((s, dir) => {
       val e = ev(s, dir)
       val dim = e.groupBy("event_type")
@@ -640,7 +645,9 @@ object SparkEntry {
           salts = 8, threshold = 1000)
         .groupBy("event_type")
         .agg(count(lit(1)).as("n_events"),
-          round(sum(col("value") - col("type_avg")), 2).as("dev_sum"))
+          round(sum(round((col("value") - col("type_avg")) * 1e6)
+              .cast("long")).cast("double") / 1e6, 2)
+            .as("dev_sum"))
     }),
 
     // LLM-pipeline: link-graph authority via PageRank (10 power-
@@ -2697,16 +2704,18 @@ object SparkEntry {
         |    list_transform(cnts, cc -> cc * ln(cc))),
         |    (a, b) -> a + b) / n, 6) AS entropy_nats
         |FROM c""".stripMargin,
-    // `+ 0.0` normalizes IEEE signed zero: DuckDB's round preserves
-    // the sign of a tiny negative cancellation residue (-0.0, bits
-    // 0x8000...), while Spark's round goes through BigDecimal which
-    // has no negative zero (+0.0). Numerically equal, hash-different.
+    // Integer-micros pin mirrors the engine: the per-row deviation is
+    // rounded to 1e-6 and summed as BIGINT (exact, order-independent);
+    // DuckDB's sum(BIGINT) widens to HUGEINT, so CAST back to DOUBLE
+    // before the final 2dp round. `+ 0.0` normalizes IEEE signed zero
+    // (DuckDB round can return -0.0; Spark's BigDecimal round cannot).
     "q_salted" ->
       """WITH d AS (SELECT event_type,
         |    round(avg(value), 6) AS type_avg
         |  FROM events GROUP BY 1)
         |SELECT e.event_type, count(*) AS n_events,
-        |  round(sum(e.value - d.type_avg), 2) + 0.0 AS dev_sum
+        |  round(CAST(sum(CAST(round((e.value - d.type_avg) * 1e6)
+        |      AS BIGINT)) AS DOUBLE) / 1e6, 2) + 0.0 AS dev_sum
         |FROM events e JOIN d USING (event_type)
         |GROUP BY e.event_type""".stripMargin,
     "q_pagerank" -> pageRankOracleSql,

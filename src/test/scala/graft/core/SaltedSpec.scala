@@ -63,6 +63,33 @@ class SaltedSpec extends SparkSpec {
     assert(a === b)
   }
 
+  test("integer-micros dev_sum is partition-order-independent") {
+    // the q_salted aggregate shape: sum of ±deviations relying on
+    // cancellation. Pinned at integer micros the sum is exact and
+    // associative, so ANY repartitioning must yield bit-identical
+    // doubles (the unpinned double sum this replaces could differ in
+    // the last ulp across partition orders).
+    import org.apache.spark.sql.Row
+    val vals = (1 to 4000).map(i =>
+      ("hot", (math.sin(i.toDouble) * 250.0)))
+    val base = vals.toDF("k", "v")
+    def devSum(df: DataFrame): Double = {
+      val dim = df.groupBy("k").agg(round(avg("v"), 6).as("k_avg"))
+      df.join(dim, Seq("k"))
+        .groupBy("k")
+        .agg(round(sum(round((col("v") - col("k_avg")) * 1e6)
+            .cast("long")).cast("double") / 1e6, 2).as("dev_sum"))
+        .collect().head.getDouble(1)
+    }
+    val a = devSum(base.repartition(1))
+    val b = devSum(base.repartition(17, col("v")))
+    val c = devSum(base.orderBy(col("v").desc).coalesce(3))
+    assert(java.lang.Double.doubleToRawLongBits(a) ===
+      java.lang.Double.doubleToRawLongBits(b))
+    assert(java.lang.Double.doubleToRawLongBits(a) ===
+      java.lang.Double.doubleToRawLongBits(c))
+  }
+
   test("multi-column keys work") {
     val l = Seq((1, "a", 10.0), (1, "a", 20.0), (2, "b", 30.0))
       .toDF("k1", "k2", "lv")
