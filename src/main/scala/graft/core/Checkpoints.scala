@@ -22,20 +22,32 @@ import org.apache.spark.sql.DataFrame
   * checkpointed RDD via the public `createDataFrame(RDD[Row],
   * schema)`, which constructs a `LogicalRDD` with NO carried stats —
   * every round restarts from the default size estimate, so nothing
-  * compounds. Cost: the InternalRow→Row→InternalRow conversion runs
-  * once per CONSUMER SCAN of the returned frame (the rebuilt frame is
-  * not cached — resolveComponents reads its labels three times per
-  * round), which is acceptable because the loop state is the small
-  * (nodes-sized) relation, never the fact table; physical join
-  * choices for the next round fall to AQE, which replans from RUNTIME
-  * sizes and re-derives broadcasts where they are genuinely safe.
+  * compounds. The rebuilt frame is PERSISTED (MEMORY_AND_DISK): the
+  * InternalRow→Row→InternalRow conversion runs once per round, not
+  * once per consumer scan (resolveComponents reads its labels three
+  * times per round, PageRank/HITS twice per iteration). Loop state is
+  * the small (nodes-sized) relation, never the fact table, so the
+  * cache is bounded; callers MUST unpersist the previous round's
+  * frame once the new round is materialized (the eager checkpoint, or
+  * the convergence count for a lazy one) — otherwise iters× node-set
+  * copies pile up in the storage pool. Physical join choices for the
+  * next round fall to AQE, which replans from RUNTIME sizes and
+  * re-derives broadcasts where they are genuinely safe.
   */
 object Checkpoints {
 
-  /** localCheckpoint with the carried statistics dropped — use for
-    * any round state that re-enters the next iteration's plan. */
+  /** localCheckpoint with the carried statistics dropped and the
+    * rebuilt frame persisted — use for any round state that re-enters
+    * the next iteration's plan. Pair with [[release]] on the previous
+    * round's state after the new round is materialized. */
   def fresh(df: DataFrame, eager: Boolean = true): DataFrame = {
     val cp = df.localCheckpoint(eager)
     cp.sparkSession.createDataFrame(cp.rdd, cp.schema)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
   }
+
+  /** Unpersist a superseded round's state (non-blocking). A no-op on
+    * frames that were never persisted (e.g. the loop's initial plain
+    * localCheckpoint), so loops can call it unconditionally. */
+  def release(df: DataFrame): Unit = { df.unpersist(false); () }
 }

@@ -79,8 +79,14 @@ object Hits {
     var hub = auth
     var t = 0
     while (t < iters) {
+      val (prevAuth, prevHub) = (auth, hub)
       auth = pass(hub, "__src", "__dst")   // auth(v) = Σ hub(u), u→v
       hub = pass(auth, "__dst", "__src")   // hub(u) = Σ auth(v), u→v
+      // both passes are eagerly materialized above; release the
+      // superseded round (no-op at t=0, where both are the initial
+      // unpersisted localCheckpoint)
+      graft.core.Checkpoints.release(prevAuth)
+      graft.core.Checkpoints.release(prevHub)
       t += 1
     }
     // end normalization over the full node set, zero-coalesced

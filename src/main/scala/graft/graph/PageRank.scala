@@ -92,12 +92,16 @@ object PageRank {
         .agg(orderedSum(col("__sb"), col("__ps")).as("__cs"))
       // stats-safe checkpoint: plain localCheckpoint carries the
       // round's multiplied sizeInBytes forward and compounds it
-      // across iterations (core/Checkpoints.scala)
+      // across iterations (core/Checkpoints.scala). The eager
+      // checkpoint materializes the new round (scanning the previous
+      // ranks' cache), after which the superseded round is released.
+      val prev = ranks
       ranks = graft.core.Checkpoints.fresh(
         nd.join(contrib, nd("__id") === contrib("__dst"), "left")
           .select(col("__id"),
             (base + lit(damping) * coalesce(col("__cs"), lit(0.0)))
               .as("__rank")))
+      graft.core.Checkpoints.release(prev)
       t += 1
     }
     ranks.select(col("__id").as(id), col("__rank").as("pagerank"))

@@ -680,6 +680,10 @@ object Dedup {
       .localCheckpoint(true)
     var labels = docs.select(col(id).as("node"), col(id).as("comp"))
       .localCheckpoint(true)
+    // the PERSISTED frame backing `labels` (labels itself is a
+    // projection of it from round 1 on; unpersist matches exact
+    // plans, so the release must target the persisted frame)
+    var labelsCached = labels
     var converged = false
     var i = 0
     while (!converged && i < maxIters) {
@@ -724,6 +728,11 @@ object Dedup {
           (col("__chg") || coalesce(col("__kc") < col("comp"), lit(false)))
             .as("__chg")), eager = false)
       converged = updated.filter(col("__chg")).count() == 0
+      // the count above materialized `updated` (checkpoint + cache);
+      // the superseded round's persisted labels can now be released
+      // (no-op on round 0's unpersisted initial localCheckpoint)
+      graft.core.Checkpoints.release(labelsCached)
+      labelsCached = updated
       labels = updated.drop("__chg")
       i += 1
     }

@@ -69,7 +69,6 @@ class SaltedSpec extends SparkSpec {
     // associative, so ANY repartitioning must yield bit-identical
     // doubles (the unpinned double sum this replaces could differ in
     // the last ulp across partition orders).
-    import org.apache.spark.sql.Row
     val vals = (1 to 4000).map(i =>
       ("hot", (math.sin(i.toDouble) * 250.0)))
     val base = vals.toDF("k", "v")
