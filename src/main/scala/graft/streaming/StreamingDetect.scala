@@ -614,7 +614,8 @@ object StreamingDetect {
   case class AsofStreamOut(key: String, ts: Timestamp,
                            asof_ts: Option[Timestamp],
                            asof_value: Option[Double])
-  case class AsofBufState(ts: Seq[Long], v: Seq[Double])
+  case class AsofBufState(ts: Seq[Long], v: Seq[Double],
+                          pend: Seq[Long])
 
   /** L84 streaming face: stream-stream as-of enrichment. Input is the
     * UNION of both sides tagged `side` (0 = right/reference,
@@ -623,25 +624,41 @@ object StreamingDetect {
     * row arriving a micro-batch (or several) after newer reference
     * rows — still matches the right row that was current AT ITS EVENT
     * TIME: the LEAKAGE guarantee (never matching a right row from the
-    * probe's event-time future) is unconditional, and batch parity
-    * survives late-left arrival up to the history bound.
+    * probe's event-time future) is unconditional.
     *
-    * Asymmetry (by Append-mode construction): a LATE-RIGHT row — a
-    * reference row arriving AFTER a probe it should have matched was
-    * already processed — lands in the history for FUTURE probes only;
-    * the already-emitted probe row is not revised, so stream ≡ batch
-    * parity does NOT cover late-right-after-probe arrival. Callers
-    * needing that must delay the left side past the right side's
-    * lateness bound upstream (watermark-buffered union) or accept the
-    * miss. Within a batch rows process in (ts, side) order — the batch
+    * LATE-RIGHT rows — a reference row arriving AFTER a probe it
+    * should have matched was processed — are covered by
+    * `bufferLate = true`, the stream-stream interval-join discipline:
+    * probes are HELD in state until the event-time WATERMARK passes
+    * their event time (requires `withWatermark` on the input union;
+    * the watermark delay is the right side's lateness bound), so any
+    * right row the watermark still admits lands in the history before
+    * the probe resolves. Flushes happen on data batches and, for keys
+    * receiving no new rows, via an event-time timeout set to the
+    * earliest pending probe. Batch execution has no watermark, so the
+    * same code degrades to end-of-invocation resolution — exact batch
+    * as-of semantics. With `bufferLate = false` (default) probes emit
+    * in the batch that carries them (lowest latency) and late-right
+    * parity is NOT covered — the pre-round-14 contract.
+    *
+    * Within a batch rows process in (ts, side) order — the batch
     * face's inclusive-equality convention. StreamingSpec pins
     * stream ≡ `AsofJoin.asofJoin` across micro-batch splits for the
-    * late-LEFT case. */
+    * late-LEFT case, and for the late-RIGHT case under
+    * `bufferLate = true` with the matching right row arriving a batch
+    * after its probe. `stateTtl` (processing-time key eviction for
+    * churning key spaces) is mutually exclusive with `bufferLate` —
+    * one timeout clock per operator; a TTL eviction drops any pending
+    * probes with the history. */
   def statefulAsof(events: Dataset[AsofEvent],
                    maxKeep: Int = 1024,
-                   stateTtl: Option[String] = None
+                   stateTtl: Option[String] = None,
+                   bufferLate: Boolean = false
                   ): Dataset[AsofStreamOut] = {
     require(maxKeep >= 1, s"maxKeep=$maxKeep must be >= 1")
+    require(!(bufferLate && stateTtl.isDefined),
+      "bufferLate uses the event-time timeout clock; stateTtl's " +
+        "processing-time timeout cannot be combined with it")
     import events.sparkSession.implicits._
     // stateTtl bounds state in KEY CARDINALITY the way maxKeep bounds
     // it per key: keys idle longer than the TTL drop their history
@@ -649,18 +666,20 @@ object StreamingDetect {
     // keyed-state op must opt in explicitly or grow forever on
     // churning key spaces)
     val timeoutConf =
-      if (stateTtl.isDefined) GroupStateTimeout.ProcessingTimeTimeout()
+      if (bufferLate) GroupStateTimeout.EventTimeTimeout()
+      else if (stateTtl.isDefined) GroupStateTimeout.ProcessingTimeTimeout()
       else GroupStateTimeout.NoTimeout()
     events.groupByKey(_.key)
       .flatMapGroupsWithState[AsofBufState, AsofStreamOut](
         OutputMode.Append(), timeoutConf) {
         (k: String, it: Iterator[AsofEvent],
          state: GroupState[AsofBufState]) =>
-          if (state.hasTimedOut) {
+          if (state.hasTimedOut && !bufferLate) {
             state.remove()
             Iterator.empty
           } else {
-          var buf = state.getOption.getOrElse(AsofBufState(Nil, Nil))
+          var buf = state.getOption
+            .getOrElse(AsofBufState(Nil, Nil, Nil))
           val out = scala.collection.mutable.ArrayBuffer
             .empty[AsofStreamOut]
           def fromMicros(m: Long): Timestamp = {
@@ -678,7 +697,7 @@ object StreamingDetect {
             val nt = (buf.ts.take(i) :+ tsM) ++ buf.ts.drop(i)
             val nv = (buf.v.take(i) :+ v) ++ buf.v.drop(i)
             val from = math.max(0, nt.length - maxKeep)
-            buf = AsofBufState(nt.drop(from), nv.drop(from))
+            buf = buf.copy(ts = nt.drop(from), v = nv.drop(from))
           }
           def lookup(tsM: Long): (Option[Timestamp], Option[Double]) = {
             val i = buf.ts.lastIndexWhere(_ <= tsM)
@@ -690,13 +709,35 @@ object StreamingDetect {
             .foreach { e =>
               val tsM = micros(e.ts)
               if (e.side == 0) insertRight(tsM, e.value)
-              else {
-                val (mt, mv) = lookup(tsM)
-                out += AsofStreamOut(k, e.ts, mt, mv)
-              }
+              else buf = buf.copy(pend = buf.pend :+ tsM)
             }
+          // watermark micros: present only in a watermarked streaming
+          // query; batch execution and unwatermarked streams resolve
+          // every pending probe at end of invocation (batch sees the
+          // whole input here, so that IS exact as-of semantics)
+          val wmM =
+            if (!bufferLate) Long.MaxValue
+            else
+              try {
+                val wm = state.getCurrentWatermarkMs()
+                if (wm <= 0L) Long.MinValue else wm * 1000L
+              } catch {
+                case _: UnsupportedOperationException => Long.MaxValue
+              }
+          val (flush, keep) = buf.pend.partition(_ <= wmM)
+          flush.sorted.foreach { tsM =>
+            val (mt, mv) = lookup(tsM)
+            out += AsofStreamOut(k, fromMicros(tsM), mt, mv)
+          }
+          buf = buf.copy(pend = keep)
           state.update(buf)
           stateTtl.foreach(t => state.setTimeoutDuration(t))
+          // wake this key when the watermark passes its earliest
+          // pending probe, so held probes flush even if the key never
+          // receives another row (ceil to ms: the timeout must be
+          // strictly later than the current watermark)
+          if (bufferLate && wmM != Long.MaxValue && keep.nonEmpty)
+            state.setTimeoutTimestamp((keep.min + 999L) / 1000L)
           out.iterator
           }
       }

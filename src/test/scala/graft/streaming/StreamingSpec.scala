@@ -595,6 +595,70 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("statefulAsof bufferLate: late-RIGHT rows match already-seen " +
+      "probes (stream equals batch across the adversarial split)") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    def t(sec: Int) = Timestamp.valueOf(
+      f"2024-01-01 00:${sec / 60}%02d:${sec % 60}%02d")
+    // the adversarial order: BOTH keys' matching right rows arrive a
+    // batch AFTER the probe they must match. With a 20s watermark
+    // delay the probes are held in state until the watermark passes
+    // their event time, so the late rights land in the history first.
+    val batch1 = Seq(
+      AsofEvent("a", t(5), 0, 1.0),
+      AsofEvent("a", t(10), 1, 0.0),  // -> r@5
+      AsofEvent("b", t(9), 1, 0.0),   // -> r@8 (arrives NEXT batch)
+      AsofEvent("a", t(25), 1, 0.0))  // -> r@20 (arrives NEXT batch)
+    val batch2 = Seq(
+      AsofEvent("a", t(20), 0, 2.0),  // late right for a@25
+      AsofEvent("b", t(8), 0, 9.0))   // late right for b@9
+    val batch3 = Seq(                 // advances the watermark past
+      AsofEvent("a", t(60), 0, 3.0),  // every pending probe, so the
+      AsofEvent("b", t(60), 0, 7.0))  // event-time timeouts flush them
+    val events = batch1 ++ batch2 ++ batch3
+    val l = events.filter(_.side == 1)
+      .map(e => (e.key, e.ts)).toDF("k", "lts")
+    val r = events.filter(_.side == 0)
+      .map(e => (e.key, e.ts, e.value)).toDF("k", "rts", "v")
+    val batch = graft.core.AsofJoin.asofJoin(l, r, Seq("k"), "lts",
+        "rts", Seq("v"))
+      .collect()
+      .map(row => (row.getAs[String]("k"),
+        row.getAs[Timestamp]("lts").getTime) ->
+        ((Option(row.getAs[Timestamp]("asof_ts")).map(_.getTime),
+          Option(row.getAs[java.lang.Double]("asof_v"))
+            .map(_.toDouble))))
+      .toMap
+    val input = MemoryStream[AsofEvent]
+    val out = statefulAsof(
+      input.toDS().withWatermark("ts", "20 seconds"),
+      maxKeep = 16, bufferLate = true)
+    val q = out.writeStream.format("memory").queryName("asoflate")
+      .outputMode("append").start()
+    try {
+      input.addData(batch1)
+      q.processAllAvailable()
+      input.addData(batch2)
+      q.processAllAvailable()
+      input.addData(batch3)
+      q.processAllAvailable()
+      val streamed = spark.table("asoflate").as[AsofStreamOut]
+        .collect()
+        .map(o => (o.key, o.ts.getTime) ->
+          ((o.asof_ts.map(_.getTime), o.asof_value)))
+        .toMap
+      assert(streamed === batch)
+      assert(streamed.size === 3)
+      // the late-right matches specifically: the probes emitted the
+      // right rows that arrived a batch after them
+      assert(streamed(("a", t(25).getTime)) ===
+        ((Some(t(20).getTime), Some(2.0))))
+      assert(streamed(("b", t(9).getTime)) ===
+        ((Some(t(8).getTime), Some(9.0))))
+    } finally q.stop()
+  }
+
   test("windowed CMS increments union-merge to the batch estimates") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
