@@ -2351,13 +2351,13 @@ object SparkEntry {
     // skew-safe shape: salt-bucket (src % 64) partial sums in src
     // order, then the ordered merge of bucket subtotals
     val steps = (1 to 10).map { t =>
-      s"""p$t AS (SELECT e.dst, e.src % 64 AS sb,
+      s"""p$t AS (SELECT e.dst, ((e.src % 64) + 64) % 64 AS sb,
          |    list_reduce(list_prepend(0.0, list_transform(
          |      list(r.rank / deg.deg ORDER BY e.src), x -> x)),
          |      (a, b) -> a + b) AS ps
          |  FROM edges e JOIN r${t - 1} r ON e.src = r.id
          |    JOIN deg ON e.src = deg.src
-         |  GROUP BY e.dst, e.src % 64),
+         |  GROUP BY e.dst, ((e.src % 64) + 64) % 64),
          |c$t AS (SELECT dst AS id,
          |    list_reduce(list_prepend(0.0, list_transform(
          |      list(ps ORDER BY sb), x -> x)),
@@ -2407,12 +2407,13 @@ object SparkEntry {
     // one unnormalized two-level-fold pass: scores keyed `from` fold
     // into `to` groups in from-order (absent node = score 0, exact)
     def pass(out: String, in: String, from: String, to: String) =
-      s"""p$out AS (SELECT e.$to AS id, e.$from % 64 AS sb,
+      s"""p$out AS (SELECT e.$to AS id,
+         |    ((e.$from % 64) + 64) % 64 AS sb,
          |    list_reduce(list_prepend(0.0, list_transform(
          |      list(s.score ORDER BY e.$from), x -> x)),
          |      (a, b) -> a + b) AS ps
          |  FROM edges e JOIN $in s ON e.$from = s.id
-         |  GROUP BY e.$to, e.$from % 64),
+         |  GROUP BY e.$to, ((e.$from % 64) + 64) % 64),
          |$out AS MATERIALIZED (SELECT id,
          |    list_reduce(list_prepend(0.0, list_transform(
          |      list(ps ORDER BY sb), x -> x)),
@@ -4154,7 +4155,7 @@ object SparkEntry {
     "q_lof" ->
       """WITH base AS (SELECT CAST(user_id AS VARCHAR) AS sk, ts,
         |    CAST(value AS DOUBLE) AS v FROM events
-        |  WHERE value IS NOT NULL),
+        |  WHERE value IS NOT NULL AND user_id IS NOT NULL),
         |pts AS (SELECT sk,
         |    CAST(row_number() OVER (PARTITION BY sk ORDER BY ts)
         |      AS BIGINT) AS i,
@@ -4253,7 +4254,7 @@ object SparkEntry {
     "q_lof_w" ->
       """WITH base AS (SELECT CAST(user_id AS VARCHAR) AS sk, ts,
         |    CAST(value AS DOUBLE) AS v FROM events
-        |  WHERE value IS NOT NULL),
+        |  WHERE value IS NOT NULL AND user_id IS NOT NULL),
         |pts AS (SELECT sk,
         |    CAST(row_number() OVER (PARTITION BY sk ORDER BY ts)
         |      AS BIGINT) AS i,

@@ -17,8 +17,11 @@ import org.apache.spark.sql.functions._
   * is exactly proportional (HitsSpec pins it against a per-pass-
   * normalized recompute) — and skipping it saves an action + global
   * aggregate per pass. Unnormalized scores grow like
-  * (max degree)^(2·iters), overflow-safe in doubles for any physical
-  * graph (d^10 > 1e308 needs d > 1e30). Max (not an L2 norm) because
+  * (max degree)^(2·iters) — fine at the default iters=5 for any
+  * physical graph (d^10 > 1e308 needs d > 1e30), but iters is
+  * caller-controlled, so [[hits]] measures the max degree and
+  * REQUIRES 2·iters·ln(maxDeg) < 600, failing loudly instead of
+  * silently normalizing Inf/Inf to NaN. Max (not an L2 norm) because
   * max is an order-independent exact aggregate — a float-sum norm
   * would need a GLOBAL ordered fold, a single-partition collect of
   * the whole node set. Scores land in [0, 1] with the top
@@ -58,6 +61,24 @@ object Hits {
         col("__src").isNotNull && col("__dst").isNotNull)
       .distinct()
       .localCheckpoint()
+    // overflow guard for the no-per-pass-normalization design:
+    // unnormalized scores grow at most like (max degree)^(2·iters)
+    // (each pass multiplies the max score by at most the max in/out
+    // degree), so require 2·iters·ln(maxDeg) under ln(DoubleMax) with
+    // margin — beyond it scores reach Infinity and the end
+    // normalization silently yields NaN (Inf/Inf). maxDeg costs one
+    // bounded aggregate on the already-checkpointed edge set. Callers
+    // hitting this need per-pass rescaling semantics, which would
+    // change the float contract — fail loudly instead.
+    val maxDeg = math.max(
+      e.groupBy("__src").count()
+        .agg(coalesce(max("count"), lit(0L))).head().getLong(0),
+      e.groupBy("__dst").count()
+        .agg(coalesce(max("count"), lit(0L))).head().getLong(0))
+    require(2.0 * iters * math.log(math.max(maxDeg, 2L).toDouble) < 600.0,
+      s"iters=$iters with max degree $maxDeg can overflow the " +
+        "unnormalized double scores (bound: 2*iters*ln(maxDeg) < 600); " +
+        "reduce iters")
     // one two-level-fold pass: scores keyed `fromCol` fold into
     // `toCol` groups in from-order (only nonzero-score nodes present)
     // stats-safe checkpoint per pass: plain localCheckpoint carries

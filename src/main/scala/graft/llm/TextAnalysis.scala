@@ -591,7 +591,17 @@ object TextAnalysis {
 
   /** Polynomial rolling-hash fingerprint of the whole document (mod a
     * Mersenne-ish prime, codegen'd via the `aggregate` higher-order
-    * function — no UDF). */
+    * function — no UDF).
+    *
+    * Tokenization is per CODE POINT, including non-BMP characters:
+    * Spark's `split(text, "")` operates on UTF8String (one element
+    * per code point — it does NOT split surrogate pairs the way
+    * `java.lang.String.split` would), and `ascii` returns the full
+    * code point of a multi-byte character. DuckDB's
+    * `string_split(s, '')` + `ascii` agree exactly, so every oracle
+    * built on this hash (q_hll, q_cms, q_kmv, q_nbq, q_hashtf,
+    * q_fingerprint, q_dsir) is engine-identical on arbitrary Unicode,
+    * not just ASCII — TextAnalysisSpec pins the surrogate-pair case. */
   def rollingHash(text: Column): Column =
     aggregate(
       transform(split(text, ""), c => ascii(c).cast("long")),
@@ -705,9 +715,10 @@ object TextAnalysis {
   def charEntropy(text: Column): Column = {
     // per-CODE-POINT characters: `(?s).` matches one code point in
     // java.util.regex (a surrogate pair is ONE match), matching the
-    // oracle's per-codepoint string_split — `split(text, "")` would
-    // count a non-BMP char (emoji, CJK extensions) as two surrogate
-    // halves and diverge
+    // oracle's per-codepoint string_split. (Spark's UTF8String-based
+    // `split(text, "")` is ALSO per-code-point — verified, see
+    // rollingHash — so either form works; the regexp spells the
+    // contract out.)
     val chars = regexp_extract_all(text, lit("(?s)."), lit(0))
     val n = size(chars).cast("double")
     val counts = transform(array_sort(array_distinct(chars)),

@@ -64,22 +64,27 @@ object Dbscan {
     val epsTest = dx * dx + dy * dy <= lit(eps * eps)
     val candidates =
       if (grid) {
-        // integer floor-division cell ids (Spark's long `/` on two
-        // longs is float division — use explicit floor semantics that
-        // stay exact for negative coordinates)
-        def cell(c: org.apache.spark.sql.Column) =
-          floor(c.cast("double") / lit(eps.toDouble)).cast("long")
+        // EXACT integer floor-division cell ids: `c - pmod(c, eps)`
+        // is the largest multiple of eps <= c (exact long arithmetic,
+        // correct for negative coordinates), and `div` on an exactly-
+        // divisible numerator is the exact floor quotient. The double
+        // route (floor(c.cast(double)/eps)) loses ulps for |c| > 2^53
+        // and can land a boundary point in the WRONG cell, silently
+        // dropping a true ε-neighbor — violating the documented
+        // grid ≡ naive equivalence.
+        def cell(name: String) =
+          expr(s"(($name - pmod($name, ${eps}L)) div ${eps}L)")
         val a = pts.select(col("__sk"), col("__nid").as("__na"),
           col("__c").as("__ca"), col("__d").as("__da"),
-          cell(col("__c")).as("__cx"), cell(col("__d")).as("__cy"))
+          cell("__c").as("__cx"), cell("__d").as("__cy"))
         val off = array((-1 to 1).flatMap(i => (-1 to 1).map(j =>
           struct(lit(i.toLong).as("__ox"), lit(j.toLong).as("__oy")))): _*)
         val b = pts.select(col("__sk"), col("__nid").as("__nb"),
           col("__c").as("__cb"), col("__d").as("__db"),
           explode(off).as("__off"))
           .select(col("__sk"), col("__nb"), col("__cb"), col("__db"),
-            (cell(col("__cb")) + col("__off.__ox")).as("__cx"),
-            (cell(col("__db")) + col("__off.__oy")).as("__cy"))
+            (cell("__cb") + col("__off.__ox")).as("__cx"),
+            (cell("__db") + col("__off.__oy")).as("__cy"))
         a.join(b, Seq("__sk", "__cx", "__cy"))
       } else {
         val a = pts.select(col("__sk"), col("__nid").as("__na"),

@@ -14,10 +14,14 @@ class HitsSpec extends SparkSpec {
       .map(r => r.getLong(0) -> ((r.getDouble(1), r.getDouble(2))))
       .toMap
 
-  /** Two-level fold with the engine's conventions: neighbor % 64
-    * bucket partials in neighbor order, subtotals in bucket order. */
+  /** Two-level fold with the engine's conventions: neighbor
+    * pmod(·, 64) bucket partials in neighbor order, subtotals in
+    * bucket order. floorMod, NOT %: the engine salt-buckets with
+    * Spark's pmod, which is non-negative for negative ids, while
+    * Scala/DuckDB % returns negative remainders — the recompute must
+    * mirror the engine for ALL long ids (negative-id test below). */
   private def fold(from: Seq[(Long, Double)]): Double = {
-    val partials = from.groupBy(_._1 % 64).toSeq
+    val partials = from.groupBy(x => java.lang.Math.floorMod(x._1, 64L)).toSeq
       .map { case (sb, xs) =>
         sb -> xs.sortBy(_._1).foldLeft(0.0)((a, x) => a + x._2)
       }.sortBy(_._1)
@@ -138,6 +142,22 @@ class HitsSpec extends SparkSpec {
       .map(r => r.getLong(0) -> ((r.getDouble(1), r.getDouble(2))))
       .toMap
     assert(a === c)
+  }
+
+  test("negative node ids bucket like the engine (pmod contract)") {
+    // ids straddling zero: pmod(-5, 64) = 59 while -5 % 64 = -5, so a
+    // %-based recompute would group (and hence order-fold) the
+    // contributions differently — this pins the engine against the
+    // floorMod recompute across the sign boundary
+    val nodes = (-15L to 15L).toSeq
+    val edges = nodes.flatMap(i => Seq(
+      (i, if (i == 15L) -15L else i + 1),
+      (i, -i)))
+    val got = run(nodes, edges, 4)
+    val exp = brute(nodes, edges, 4)
+    nodes.foreach { v =>
+      assert(got(v) === exp(v), s"node $v: ${got(v)} vs ${exp(v)}")
+    }
   }
 
   test("empty-edge graph degrades to all-zero scores") {

@@ -31,9 +31,10 @@ class PageRankSpec extends SparkSpec {
     r
   }
 
-  /** The skew-safe TWO-LEVEL fold (src % 64 bucket partials in src
-    * order, then subtotals in bucket order) — what the engine computes
-    * when buckets hold more than one contribution each. */
+  /** The skew-safe TWO-LEVEL fold (pmod(src, 64) bucket partials in
+    * src order, then subtotals in bucket order) — what the engine
+    * computes when buckets hold more than one contribution each.
+    * floorMod mirrors Spark's pmod for negative ids (% would not). */
   private def bruteTwoLevel(nodes: Seq[Long], edges: Seq[(Long, Long)],
                             iters: Int,
                             d: Double = 0.85): Map[Long, Double] = {
@@ -43,7 +44,8 @@ class PageRankSpec extends SparkSpec {
     var r = nodes.map(_ -> 1.0 / n).toMap
     (1 to iters).foreach { _ =>
       val contrib = e.groupBy(_._2).map { case (dstN, es) =>
-        val partials = es.map(_._1).groupBy(_ % 64).toSeq
+        val partials = es.map(_._1)
+          .groupBy(x => java.lang.Math.floorMod(x, 64L)).toSeq
           .map { case (sb, srcs) =>
             sb -> srcs.sorted.foldLeft(0.0)((a, s) => a + r(s) / deg(s))
           }.sortBy(_._1)
@@ -69,6 +71,20 @@ class PageRankSpec extends SparkSpec {
     }
     // and the hub genuinely dominates
     assert(got(0L) > got(1L) * 50)
+  }
+
+  test("negative node ids bucket like the engine (pmod contract)") {
+    // pmod(-5, 64) = 59 vs -5 % 64 = -5: a %-based recompute would
+    // bucket (and order-fold) differently — pin across the sign
+    // boundary with buckets holding several contributions each
+    val nodes = (-80L to 80L).toSeq
+    val edges = nodes.flatMap(i =>
+      Seq((i, -i), (i, if (i == 80L) -80L else i + 1), (i, 0L)))
+    val got = run(nodes, edges, 5)
+    val exp = bruteTwoLevel(nodes, edges, 5)
+    nodes.foreach { v =>
+      assert(got(v) === exp(v), s"node $v: ${got(v)} vs ${exp(v)}")
+    }
   }
 
   test("3-cycle stays exactly uniform at every iteration") {

@@ -131,6 +131,31 @@ class TextAnalysisSpec extends SparkSpec {
     assert(got === ref(text))
   }
 
+  test("rolling hash folds per CODE POINT on non-BMP text (the " +
+      "portable-hash contract shared with the DuckDB oracles)") {
+    // a surrogate pair must contribute ONE term (its code point),
+    // never two UTF-16 halves: Spark's split(text, '') is
+    // UTF8String-based and per-code-point (unlike java.lang.String
+    // .split), and DuckDB's string_split(s, '')/ascii agree — this
+    // pins the engine side of that equality so a future rewrite
+    // through Java String semantics fails loudly
+    val text = "a" + new String(Character.toChars(0x1F600)) + "b"
+    def ref(s: String): Long = {
+      var acc = 0L
+      s.codePoints().forEach { cp =>
+        acc = java.lang.Math.floorMod(acc * 1000003L + cp, 2147483647L)
+      }
+      acc
+    }
+    val got = docs(Seq(1L -> text))
+      .select(TextAnalysis.rollingHash(col("text"))).head().getLong(0)
+    assert(got === ref(text))
+    // and the UTF-16-unit fold would differ — the test discriminates
+    val utf16 = text.foldLeft(0L)((acc, c) =>
+      java.lang.Math.floorMod(acc * 1000003L + c.toLong, 2147483647L))
+    assert(got !== utf16)
+  }
+
   test("repetitionStats separates loopy from diverse text") {
     val loopy = Seq.fill(10)("spam ham").mkString(" ")  // 20 tokens, 2 distinct
     val diverse = (1 to 20).map(i => s"w$i").mkString(" ")

@@ -123,6 +123,29 @@ class DbscanSpec extends SparkSpec {
     assert(got === exp)
   }
 
+  test("grid equals naive at |coordinate| near 2^53 (exact integer " +
+      "cell division)") {
+    // cents land around 9e15 ~ 2^53, where double division by eps
+    // loses ulps and floor(c/eps) can flip across a cell boundary —
+    // the grid cells must come from exact long arithmetic. The naive
+    // path has no cells, so equality catches any misbucketed pair.
+    val base = 9.0e13 // * 100 cents ≈ 9e15
+    val xs = Seq(0.0, 9.99, 10.00, 19.99, 20.00, 25.00, 30.01, 45.00)
+      .map(base + _)
+    val df = seriesDf(xs)
+    for (eps <- Seq(999L, 1000L, 1001L)) {
+      val grid = Dbscan.dbscan(df, "sk", "o", "v", eps = eps,
+          minPts = 3, grid = true).collect()
+        .map(r => r.getLong(1) -> ((r.getString(2), r.getLong(3))))
+        .toMap
+      val naive = Dbscan.dbscan(df, "sk", "o", "v", eps = eps,
+          minPts = 3, grid = false).collect()
+        .map(r => r.getLong(1) -> ((r.getString(2), r.getLong(3))))
+        .toMap
+      assert(grid === naive, s"eps=$eps")
+    }
+  }
+
   test("series are isolated and output is repartition-invariant") {
     val df = (Seq.tabulate(20)(i => (1L, i.toLong, 10.0 + (i % 2))) ++
       Seq.tabulate(20)(i => (2L, i.toLong, 10.0 + (i % 2))))
