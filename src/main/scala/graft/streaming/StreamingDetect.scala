@@ -55,6 +55,50 @@ object StreamingDetect {
         col("bin"), col("cnt"))
   }
 
+  /** L93 streaming: time-windowed HBOS histogram increments —
+    * (series, window_start, feature ∈ x|y, bin, cnt) for the
+    * (value, Δ) feature pair at FIXED global edges, the same
+    * increment-union shape as [[windowedBinCounts]]: per-window
+    * counts merge by ADDITION, so the batch finisher
+    * [[graft.models.Hbos.hbosFromCounts]] scores points from the raw
+    * union of sink rows. The input must already carry the Δ column —
+    * [[statefulDelta]] is the upstream lag (a windowed aggregate
+    * cannot look at the previous row). Bins come from the SAME
+    * `Hbos.binOf` arithmetic as the batch scorer, so when the fixed
+    * edges equal the true per-series ranges the finished scores are
+    * bit-equal to `Hbos.hbos` (StreamingSpec pins it). Both features
+    * count through ONE aggregation (the feature axis is exploded into
+    * rows first — two parallel windowed aggregates under a union
+    * would be a second stateful operator for no reason). Works
+    * identically on batch frames. State per open window is ≤ 2·bins
+    * rows per series. */
+  def windowedHbosCounts(df: DataFrame, series: String, ts: String,
+                         value: String, delta: String,
+                         windowDuration: String,
+                         xlo: Double, xhi: Double,
+                         ylo: Double, yhi: Double,
+                         bins: Int = 16,
+                         watermark: String = "1 hour"): DataFrame = {
+    require(bins >= 2, s"bins=$bins must be >= 2")
+    val src = if (df.isStreaming) df.withWatermark(ts, watermark) else df
+    src.select(col(series), col(ts),
+        explode(array(
+          struct(lit("x").as("feature"),
+            col(value).cast("double").as("v"),
+            lit(xlo).as("lo"), lit(xhi).as("hi")),
+          struct(lit("y").as("feature"),
+            col(delta).cast("double").as("v"),
+            lit(ylo).as("lo"), lit(yhi).as("hi")))).as("__f"))
+      .filter(col("__f.v").isNotNull)
+      .groupBy(col(series), window(col(ts), windowDuration),
+        col("__f.feature").as("feature"),
+        graft.models.Hbos.binOf(col("__f.v"), col("__f.lo"),
+          col("__f.hi"), bins).as("bin"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(col(series), col("window.start").as("window_start"),
+        col("feature"), col("bin"), col("cnt"))
+  }
+
   /** L94 streaming: time-windowed HyperLogLog sketch increments —
     * (group, window_start, bucket, mj), the same windowed-sketch
     * shape as [[windowedBinCounts]]/[[windowedCmsCounts]]. State per
@@ -601,6 +645,38 @@ object StreamingDetect {
                   st = st.copy(buf = Vector.empty, bufTs = Vector.empty)
                 }
               }
+            }
+          state.update(st)
+          out.iterator
+      }
+  }
+
+  case class DeltaOut(series_id: String, ts: Timestamp, value: Double,
+                      delta: Double)
+  case class DeltaState(last: Double, has: Boolean)
+
+  /** Stateful per-series Δ — `value − previous value`, 0.0 at the
+    * series head: the upstream lag for [[windowedHbosCounts]]'s Δ
+    * feature (a windowed aggregate cannot see the previous row; a
+    * keyed one-value state can). Bit-parity with the batch
+    * `x − lag(x)` convention shared by Hbos/Lof/IsolationForest;
+    * within a batch rows process in ts order, and the state carries
+    * the last value across micro-batch splits. */
+  def statefulDelta(points: Dataset[Point]): Dataset[DeltaOut] = {
+    import points.sparkSession.implicits._
+    points.groupByKey(_.series_id)
+      .flatMapGroupsWithState[DeltaState, DeltaOut](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (sid: String, it: Iterator[Point],
+         state: GroupState[DeltaState]) =>
+          var st = state.getOption.getOrElse(DeltaState(0.0, false))
+          val out = scala.collection.mutable.ArrayBuffer
+            .empty[DeltaOut]
+          it.toSeq.sortWith((a, b) => a.ts.compareTo(b.ts) < 0)
+            .foreach { p =>
+              val d = if (st.has) p.value - st.last else 0.0
+              out += DeltaOut(sid, p.ts, p.value, d)
+              st = DeltaState(p.value, has = true)
             }
           state.update(st)
           out.iterator

@@ -595,6 +595,99 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("statefulDelta matches the batch lag convention across splits") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val base = Timestamp.valueOf("2024-01-01 00:00:00").getTime
+    val rows = (0 until 60).map { i =>
+      Point(s"s${i % 2}", new Timestamp(base + i * 60L * 1000),
+        math.sin(i * 0.7) * 10 + (i % 5))
+    }
+    val batch = rows.groupBy(_.series_id).flatMap { case (_, ps) =>
+      val s = ps.sortBy(_.ts.getTime)
+      s.zipWithIndex.map { case (p, i) =>
+        (p.series_id, p.ts.getTime) ->
+          (if (i == 0) 0.0 else p.value - s(i - 1).value)
+      }
+    }.toMap
+    val input = MemoryStream[Point]
+    val q = StreamingDetect.statefulDelta(input.toDS())
+      .writeStream.format("memory").queryName("deltasink")
+      .outputMode("append").start()
+    try {
+      input.addData(rows.take(23)) // mid-series split: the lag value
+      q.processAllAvailable()      // must carry across the batch edge
+      input.addData(rows.drop(23))
+      q.processAllAvailable()
+      val streamed = spark.table("deltasink")
+        .as[StreamingDetect.DeltaOut].collect()
+        .map(o => (o.series_id, o.ts.getTime) -> o.delta).toMap
+      assert(streamed === batch)
+    } finally q.stop()
+  }
+
+  test("windowedHbosCounts increments + hbosFromCounts finisher equal " +
+      "the batch HBOS scorer bit-for-bit") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val base = Timestamp.valueOf("2024-01-01 00:00:00").getTime
+    // one series, 200 points over 6+ hours; deltas computed with the
+    // batch convention in the fixture (the statefulDelta test covers
+    // producing them in-stream). Single series so the FIXED global
+    // edges can equal the per-series derived edges of the batch
+    // scorer — the bit-equality precondition hbosFromCounts documents.
+    val pts = (0 until 200).map { i =>
+      ("g1", new Timestamp(base + i * 120L * 1000),
+        math.sin(i * 0.37) * 25 + (i % 7) * 3.0)
+    }
+    val withDelta = pts.zipWithIndex.map { case ((sid, ts, v), i) =>
+      (sid, ts, v, if (i == 0) 0.0 else v - pts(i - 1)._3)
+    }
+    val (xlo, xhi) = (withDelta.map(_._3).min, withDelta.map(_._3).max)
+    val (ylo, yhi) = (withDelta.map(_._4).min, withDelta.map(_._4).max)
+    val rowsDf = pts.toDF("series_id", "ts", "value")
+    val batchScores = graft.models.Hbos.hbos(
+      rowsDf, "series_id", "ts", "value", bins = 8)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> r.getDouble(3))
+      .toMap
+    val input = MemoryStream[(String, Timestamp, Double, Double)]
+    val counts = StreamingDetect.windowedHbosCounts(
+      input.toDF().toDF("series_id", "ts", "value", "delta"),
+      "series_id", "ts", "value", "delta", "1 hour",
+      xlo, xhi, ylo, yhi, bins = 8)
+    val q = counts.writeStream.format("memory").queryName("hbossink")
+      .outputMode("complete").start()
+    try {
+      input.addData(withDelta.take(100))
+      q.processAllAvailable()
+      input.addData(withDelta.drop(100))
+      q.processAllAvailable()
+      val sunk = spark.table("hbossink")
+      assert(sunk.select("window_start").distinct().count() > 2,
+        "test must span multiple windows")
+      // per-window parity: stream increments equal the batch windowed
+      // recompute of the same counts
+      val batchCounts = StreamingDetect.windowedHbosCounts(
+        withDelta.toDF("series_id", "ts", "value", "delta"),
+        "series_id", "ts", "value", "delta", "1 hour",
+        xlo, xhi, ylo, yhi, bins = 8)
+      def cmap(df: org.apache.spark.sql.DataFrame) = df.collect()
+        .map(r => (r.getString(0), r.getTimestamp(1).getTime,
+          r.getString(2), r.getLong(3)) -> r.getLong(4)).toMap
+      assert(cmap(sunk) === cmap(batchCounts))
+      // whole-stream parity: finisher over the raw increment union
+      // reproduces the batch scorer exactly (edges = true ranges)
+      val finished = graft.models.Hbos.hbosFromCounts(
+        rowsDf, "series_id", "ts", "value", sunk,
+        xlo, xhi, ylo, yhi, bins = 8)
+        .collect()
+        .map(r => (r.getString(0), r.getLong(1)) -> r.getDouble(3))
+        .toMap
+      assert(finished === batchScores)
+    } finally q.stop()
+  }
+
   test("statefulAsof bufferLate: late-RIGHT rows match already-seen " +
       "probes (stream equals batch across the adversarial split)") {
     implicit val sqlCtx = spark.sqlContext
