@@ -673,6 +673,32 @@ object SparkEntry {
             .as("pagerank_i9"))
     }),
 
+    // L-extra: PERSONALIZED weighted PageRank — teleport mass pinned
+    // to a curated seed set (doc_id % 17 = 0, the topic-focused
+    // crawl-frontier form) with deterministic integer-valued edge
+    // weights ((src+dst) % 3 + 1); same 3-out-link synthetic graph,
+    // same two-level salt-bucketed folds, integer-pinned at 1e9.
+    // Unreachable-from-seed nodes score exactly 0 (no uniform floor).
+    "q_pagerank_pers" -> ((s, dir) => {
+      val d = docs(s, dir).select(col("doc_id"))
+      val m = d.agg((max("doc_id") + 1).as("__m"))
+      val withM = d.crossJoin(broadcast(m))
+      val edges = withM.select(col("doc_id").as("src"),
+          ((col("doc_id") * 7 + 1) % col("__m")).as("dst"))
+        .unionByName(withM.select(col("doc_id").as("src"),
+          ((col("doc_id") * 13 + 3) % col("__m")).as("dst")))
+        .unionByName(withM.select(col("doc_id").as("src"),
+          ((col("doc_id") * 31 + 11) % col("__m")).as("dst")))
+        .withColumn("w",
+          ((col("src") + col("dst")) % 3 + 1).cast("double"))
+      val seeds = d.filter(col("doc_id") % 17 === 0)
+      graft.graph.PageRank.pageRank(d, "doc_id", edges, "src", "dst",
+          iters = 10, resetTo = Some(seeds), weight = Some("w"))
+        .select(col("doc_id"),
+          round(col("pagerank") * lit(1e9)).cast("long")
+            .as("ppr_i9"))
+    }),
+
     // L-extra: HITS hubs & authorities (Kleinberg 1999) over the same
     // synthetic doc link graph as q_pagerank — the crawl-seeding /
     // quality-weighting companion read. Max-normalized (exact,
@@ -2379,6 +2405,70 @@ object SparkEntry {
     head + steps + tail
   }
 
+  /** q_pagerank_pers oracle: 10 unrolled PERSONALIZED weighted steps
+    * mirroring PageRank.scala — teleport mass 1/|S| on the seed set
+    * (else 0), contributions rank·w/W(src) with W the dst-ordered
+    * weight fold, the same pmod-equivalent two-level bucket folds,
+    * base (1−d)·p per node, r0 = p; 1e9-integer-pinned. Shared
+    * relations (ew, ws, pp) are MATERIALIZED — they are referenced
+    * once per unrolled step and DuckDB would otherwise re-inline
+    * them. */
+  private def pprOracleSql: String = {
+    val head =
+      """WITH nodes AS MATERIALIZED (SELECT doc_id AS id FROM documents),
+        |mm AS (SELECT max(id) + 1 AS m FROM nodes),
+        |eraw AS (
+        |  SELECT id AS src, (id * 7 + 1) % m AS dst
+        |  FROM nodes CROSS JOIN mm
+        |  UNION ALL
+        |  SELECT id AS src, (id * 13 + 3) % m AS dst
+        |  FROM nodes CROSS JOIN mm
+        |  UNION ALL
+        |  SELECT id AS src, (id * 31 + 11) % m AS dst
+        |  FROM nodes CROSS JOIN mm),
+        |edges AS (SELECT DISTINCT src, dst FROM eraw
+        |  WHERE src <> dst),
+        |ew AS MATERIALIZED (SELECT src, dst,
+        |    CAST((src + dst) % 3 + 1 AS DOUBLE) AS w FROM edges),
+        |wsum AS MATERIALIZED (SELECT src,
+        |    list_reduce(list_prepend(0.0, list_transform(
+        |      list(w ORDER BY dst), x -> x)), (a, b) -> a + b) AS ws
+        |  FROM ew GROUP BY src),
+        |sc AS (SELECT count(*) AS s FROM nodes WHERE id % 17 = 0),
+        |pp AS MATERIALIZED (SELECT id, CASE WHEN id % 17 = 0
+        |    THEN CAST(1.0 AS DOUBLE) / s
+        |    ELSE CAST(0.0 AS DOUBLE) END AS p
+        |  FROM nodes CROSS JOIN sc),
+        |r0 AS (SELECT id, p AS rank FROM pp),
+        |""".stripMargin
+    val steps = (1 to 10).map { t =>
+      s"""q$t AS (SELECT e.dst, ((e.src % 64) + 64) % 64 AS sb,
+         |    list_reduce(list_prepend(0.0, list_transform(
+         |      list(r.rank * e.w / wsum.ws ORDER BY e.src), x -> x)),
+         |      (a, b) -> a + b) AS ps
+         |  FROM ew e JOIN r${t - 1} r ON e.src = r.id
+         |    JOIN wsum ON e.src = wsum.src
+         |  GROUP BY e.dst, ((e.src % 64) + 64) % 64),
+         |c$t AS (SELECT dst AS id,
+         |    list_reduce(list_prepend(0.0, list_transform(
+         |      list(ps ORDER BY sb), x -> x)),
+         |      (a, b) -> a + b) AS cs
+         |  FROM q$t GROUP BY dst),
+         |r$t AS (SELECT pp.id,
+         |    (CAST(1.0 AS DOUBLE) - CAST(0.85 AS DOUBLE)) * pp.p +
+         |      CAST(0.85 AS DOUBLE) * coalesce(c$t.cs,
+         |        CAST(0.0 AS DOUBLE)) AS rank
+         |  FROM pp LEFT JOIN c$t ON pp.id = c$t.id),
+         |""".stripMargin
+    }.mkString
+    val tail =
+      """fin AS (SELECT * FROM r10)
+        |SELECT id AS doc_id,
+        |  CAST(round(rank * 1e9) AS BIGINT) AS ppr_i9
+        |FROM fin""".stripMargin
+    head + steps + tail
+  }
+
   /** q_hits oracle: 5 unrolled UNNORMALIZED HITS iterations mirroring
     * Hits.scala — per pass the two-level (neighbor % 64)-bucketed
     * ordered fold over the nonzero-score relation, then ONE
@@ -2720,6 +2810,7 @@ object SparkEntry {
         |FROM events e JOIN d USING (event_type)
         |GROUP BY e.event_type""".stripMargin,
     "q_pagerank" -> pageRankOracleSql,
+    "q_pagerank_pers" -> pprOracleSql,
     "q_hits" -> hitsOracleSql,
     "q_mmr" -> mmrOracleSql,
     "q_split" ->

@@ -27,6 +27,17 @@ import org.apache.spark.sql.functions._
   * co-partitioned; the rank table is nodes-sized, orders of magnitude
   * smaller than edges.
   *
+  * Personalization + weights (the crawl-frontier form topic-focused
+  * curation actually runs): `resetTo` redirects the teleport mass to
+  * a SEED node set — base mass (1−d)·p(v) with p(v) = 1/|S| on seeds
+  * and 0 elsewhere, initial rank = p — so authority flows out from
+  * curated seeds and unreachable nodes score exactly 0. `weight`
+  * names an edge-weight column: contributions become
+  * r_t(u)·w(u,v)/W(u) with W(u) the source's out-weight, itself a
+  * dst-ordered fold (exact for integer-valued weights; deterministic
+  * for any). The unweighted/unpersonalized path is BIT-IDENTICAL to
+  * the original formulation (same expressions, not just same values).
+  *
   * Determinism + hub safety: per-destination contributions are summed
   * in a TWO-LEVEL source-ordered fold (house float convention, made
   * skew-safe): level 1 groups by (dst, src % S) and folds each salt
@@ -50,32 +61,90 @@ object PageRank {
     graft.core.Folds.orderedSum(ord, v)
 
   /** Run `iters` PageRank steps. `nodes` supplies the vertex set (so
-    * isolated nodes keep (1−d)/N mass); `edges` may contain duplicates
-    * and self-loops, which are dropped first. `saltBuckets` bounds the
-    * per-destination fold buffer (see object doc); it changes float
-    * grouping, so oracle SQL must use the same S. Output:
-    * (id, pagerank). */
+    * isolated nodes keep their base mass); `edges` may contain
+    * duplicates and self-loops, which are dropped first (duplicate
+    * (src, dst) rows collapse; with `weight`, rows are distinct on
+    * (src, dst, w) — give a multigraph unique weights or pre-sum
+    * them). `saltBuckets` bounds the per-destination fold buffer (see
+    * object doc); it changes float grouping, so oracle SQL must use
+    * the same S. `resetTo`'s FIRST column is the seed id set
+    * (intersected with `nodes`; must be non-empty after the
+    * intersection). Output: (id, pagerank). */
   def pageRank(nodes: DataFrame, id: String, edges: DataFrame,
                src: String, dst: String, iters: Int,
                damping: Double = 0.85,
-               saltBuckets: Int = 64): DataFrame = {
+               saltBuckets: Int = 64,
+               resetTo: Option[DataFrame] = None,
+               weight: Option[String] = None): DataFrame = {
     require(iters >= 1, s"iters=$iters must be >= 1")
     require(damping > 0.0 && damping < 1.0,
       s"damping=$damping not in (0,1)")
     require(saltBuckets >= 1, s"saltBuckets=$saltBuckets must be >= 1")
-    val nd = nodes.select(col(id).cast("long").as("__id")).distinct()
-      .localCheckpoint()
-    val e = edges.select(col(src).cast("long").as("__src"),
-        col(dst).cast("long").as("__dst"))
+    val ndPlain = nodes.select(col(id).cast("long").as("__id"))
+      .distinct()
+    // nd carries the per-node teleport mass __p: uniform 1/N, or
+    // 1/|S| on the seed set and 0 elsewhere (personalized)
+    val nd = (resetTo match {
+      case None => ndPlain
+      case Some(seedsDf) =>
+        val seedCol = seedsDf.columns.head
+        val seeds = seedsDf
+          .select(col(seedCol).cast("long").as("__id")).distinct()
+          .join(ndPlain, Seq("__id"))
+          .withColumn("__seed", lit(1))
+          .localCheckpoint()
+        val sCount = seeds.count()
+        require(sCount >= 1,
+          "resetTo must intersect the node set in at least one id")
+        ndPlain.join(seeds, Seq("__id"), "left")
+          .withColumn("__p",
+            when(col("__seed").isNotNull,
+              lit(1.0) / lit(sCount)).otherwise(lit(0.0)))
+          .drop("__seed")
+    }).localCheckpoint()
+    val e0 = edges.select(col(src).cast("long").as("__src"),
+        col(dst).cast("long").as("__dst"),
+        weight.map(w => col(w).cast("double")).getOrElse(lit(1.0))
+          .as("__w"))
       .filter(col("__src") =!= col("__dst") &&
         col("__src").isNotNull && col("__dst").isNotNull)
-      .distinct()
-    val deg = e.groupBy("__src").agg(count(lit(1)).as("__deg"))
+    val e = weight match {
+      case None =>
+        e0.select("__src", "__dst").distinct()
+      case Some(_) =>
+        e0.filter(col("__w") > 0.0).distinct()
+    }
+    // out-mass per source: the exact count (unweighted) or the
+    // dst-ordered fold of weights (deterministic under any
+    // partitioning; exact when weights are integer-valued)
+    val deg = weight match {
+      case None =>
+        e.groupBy("__src").agg(count(lit(1)).as("__deg"))
+      case Some(_) =>
+        e.groupBy("__src")
+          .agg(orderedSum(col("__dst"), col("__w")).as("__deg"))
+    }
     val eDeg = e.join(deg, Seq("__src")).localCheckpoint()
-    val n = nd.count()
-    val base = lit(1.0 - damping) / lit(n)
-    var ranks = nd.select(col("__id"), (lit(1.0) / lit(n)).as("__rank"))
-      .localCheckpoint()
+    val n = ndPlain.count()
+    // the uniform path keeps the ORIGINAL literal expressions so the
+    // pre-personalization results stay bit-identical
+    val base = resetTo match {
+      case None => lit(1.0 - damping) / lit(n)
+      case Some(_) => lit(1.0 - damping) * col("__p")
+    }
+    val contribOf = (rank: org.apache.spark.sql.Column,
+                     w: org.apache.spark.sql.Column,
+                     d: org.apache.spark.sql.Column) =>
+      weight match {
+        case None => rank / d
+        case Some(_) => rank * w / d
+      }
+    var ranks = (resetTo match {
+      case None =>
+        nd.select(col("__id"), (lit(1.0) / lit(n)).as("__rank"))
+      case Some(_) =>
+        nd.select(col("__id"), col("__p").as("__rank"))
+    }).localCheckpoint()
     var t = 0
     while (t < iters) {
       // two-level fold: salt-bucket partial ordered sums (buffer ≤
@@ -84,7 +153,7 @@ object PageRank {
       val contrib = eDeg
         .join(ranks, eDeg("__src") === ranks("__id"))
         .select(col("__dst"), col("__src"),
-          (col("__rank") / col("__deg")).as("__c"),
+          contribOf(col("__rank"), col("__w"), col("__deg")).as("__c"),
           pmod(col("__src"), lit(saltBuckets.toLong)).as("__sb"))
         .groupBy("__dst", "__sb")
         .agg(orderedSum(col("__src"), col("__c")).as("__ps"))
