@@ -856,6 +856,40 @@ class PlanSpec extends SparkSpec {
       "the rollup aggregate must combine map-side like any groupBy")
   }
 
+  test("editDistancePairs joins on the block key at BOTH broadcast " +
+      "regimes (no cartesian fallback past the broadcast threshold)") {
+    import spark.implicits._
+    val docs = (0L until 200L).map(i =>
+      (i, s"prefix-${i % 9}-" + ("body" * 20) + s" tail $i"))
+      .toDF("doc_id", "text")
+    def p = plan(graft.llm.Dedup.editDistancePairs(
+      docs, "doc_id", "text", maxDist = 40))
+    // small corpus: the emitted side broadcasts, keyed by the block
+    val small = p
+    assert(!small.contains("CartesianProduct") &&
+      !small.contains("BroadcastNestedLoopJoin"),
+      s"block join must be an equi-join:\n$small")
+    assert(small.contains("__pf") && small.contains("__lb"),
+      "the (prefix, len-bucket) block must be the join key")
+    // corpus scale (emitted side past the broadcast threshold,
+    // simulated by disabling broadcast): the SAME equi-join shape
+    // must shuffle on the block key, never degrade to a nested loop
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val big = p
+      assert(!big.contains("CartesianProduct") &&
+        !big.contains("BroadcastNestedLoopJoin"),
+        s"past the threshold the block join must shuffle, not loop:\n$big")
+      assert(big.contains("SortMergeJoin") ||
+        big.contains("ShuffledHashJoin"),
+        s"expected a shuffled equi-join on the block key:\n$big")
+      assert(big.contains("__pf") && big.contains("__lb"))
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    }
+  }
+
   test("MMR re-rank: bounded per-query group state, no cartesian") {
     import spark.implicits._
     val rng = new scala.util.Random(5)
