@@ -18,7 +18,10 @@ object TextAnalysis {
     * standard `\w+|[^\w\s]` pre-tokenizer cardinality. */
   def tokenCountBpe(text: Column): Column = {
     val words = size(filter(split(text, "[^\\p{L}\\p{N}]+"), t => t =!= ""))
-    val punct = size(filter(split(text, "[\\p{L}\\p{N}\\s]+"), t => t =!= ""))
+    // explicit whitespace class (== Java's \s): \s is NOT portable —
+    // Java includes vertical tab \x0B, RE2/DuckDB does not (house rule)
+    val punct = size(filter(
+      split(text, "[\\p{L}\\p{N} \\t\\n\\x0B\\f\\r]+"), t => t =!= ""))
     words + punct
   }
 
@@ -400,7 +403,9 @@ object TextAnalysis {
       "[\\x{2013}\\x{2014}\\x{2212}]" -> "-",
       "\\x{2026}" -> "...",
       "[\\x{00a0}\\x{2000}-\\x{200a}\\x{202f}\\x{205f}\\x{3000}]" -> " ",
-      "\\s+" -> " ")
+      // explicit class == Java's \s; \x0B/\f are already stripped by
+      // step 1, listed anyway so the expression is portable verbatim
+      "[ \\t\\n\\x0B\\f\\r]+" -> " ")
     val folded = steps.foldLeft(text) { case (t, (pat, repl)) =>
       regexp_replace(t, pat, repl)
     }

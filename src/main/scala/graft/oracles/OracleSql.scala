@@ -1725,7 +1725,7 @@ object OracleSql {
         |      '\x{2026}', '...', 'g'),
         |      '[\x{00a0}\x{2000}-\x{200a}\x{202f}\x{205f}\x{3000}]',
         |      ' ', 'g'),
-        |      '\s+', ' ', 'g')) AS normalized
+        |      '[ \t\n\x0B\f\r]+', ' ', 'g')) AS normalized
         |  FROM t)
         |SELECT doc_id, length(m) AS n_chars_raw, normalized,
         |  length(normalized) AS n_chars_norm
@@ -2800,7 +2800,7 @@ object OracleSql {
         |    len(list_filter(regexp_split_to_array(text, '[^\p{L}\p{N}]+'),
         |        x -> x <> ''))
         |      + len(list_filter(regexp_split_to_array(text,
-        |        '[\p{L}\p{N}\s]+'), x -> x <> '')) AS n_tokens_bpe
+        |        '[\p{L}\p{N} \t\n\x0B\f\r]+'), x -> x <> '')) AS n_tokens_bpe
         |  FROM documents)
         |SELECT doc_id, CAST(len AS BIGINT) AS len,
         |  CAST(n_tokens AS BIGINT) AS n_tokens,
