@@ -144,6 +144,52 @@ object OracleSql {
     head + steps + tail
   }
 
+  /** q_triangles oracle: degree-oriented two-path join mirrored
+    * step for step (undirect+dedup, (degree, id)-ordered orientation,
+    * ordered wedges at the low endpoint, close on the oriented edge,
+    * per-corner counts). Pure integer arithmetic — no float
+    * convention needed anywhere. `und`/`deg`/`ed` are MATERIALIZED
+    * (multi-referenced). */
+  private def trianglesOracleSql: String =
+    """WITH nodes AS MATERIALIZED (SELECT doc_id AS id FROM documents),
+      |mm AS (SELECT max(id) + 1 AS m FROM nodes),
+      |eraw AS (
+      |  SELECT id AS src, (id * 7 + 1) % m AS dst
+      |  FROM nodes CROSS JOIN mm
+      |  UNION ALL
+      |  SELECT id AS src, (id * 13 + 3) % m AS dst
+      |  FROM nodes CROSS JOIN mm
+      |  UNION ALL
+      |  SELECT id AS src, (id * 31 + 11) % m AS dst
+      |  FROM nodes CROSS JOIN mm),
+      |e0 AS (SELECT DISTINCT src, dst FROM eraw WHERE src <> dst),
+      |und AS MATERIALIZED (SELECT DISTINCT least(src, dst) AS u,
+      |    greatest(src, dst) AS v FROM e0),
+      |deg AS MATERIALIZED (SELECT n, count(*) AS d FROM
+      |    (SELECT u AS n FROM und UNION ALL SELECT v AS n FROM und)
+      |  GROUP BY n),
+      |ed AS MATERIALIZED (SELECT
+      |    CASE WHEN du.d < dv.d OR (du.d = dv.d AND u < v)
+      |      THEN u ELSE v END AS s,
+      |    CASE WHEN du.d < dv.d OR (du.d = dv.d AND u < v)
+      |      THEN v ELSE u END AS t,
+      |    CASE WHEN du.d < dv.d OR (du.d = dv.d AND u < v)
+      |      THEN dv.d ELSE du.d END AS dt
+      |  FROM und JOIN deg du ON und.u = du.n
+      |    JOIN deg dv ON und.v = dv.n),
+      |w AS (SELECT e1.s AS a, e1.t AS b, e2.t AS c
+      |  FROM ed e1 JOIN ed e2 ON e1.s = e2.s
+      |  WHERE e1.dt < e2.dt OR (e1.dt = e2.dt AND e1.t < e2.t)),
+      |tri AS (SELECT a, b, c FROM w
+      |  JOIN ed ON w.b = ed.s AND w.c = ed.t),
+      |corner AS (SELECT n, count(*) AS t FROM
+      |    (SELECT a AS n FROM tri UNION ALL SELECT b AS n FROM tri
+      |     UNION ALL SELECT c AS n FROM tri)
+      |  GROUP BY n)
+      |SELECT nodes.id AS doc_id,
+      |  CAST(coalesce(corner.t, 0) AS BIGINT) AS n_triangles
+      |FROM nodes LEFT JOIN corner ON nodes.id = corner.n""".stripMargin
+
   /** q_pagerank_pers oracle: 10 unrolled PERSONALIZED weighted steps
     * mirroring PageRank.scala — teleport mass 1/|S| on the seed set
     * (else 0), contributions rank·w/W(src) with W the dst-ordered
@@ -553,6 +599,7 @@ object OracleSql {
         |FROM events e JOIN d USING (event_type)
         |GROUP BY e.event_type""".stripMargin,
     "q_pagerank" -> pageRankOracleSql,
+    "q_triangles" -> trianglesOracleSql,
     "q_pagerank_pers" -> pprOracleSql,
     "q_hits" -> hitsOracleSql,
     "q_mmr" -> mmrOracleSql,

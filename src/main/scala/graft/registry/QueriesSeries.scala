@@ -602,6 +602,26 @@ object QueriesSeries {
           round(col("hub") * lit(1e9)).cast("long").as("hub_i9"))
     }),
 
+    // L-extra: triangle counts over the same synthetic doc link graph
+    // (undirected closure) — the link-farm/cohesion signal next to
+    // PageRank/HITS. Degree-oriented two-path join (Schank–Wagner
+    // "forward"): wedge volume rides graph arboricity, not Σdeg², so
+    // a power-law hub stays cheap. Pure integer counts — oracle-exact
+    // with no float convention at all.
+    "q_triangles" -> ((s, dir) => {
+      val d = docs(s, dir).select(col("doc_id"))
+      val m = d.agg((max("doc_id") + 1).as("__m"))
+      val withM = d.crossJoin(broadcast(m))
+      val edges = withM.select(col("doc_id").as("src"),
+          ((col("doc_id") * 7 + 1) % col("__m")).as("dst"))
+        .unionByName(withM.select(col("doc_id").as("src"),
+          ((col("doc_id") * 13 + 3) % col("__m")).as("dst")))
+        .unionByName(withM.select(col("doc_id").as("src"),
+          ((col("doc_id") * 31 + 11) % col("__m")).as("dst")))
+      graft.graph.Triangles.triangleCounts(d, "doc_id", edges,
+        "src", "dst")
+    }),
+
     // LLM-pipeline: n-gram novelty / memorization audit — fraction of
     // each doc's distinct 5-grams appearing in ANY other document
     // (novelty = 1 − shared/total). The measurement face of the dedup

@@ -890,6 +890,19 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("triangle counting: every join is a keyed equi-join (wedge " +
+      "close included), no cartesian") {
+    import spark.implicits._
+    val nodes = (0L until 60L).toDF("id")
+    val edges = (0L until 60L).flatMap(i =>
+      Seq((i, (i + 1) % 60), (i, (i * 7 + 3) % 60))).toDF("src", "dst")
+    val p = plan(graft.graph.Triangles.triangleCounts(
+      nodes, "id", edges, "src", "dst"))
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"triangle joins must all be equi-joins:\n$p")
+  }
+
   test("MMR re-rank: bounded per-query group state, no cartesian") {
     import spark.implicits._
     val rng = new scala.util.Random(5)
