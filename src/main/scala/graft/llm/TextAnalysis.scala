@@ -775,4 +775,56 @@ object TextAnalysis {
         y.as("n_syllables"), ease.as("flesch_ease"),
         grade.as("fk_grade")))
   }
+
+  /** Top-k PMI collocations (Church & Hanks 1990) — phrase mining over
+    * the corpus for vocabulary/tokenizer construction and boilerplate
+    * discovery: a high-PMI adjacent pair ("San Francisco", "click
+    * here") is a unit the tokenizer should own and the dedup tier
+    * should know about.
+    *
+    *   pmi(w1, w2) = ln( B(w1,w2) · N / (C(w1) · C(w2)) )
+    *
+    * with B adjacent-bigram counts, C unigram counts, N total tokens —
+    * all exact integers from two aggregates; the single ln runs on a
+    * double ratio whose numerator/denominator products are exact below
+    * 2^53, and the score is round-6 pinned (the house ln convention,
+    * q_entropy/q_hbos precedent). `minCount` suppresses the
+    * low-support PMI blowup (PMI of a hapax pair is huge and useless —
+    * the standard filter).
+    *
+    * Distribution: one explode + TWO keyed aggregates (bigram, word);
+    * the unigram relation joins back by word key twice; top-k by
+    * (score, bigram) plans as TakeOrdered — no global sort. */
+  def collocations(df: DataFrame, text: String, minCount: Int = 5,
+                   k: Int = 20): DataFrame = {
+    require(minCount >= 1 && k >= 1, "minCount and k must be >= 1")
+    val toks = df.select(split(col(text), " ").as("__w"))
+      .filter(size(col("__w")) >= 1)
+    val uni = toks.select(explode(col("__w")).as("__t"))
+      .filter(col("__t") =!= "")
+      .groupBy("__t").agg(count(lit(1)).as("__c"))
+      .localCheckpoint() // shared by the N aggregate + two joins
+    val n = uni.agg(sum("__c").as("__n"))
+    val bi = toks
+      .filter(size(col("__w")) >= 2)
+      .select(explode(transform(sequence(lit(0), size(col("__w")) - 2),
+        i => struct(element_at(col("__w"), i + 1).as("__w1"),
+          element_at(col("__w"), i + 2).as("__w2")))).as("__b"))
+      .select(col("__b.__w1").as("__w1"), col("__b.__w2").as("__w2"))
+      .filter(col("__w1") =!= "" && col("__w2") =!= "")
+      .groupBy("__w1", "__w2").agg(count(lit(1)).as("__bc"))
+      .filter(col("__bc") >= minCount)
+    bi.join(uni.select(col("__t").as("__w1"), col("__c").as("__c1")),
+        Seq("__w1"))
+      .join(uni.select(col("__t").as("__w2"), col("__c").as("__c2")),
+        Seq("__w2"))
+      .crossJoin(broadcast(n))
+      .select(col("__w1").as("w1"), col("__w2").as("w2"),
+        col("__bc").as("pair_count"),
+        round(log((col("__bc").cast("double") * col("__n").cast("double"))
+          / (col("__c1").cast("double") * col("__c2").cast("double"))), 6)
+          .as("pmi"))
+      .orderBy(col("pmi").desc, col("w1").asc, col("w2").asc)
+      .limit(k)
+  }
 }

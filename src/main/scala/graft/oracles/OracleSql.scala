@@ -1104,6 +1104,44 @@ object OracleSql {
         |FROM w GROUP BY term
         |ORDER BY n_occurrences DESC, term ASC LIMIT 100""".stripMargin,
 
+    "q_chunks" ->
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks
+        |  FROM documents
+        |  WHERE text IS NOT NULL AND length(text) > 0),
+        |c AS (SELECT doc_id, toks, len(toks) AS n,
+        |    CASE WHEN len(toks) <= 64 THEN CAST(1 AS BIGINT)
+        |      ELSE CAST(floor(CAST(len(toks) - 16 + 48 - 1 AS DOUBLE)
+        |        / 48.0) AS BIGINT) END AS nc
+        |  FROM d),
+        |e AS (SELECT doc_id, toks, n, unnest(range(nc)) AS i FROM c)
+        |SELECT doc_id, CAST(i AS BIGINT) AS chunk_id,
+        |  CAST(least(64, n - i * 48) AS BIGINT) AS n_chunk_tokens,
+        |  array_to_string(list_slice(toks, CAST(i * 48 + 1 AS BIGINT),
+        |    CAST(least(i * 48 + 64, n) AS BIGINT)), ' ') AS chunk_text
+        |FROM e""".stripMargin,
+
+    "q_colloc" ->
+      """WITH t AS (SELECT string_split(text, ' ') AS w
+        |  FROM documents WHERE text IS NOT NULL),
+        |uni AS (SELECT u AS t, count(*) AS c FROM
+        |    (SELECT unnest(w) AS u FROM t) x
+        |  WHERE u <> '' GROUP BY u),
+        |nn AS (SELECT sum(c) AS n FROM uni),
+        |bi AS (SELECT w1, w2, count(*) AS bc FROM
+        |    (SELECT w[i] AS w1, w[i+1] AS w2 FROM
+        |      (SELECT w, unnest(range(1, len(w))) AS i FROM t
+        |       WHERE len(w) >= 2) y) z
+        |  WHERE w1 <> '' AND w2 <> '' GROUP BY w1, w2
+        |  HAVING count(*) >= 20)
+        |SELECT w1, w2, bc AS pair_count,
+        |  round(ln((CAST(bc AS DOUBLE) * CAST(n AS DOUBLE)) /
+        |    (CAST(c1.c AS DOUBLE) * CAST(c2.c AS DOUBLE))), 6) AS pmi
+        |FROM bi JOIN uni c1 ON bi.w1 = c1.t
+        |  JOIN uni c2 ON bi.w2 = c2.t
+        |CROSS JOIN nn
+        |ORDER BY pmi DESC, w1 ASC, w2 ASC
+        |LIMIT 25""".stripMargin,
+
     "q_perplexity" ->
       """WITH words AS (SELECT doc_id, string_split(text, ' ') AS w
         |  FROM documents),

@@ -75,6 +75,24 @@ object QueriesLlm {
         .select(col("doc_id"), col("shard"), col("seq_id"),
           col("slice_start"), col("slice_len"))),
 
+    // LLM-pipeline: RAG/embedding chunk prep — fixed 64-token chunks
+    // with 16-token overlap (stride 48), whitespace-token convention;
+    // pure scan-stage slices + posexplode, no shuffle (q_entropy plan
+    // shape). No float anywhere: strings + exact counts.
+    "q_chunks" -> ((s, dir) =>
+      llm.Chunking.chunkText(docs(s, dir), "doc_id", "text",
+          chunkTokens = 64, overlap = 16)
+        .select(col("doc_id"), col("chunk_id"),
+          col("n_chunk_tokens"), col("chunk_text"))),
+
+    // LLM-pipeline: top-25 PMI collocations (Church–Hanks) — phrase
+    // mining for tokenizer/vocab construction; two keyed aggregates +
+    // word-keyed joins + TakeOrdered, round-6 ln pin.
+    "q_colloc" -> ((s, dir) =>
+      llm.TextAnalysis.collocations(docs(s, dir), "text",
+          minCount = 20, k = 25)
+        .select(col("w1"), col("w2"), col("pair_count"), col("pmi"))),
+
     // LLM-pipeline: pretraining decontamination — train docs sharing
     // >= 2 distinct 3-gram shingles with the held-out benchmark slice
     // (doc_id % 20 == 0), hot benchmark shingles capped at df 100.

@@ -156,6 +156,40 @@ class TextAnalysisSpec extends SparkSpec {
     assert(got !== utf16)
   }
 
+  test("collocations: hand-computed PMI, minCount filter, (pmi, pair) " +
+      "ordering") {
+    // corpus: "new york" appears 4x; "the the" 4x but from a frequent
+    // word (low PMI); "rare pair" only once (killed by minCount=2)
+    val corpus = Seq(
+      1L -> "new york is big and the the cat sat",
+      2L -> "new york has the the subway",
+      3L -> "i love new york and rare pair",
+      4L -> "new york the the end")
+    val rows = TextAnalysis.collocations(docs(corpus), "text",
+        minCount = 2, k = 10)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getDouble(3))))
+      .toMap
+    assert(!rows.contains(("rare", "pair")), "minCount must filter")
+    // reference counts computed from the corpus, not by hand
+    val toks = corpus.flatMap(_._2.split(" "))
+    val c = toks.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val bg = corpus.flatMap(_._2.split(" ").sliding(2).map(p =>
+      (p(0), p(1)))).groupBy(identity).view.mapValues(_.size.toLong)
+    val n = toks.size.toDouble
+    def pmi(b: Long, c1: Long, c2: Long) =
+      BigDecimal(math.log(b * n / (c1.toDouble * c2.toDouble)))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def exp(w1: String, w2: String) = {
+      val b = bg((w1, w2)); (b, pmi(b, c(w1), c(w2)))
+    }
+    assert(rows(("new", "york")) === exp("new", "york"))
+    assert(rows(("the", "the")) === exp("the", "the"))
+    // PMI separates the phrase from the frequent-word repeat
+    assert(rows(("new", "york"))._2 > rows(("the", "the"))._2)
+  }
+
   test("repetitionStats separates loopy from diverse text") {
     val loopy = Seq.fill(10)("spam ham").mkString(" ")  // 20 tokens, 2 distinct
     val diverse = (1 to 20).map(i => s"w$i").mkString(" ")
