@@ -32,6 +32,36 @@ import org.apache.spark.sql.functions._
   */
 object Triangles {
 
+  /** Local clustering coefficient — triangles around a node over the
+    * wedges it could close: cc(v) = 2·T(v) / (deg(v)·(deg(v)−1)),
+    * 0.0 for degree < 2; degree counted on the same undirected
+    * deduped edge set the triangles use. The per-node cohesion read
+    * (a link ring scores ~1, a broadcast hub ~0) next to the raw
+    * count. Output: (id, degree, n_triangles, clustering). */
+  def clusteringCoefficient(nodes: DataFrame, id: String,
+                            edges: DataFrame, src: String,
+                            dst: String): DataFrame = {
+    val und = edges.select(col(src).cast("long").as("__a"),
+        col(dst).cast("long").as("__b"))
+      .filter(col("__a") =!= col("__b") &&
+        col("__a").isNotNull && col("__b").isNotNull)
+      .select(least(col("__a"), col("__b")).as("__u"),
+        greatest(col("__a"), col("__b")).as("__v"))
+      .distinct()
+    val deg = und.select(col("__u").as("__n"))
+      .unionAll(und.select(col("__v").as("__n")))
+      .groupBy("__n").agg(count(lit(1)).as("__deg"))
+    triangleCounts(nodes, id, edges, src, dst)
+      .join(deg, col(id) === col("__n"), "left")
+      .select(col(id),
+        coalesce(col("__deg"), lit(0L)).as("degree"),
+        col("n_triangles"),
+        when(coalesce(col("__deg"), lit(0L)) >= 2,
+          round(lit(2.0) * col("n_triangles").cast("double") /
+            (col("__deg") * (col("__deg") - 1)).cast("double"), 6))
+          .otherwise(lit(0.0)).as("clustering"))
+  }
+
   /** Per-node triangle counts. Output: (id, n_triangles). */
   def triangleCounts(nodes: DataFrame, id: String, edges: DataFrame,
                      src: String, dst: String): DataFrame = {

@@ -150,7 +150,29 @@ object OracleSql {
     * per-corner counts). Pure integer arithmetic — no float
     * convention needed anywhere. `und`/`deg`/`ed` are MATERIALIZED
     * (multi-referenced). */
-  private def trianglesOracleSql: String =
+  private def trianglesOracleSql: String = triGraphCtes +
+    """
+      |SELECT nodes.id AS doc_id,
+      |  CAST(coalesce(corner.t, 0) AS BIGINT) AS n_triangles
+      |FROM nodes LEFT JOIN corner ON nodes.id = corner.n""".stripMargin
+
+  /** q_clustering oracle: cc(v) = 2·T(v)/(d·(d−1)) over the shared
+    * triangle CTE chain; 0.0 below degree 2; round 6. */
+  private def clusteringOracleSql: String = triGraphCtes +
+    """
+      |SELECT nodes.id AS doc_id,
+      |  CAST(coalesce(dg.d, 0) AS BIGINT) AS degree,
+      |  CAST(coalesce(corner.t, 0) AS BIGINT) AS n_triangles,
+      |  CASE WHEN coalesce(dg.d, 0) >= 2
+      |    THEN round(2.0 * CAST(coalesce(corner.t, 0) AS DOUBLE) /
+      |      CAST(dg.d * (dg.d - 1) AS DOUBLE), 6)
+      |    ELSE CAST(0.0 AS DOUBLE) END AS clustering
+      |FROM nodes LEFT JOIN corner ON nodes.id = corner.n
+      |LEFT JOIN deg dg ON nodes.id = dg.n""".stripMargin
+
+  /** Shared triangle-counting CTE chain (degree-oriented forward
+    * method) — see [[trianglesOracleSql]]. */
+  private def triGraphCtes: String =
     """WITH nodes AS MATERIALIZED (SELECT doc_id AS id FROM documents),
       |mm AS (SELECT max(id) + 1 AS m FROM nodes),
       |eraw AS (
@@ -185,10 +207,7 @@ object OracleSql {
       |corner AS (SELECT n, count(*) AS t FROM
       |    (SELECT a AS n FROM tri UNION ALL SELECT b AS n FROM tri
       |     UNION ALL SELECT c AS n FROM tri)
-      |  GROUP BY n)
-      |SELECT nodes.id AS doc_id,
-      |  CAST(coalesce(corner.t, 0) AS BIGINT) AS n_triangles
-      |FROM nodes LEFT JOIN corner ON nodes.id = corner.n""".stripMargin
+      |  GROUP BY n)""".stripMargin
 
   /** q_pagerank_pers oracle: 10 unrolled PERSONALIZED weighted steps
     * mirroring PageRank.scala — teleport mass 1/|S| on the seed set
@@ -600,6 +619,7 @@ object OracleSql {
         |GROUP BY e.event_type""".stripMargin,
     "q_pagerank" -> pageRankOracleSql,
     "q_triangles" -> trianglesOracleSql,
+    "q_clustering" -> clusteringOracleSql,
     "q_pagerank_pers" -> pprOracleSql,
     "q_hits" -> hitsOracleSql,
     "q_mmr" -> mmrOracleSql,

@@ -622,6 +622,23 @@ object QueriesSeries {
         "src", "dst")
     }),
 
+    // L-extra: local clustering coefficient over the same graph —
+    // 2·T(v)/(deg·(deg−1)), the per-node cohesion ratio (link rings
+    // score ~1, broadcast hubs ~0); rides q_triangles' machinery.
+    "q_clustering" -> ((s, dir) => {
+      val d = docs(s, dir).select(col("doc_id"))
+      val m = d.agg((max("doc_id") + 1).as("__m"))
+      val withM = d.crossJoin(broadcast(m))
+      val edges = withM.select(col("doc_id").as("src"),
+          ((col("doc_id") * 7 + 1) % col("__m")).as("dst"))
+        .unionByName(withM.select(col("doc_id").as("src"),
+          ((col("doc_id") * 13 + 3) % col("__m")).as("dst")))
+        .unionByName(withM.select(col("doc_id").as("src"),
+          ((col("doc_id") * 31 + 11) % col("__m")).as("dst")))
+      graft.graph.Triangles.clusteringCoefficient(d, "doc_id", edges,
+        "src", "dst")
+    }),
+
     // LLM-pipeline: n-gram novelty / memorization audit — fraction of
     // each doc's distinct 5-grams appearing in ANY other document
     // (novelty = 1 − shared/total). The measurement face of the dedup

@@ -64,6 +64,30 @@ class TrianglesSpec extends SparkSpec {
     assert(run(nodes, chain).values.forall(_ == 0L))
   }
 
+  test("clustering coefficient: K5 is 1.0 everywhere, star is 0, " +
+      "paw graph mixes, isolated node is 0 with degree 0") {
+    def runCc(nodes: Seq[Long], edges: Seq[(Long, Long)]) =
+      Triangles.clusteringCoefficient(nodes.toDF("id"), "id",
+          edges.toDF("src", "dst"), "src", "dst")
+        .collect()
+        .map(r => r.getLong(0) ->
+          ((r.getLong(1), r.getLong(2), r.getDouble(3))))
+        .toMap
+    val k5e = for (i <- 0L until 5L; j <- (i + 1) until 5L) yield (i, j)
+    assert(runCc((0L until 5L).toSeq, k5e).values
+      .forall(_ == ((4L, 6L, 1.0))))
+    val star = (1L to 5L).map(i => (0L, i))
+    assert(runCc((0L to 5L).toSeq, star).values.forall(_._3 == 0.0))
+    // paw: triangle 0-1-2 plus pendant 3 on node 0 (+ isolated 9)
+    val paw = Seq((0L, 1L), (1L, 2L), (0L, 2L), (0L, 3L))
+    val got = runCc(Seq(0L, 1L, 2L, 3L, 9L), paw)
+    assert(got(0L) === ((3L, 1L, BigDecimal(2.0 / 6.0)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)))
+    assert(got(1L) === ((2L, 1L, 1.0)))
+    assert(got(3L) === ((1L, 0L, 0.0)))
+    assert(got(9L) === ((0L, 0L, 0.0)))
+  }
+
   test("repartition-invariant") {
     val nodes = (0L until 20L).toSeq
     val edges = nodes.flatMap(i => Seq((i, (i + 1) % 20),

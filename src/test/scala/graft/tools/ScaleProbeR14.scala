@@ -54,6 +54,34 @@ object ScaleProbeR14 {
           concat(lit(f"v$k%03d-"), col("text")).as("text"))
       }.reduce(_.unionByName(_)).localCheckpoint()
 
+    if (args.isEmpty || args.contains("triangles")) {
+      // ---- triangles: SKEW axis ----
+      // 200k nodes. Uniform control: ring + two hash out-links per
+      // node (~3-regular). Skew variant: SAME edge count but every
+      // node's first link goes to ONE mega-hub (undirected degree
+      // 200k). An id-oriented wedge join would emit ~hub-deg² pairs
+      // (2·10¹⁰ — dead); the (degree, id) orientation caps the hub's
+      // out-degree so wedge volume stays arboricity-bounded and the
+      // skewed graph must cost ~the uniform one.
+      import spark.implicits._
+      val n = 200000L
+      val ids = spark.range(n).select(col("id"))
+      def edgesOf(firstDst: org.apache.spark.sql.Column) =
+        ids.select(col("id").as("src"), firstDst.as("dst"))
+          .unionByName(ids.select(col("id").as("src"),
+            ((col("id") * 7 + 3) % n).as("dst")))
+          .unionByName(ids.select(col("id").as("src"),
+            ((col("id") * 131 + 17) % n).as("dst")))
+      val uniform = edgesOf((col("id") + 1) % n)
+      val skewed = edgesOf(lit(0L))
+      println("=== triangles: skew axis (200k nodes, 3 links/node) ===")
+      for ((name, e) <- Seq("uniform" -> uniform, "mega-hub" -> skewed)) {
+        val t = med3(graft.graph.Triangles.triangleCounts(
+          ids, "id", e, "src", "dst"))
+        println(s"triangles graph=$name t=${r3(t)}s")
+      }
+    }
+
     println("=== editDistancePairs: doc-count axis ===")
     for (c <- Seq(1, 4, 16, 64)) {
       val cp = corpus(c)
