@@ -41,17 +41,13 @@ object Triangles {
   def clusteringCoefficient(nodes: DataFrame, id: String,
                             edges: DataFrame, src: String,
                             dst: String): DataFrame = {
-    val und = edges.select(col(src).cast("long").as("__a"),
-        col(dst).cast("long").as("__b"))
-      .filter(col("__a") =!= col("__b") &&
-        col("__a").isNotNull && col("__b").isNotNull)
-      .select(least(col("__a"), col("__b")).as("__u"),
-        greatest(col("__a"), col("__b")).as("__v"))
-      .distinct()
+    // ONE undirect+dedup shuffle shared by the degree aggregate and
+    // the triangle chain (checkpointed — the chain scans it thrice)
+    val und = undirected(edges, src, dst).localCheckpoint()
     val deg = und.select(col("__u").as("__n"))
       .unionAll(und.select(col("__v").as("__n")))
       .groupBy("__n").agg(count(lit(1)).as("__deg"))
-    triangleCounts(nodes, id, edges, src, dst)
+    trianglesFromUnd(nodes, id, und)
       .join(deg, col(id) === col("__n"), "left")
       .select(col(id),
         coalesce(col("__deg"), lit(0L)).as("degree"),
@@ -62,18 +58,26 @@ object Triangles {
           .otherwise(lit(0.0)).as("clustering"))
   }
 
-  /** Per-node triangle counts. Output: (id, n_triangles). */
-  def triangleCounts(nodes: DataFrame, id: String, edges: DataFrame,
-                     src: String, dst: String): DataFrame = {
-    val nd = nodes.select(col(id).cast("long").as("__id")).distinct()
-    val und = edges.select(col(src).cast("long").as("__a"),
+  /** Undirected deduped self-loop-free edge set: (__u, __v), u < v. */
+  private def undirected(edges: DataFrame, src: String,
+                         dst: String): DataFrame =
+    edges.select(col(src).cast("long").as("__a"),
         col(dst).cast("long").as("__b"))
       .filter(col("__a") =!= col("__b") &&
         col("__a").isNotNull && col("__b").isNotNull)
       .select(least(col("__a"), col("__b")).as("__u"),
         greatest(col("__a"), col("__b")).as("__v"))
       .distinct()
-      .localCheckpoint()
+
+  /** Per-node triangle counts. Output: (id, n_triangles). */
+  def triangleCounts(nodes: DataFrame, id: String, edges: DataFrame,
+                     src: String, dst: String): DataFrame =
+    trianglesFromUnd(nodes, id,
+      undirected(edges, src, dst).localCheckpoint())
+
+  private def trianglesFromUnd(nodes: DataFrame, id: String,
+                               und: DataFrame): DataFrame = {
+    val nd = nodes.select(col(id).cast("long").as("__id")).distinct()
     val deg = und.select(col("__u").as("__n"))
       .unionAll(und.select(col("__v").as("__n")))
       .groupBy("__n").agg(count(lit(1)).as("__d"))
