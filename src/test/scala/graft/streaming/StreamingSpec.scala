@@ -595,6 +595,31 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("chunkText is streaming-safe: append stream equals batch " +
+      "(map-only embed-prep runs on readStream unchanged)") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val texts = (1 to 40).map(i =>
+      (i.toLong, (1 to (i * 3) % 23 + 1).map(j => s"w$j").mkString(" ")))
+    def cmap(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getString(3)))).toMap
+    val batch = cmap(graft.llm.Chunking.chunkText(
+      texts.toDF("doc_id", "text"), "doc_id", "text", 8, 2))
+    val input = MemoryStream[(Long, String)]
+    val out = graft.llm.Chunking.chunkText(
+      input.toDF().toDF("doc_id", "text"), "doc_id", "text", 8, 2)
+    val q = out.writeStream.format("memory").queryName("chunksink")
+      .outputMode("append").start()
+    try {
+      input.addData(texts.take(17))
+      q.processAllAvailable()
+      input.addData(texts.drop(17))
+      q.processAllAvailable()
+      assert(cmap(spark.table("chunksink")) === batch)
+    } finally q.stop()
+  }
+
   test("statefulDelta matches the batch lag convention across splits") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
