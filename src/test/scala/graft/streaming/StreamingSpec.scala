@@ -777,6 +777,33 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("statefulAsof bufferLate on BATCH execution degrades to exact " +
+      "as-of semantics (no watermark -> end-of-invocation resolve)") {
+    import spark.implicits._
+    def t(sec: Int) = Timestamp.valueOf(
+      f"2024-01-01 00:${sec / 60}%02d:${sec % 60}%02d")
+    // rights listed AFTER the probes they must match: batch execution
+    // sees the whole key group in one invocation, so arrival order
+    // inside the Dataset must not matter
+    val events = Seq(
+      AsofEvent("a", t(10), 1, 0.0), // -> r@5
+      AsofEvent("a", t(25), 1, 0.0), // -> r@20
+      AsofEvent("a", t(5), 0, 1.0),
+      AsofEvent("a", t(20), 0, 2.0),
+      AsofEvent("b", t(9), 1, 0.0),  // -> none
+      AsofEvent("b", t(30), 0, 9.0))
+    val got = statefulAsof(events.toDS(), maxKeep = 16,
+        bufferLate = true)
+      .collect()
+      .map(o => (o.key, o.ts.getTime) ->
+        ((o.asof_ts.map(_.getTime), o.asof_value)))
+      .toMap
+    assert(got.size === 3)
+    assert(got(("a", t(10).getTime)) === ((Some(t(5).getTime), Some(1.0))))
+    assert(got(("a", t(25).getTime)) === ((Some(t(20).getTime), Some(2.0))))
+    assert(got(("b", t(9).getTime)) === ((None, None)))
+  }
+
   test("windowed CMS increments union-merge to the batch estimates") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
