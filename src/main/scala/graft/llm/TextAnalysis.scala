@@ -798,6 +798,13 @@ object TextAnalysis {
   def collocations(df: DataFrame, text: String, minCount: Int = 5,
                    k: Int = 20): DataFrame = {
     require(minCount >= 1 && k >= 1, "minCount and k must be >= 1")
+    // two SEPARATE aggregates (tokens; bigrams), not the single
+    // kind-tagged aggregate the streaming finisher consumes: the
+    // batch face aggregates the raw corpus, where one union-tagged
+    // exchange carrying every hapax bigram struct measured 6x slower
+    // than the split form; the finisher reads pre-aggregated window
+    // increments, where the union shape is the right one. Counts are
+    // identical either way (StreamingSpec pins finisher ≡ this).
     val toks = df.select(split(col(text), " ").as("__w"))
       .filter(size(col("__w")) >= 1)
     val uni = toks.select(explode(col("__w")).as("__t"))
@@ -814,6 +821,71 @@ object TextAnalysis {
       .filter(col("__w1") =!= "" && col("__w2") =!= "")
       .groupBy("__w1", "__w2").agg(count(lit(1)).as("__bc"))
       .filter(col("__bc") >= minCount)
+    pmiTopK(bi, uni, n, k)
+  }
+
+  /** The mergeable count relation behind [[collocations]]: one row per
+    * (kind, w1, w2) with kind ∈ u|b — unigrams carry w2 = ''. Grams
+    * for BOTH kinds emit from one array expression and count through
+    * ONE aggregation; duplicate keys merge by ADDITION, which is what
+    * makes the windowed streaming face
+    * ([[graft.streaming.StreamingDetect.windowedCollocCounts]]) a
+    * plain windowed count with this as its batch finisher input. */
+  def collocGramCounts(df: DataFrame, text: String): DataFrame =
+    df.select(collocGrams(col(text)).as("__g"))
+      .select(explode(col("__g")).as("__e"))
+      .groupBy(col("__e.kind").as("kind"), col("__e.w1").as("w1"),
+        col("__e.w2").as("w2"))
+      .agg(count(lit(1)).as("cnt"))
+
+  /** Per-row gram array shared by the batch and windowed count faces:
+    * non-empty unigrams as ('u', t, '') plus non-empty adjacent
+    * bigrams as ('b', w1, w2). Null text yields an empty array. */
+  private[graft] def collocGrams(text: Column): Column = {
+    val w = split(text, " ")
+    val uni = transform(filter(w, t => t =!= ""),
+      t => struct(lit("u").as("kind"), t.as("w1"), lit("").as("w2")))
+    val bi = filter(
+      transform(sequence(lit(0), greatest(size(w) - 2, lit(0))),
+        i => struct(lit("b").as("kind"),
+          element_at(w, i + 1).as("w1"),
+          element_at(w, i + 2).as("w2"))),
+      s => s.getField("w2").isNotNull && s.getField("w1") =!= "" &&
+        s.getField("w2") =!= "")
+    when(text.isNotNull,
+      concat(uni, when(size(w) >= 2, bi)
+        .otherwise(array().cast("array<struct<kind:string,w1:string,w2:string>>"))))
+      .otherwise(array()
+        .cast("array<struct<kind:string,w1:string,w2:string>>"))
+  }
+
+  /** Batch finisher over (possibly window-incremental) gram counts —
+    * merges by addition, then the PMI/minCount/top-k stage of
+    * [[collocations]]. `counts` is (kind, w1, w2, cnt) or the raw
+    * union of windowed increments (any extra columns are ignored). */
+  def collocationsFromCounts(counts: DataFrame, minCount: Int = 5,
+                             k: Int = 20): DataFrame = {
+    require(minCount >= 1 && k >= 1, "minCount and k must be >= 1")
+    // checkpoint the MERGED relation: it feeds the unigram side (N
+    // aggregate + two joins) AND the bigram side — pre-aggregated
+    // increments are small, so one materialization beats re-merging
+    // the sink union once per consumer
+    val merged = counts.groupBy("kind", "w1", "w2")
+      .agg(sum("cnt").as("__c"))
+      .localCheckpoint()
+    val uni = merged.filter(col("kind") === "u")
+      .select(col("w1").as("__t"), col("__c"))
+    val n = uni.agg(sum("__c").as("__n"))
+    val bi = merged.filter(col("kind") === "b" && col("__c") >= minCount)
+      .select(col("w1").as("__w1"), col("w2").as("__w2"),
+        col("__c").as("__bc"))
+    pmiTopK(bi, uni, n, k)
+  }
+
+  /** Shared PMI + top-k stage: bi = (__w1, __w2, __bc),
+    * uni = (__t, __c), n = 1-row (__n). */
+  private def pmiTopK(bi: DataFrame, uni: DataFrame, n: DataFrame,
+                      k: Int): DataFrame =
     bi.join(uni.select(col("__t").as("__w1"), col("__c").as("__c1")),
         Seq("__w1"))
       .join(uni.select(col("__t").as("__w2"), col("__c").as("__c2")),
@@ -826,5 +898,4 @@ object TextAnalysis {
           .as("pmi"))
       .orderBy(col("pmi").desc, col("w1").asc, col("w2").asc)
       .limit(k)
-  }
 }

@@ -99,6 +99,33 @@ object StreamingDetect {
         col("feature"), col("bin"), col("cnt"))
   }
 
+  /** Collocation-mining streaming face: time-windowed gram-count
+    * increments — (window_start, kind ∈ u|b, w1, w2, cnt), the same
+    * increment-union shape as [[windowedBinCounts]]. Both gram kinds
+    * emit from ONE array expression and count through ONE windowed
+    * aggregation ([[graft.llm.TextAnalysis.collocGrams]], shared with
+    * the batch face so the counts are identical by construction);
+    * counts merge by ADDITION, so the batch finisher
+    * [[graft.llm.TextAnalysis.collocationsFromCounts]] accepts the
+    * raw union of sink rows — per-window and whole-stream PMI reads
+    * are both one finisher call (StreamingSpec pins whole-stream ≡
+    * the batch `collocations`). State per open window is bounded by
+    * the window's gram vocabulary. */
+  def windowedCollocCounts(df: DataFrame, ts: String, text: String,
+                           windowDuration: String,
+                           watermark: String = "1 hour"): DataFrame = {
+    val src = if (df.isStreaming) df.withWatermark(ts, watermark) else df
+    src.select(col(ts),
+        explode(graft.llm.TextAnalysis.collocGrams(col(text)))
+          .as("__e"))
+      .groupBy(window(col(ts), windowDuration),
+        col("__e.kind").as("kind"), col("__e.w1").as("w1"),
+        col("__e.w2").as("w2"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(col("window.start").as("window_start"), col("kind"),
+        col("w1"), col("w2"), col("cnt"))
+  }
+
   /** L94 streaming: time-windowed HyperLogLog sketch increments —
     * (group, window_start, bucket, mj), the same windowed-sketch
     * shape as [[windowedBinCounts]]/[[windowedCmsCounts]]. State per

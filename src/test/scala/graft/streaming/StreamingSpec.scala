@@ -620,6 +620,41 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("windowedCollocCounts increments + finisher equal the batch " +
+      "PMI collocations over the whole stream") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val base = Timestamp.valueOf("2024-01-01 00:00:00").getTime
+    val phrases = Seq("new york wins", "the new york subway",
+      "a cat sat", "new york again and again", "the end of the end")
+    val rows = (0 until 120).map { i =>
+      (new Timestamp(base + i * 120L * 1000), phrases(i % phrases.size))
+    }
+    def pmap(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getDouble(3)))).toMap
+    val batch = pmap(graft.llm.TextAnalysis.collocations(
+      rows.map(_._2).toDF("text"), "text", minCount = 5, k = 8))
+    val input = MemoryStream[(Timestamp, String)]
+    val counts = StreamingDetect.windowedCollocCounts(
+      input.toDF().toDF("ts", "text"), "ts", "text", "1 hour")
+    val q = counts.writeStream.format("memory").queryName("collocsink")
+      .outputMode("complete").start()
+    try {
+      input.addData(rows.take(50))
+      q.processAllAvailable()
+      input.addData(rows.drop(50))
+      q.processAllAvailable()
+      val sunk = spark.table("collocsink")
+      assert(sunk.select("window_start").distinct().count() > 2,
+        "test must span multiple windows")
+      val finished = pmap(graft.llm.TextAnalysis.collocationsFromCounts(
+        sunk, minCount = 5, k = 8))
+      assert(finished === batch)
+      assert(batch.contains(("new", "york")), "fixture sanity")
+    } finally q.stop()
+  }
+
   test("statefulDelta matches the batch lag convention across splits") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
