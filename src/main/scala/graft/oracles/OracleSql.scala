@@ -1124,6 +1124,39 @@ object OracleSql {
         |FROM w GROUP BY term
         |ORDER BY n_occurrences DESC, term ASC LIMIT 100""".stripMargin,
 
+    // the per-character collapse fold mirrors llm/Phonetic.soundex
+    // exactly (RE2 has no backreferences, so the collapse cannot be a
+    // regex); verified against the seven published NARA examples
+    "q_soundex" ->
+      """WITH w AS (SELECT p_partkey, CAST(i - 1 AS BIGINT) AS pos,
+        |    parts[i] AS word
+        |  FROM (SELECT p_partkey, string_split(p_name, ' ') AS parts,
+        |        unnest(range(1, len(string_split(p_name, ' ')) + 1))
+        |          AS i
+        |        FROM part) x),
+        |u AS (SELECT p_partkey, pos, word,
+        |    upper(regexp_replace(word, '[^A-Za-z]', '', 'g')) AS L
+        |  FROM w),
+        |f AS (SELECT p_partkey, pos, word, L,
+        |    translate(translate(translate(L, 'HW', ''),
+        |      'AEIOUY', '......'),
+        |      'BFPVCGJKQSXZDTLMNR', '111122222222334556') AS coded
+        |  FROM u),
+        |c AS (SELECT p_partkey, pos, word, L,
+        |    replace(list_reduce(list_prepend('',
+        |        regexp_extract_all(coded, '(?s).')),
+        |      (a, ch) -> CASE WHEN ends_with(a, ch) THEN a
+        |        ELSE a || ch END), '.', '') AS codes
+        |  FROM f)
+        |SELECT p_partkey, pos, word,
+        |  CASE WHEN length(L) = 0 THEN NULL
+        |    ELSE substr(L, 1, 1) || rpad(
+        |      CASE WHEN translate(substr(L, 1, 1), 'AEIOUYHW', '') = ''
+        |        THEN substr(codes, 1, 3)
+        |        ELSE substr(codes, 2, 3) END, 3, '0')
+        |  END AS soundex
+        |FROM c""".stripMargin,
+
     "q_chunks" ->
       """WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks
         |  FROM documents

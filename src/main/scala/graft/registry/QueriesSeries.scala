@@ -757,6 +757,19 @@ object QueriesSeries {
         .select(col("id_a"), col("id_b"), col("dist"),
           round(col("sim"), 6).as("sim"))),
 
+    // L-extra: phonetic blocking keys (American Soundex, NARA
+    // variant) — the record-linkage companion to q_editdist: block on
+    // the code (scan-stage pure expression, no pair join), confirm
+    // inside blocks with exact edit distance. One row per part-name
+    // word with its code.
+    "q_soundex" -> ((s, dir) =>
+      tbl(s, dir, "part")
+        .select(col("p_partkey"),
+          posexplode(split(col("p_name"), " ")).as(Seq("pos", "word")))
+        .select(col("p_partkey"), col("pos").cast("long").as("pos"),
+          col("word"),
+          llm.Phonetic.soundex(col("word")).as("soundex"))),
+
     // L-extra: HyperLogLog distinct sketch (Flajolet 2007) in pure
     // relational form — fixed m-byte summary, merge = per-bucket MAX
     // (map-side combinable, HllSpec plan pin). Portable polynomial
