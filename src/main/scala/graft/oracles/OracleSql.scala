@@ -1124,6 +1124,32 @@ object OracleSql {
         |FROM w GROUP BY term
         |ORDER BY n_occurrences DESC, term ASC LIMIT 100""".stripMargin,
 
+    "q3_shipping" ->
+      """SELECT l_orderkey, o_orderdate, o_orderpriority,
+        |  round(CAST(sum(CAST(round(l_extendedprice *
+        |      (1 - l_discount) * 100) AS BIGINT)) AS DOUBLE)
+        |    / 100, 2) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |  AND o_orderdate < TIMESTAMP '1998-01-01'
+        |  AND l_shipdate > TIMESTAMP '1998-01-01'
+        |GROUP BY 1, 2, 3
+        |ORDER BY revenue DESC, l_orderkey ASC
+        |LIMIT 10""".stripMargin,
+
+    "q6_forecast" ->
+      """SELECT round(CAST(sum(CAST(round(l_extendedprice *
+        |      l_discount * 100) AS BIGINT)) AS DOUBLE) / 100, 2)
+        |    AS revenue,
+        |  count(*) AS n_lines
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+        |  AND l_shipdate < TIMESTAMP '1998-01-01'
+        |  AND l_discount BETWEEN 0.05 AND 0.07
+        |  AND l_quantity < 24""".stripMargin,
+
     // the per-character collapse fold mirrors llm/Phonetic.soundex
     // exactly (RE2 has no backreferences, so the collapse cannot be a
     // regex); verified against the seven published NARA examples

@@ -1014,6 +1014,48 @@ object QueriesSeries {
           round(avg("l_discount"), 9).as("avg_disc"),
           count(lit(1)).as("count_order"))),
 
+    // TPC-H Q3 shape (shipping priority): segment-filtered customers
+    // BROADCAST into the orders⋈lineitem shuffle join, top-10 orders
+    // by revenue. Revenue is an INTEGER-CENTS pin (the q_salted house
+    // rule): per-line cents round exactly, sum as long (associative,
+    // partition-order-independent), so the top-k selection can never
+    // flake on a float boundary.
+    "q3_shipping" -> ((s, dir) => {
+      val c = tbl(s, dir, "customer")
+        .filter(col("c_mktsegment") === "BUILDING")
+        .select("c_custkey")
+      val o = tbl(s, dir, "orders")
+        .filter(col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+        .select("o_orderkey", "o_custkey", "o_orderdate",
+          "o_orderpriority")
+      val l = tbl(s, dir, "lineitem")
+        .filter(col("l_shipdate") > lit("1998-01-01").cast("timestamp"))
+        .select("l_orderkey", "l_extendedprice", "l_discount")
+      l.join(o, l("l_orderkey") === o("o_orderkey"))
+        .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(round(sum(
+            round(col("l_extendedprice") * (lit(1) - col("l_discount"))
+              * 100).cast("long"))
+          .cast("double") / 100, 2).as("revenue"))
+        .orderBy(col("revenue").desc, col("l_orderkey").asc)
+        .limit(10)
+    }),
+
+    // TPC-H Q6 shape (forecast revenue change): pure scan-stage
+    // filter + one global aggregate — the predicate-pushdown
+    // showcase; revenue integer-cents-pinned like q3_shipping.
+    "q6_forecast" -> ((s, dir) =>
+      tbl(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp")
+          && col("l_shipdate") < lit("1998-01-01").cast("timestamp")
+          && col("l_discount").between(0.05, 0.07)
+          && col("l_quantity") < 24)
+        .agg(round(sum(
+            round(col("l_extendedprice") * col("l_discount") * 100)
+              .cast("long")).cast("double") / 100, 2).as("revenue"),
+          count(lit(1)).as("n_lines"))),
+
     // TPC-H Q14-flavored promo revenue: lineitem ⋈ broadcast part, with
     // a conditional-sum promo ratio per brand (completes table coverage —
     // every driver table is now exercised by at least one query)
