@@ -27,6 +27,13 @@ import org.apache.spark.sql.functions._
   * is not guaranteed across engines (assert or pre-aggregate first).
   * `toleranceSeconds` (optional) nulls the match when the right row is
   * older than the tolerance — pandas `merge_asof(tolerance=...)`.
+  *
+  * Null keys follow EQUI-JOIN semantics (SQL `ON l.k = r.k`): a null
+  * key matches NOTHING — left rows with a null key pass through
+  * UNMATCHED, right rows with a null key are dropped. The union trick
+  * would otherwise silently group null==null (a window partition
+  * treats null as a value), which no SQL asof join does — the r15
+  * null-key audit caught exactly that divergence on q_asof.
   */
 object AsofJoin {
 
@@ -42,11 +49,17 @@ object AsofJoin {
     require(!payloadCols.contains("ts"),
       "a payload column named 'ts' would overwrite the matched-" +
         "timestamp output column <prefix>ts — rename it first")
-    val rSel = right.select(
-      keys.map(col) ++ Seq(
-        col(rightTs).as("__ts"),
-        struct(col(rightTs).as("__rts") +:
-          payloadCols.map(c => col(c).as(c)): _*).as("__p")): _*)
+    // equi-join null semantics: a null-keyed right row can never be
+    // anyone's match, so it is dropped BEFORE the union — a null-keyed
+    // LEFT row then lands in a right-free window partition and comes
+    // out unmatched, exactly like SQL `ASOF LEFT JOIN ... ON l.k = r.k`
+    val rSel = right
+      .filter(keys.map(col(_).isNotNull).reduce(_ && _))
+      .select(
+        keys.map(col) ++ Seq(
+          col(rightTs).as("__ts"),
+          struct(col(rightTs).as("__rts") +:
+            payloadCols.map(c => col(c).as(c)): _*).as("__p")): _*)
       .withColumn("__side", lit(0))
     val lSel = left.withColumn("__ts", col(leftTs))
       .withColumn("__side", lit(1))

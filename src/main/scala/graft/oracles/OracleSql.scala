@@ -485,7 +485,8 @@ object OracleSql {
         |    CAST(row_number() OVER (PARTITION BY user_id ORDER BY ts)
         |      AS BIGINT) AS i,
         |    CAST(round(value * 100) AS BIGINT) AS c
-        |  FROM events WHERE value IS NOT NULL),
+        |  FROM events
+        |  WHERE value IS NOT NULL AND user_id IS NOT NULL),
         |pd AS (SELECT u, i, u * 4294967296 + i AS nid, c,
         |    c - coalesce(lag(c) OVER (PARTITION BY u ORDER BY i), c)
         |      AS d
@@ -626,7 +627,8 @@ object OracleSql {
     "q_split" ->
       """WITH b AS (SELECT user_id, ts, value,
         |  row_number() OVER (PARTITION BY user_id ORDER BY ts) AS rn,
-        |  count(*) OVER (PARTITION BY user_id) AS n FROM events)
+        |  count(*) OVER (PARTITION BY user_id) AS n FROM events
+        |  WHERE user_id IS NOT NULL)
         |SELECT user_id, ts, value,
         |  CASE WHEN rn <= floor(n*0.5) THEN 'Train'
         |       WHEN rn <= floor(n*0.75) THEN 'Validation'
@@ -824,7 +826,7 @@ object OracleSql {
       """WITH m AS (SELECT user_id, avg(value) AS mu FROM events
         |  GROUP BY user_id),
         |c AS (SELECT e.user_id, e.value - m.mu AS d FROM events e
-        |  JOIN m USING (user_id))
+        |  JOIN m ON e.user_id IS NOT DISTINCT FROM m.user_id)
         |SELECT user_id,
         |  round(avg(d*d*d*d)/(avg(d*d)*avg(d*d)) - 3, 6) AS kurt
         |FROM c GROUP BY user_id""".stripMargin,
@@ -1653,8 +1655,8 @@ object OracleSql {
     "q_leadlag" ->
       """WITH k AS (SELECT user_id, value,
         |    row_number() OVER (PARTITION BY user_id ORDER BY ts) AS rn
-        |  FROM events),
-        |rk AS (SELECT DISTINCT user_id FROM events
+        |  FROM events WHERE user_id IS NOT NULL),
+        |rk AS (SELECT DISTINCT user_id FROM k
         |  ORDER BY user_id LIMIT 3),
         |refs AS (SELECT k.user_id AS ref_id, rn, value AS ra
         |  FROM k JOIN rk ON k.user_id = rk.user_id),
@@ -2193,7 +2195,8 @@ object OracleSql {
         |    CAST(row_number() OVER (PARTITION BY user_id ORDER BY ts)
         |      AS BIGINT) AS i,
         |    CAST(value AS DOUBLE) AS v
-        |  FROM events WHERE value IS NOT NULL),
+        |  FROM events
+        |  WHERE value IS NOT NULL AND user_id IS NOT NULL),
         |dm AS (SELECT sk, i, v AS d,
         |    CAST(i - coalesce(lag(i) OVER
         |      (PARTITION BY sk ORDER BY i), 0) AS DOUBLE) AS q
@@ -2225,7 +2228,8 @@ object OracleSql {
         |    CAST(value AS DOUBLE) - coalesce(
         |      lag(CAST(value AS DOUBLE)) OVER w,
         |      CAST(value AS DOUBLE)) AS y
-        |  FROM events WHERE value IS NOT NULL
+        |  FROM events
+        |  WHERE value IS NOT NULL AND user_id IS NOT NULL
         |  WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
         |st AS (SELECT sk, min(x) AS xlo, max(x) AS xhi,
         |    min(y) AS ylo, max(y) AS yhi, count(*) AS n
@@ -3044,7 +3048,7 @@ object OracleSql {
       |    (200.0, 'T200')) m(th, model)),
       |b AS (SELECT user_id, ts, value, event_type,
       |    row_number() OVER (PARTITION BY user_id ORDER BY ts) AS rn
-      |  FROM events),
+      |  FROM events WHERE user_id IS NOT NULL),
       |pf AS (SELECT b.user_id, b.rn, m.model,
       |    CASE WHEN b.value > m.th THEN 1 ELSE 0 END AS fl
       |  FROM b CROSS JOIN models m),

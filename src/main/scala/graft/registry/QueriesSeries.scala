@@ -221,11 +221,16 @@ object QueriesSeries {
 
     // W-extra: lead-lag detection — each of the first three series
     // cross-correlated against every series at row offsets ±10; best
-    // lag per pair ranked on the rounded correlation.
+    // lag per pair ranked on the rounded correlation. Null series
+    // keys are excluded up front on BOTH engines: Spark's asc sort
+    // puts nulls FIRST while DuckDB's puts them LAST, so an unfiltered
+    // `ORDER BY user_id LIMIT 3` ref pick would silently diverge the
+    // moment a null-keyed row exists (r15 null-key audit).
     "q_leadlag" -> ((s, dir) => {
-      val keys = ev(s, dir).select(col("user_id")).distinct()
+      val e = ev(s, dir).filter(col("user_id").isNotNull)
+      val keys = e.select(col("user_id")).distinct()
         .orderBy("user_id").limit(3).collect().map(_.get(0)).toSeq
-      SeriesOps.leadLag(ev(s, dir), "user_id", "ts", "value", keys,
+      SeriesOps.leadLag(e, "user_id", "ts", "value", keys,
         maxLag = 10)
     }),
 
@@ -233,7 +238,10 @@ object QueriesSeries {
     // set (the scalable use: template scoring, not all-pairs). The
     // template keys come from the events series themselves.
     "q_dtw" -> ((s, dir) => {
-      val keys = ev(s, dir).select(col("user_id").cast("string"))
+      // same null-exclusion as q_leadlag: a null key must never be
+      // silently picked as a template (Spark sorts nulls first)
+      val keys = ev(s, dir).filter(col("user_id").isNotNull)
+        .select(col("user_id").cast("string"))
         .distinct().orderBy("user_id").limit(3)
         .collect().map(_.getString(0)).toSeq
       graft.models.Dtw.dtwToTemplates(ev(s, dir), "user_id", "ts",
@@ -1188,7 +1196,13 @@ object QueriesSeries {
     // of a full pipeline (scan + windows + joins) per model row.
     "q_leaderboard" -> ((s, dir) => {
       import s.implicits._
-      val base = ev(s, dir)
+      // null series keys excluded on BOTH engines: a null-keyed pred
+      // event can never overlap-join a truth event (equi-join on the
+      // key), so counting it in np/nt is pure denominator noise — and
+      // the two engines counted it DIFFERENTLY (r15 null-key audit:
+      // engine np lost null-key pred events at the metrics join while
+      // the oracle's scalar subqueries kept them)
+      val base = ev(s, dir).filter(col("user_id").isNotNull)
       val gridThs = Seq((150.0, "T150"), (200.0, "T200"))
       val grid = gridThs.toDF("__th", "Model")
       val withRn = SeriesOps.withRowNumberKeys(base, Seq("user_id"), "ts",
