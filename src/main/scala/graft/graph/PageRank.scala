@@ -17,15 +17,21 @@ import org.apache.spark.sql.functions._
   * documented and oracle-mirrored; rank sums stay ≤ 1 and equal 1 on
   * dangling-free graphs).
   *
-  * Distribution shape: the edge relation (with out-degree attached) is
-  * checkpointed ONCE and re-joined each step against the N-row rank
-  * relation — per iteration one equi-join + one dst-keyed aggregate,
-  * the Pregel message-passing shape. Each step's rank relation is
+  * Distribution shape: the edge relation is checkpointed ONCE,
+  * already hash-partitioned on src (localCheckpoint preserves the
+  * physical partitioning — the in-engine analogue of a src-bucketed
+  * edge table), and the N-row state relation carries (rank, out-mass)
+  * per node. Per iteration: one co-partitioned equi-join (only the
+  * nodes-sized state shuffles; the edges never move again), ONE
+  * edges-sized exchange on dst feeding BOTH levels of the contribution
+  * fold (hash(dst) satisfies the (dst, salt) and (dst) groupings), and
+  * a co-partitioned update join against the once-checkpointed
+  * hash(id)-partitioned node state — the Pregel message-passing shape
+  * with the minimum movable volume. Each step's rank relation is
   * checkpointed to break the 10-deep lineage (without this the plan
   * doubles per iteration). At 100 TB scale the same loop holds with
-  * the edge table bucketed by src so the per-step join is
-  * co-partitioned; the rank table is nodes-sized, orders of magnitude
-  * smaller than edges.
+  * the edge table bucketed by src; the rank table is nodes-sized,
+  * orders of magnitude smaller than edges.
   *
   * Personalization + weights (the crawl-frontier form topic-focused
   * curation actually runs): `resetTo` redirects the teleport mass to
@@ -114,17 +120,24 @@ object PageRank {
       case Some(_) =>
         e0.filter(col("__w") > 0.0).distinct()
     }
+    // the edge relation is checkpointed ALREADY HASH-PARTITIONED on
+    // __src (localCheckpoint preserves physical partitioning), so the
+    // per-iteration contribution join never re-shuffles the edges —
+    // only the nodes-sized rank state moves. Out-mass __deg rides the
+    // NODE state instead of being denormalized onto every edge row
+    // (r14 carried it edge-wide: 8·|E| bytes re-scanned per step).
+    val eP = e.repartition(col("__src")).localCheckpoint()
     // out-mass per source: the exact count (unweighted) or the
     // dst-ordered fold of weights (deterministic under any
-    // partitioning; exact when weights are integer-valued)
+    // partitioning; exact when weights are integer-valued); scans the
+    // checkpointed edges, already grouped by their partitioning key
     val deg = weight match {
       case None =>
-        e.groupBy("__src").agg(count(lit(1)).as("__deg"))
+        eP.groupBy("__src").agg(count(lit(1)).as("__deg"))
       case Some(_) =>
-        e.groupBy("__src")
+        eP.groupBy("__src")
           .agg(orderedSum(col("__dst"), col("__w")).as("__deg"))
     }
-    val eDeg = e.join(deg, Seq("__src")).localCheckpoint()
     val n = ndPlain.count()
     // the uniform path keeps the ORIGINAL literal expressions so the
     // pre-personalization results stay bit-identical
@@ -139,22 +152,36 @@ object PageRank {
         case None => rank / d
         case Some(_) => rank * w / d
       }
-    var ranks = (resetTo match {
+    // loop-invariant node state (teleport mass __p + out-mass __deg),
+    // hash-partitioned on __id and checkpointed ONCE: the update join
+    // below is then co-partitioned with the __dst-keyed contribution
+    // aggregate — zero node-side exchange inside the loop
+    val ndState = nd
+      .join(deg.withColumnRenamed("__src", "__id"), Seq("__id"), "left")
+      .repartition(col("__id")).localCheckpoint()
+    var ranks = resetTo match {
       case None =>
-        nd.select(col("__id"), (lit(1.0) / lit(n)).as("__rank"))
+        ndState.select(col("__id"), (lit(1.0) / lit(n)).as("__rank"),
+          col("__deg"))
       case Some(_) =>
-        nd.select(col("__id"), col("__p").as("__rank"))
-    }).localCheckpoint()
+        ndState.select(col("__id"), col("__p").as("__rank"),
+          col("__deg"))
+    }
     var t = 0
     while (t < iters) {
       // two-level fold: salt-bucket partial ordered sums (buffer ≤
       // indeg/S per group even on a hub), then the ordered merge of
-      // the ≤ S subtotals
-      val contrib = eDeg
-        .join(ranks, eDeg("__src") === ranks("__id"))
+      // the ≤ S subtotals. The explicit __dst repartition feeds BOTH
+      // aggregates (hash(__dst) satisfies each grouping) — one
+      // exchange where the r14 shape paid two; the shuffle_hash hint
+      // keeps the edges side unsorted (SMJ would sort |E| rows per
+      // step to join a nodes-sized build side).
+      val contrib = eP
+        .join(ranks.hint("shuffle_hash"), eP("__src") === ranks("__id"))
         .select(col("__dst"), col("__src"),
           contribOf(col("__rank"), col("__w"), col("__deg")).as("__c"),
           pmod(col("__src"), lit(saltBuckets.toLong)).as("__sb"))
+        .repartition(col("__dst"))
         .groupBy("__dst", "__sb")
         .agg(orderedSum(col("__src"), col("__c")).as("__ps"))
         .groupBy("__dst")
@@ -166,10 +193,13 @@ object PageRank {
       // ranks' cache), after which the superseded round is released.
       val prev = ranks
       ranks = graft.core.Checkpoints.fresh(
-        nd.join(contrib, nd("__id") === contrib("__dst"), "left")
+        ndState
+          .join(contrib.hint("shuffle_hash"),
+            ndState("__id") === contrib("__dst"), "left")
           .select(col("__id"),
             (base + lit(damping) * coalesce(col("__cs"), lit(0.0)))
-              .as("__rank")))
+              .as("__rank"),
+            col("__deg")))
       graft.core.Checkpoints.release(prev)
       t += 1
     }

@@ -41,22 +41,27 @@ object Triangles {
   def clusteringCoefficient(nodes: DataFrame, id: String,
                             edges: DataFrame, src: String,
                             dst: String): DataFrame = {
-    // ONE undirect+dedup shuffle shared by the degree aggregate and
-    // the triangle chain (checkpointed — the chain scans it thrice)
+    // ONE undirect+dedup shuffle AND one degree aggregate shared by
+    // the cc ratio and the triangle chain (both checkpointed — the
+    // chain scans und thrice and deg twice, plus this join)
     val und = undirected(edges, src, dst).localCheckpoint()
-    val deg = und.select(col("__u").as("__n"))
-      .unionAll(und.select(col("__v").as("__n")))
-      .groupBy("__n").agg(count(lit(1)).as("__deg"))
-    trianglesFromUnd(nodes, id, und)
+    val deg = degrees(und).localCheckpoint()
+    trianglesFromUnd(nodes, id, und, deg)
       .join(deg, col(id) === col("__n"), "left")
       .select(col(id),
-        coalesce(col("__deg"), lit(0L)).as("degree"),
+        coalesce(col("__d"), lit(0L)).as("degree"),
         col("n_triangles"),
-        when(coalesce(col("__deg"), lit(0L)) >= 2,
+        when(coalesce(col("__d"), lit(0L)) >= 2,
           round(lit(2.0) * col("n_triangles").cast("double") /
-            (col("__deg") * (col("__deg") - 1)).cast("double"), 6))
+            (col("__d") * (col("__d") - 1)).cast("double"), 6))
           .otherwise(lit(0.0)).as("clustering"))
   }
+
+  /** Node degrees over the undirected deduped edge set: (__n, __d). */
+  private def degrees(und: DataFrame): DataFrame =
+    und.select(col("__u").as("__n"))
+      .unionAll(und.select(col("__v").as("__n")))
+      .groupBy("__n").agg(count(lit(1)).as("__d"))
 
   /** Undirected deduped self-loop-free edge set: (__u, __v), u < v. */
   private def undirected(edges: DataFrame, src: String,
@@ -71,16 +76,15 @@ object Triangles {
 
   /** Per-node triangle counts. Output: (id, n_triangles). */
   def triangleCounts(nodes: DataFrame, id: String, edges: DataFrame,
-                     src: String, dst: String): DataFrame =
-    trianglesFromUnd(nodes, id,
-      undirected(edges, src, dst).localCheckpoint())
+                     src: String, dst: String): DataFrame = {
+    val und = undirected(edges, src, dst).localCheckpoint()
+    trianglesFromUnd(nodes, id, und, degrees(und))
+  }
 
   private def trianglesFromUnd(nodes: DataFrame, id: String,
-                               und: DataFrame): DataFrame = {
+                               und: DataFrame,
+                               deg: DataFrame): DataFrame = {
     val nd = nodes.select(col(id).cast("long").as("__id")).distinct()
-    val deg = und.select(col("__u").as("__n"))
-      .unionAll(und.select(col("__v").as("__n")))
-      .groupBy("__n").agg(count(lit(1)).as("__d"))
     // (degree, id) lexicographic order — the orientation key
     def keyLt(d1: Column, n1: Column, d2: Column, n2: Column): Column =
       d1 < d2 || (d1 === d2 && n1 < n2)

@@ -903,6 +903,24 @@ class PlanSpec extends SparkSpec {
       s"triangle joins must all be equi-joins:\n$p")
   }
 
+  test("clustering coefficient computes the degree aggregate ONCE " +
+      "(shared, checkpointed — not rebuilt per consumer)") {
+    import spark.implicits._
+    val nodes = (0L until 60L).toDF("id")
+    val edges = (0L until 60L).flatMap(i =>
+      Seq((i, (i + 1) % 60), (i, (i * 7 + 3) % 60))).toDF("src", "dst")
+    val p = plan(graft.graph.Triangles.clusteringCoefficient(
+      nodes, "id", edges, "src", "dst"))
+    // the only Union left in the final plan is the 3-corner count:
+    // the u/v degree union is computed once, checkpointed, and scanned
+    // by both the orientation chain and the cc ratio (r14 built the
+    // identical degree aggregate twice — visible as a second Union)
+    val unions = "\\bUnion\\b".r.findAllIn(p).size
+    assert(unions == 1,
+      s"expected only the corner-count Union — the degree aggregate " +
+        s"must be shared, found $unions:\n$p")
+  }
+
   test("MMR re-rank: bounded per-query group state, no cartesian") {
     import spark.implicits._
     val rng = new scala.util.Random(5)
