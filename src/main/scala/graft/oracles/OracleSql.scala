@@ -1185,6 +1185,45 @@ object OracleSql {
         |  END AS soundex
         |FROM c""".stripMargin,
 
+    // the composed ER tier: Soundex chain (verbatim the q_soundex
+    // fold) over the DISTINCT part-name vocabulary, block equi-join on
+    // the code, |len|<=2 lower-bound prune, exact levenshtein <= 2
+    "q_er_block" ->
+      """WITH w0 AS (SELECT DISTINCT w AS word
+        |  FROM (SELECT unnest(string_split(p_name, ' ')) AS w
+        |        FROM part) x
+        |  WHERE length(w) > 0),
+        |u AS (SELECT word,
+        |    upper(regexp_replace(word, '[^A-Za-z]', '', 'g')) AS L
+        |  FROM w0),
+        |f AS (SELECT word, L,
+        |    translate(translate(translate(L, 'HW', ''),
+        |      'AEIOUY', '......'),
+        |      'BFPVCGJKQSXZDTLMNR', '111122222222334556') AS coded
+        |  FROM u),
+        |c AS (SELECT word, L,
+        |    replace(list_reduce(list_prepend('',
+        |        regexp_extract_all(coded, '(?s).')),
+        |      (a, ch) -> CASE WHEN ends_with(a, ch) THEN a
+        |        ELSE a || ch END), '.', '') AS codes
+        |  FROM f),
+        |k AS (SELECT word,
+        |    CASE WHEN length(L) = 0 THEN NULL
+        |      ELSE substr(L, 1, 1) || rpad(
+        |        CASE WHEN translate(substr(L, 1, 1),
+        |            'AEIOUYHW', '') = ''
+        |          THEN substr(codes, 1, 3)
+        |          ELSE substr(codes, 2, 3) END, 3, '0')
+        |    END AS code
+        |  FROM c),
+        |kk AS (SELECT word, code FROM k WHERE code IS NOT NULL)
+        |SELECT a.code AS block, a.word AS id_a, b.word AS id_b,
+        |  CAST(levenshtein(a.word, b.word) AS BIGINT) AS dist
+        |FROM kk a JOIN kk b ON a.code = b.code
+        |WHERE a.word < b.word
+        |  AND abs(length(a.word) - length(b.word)) <= 2
+        |  AND levenshtein(a.word, b.word) <= 2""".stripMargin,
+
     "q_chunks" ->
       """WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks
         |  FROM documents

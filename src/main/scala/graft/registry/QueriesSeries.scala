@@ -778,6 +778,22 @@ object QueriesSeries {
           col("word"),
           llm.Phonetic.soundex(col("word")).as("soundex"))),
 
+    // L-extra: the ER tier composed end-to-end — Soundex blocking
+    // feeding exact edit-distance confirmation inside blocks
+    // (Phonetic.soundexBlockedPairs), over the distinct part-name
+    // vocabulary: the phonetic key catches pairs the q_editdist
+    // (length-bucket, prefix) key structurally misses (Smith/Smyth
+    // split at prefix char 3; S530 holds them together), and the
+    // exact distance rejects phonetic over-merges (Robert/Rupert).
+    "q_er_block" -> ((s, dir) => {
+      val words = tbl(s, dir, "part")
+        .select(explode(split(col("p_name"), " ")).as("word"))
+        .filter(length(col("word")) > 0).distinct()
+      llm.Phonetic.soundexBlockedPairs(words, "word", "word",
+          maxDist = 2)
+        .select(col("block"), col("id_a"), col("id_b"), col("dist"))
+    }),
+
     // L-extra: HyperLogLog distinct sketch (Flajolet 2007) in pure
     // relational form — fixed m-byte summary, merge = per-bucket MAX
     // (map-side combinable, HllSpec plan pin). Portable polynomial

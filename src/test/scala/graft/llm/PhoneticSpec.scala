@@ -48,4 +48,32 @@ class PhoneticSpec extends SparkSpec {
     assert(got("Smith") !== got("Jackson"))
     assert(got("Smith") !== got("Miller")) // S530 vs M460
   }
+
+  test("soundexBlockedPairs: finds the Smith/Smyth pair that " +
+      "(length-bucket, prefix) blocking structurally misses, and the " +
+      "exact distance rejects phonetic over-merges") {
+    val names = Seq(("r1", "Smith"), ("r2", "Smyth"), ("r3", "Robert"),
+      ("r4", "Rupert"), ("r5", "Miller"), ("r6", "Millar"))
+      .toDF("rec", "name")
+    val got = Phonetic.soundexBlockedPairs(names, "rec", "name",
+        maxDist = 1)
+      .select("id_a", "id_b", "dist")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+      .toSet
+    // Smith/Smyth confirmed at distance 1 inside S530;
+    // Miller/Millar at distance 1 inside M460;
+    // Robert/Rupert SHARE R163 but distance 2 > 1 rejects the merge
+    assert(got === Set(("r1", "r2", 1L), ("r5", "r6", 1L)))
+    // the q_editdist blocking key misses Smith/Smyth: with a prefix
+    // longer than the point of divergence (char 3), the two land in
+    // different blocks and the pair is never even CANDIDATE-generated
+    val edPairs = Dedup.editDistancePairs(names, "rec", "name",
+        maxDist = 1, lenBucket = 50, prefixLen = 16)
+      .select("id_a", "id_b").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    assert(!edPairs.contains(("r1", "r2")) &&
+      !edPairs.contains(("r2", "r1")),
+      "prefix blocking unexpectedly caught Smith/Smyth — the ER-tier " +
+        "motivation for the phonetic key would be stale")
+  }
 }
