@@ -1,0 +1,78 @@
+package graft.graph
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Community detection by synchronous MIN-LABEL propagation ("hash-min"
+  * LPA — the deterministic variant of Raghavan 2007's label
+  * propagation, and the per-round step of the Rastogi 2013 hash-min
+  * connected-components family): every node starts as its own label,
+  * and each round adopts the minimum label in its closed undirected
+  * neighborhood:
+  *
+  *   l_0(v) = v;  l_{t+1}(v) = min(l_t(v), min_{u ~ v} l_t(u))
+  *
+  * After R rounds l(v) is EXACTLY the minimum node id within
+  * undirected distance R of v — bounded rounds give distance-R
+  * community cores (what a dedup/link-farm triage actually wants:
+  * tight rings collapse onto one label in 1–2 rounds while a long
+  * chain stays split), and R ≥ diameter converges to connected
+  * components, the [[graft.llm.Dedup.resolveComponents]] answer by a
+  * different route (that one pointer-jumps in O(log d) rounds; this
+  * one is the bounded-radius read). All-integer min — associative,
+  * commutative, partition-order-independent: no float-fold convention
+  * needed anywhere.
+  *
+  * Distribution shape (the r15 PageRank loop discipline): the
+  * symmetric adjacency is checkpointed ONCE, hash-partitioned on src,
+  * so per round only the nodes-sized label state shuffles into the
+  * message join; messages take ONE hash(dst) exchange with map-side
+  * partial min (a real combiner — unlike the ordered float folds, min
+  * collapses on the map side); the label update is a nodes-sized
+  * self-join. Round state rides [[graft.core.Checkpoints.fresh]] so
+  * lineage and carried stats never compound.
+  */
+object Communities {
+
+  /** Run `rounds` min-label steps over the undirected closure of
+    * `edges` (self-loops dropped, duplicates collapsed). Output:
+    * (id, community) — community = min id within distance `rounds`. */
+  def minLabelPropagation(nodes: DataFrame, id: String,
+                          edges: DataFrame, src: String, dst: String,
+                          rounds: Int): DataFrame = {
+    require(rounds >= 1, s"rounds=$rounds must be >= 1")
+    val nd = nodes.select(col(id).cast("long").as("__id")).distinct()
+    val und = edges.select(col(src).cast("long").as("__a"),
+        col(dst).cast("long").as("__b"))
+      .filter(col("__a") =!= col("__b") &&
+        col("__a").isNotNull && col("__b").isNotNull)
+      .select(least(col("__a"), col("__b")).as("__u"),
+        greatest(col("__a"), col("__b")).as("__v"))
+      .distinct()
+    val adj = und.select(col("__u").as("__src"), col("__v").as("__dst"))
+      .unionAll(und.select(col("__v").as("__src"),
+        col("__u").as("__dst")))
+      .repartition(col("__src")).localCheckpoint()
+    var labels = nd.select(col("__id"), col("__id").as("__lbl"))
+      .repartition(col("__id")).localCheckpoint()
+    var t = 0
+    while (t < rounds) {
+      val msgs = adj
+        .join(labels.hint("shuffle_hash"),
+          adj("__src") === labels("__id"))
+        .select(col("__dst"), col("__lbl").as("__in"))
+        .repartition(col("__dst"))
+        .groupBy("__dst").agg(min("__in").as("__nm"))
+      val prev = labels
+      labels = graft.core.Checkpoints.fresh(
+        prev.join(msgs.hint("shuffle_hash"),
+            prev("__id") === msgs("__dst"), "left")
+          .select(col("__id"),
+            least(col("__lbl"), coalesce(col("__nm"), col("__lbl")))
+              .as("__lbl")))
+      graft.core.Checkpoints.release(prev)
+      t += 1
+    }
+    labels.select(col("__id").as(id), col("__lbl").as("community"))
+  }
+}

@@ -209,6 +209,48 @@ object OracleSql {
       |     UNION ALL SELECT c AS n FROM tri)
       |  GROUP BY n)""".stripMargin
 
+  /** q_communities oracle: 3 unrolled min-label rounds over the
+    * shared synthetic graph's undirected closure. Pure integer
+    * least/min — no float convention. Every round's label relation is
+    * referenced TWICE (messages + update), so each l{t} is
+    * MATERIALIZED (the house DuckDB rule: inlined multi-referenced
+    * CTEs blow up exponentially across unrolled rounds). */
+  private def communitiesOracleSql: String = {
+    val head =
+      """WITH nodes AS MATERIALIZED (SELECT doc_id AS id FROM documents),
+        |mm AS (SELECT max(id) + 1 AS m FROM nodes),
+        |eraw AS (
+        |  SELECT id AS src, (id * 7 + 1) % m AS dst
+        |  FROM nodes CROSS JOIN mm
+        |  UNION ALL
+        |  SELECT id AS src, (id * 13 + 3) % m AS dst
+        |  FROM nodes CROSS JOIN mm
+        |  UNION ALL
+        |  SELECT id AS src, (id * 31 + 11) % m AS dst
+        |  FROM nodes CROSS JOIN mm),
+        |e0 AS (SELECT DISTINCT src, dst FROM eraw WHERE src <> dst),
+        |und AS (SELECT DISTINCT least(src, dst) AS u,
+        |    greatest(src, dst) AS v FROM e0),
+        |adj AS MATERIALIZED (SELECT u AS src, v AS dst FROM und
+        |  UNION ALL SELECT v AS src, u AS dst FROM und),
+        |l0 AS MATERIALIZED (SELECT id, id AS lbl FROM nodes),
+        |""".stripMargin
+    val steps = (1 to 3).map { t =>
+      s"""m$t AS (SELECT adj.dst AS id, min(l.lbl) AS nm
+         |  FROM adj JOIN l${t - 1} l ON adj.src = l.id
+         |  GROUP BY adj.dst),
+         |l$t AS MATERIALIZED (SELECT l.id,
+         |    least(l.lbl, coalesce(m$t.nm, l.lbl)) AS lbl
+         |  FROM l${t - 1} l LEFT JOIN m$t ON l.id = m$t.id),
+         |""".stripMargin
+    }.mkString
+    val tail =
+      """fin AS (SELECT * FROM l3)
+        |SELECT id AS doc_id, CAST(lbl AS BIGINT) AS community
+        |FROM fin""".stripMargin
+    head + steps + tail
+  }
+
   /** q_pagerank_pers oracle: 10 unrolled PERSONALIZED weighted steps
     * mirroring PageRank.scala — teleport mass 1/|S| on the seed set
     * (else 0), contributions rank·w/W(src) with W the dst-ordered
@@ -622,6 +664,7 @@ object OracleSql {
     "q_triangles" -> trianglesOracleSql,
     "q_clustering" -> clusteringOracleSql,
     "q_pagerank_pers" -> pprOracleSql,
+    "q_communities" -> communitiesOracleSql,
     "q_hits" -> hitsOracleSql,
     "q_mmr" -> mmrOracleSql,
     "q_split" ->

@@ -647,6 +647,27 @@ object QueriesSeries {
         "src", "dst")
     }),
 
+    // L-extra: min-label ("hash-min") community detection over the
+    // same synthetic doc link graph — 3 synchronous rounds, so
+    // community = min doc_id within undirected distance 3 (18 labels
+    // over 500 docs at sf0.01: tight link rings collapse, chains stay
+    // split). All-integer min: exact on both engines, no float
+    // convention. Per round: one co-partitioned label join + ONE
+    // map-side-combined min exchange (r15 PageRank loop discipline).
+    "q_communities" -> ((s, dir) => {
+      val d = docs(s, dir).select(col("doc_id"))
+      val m = d.agg((max("doc_id") + 1).as("__m"))
+      val withM = d.crossJoin(broadcast(m))
+      val edges = withM.select(col("doc_id").as("src"),
+          ((col("doc_id") * 7 + 1) % col("__m")).as("dst"))
+        .unionByName(withM.select(col("doc_id").as("src"),
+          ((col("doc_id") * 13 + 3) % col("__m")).as("dst")))
+        .unionByName(withM.select(col("doc_id").as("src"),
+          ((col("doc_id") * 31 + 11) % col("__m")).as("dst")))
+      graft.graph.Communities.minLabelPropagation(d, "doc_id", edges,
+        "src", "dst", rounds = 3)
+    }),
+
     // LLM-pipeline: n-gram novelty / memorization audit — fraction of
     // each doc's distinct 5-grams appearing in ANY other document
     // (novelty = 1 − shared/total). The measurement face of the dedup
