@@ -209,6 +209,15 @@ object OracleSql {
       |     UNION ALL SELECT c AS n FROM tri)
       |  GROUP BY n)""".stripMargin
 
+  /** documents ∪ the one non-BMP probe row — interpolates the SAME
+    * constant the engine unions ([[graft.registry.QueriesLlm
+    * .uniProbeText]]), so the two sides cannot drift; puts surrogate-
+    * pair code points through the live per-code-point hash gate. */
+  private def uniDocCte: String =
+    "documents2 AS (SELECT doc_id, text, source FROM documents\n" +
+      "  UNION ALL SELECT 900000001, '" +
+      graft.registry.QueriesLlm.uniProbeText + "', 'srcU')"
+
   /** q_communities oracle: 3 unrolled min-label rounds over the
     * shared synthetic graph's undirected closure. Pure integer
     * least/min — no float convention. Every round's label relation is
@@ -963,7 +972,8 @@ object OracleSql {
         |FROM documents GROUP BY lang, n_chars""".stripMargin,
 
     "q_fingerprint" ->
-      """SELECT doc_id, md5(text) AS fp FROM documents""".stripMargin,
+      (s"WITH $uniDocCte\n" +
+        "SELECT doc_id, md5(text) AS fp FROM documents2"),
 
     "q_sample" ->
       """SELECT doc_id, lang, source FROM documents
@@ -1854,8 +1864,9 @@ object OracleSql {
         |GROUP BY t.source""".stripMargin,
 
     "q_dsir" ->
-      """WITH w AS (SELECT doc_id, source, string_split(text, ' ') AS w
-        |  FROM documents),
+      (s"WITH $uniDocCte,\n" +
+      """w AS (SELECT doc_id, source, string_split(text, ' ') AS w
+        |  FROM documents2),
         |g AS (
         |  SELECT doc_id, source, unnest(w) AS gram FROM w
         |  UNION ALL
@@ -1885,7 +1896,7 @@ object OracleSql {
         |  round(list_reduce(list_prepend(0.0,
         |      list_transform(list(wt ORDER BY b), x -> x)),
         |    (a, b) -> a + b), 6) AS dsir_logw
-        |FROM j GROUP BY doc_id""".stripMargin,
+        |FROM j GROUP BY doc_id""".stripMargin),
 
     "q_dsir_resample" ->
       """WITH w AS (SELECT doc_id, source, string_split(text, ' ') AS w
@@ -2479,8 +2490,9 @@ object OracleSql {
         |FROM scored QUALIFY rank <= 5""".stripMargin,
 
     "q_kmv" ->
-      """WITH w AS (SELECT source,
-        |    unnest(string_split(text, ' ')) AS term FROM documents),
+      (s"WITH $uniDocCte,\n" +
+      """w AS (SELECT source,
+        |    unnest(string_split(text, ' ')) AS term FROM documents2),
         |h AS (SELECT source, term,
         |    list_reduce(list_prepend(CAST(0 AS BIGINT),
         |      list_transform(string_split(term, ''),
@@ -2500,7 +2512,7 @@ object OracleSql {
         |  round(CASE WHEN n_sketch < 256 THEN CAST(n_sketch AS DOUBLE)
         |    ELSE 255.0 / kth_frac END, 6) AS est_distinct,
         |  exact_distinct
-        |FROM sk JOIN ex ON sk.source = ex.source""".stripMargin,
+        |FROM sk JOIN ex ON sk.source = ex.source""".stripMargin),
 
     "q_nbquality" ->
       """WITH d AS (SELECT doc_id,
@@ -2535,8 +2547,9 @@ object OracleSql {
         |FROM sc""".stripMargin,
 
     "q_cms" ->
-      """WITH wds AS (SELECT unnest(string_split(text, ' ')) AS term
-        |  FROM documents),
+      (s"WITH $uniDocCte,\n" +
+      """wds AS (SELECT unnest(string_split(text, ' ')) AS term
+        |  FROM documents2),
         |ex AS (SELECT term, count(*) AS exact_cnt FROM wds
         |  GROUP BY term ORDER BY exact_cnt DESC, term ASC LIMIT 20),
         |rws AS (SELECT CAST(unnest(range(4)) AS BIGINT) AS r),
@@ -2562,7 +2575,7 @@ object OracleSql {
         |  CAST(min(coalesce(s.cnt, 0)) AS BIGINT) AS cms_est
         |FROM probe p LEFT JOIN sk s
         |  ON p.r = s.r AND p.bucket = s.bucket
-        |GROUP BY p.term, p.exact_cnt""".stripMargin,
+        |GROUP BY p.term, p.exact_cnt""".stripMargin),
 
     "q_histq" ->
       """WITH b AS (SELECT user_id,

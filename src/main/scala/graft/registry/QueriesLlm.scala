@@ -20,6 +20,28 @@ import graft.models.StlLite
   */
 object QueriesLlm {
 
+  /** The non-BMP probe text: CJK (multi-byte BMP), an emoji and a
+    * CJK-ext-B ideograph (both SURROGATE PAIRS in UTF-16), glued
+    * ASCII. One row of this flows through the portable-hash queries
+    * (q_fingerprint/q_cms/q_kmv/q_dsir) so the per-CODE-POINT split
+    * parity claim (llm/TextAnalysis rollingHash contract: Spark
+    * `split(s, "")` ≡ DuckDB `string_split(s, '')`, `ascii` = full
+    * code point) is proven in the LIVE DuckDB gate, not only by a
+    * ScalaTest pin — the driver fixture itself is ASCII. The oracle
+    * side embeds the IDENTICAL literal (OracleSql.uniDocCte reads
+    * this constant). */
+  private[graft] val uniProbeText: String =
+    "汉字 👋 𠀀x ok"
+
+  /** documents ∪ the one non-BMP probe row (doc_id far beyond any
+    * fixture id; its own source so per-source reads stay clean). */
+  private def docsUni(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    docs(s, dir).select(col("doc_id"), col("text"), col("source"))
+      .unionByName(Seq((900000001L, uniProbeText, "srcU"))
+        .toDF("doc_id", "text", "source"))
+  }
+
   val map: Map[String, (SparkSession, String) => DataFrame] = Map(
     // LLM-pipeline: exact dedup groups (hash-groupBy)
     "q_dedup_exact" -> ((s, dir) =>
@@ -29,7 +51,7 @@ object QueriesLlm {
 
     // LLM-pipeline: content fingerprint (md5)
     "q_fingerprint" -> ((s, dir) =>
-      docs(s, dir)
+      docsUni(s, dir)
         .select(col("doc_id"), md5(col("text")).as("fp"))),
 
     // LLM-pipeline: corpus-mixture sampling — per-language keep rates
@@ -459,7 +481,7 @@ object QueriesLlm {
     // k smallest portable hash values; deterministic hash → the
     // ESTIMATE itself is oracle-checked, exact reference rides along.
     "q_kmv" -> ((s, dir) => {
-      val words = docs(s, dir).select(col("source"),
+      val words = docsUni(s, dir).select(col("source"),
         explode(split(col("text"), " ")).as("term"))
       llm.Kmv.distinctSketch(words, "source", "term", k = 256)
         .select(col("source"), col("n_sketch"),
@@ -488,7 +510,7 @@ object QueriesLlm {
     // this vocab, so est > exact is exercised, and the deterministic
     // hash makes the ESTIMATE itself oracle-checked).
     "q_cms" -> ((s, dir) => {
-      val words = docs(s, dir).select(
+      val words = docsUni(s, dir).select(
         explode(split(col("text"), " ")).as("term"))
       val exact = words.groupBy("term")
         .agg(count(lit(1)).as("exact_cnt"))
@@ -785,7 +807,7 @@ object QueriesLlm {
     // hash, bucket-ordered float fold; the oracle reproduces bucket
     // ids, Laplace ratios, and the fold in plain SQL.
     "q_dsir" -> ((s, dir) =>
-      llm.Sampling.dsirLogWeights(docs(s, dir), "doc_id", "text",
+      llm.Sampling.dsirLogWeights(docsUni(s, dir), "doc_id", "text",
         col("source") === "src0", buckets = 256)
         .select(col("doc_id"), col("n_grams"), col("dsir_logw"))),
 

@@ -35,6 +35,18 @@ class RegistrySpec extends AnyFunSuite {
       s"divergence hazard): $bad")
   }
 
+  test("the non-BMP probe literal survives source encoding intact") {
+    // if a build-encoding change mangled the literal, engine and
+    // oracle would BOTH use the mangled bytes (the oracle interpolates
+    // the same constant) and the probe would silently stop testing
+    // surrogate pairs — pin the exact code points
+    val got = graft.registry.QueriesLlm.uniProbeText
+      .codePoints().toArray.toSeq
+    assert(got === Seq(0x6C49, 0x5B57, 0x20, 0x1F44B, 0x20, 0x20000,
+      'x'.toInt, 0x20, 'o'.toInt, 'k'.toInt),
+      s"probe text code points drifted: $got")
+  }
+
   test("registry halves do not overlap") {
     val a = graft.registry.QueriesSeries.map.keySet
     val b = graft.registry.QueriesLlm.map.keySet
