@@ -55,12 +55,21 @@ object Hits {
     require(saltBuckets >= 1, s"saltBuckets=$saltBuckets must be >= 1")
     val nd = nodes.select(col(id).cast("long").as("__id")).distinct()
       .localCheckpoint()
-    val e = edges.select(col(src).cast("long").as("__src"),
+    // TWO checkpointed edge copies, hash-partitioned on the pass key
+    // (the relational analogue of keeping src- and dst-sorted
+    // adjacency lists): the auth pass joins on __src, the hub pass on
+    // __dst, and with localCheckpoint preserving the physical
+    // partitioning NEITHER pass ever re-shuffles the edges — only the
+    // nodes-sized score relation moves (r15 PageRank loop discipline).
+    // eD derives from the materialized eS, so the distinct runs once.
+    val eS = edges.select(col(src).cast("long").as("__src"),
         col(dst).cast("long").as("__dst"))
       .filter(col("__src") =!= col("__dst") &&
         col("__src").isNotNull && col("__dst").isNotNull)
       .distinct()
+      .repartition(col("__src"))
       .localCheckpoint()
+    val eD = eS.repartition(col("__dst")).localCheckpoint()
     // overflow guard for the no-per-pass-normalization design:
     // unnormalized scores grow at most like (max degree)^(2·iters)
     // (each pass multiplies the max score by at most the max in/out
@@ -71,9 +80,9 @@ object Hits {
     // hitting this need per-pass rescaling semantics, which would
     // change the float contract — fail loudly instead.
     val maxDeg = math.max(
-      e.groupBy("__src").count()
+      eS.groupBy("__src").count()
         .agg(coalesce(max("count"), lit(0L))).head().getLong(0),
-      e.groupBy("__dst").count()
+      eD.groupBy("__dst").count()
         .agg(coalesce(max("count"), lit(0L))).head().getLong(0))
     require(2.0 * iters * math.log(math.max(maxDeg, 2L).toDouble) < 600.0,
       s"iters=$iters with max degree $maxDeg can overflow the " +
@@ -84,12 +93,18 @@ object Hits {
     // stats-safe checkpoint per pass: plain localCheckpoint carries
     // multiplied sizeInBytes forward and compounds across passes
     // (core/Checkpoints.scala)
-    def pass(scores: DataFrame, fromCol: String, toCol: String): DataFrame =
+    // the explicit toCol repartition feeds BOTH fold levels (hash(to)
+    // satisfies the (to, salt) and (to) groupings — one exchange, not
+    // two); shuffle_hash keeps the edges side unsorted
+    def pass(scores: DataFrame, eDir: DataFrame, fromCol: String,
+             toCol: String): DataFrame =
       graft.core.Checkpoints.fresh(
-        e.join(scores, e(fromCol) === scores("__id"))
+        eDir.join(scores.hint("shuffle_hash"),
+            eDir(fromCol) === scores("__id"))
           .select(col(toCol), col(fromCol),
             pmod(col(fromCol), lit(saltBuckets.toLong)).as("__sb"),
             col("__score").as("__s"))
+          .repartition(col(toCol))
           .groupBy(col(toCol), col("__sb"))
           .agg(orderedSum(col(fromCol), col("__s")).as("__ps"))
           .groupBy(col(toCol))
@@ -101,8 +116,8 @@ object Hits {
     var t = 0
     while (t < iters) {
       val (prevAuth, prevHub) = (auth, hub)
-      auth = pass(hub, "__src", "__dst")   // auth(v) = Σ hub(u), u→v
-      hub = pass(auth, "__dst", "__src")   // hub(u) = Σ auth(v), u→v
+      auth = pass(hub, eS, "__src", "__dst")  // auth(v) = Σ hub(u), u→v
+      hub = pass(auth, eD, "__dst", "__src")  // hub(u) = Σ auth(v), u→v
       // both passes are eagerly materialized above; release the
       // superseded round (no-op at t=0, where both are the initial
       // unpersisted localCheckpoint)
