@@ -1194,6 +1194,29 @@ object OracleSql {
         |ORDER BY revenue DESC, l_orderkey ASC
         |LIMIT 10""".stripMargin,
 
+    "q4_priority" ->
+      """SELECT o_orderpriority, count(*) AS n_orders
+        |FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+        |  AND o_orderdate < TIMESTAMP '1997-07-01'
+        |  AND EXISTS (SELECT 1 FROM lineitem
+        |    WHERE l_orderkey = o_orderkey
+        |      AND l_shipdate > o_orderdate)
+        |GROUP BY o_orderpriority""".stripMargin,
+
+    "q18_big_orders" ->
+      """WITH big AS (SELECT l_orderkey,
+        |    CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT)
+        |      AS total_qty
+        |  FROM lineitem GROUP BY l_orderkey
+        |  HAVING total_qty > 150)
+        |SELECT c_name, o_orderkey, o_orderdate, o_totalprice,
+        |  total_qty
+        |FROM big JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |ORDER BY o_totalprice DESC, o_orderkey ASC
+        |LIMIT 10""".stripMargin,
+
     "q6_forecast" ->
       """SELECT round(CAST(sum(CAST(round(l_extendedprice *
         |      l_discount * 100) AS BIGINT)) AS DOUBLE) / 100, 2)

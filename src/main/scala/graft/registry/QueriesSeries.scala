@@ -1101,6 +1101,45 @@ object QueriesSeries {
               .cast("long")).cast("double") / 100, 2).as("revenue"),
           count(lit(1)).as("n_lines"))),
 
+    // TPC-H Q4 shape (order-priority checking): the LEFT SEMI join
+    // showcase — orders filtered to a half-year window, kept iff ANY
+    // lineitem shipped after the order date (equi key + non-equi
+    // residual inside the semi join, so the fact side never
+    // duplicates orders), one integer count per priority. EXISTS in
+    // the oracle compiles to the same semi shape in DuckDB.
+    "q4_priority" -> ((s, dir) => {
+      val o = tbl(s, dir, "orders")
+        .filter(col("o_orderdate") >= lit("1997-01-01").cast("timestamp")
+          && col("o_orderdate") < lit("1997-07-01").cast("timestamp"))
+      val l = tbl(s, dir, "lineitem")
+        .select("l_orderkey", "l_shipdate")
+      o.join(l, o("o_orderkey") === l("l_orderkey") &&
+          l("l_shipdate") > o("o_orderdate"), "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n_orders"))
+    }),
+
+    // TPC-H Q18 shape (large-volume customers): aggregate-BEFORE-join
+    // — the big-orders set is reduced to keys on the lineitem side
+    // first (HAVING pushes the filter under the join), then joined to
+    // orders and a broadcast customer dim; TakeOrderedAndProject
+    // top-10. Quantities are integer-valued: the BIGINT sum is exact
+    // and order-independent on both engines.
+    "q18_big_orders" -> ((s, dir) => {
+      val big = tbl(s, dir, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(sum(col("l_quantity").cast("long")).as("total_qty"))
+        .filter(col("total_qty") > 150)
+      val o = tbl(s, dir, "orders")
+      val c = tbl(s, dir, "customer").select("c_custkey", "c_name")
+      big.join(o, big("l_orderkey") === o("o_orderkey"))
+        .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+        .select(col("c_name"), col("o_orderkey"), col("o_orderdate"),
+          col("o_totalprice"), col("total_qty"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+        .limit(10)
+    }),
+
     // TPC-H Q14-flavored promo revenue: lineitem ⋈ broadcast part, with
     // a conditional-sum promo ratio per brand (completes table coverage —
     // every driver table is now exercised by at least one query)

@@ -921,6 +921,25 @@ class PlanSpec extends SparkSpec {
         s"must be shared, found $unions:\n$p")
   }
 
+  test("TPC-H Q4/Q18 shapes: semi join, aggregate-before-join, top-k") {
+    val dir = "/root/testdata/sf0.001"
+    val q4 = plan(graft.SparkEntry.queries("q4_priority")(spark, dir))
+    assert(q4.contains("LeftSemi"),
+      s"Q4's EXISTS must stay a semi join (no order duplication):\n$q4")
+    assert(q4.contains("PushedFilters: [IsNotNull(o_orderdate), " +
+      "GreaterThanOrEqual"),
+      "the date window must reach the orders scan")
+    val q18 = plan(graft.SparkEntry.queries("q18_big_orders")(spark, dir))
+    assert(q18.contains("TakeOrderedAndProject"),
+      s"top-10 must be TakeOrderedAndProject, not a global sort:\n$q18")
+    // plan text is top-down: the quantity aggregate must print BELOW
+    // the top-k operator and the joins (aggregate-before-join)
+    val aggAt = q18.indexOf("HashAggregate")
+    val joinAt = q18.indexOf("Join")
+    assert(aggAt > joinAt && joinAt > 0,
+      s"the HAVING aggregate must sit under the join:\n$q18")
+  }
+
   test("MMR re-rank: bounded per-query group state, no cartesian") {
     import spark.implicits._
     val rng = new scala.util.Random(5)
