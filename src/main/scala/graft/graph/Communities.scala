@@ -57,11 +57,15 @@ object Communities {
       .repartition(col("__id")).localCheckpoint()
     var t = 0
     while (t < rounds) {
+      // groupBy DIRECTLY (no explicit repartition): min partially
+      // aggregates map-side, so the one hash(dst) exchange moves
+      // per-partition minima, not raw messages — the opposite call
+      // from the PageRank fold, whose collect_list has no map-side
+      // reduction to preserve
       val msgs = adj
         .join(labels.hint("shuffle_hash"),
           adj("__src") === labels("__id"))
         .select(col("__dst"), col("__lbl").as("__in"))
-        .repartition(col("__dst"))
         .groupBy("__dst").agg(min("__in").as("__nm"))
       val prev = labels
       labels = graft.core.Checkpoints.fresh(

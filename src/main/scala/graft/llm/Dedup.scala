@@ -675,8 +675,13 @@ object Dedup {
     * each component, like `exact`. */
   def resolveComponents(docs: DataFrame, pairs: DataFrame, id: String,
                         maxIters: Int = 64): DataFrame = {
+    // checkpointed ALREADY hash-partitioned on src (localCheckpoint
+    // preserves physical partitioning): the per-round message join
+    // then never re-shuffles the edge set — only the nodes-sized
+    // label relation moves (r15 graph-loop discipline)
     val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
       .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+      .repartition(col("src"))
       .localCheckpoint(true)
     var labels = docs.select(col(id).as("node"), col(id).as("comp"))
       .localCheckpoint(true)
@@ -688,7 +693,7 @@ object Dedup {
     var i = 0
     while (!converged && i < maxIters) {
       val neighborMin = edges
-        .join(labels, edges("src") === labels("node"))
+        .join(labels.hint("shuffle_hash"), edges("src") === labels("node"))
         .groupBy(col("dst")).agg(min("comp").as("ncomp"))
       val prop = labels
         .join(neighborMin, labels("node") === neighborMin("dst"), "left")
