@@ -620,6 +620,36 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("soundex blocking key is streaming-safe: append stream equals " +
+      "batch (the ER blocking stage runs on readStream unchanged)") {
+    // the pair CONFIRM step is a batch join; what streams is the
+    // blocking-key assignment — a pure scan-stage expression, so an
+    // arriving record's block is known immediately (the shape a
+    // streaming ER pipeline needs: key now, match against the keyed
+    // store downstream)
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val names = Seq("Smith", "Smyth", "Robert", "Rupert", "o'Brien",
+      "Tymczak", "Lee", "123", "Honeyman", "Pfister")
+      .zipWithIndex.map { case (n, i) => (i.toLong, n) }
+    def cmap(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => r.getLong(0) -> Option(r.getString(1))).toMap
+    val batch = cmap(names.toDF("rec", "name")
+      .select(col("rec"), graft.llm.Phonetic.soundex(col("name"))))
+    val input = MemoryStream[(Long, String)]
+    val out = input.toDF().toDF("rec", "name")
+      .select(col("rec"), graft.llm.Phonetic.soundex(col("name")))
+    val q = out.writeStream.format("memory").queryName("sdxsink")
+      .outputMode("append").start()
+    try {
+      input.addData(names.take(4))
+      q.processAllAvailable()
+      input.addData(names.drop(4))
+      q.processAllAvailable()
+      assert(cmap(spark.table("sdxsink")) === batch)
+    } finally q.stop()
+  }
+
   test("windowedCollocCounts increments + finisher equal the batch " +
       "PMI collocations over the whole stream") {
     implicit val sqlCtx = spark.sqlContext
