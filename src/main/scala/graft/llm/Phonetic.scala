@@ -65,23 +65,44 @@ object Phonetic {
     * the code, and the `|len(a)−len(b)| ≤ maxDist` levenshtein lower
     * bound prunes before the DP runs. Pair volume is Σ block², bounded
     * by the phonetic key space (≤ 26·7³ codes) times block density —
-    * on real name data blocks are vocabulary-bounded; a degenerate
-    * corpus (every name one code) needs the editDistancePairs
-    * length-sub-bucketing composed INTO the block key, same move as
-    * L96. Output: (block, id_a, id_b, name_a, name_b, dist),
-    * id_a < id_b. */
+    * on real name data blocks are vocabulary-bounded; for a
+    * degenerate corpus (every name one code) pass `lenBucket` ≥
+    * maxDist to compose the editDistancePairs length sub-bucket INTO
+    * the block key (same move as L96) — identical pair set, mega-
+    * blocks split by length. Output: (block, id_a, id_b, name_a,
+    * name_b, dist), id_a < id_b. */
   def soundexBlockedPairs(df: DataFrame, id: String, name: String,
-                          maxDist: Int): DataFrame = {
+                          maxDist: Int, lenBucket: Int = 0): DataFrame = {
     require(maxDist >= 0, s"maxDist=$maxDist must be >= 0")
+    require(lenBucket == 0 || lenBucket >= math.max(maxDist, 1),
+      s"lenBucket=$lenBucket must be 0 (off) or >= maxDist — a " +
+        "narrower bucket would hide pairs the distance allows")
     val keyed = df.select(col(id).cast("string").as("__id"),
         col(name).cast("string").as("__nm"))
       .withColumn("__code", soundex(col("__nm")))
       .filter(col("__code").isNotNull && col("__id").isNotNull)
-    val a = keyed.select(col("__code"), col("__id").as("id_a"),
-      col("__nm").as("name_a"))
-    val b = keyed.select(col("__code"), col("__id").as("id_b"),
-      col("__nm").as("name_b"))
-    a.join(b, Seq("__code"))
+    // optional L96-style length sub-bucket composed into the block
+    // key for degenerate (single-code-dominated) corpora: the a-side
+    // emits ⌊len/B⌋ ± 1 so every |Δlen| ≤ B pair is found exactly
+    // once (only one of the three emissions equals b's own bucket);
+    // with B ≥ maxDist the pair set is IDENTICAL to the unbucketed
+    // join — the |Δlen| ≤ maxDist prune already rejects everything
+    // the sub-bucket hides (PhoneticSpec pins the equality)
+    val (a, b) =
+      if (lenBucket == 0)
+        (keyed.select(col("__code"), lit(0L).as("__lb"),
+           col("__id").as("id_a"), col("__nm").as("name_a")),
+         keyed.select(col("__code"), lit(0L).as("__lb"),
+           col("__id").as("id_b"), col("__nm").as("name_b")))
+      else {
+        val lb = floor(length(col("__nm")) / lenBucket).cast("long")
+        (keyed.select(col("__code"), explode(array(lb - 1, lb, lb + 1))
+           .as("__lb"), col("__id").as("id_a"),
+           col("__nm").as("name_a")),
+         keyed.select(col("__code"), lb.as("__lb"),
+           col("__id").as("id_b"), col("__nm").as("name_b")))
+      }
+    a.join(b, Seq("__code", "__lb"))
       .filter(col("id_a") < col("id_b") &&
         abs(length(col("name_a")) - length(col("name_b"))) <= maxDist)
       .withColumn("dist",

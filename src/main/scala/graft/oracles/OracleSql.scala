@@ -209,6 +209,39 @@ object OracleSql {
       |     UNION ALL SELECT c AS n FROM tri)
       |  GROUP BY n)""".stripMargin
 
+  /** The shared ER-tier CTE chain: distinct part-name words → the
+    * q_soundex fold → (word, code), null codes dropped. Used by both
+    * q_er_block and q_er_resolve. */
+  private def erSoundexCtes: String =
+    """w0 AS (SELECT DISTINCT w AS word
+      |  FROM (SELECT unnest(string_split(p_name, ' ')) AS w
+      |        FROM part) x
+      |  WHERE length(w) > 0),
+      |u AS (SELECT word,
+      |    upper(regexp_replace(word, '[^A-Za-z]', '', 'g')) AS L
+      |  FROM w0),
+      |f AS (SELECT word, L,
+      |    translate(translate(translate(L, 'HW', ''),
+      |      'AEIOUY', '......'),
+      |      'BFPVCGJKQSXZDTLMNR', '111122222222334556') AS coded
+      |  FROM u),
+      |c AS (SELECT word, L,
+      |    replace(list_reduce(list_prepend('',
+      |        regexp_extract_all(coded, '(?s).')),
+      |      (a, ch) -> CASE WHEN ends_with(a, ch) THEN a
+      |        ELSE a || ch END), '.', '') AS codes
+      |  FROM f),
+      |k AS (SELECT word,
+      |    CASE WHEN length(L) = 0 THEN NULL
+      |      ELSE substr(L, 1, 1) || rpad(
+      |        CASE WHEN translate(substr(L, 1, 1),
+      |            'AEIOUYHW', '') = ''
+      |          THEN substr(codes, 1, 3)
+      |          ELSE substr(codes, 2, 3) END, 3, '0')
+      |    END AS code
+      |  FROM c),
+      |kk AS (SELECT word, code FROM k WHERE code IS NOT NULL)""".stripMargin
+
   /** documents ∪ the one non-BMP probe row — interpolates the SAME
     * constant the engine unions ([[graft.registry.QueriesLlm
     * .uniProbeText]]), so the two sides cannot drift; puts surrogate-
@@ -1265,40 +1298,34 @@ object OracleSql {
     // fold) over the DISTINCT part-name vocabulary, block equi-join on
     // the code, |len|<=2 lower-bound prune, exact levenshtein <= 2
     "q_er_block" ->
-      """WITH w0 AS (SELECT DISTINCT w AS word
-        |  FROM (SELECT unnest(string_split(p_name, ' ')) AS w
-        |        FROM part) x
-        |  WHERE length(w) > 0),
-        |u AS (SELECT word,
-        |    upper(regexp_replace(word, '[^A-Za-z]', '', 'g')) AS L
-        |  FROM w0),
-        |f AS (SELECT word, L,
-        |    translate(translate(translate(L, 'HW', ''),
-        |      'AEIOUY', '......'),
-        |      'BFPVCGJKQSXZDTLMNR', '111122222222334556') AS coded
-        |  FROM u),
-        |c AS (SELECT word, L,
-        |    replace(list_reduce(list_prepend('',
-        |        regexp_extract_all(coded, '(?s).')),
-        |      (a, ch) -> CASE WHEN ends_with(a, ch) THEN a
-        |        ELSE a || ch END), '.', '') AS codes
-        |  FROM f),
-        |k AS (SELECT word,
-        |    CASE WHEN length(L) = 0 THEN NULL
-        |      ELSE substr(L, 1, 1) || rpad(
-        |        CASE WHEN translate(substr(L, 1, 1),
-        |            'AEIOUYHW', '') = ''
-        |          THEN substr(codes, 1, 3)
-        |          ELSE substr(codes, 2, 3) END, 3, '0')
-        |    END AS code
-        |  FROM c),
-        |kk AS (SELECT word, code FROM k WHERE code IS NOT NULL)
-        |SELECT a.code AS block, a.word AS id_a, b.word AS id_b,
+      ("WITH " + erSoundexCtes + "\n" +
+      """SELECT a.code AS block, a.word AS id_a, b.word AS id_b,
         |  CAST(levenshtein(a.word, b.word) AS BIGINT) AS dist
         |FROM kk a JOIN kk b ON a.code = b.code
         |WHERE a.word < b.word
         |  AND abs(length(a.word) - length(b.word)) <= 2
-        |  AND levenshtein(a.word, b.word) <= 2""".stripMargin,
+        |  AND levenshtein(a.word, b.word) <= 2""".stripMargin),
+
+    // the ER pipeline end to end: the q_er_block pair set resolved to
+    // transitive entity clusters (recursive reachability over the
+    // symmetric pair graph; entity = lexicographic min of the
+    // component — exactly Dedup.resolveComponents' contract)
+    "q_er_resolve" ->
+      ("WITH RECURSIVE " + erSoundexCtes + ",\n" +
+      """prs AS (SELECT a.word AS id_a, b.word AS id_b
+        |  FROM kk a JOIN kk b ON a.code = b.code
+        |  WHERE a.word < b.word
+        |    AND abs(length(a.word) - length(b.word)) <= 2
+        |    AND levenshtein(a.word, b.word) <= 2),
+        |sym AS (SELECT id_a AS a, id_b AS b FROM prs
+        |  UNION ALL SELECT id_b AS a, id_a AS b FROM prs),
+        |reach(node, r) AS (
+        |  SELECT word, word FROM w0
+        |  UNION
+        |  SELECT s.b, r.r FROM reach r JOIN sym s ON s.a = r.node)
+        |SELECT node AS word, min(r) AS entity_id,
+        |  (min(r) = node) AS is_kept
+        |FROM reach GROUP BY node""".stripMargin),
 
     "q_chunks" ->
       """WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks

@@ -815,6 +815,25 @@ object QueriesSeries {
         .select(col("block"), col("id_a"), col("id_b"), col("dist"))
     }),
 
+    // L-extra: the ER pipeline END TO END as one gated query —
+    // phonetic blocking → exact confirm (the q_er_block pair set) →
+    // transitive entity resolution via the L6 pointer-jumping
+    // components over the confirmed pair graph: every name word lands
+    // in an entity cluster keyed by its lexicographic minimum,
+    // singletons keep themselves (is_kept = true on the
+    // representative).
+    "q_er_resolve" -> ((s, dir) => {
+      val words = tbl(s, dir, "part")
+        .select(explode(split(col("p_name"), " ")).as("word"))
+        .filter(length(col("word")) > 0).distinct()
+      val pairs = llm.Phonetic.soundexBlockedPairs(words, "word",
+          "word", maxDist = 2)
+        .select(col("id_a"), col("id_b"))
+      llm.Dedup.resolveComponents(words, pairs, "word")
+        .select(col("word"), col("keep_id").as("entity_id"),
+          col("is_kept"))
+    }),
+
     // L-extra: HyperLogLog distinct sketch (Flajolet 2007) in pure
     // relational form — fixed m-byte summary, merge = per-bucket MAX
     // (map-side combinable, HllSpec plan pin). Portable polynomial

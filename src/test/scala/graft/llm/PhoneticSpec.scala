@@ -76,4 +76,25 @@ class PhoneticSpec extends SparkSpec {
       "prefix blocking unexpectedly caught Smith/Smyth — the ER-tier " +
         "motivation for the phonetic key would be stale")
   }
+
+  test("length sub-bucket (degenerate-corpus path): identical pair " +
+      "set to the unbucketed join when B >= maxDist") {
+    // names spanning several lengths inside shared codes, including a
+    // cross-bucket pair (lengths 5 and 6 straddle a B=2 boundary)
+    val names = Seq("Smith", "Smyth", "Smythe", "Miller", "Millar",
+      "Mill", "Robert", "Rupert", "Lee", "Leigh")
+      .zipWithIndex.map { case (n, i) => (s"r$i", n) }.toDF("rec", "name")
+    def pairs(b: Int) = Phonetic.soundexBlockedPairs(
+        names, "rec", "name", maxDist = 2, lenBucket = b)
+      .select("id_a", "id_b", "dist").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    val un = pairs(0)
+    assert(un.nonEmpty, "fixture should confirm at least one pair")
+    assert(pairs(2) === un, "B = maxDist must find the same pairs")
+    assert(pairs(5) === un, "any B >= maxDist must find the same pairs")
+    intercept[IllegalArgumentException] {
+      Phonetic.soundexBlockedPairs(names, "rec", "name",
+        maxDist = 2, lenBucket = 1)
+    }
+  }
 }
