@@ -42,6 +42,37 @@ object ScaleProbeR15 {
       time(df)
       (1 to 3).map(_ => { System.gc(); time(df) }).sorted.apply(1)
     }
+    if (args.isEmpty || args.contains("erblock")) {
+      // ---- ER blocking: DEGENERATE-corpus axis ----
+      // 5k distinct words engineered into ONE soundex mega-block
+      // (identical consonant skeleton, vowel-run lengths 1..100 +
+      // digit suffixes for distinctness — soundex strips both), so
+      // the pure code block join is forced quadratic. lenBucket=2
+      // composes the length sub-bucket into the key: the mega-block
+      // splits by length and candidate volume collapses while the
+      // CONFIRMED pair set stays identical (PhoneticSpec's losslessness
+      // pin, here measured at volume).
+      val nW = 20000L
+      val words = spark.range(nW)
+        .select(concat(lit("b"),
+          repeat(lit("a"), pmod(col("id"), lit(100L)).cast("int") + 1),
+          lit("kalam"), col("id").cast("string")).as("word"))
+        .localCheckpoint()
+      def run(b: Int) = graft.llm.Phonetic.soundexBlockedPairs(
+        words, "word", "word", maxDist = 2, lenBucket = b)
+      val t0b = med3(run(0))
+      val t2b = med3(run(2))
+      val pairs0 = run(0).count()
+      val pairs2 = run(2).count()
+      println(s"""{"probe":"r15-erblock-degenerate","words":$nW,""" +
+        s""""unbucketed_sec":${r3(t0b)},"lenbucket2_sec":${r3(t2b)},""" +
+        s""""speedup":${r3(t0b / t2b)},"confirmed_pairs_equal":""" +
+        s"""${pairs0 == pairs2}}""")
+    }
+
+    if (args.nonEmpty && !args.contains("communities")) {
+      spark.stop(); return
+    }
     val n = 200000L
     import spark.implicits._
     val nodes = spark.range(n).toDF("id").localCheckpoint()
