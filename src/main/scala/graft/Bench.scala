@@ -33,10 +33,12 @@ import org.apache.spark.sql.SparkSession
   */
 object Bench {
 
-  /** Fixed cross-round ANCHOR set (r14 protocol): ten stable,
-    * plan-deterministic queries spanning scan / window / join / agg /
-    * pair-join shapes, RE-measured solo (GC fence, warmup, min-of-3)
-    * after the main sweep and recorded in the JSON `anchors` block.
+  /** Fixed cross-round ANCHOR set (r14 protocol; r15 adds a PRE-sweep
+    * block): ten stable, plan-deterministic queries spanning scan /
+    * window / join / agg / pair-join shapes, measured solo (GC fence,
+    * warmup, min-of-3) BEFORE the main sweep (`anchors_pre`) and again
+    * after it (`anchors`) — the pair brackets intra-run host drift,
+    * which the r15 record showed can spread a single block 0.74–1.33.
     * Anchor times at record time let the next round's judge normalize
     * HOST DRIFT out of cross-round totals (r13's 10–35% drift
     * adjudication was honest but unfalsifiable after the fact): the
@@ -102,6 +104,23 @@ object Bench {
       try src.getLines().next().split(" ")(0) finally src.close()
     } catch { case _: Throwable => "-1" }
     val loadStart = loadavg()
+    // r15 protocol: anchors are measured BEFORE the sweep as well as
+    // after. The r15 record showed why one block is not enough: its
+    // post-sweep anchor ratios spread 0.74-1.33 because host load
+    // climbed DURING the run, and a single block cannot distinguish
+    // "the host drifted between rounds" from "the host drifted inside
+    // this run". The pre/post pair brackets intra-run drift: agreeing
+    // blocks = a trustworthy host factor; disagreeing blocks = the
+    // record itself says which half to trust.
+    def anchorBlock(): Seq[(String, Double)] =
+      if (args.nonEmpty) Seq.empty
+      else anchors.filter(SparkEntry.queries.contains).map { name =>
+        System.gc()
+        once(name) // warmup
+        val times = Seq.fill(3)(once(name)).filter(_ >= 0)
+        name -> (if (times.isEmpty) -1.0 else times.min)
+      }
+    val anchorsPre = anchorBlock()
     // queries whose reps spread >3×: (min, max, statistic reported) —
     // contention evidence, recorded instead of silently laundered into
     // the median; the tag says which statistic the headline time used
@@ -152,14 +171,7 @@ object Bench {
     // anchor re-measures (full runs only — a subset run is a dev
     // iteration, not a record): solo min-of-3 per anchor at record
     // time, the next round's host-drift normalizer
-    val anchorTimes: Seq[(String, Double)] =
-      if (args.nonEmpty) Seq.empty
-      else anchors.filter(SparkEntry.queries.contains).map { name =>
-        System.gc()
-        once(name) // warmup
-        val times = Seq.fill(3)(once(name)).filter(_ >= 0)
-        name -> (if (times.isEmpty) -1.0 else times.min)
-      }
+    val anchorTimes: Seq[(String, Double)] = anchorBlock()
     val loadEnd = loadavg()
     // keep the line SHORT: the driver captures only a tail of stdout, so a
     // verbose line gets clipped mid-JSON and parses as null (round 4).
@@ -187,7 +199,9 @@ object Bench {
     // `stat` names the statistic its headline time used.
     val anc = anchorTimes.map { case (k, v) => "\"" + k + "\":" + r3(v) }
       .mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"reps":$reps,"reps_dev":$rp,"flagged":$fl,"anchors":$anc,"protocol":"warmup-minmedian-anchors-r14","errors":$errs,"contended":$loadStart,"load_end":$loadEnd,"sf":"$sfDir"}""")
+    val ancPre = anchorsPre.map { case (k, v) => "\"" + k + "\":" + r3(v) }
+      .mkString("{", ",", "}")
+    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"reps":$reps,"reps_dev":$rp,"flagged":$fl,"anchors_pre":$ancPre,"anchors":$anc,"protocol":"warmup-minmedian-anchors2-r15","errors":$errs,"contended":$loadStart,"load_end":$loadEnd,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
