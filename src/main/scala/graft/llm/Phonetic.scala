@@ -111,4 +111,50 @@ object Phonetic {
       .select(col("__code").as("block"), col("id_a"), col("id_b"),
         col("name_a"), col("name_b"), col("dist"))
   }
+
+  /** Multi-blocking ER candidates — the standard recall recipe: UNION
+    * the pair sets of TWO independent blocking keys (Soundex, and the
+    * (length-bucket, `prefixLen`-char prefix) key of
+    * [[Dedup.editDistancePairs]]), dedup on the pair, confirm with the
+    * same exact edit distance. Each key misses pairs the other finds:
+    * the prefix key splits an edit inside the first `prefixLen` chars
+    * (Smith/Smyth at prefixLen ≥ 3; S530 holds them), while the
+    * phonetic key splits any pair whose consonant skeleton diverges
+    * past the code (Bart/Barl — B630 vs B640 — share the "Bar"
+    * prefix). The recall contract of the union is the OR of the two
+    * key contracts; PhoneticSpec plants one pair of each class.
+    *
+    * Because every leg confirms `dist ≤ maxDist` exactly (and
+    * `|Δlen| ≤ maxDist` is implied by the distance), the union's pair
+    * set has a closed form no blocking appears in:
+    * `dist ≤ maxDist AND (code_a = code_b OR prefix_a = prefix_b)` —
+    * which is what the SQL oracle states directly. Distribution
+    * shape: two bucketed equi-joins (never all-pairs) and one
+    * pair-keyed dedup aggregate; each leg keeps its own hot-key
+    * story (soundexBlockedPairs' `lenBucket` escape hatch still
+    * applies to the phonetic leg via [[soundexBlockedPairs]]).
+    *
+    * Output: (id_a, id_b, dist, via_soundex, via_prefix) with
+    * id_a < id_b; the flags say which key(s) generated the pair. */
+  def unionBlockedPairs(df: DataFrame, id: String, name: String,
+                        maxDist: Int, prefixLen: Int = 3): DataFrame = {
+    require(maxDist >= 0, s"maxDist=$maxDist must be >= 0")
+    require(prefixLen >= 1, s"prefixLen=$prefixLen must be >= 1")
+    val sx = soundexBlockedPairs(df, id, name, maxDist)
+      .select(col("id_a"), col("id_b"), col("dist"),
+        lit(true).as("via_soundex"), lit(false).as("via_prefix"))
+    // the prefix leg: editDistancePairs' (len-bucket, prefix) key with
+    // the bucket at maxDist — the |Δlen| ≤ bucket prune is then
+    // implied by the confirm, so the leg's pair set is exactly
+    // "prefix equal AND dist ≤ maxDist"
+    val pf = Dedup.editDistancePairs(df, id, name, maxDist,
+        lenBucket = math.max(maxDist, 1), prefixLen = prefixLen)
+      .select(col("id_a"), col("id_b"), col("dist"),
+        lit(false).as("via_soundex"), lit(true).as("via_prefix"))
+    sx.unionByName(pf)
+      .groupBy("id_a", "id_b")
+      .agg(min("dist").as("dist"), // identical on both legs
+        max("via_soundex").as("via_soundex"),
+        max("via_prefix").as("via_prefix"))
+  }
 }

@@ -1250,6 +1250,40 @@ object OracleSql {
         |ORDER BY o_totalprice DESC, o_orderkey ASC
         |LIMIT 10""".stripMargin,
 
+    // Q21 shape: EXISTS compiles to the semi probe, NOT EXISTS to the
+    // anti probe — both correlated on l_orderkey with the non-equi
+    // residuals inside, exactly the engine's join conditions
+    "q21_waiting" ->
+      """SELECT s_name, count(*) AS numwait
+        |FROM lineitem l1
+        |JOIN orders ON o_orderkey = l1.l_orderkey
+        |JOIN supplier ON s_suppkey = l1.l_suppkey
+        |JOIN nation ON n_nationkey = s_nationkey
+        |WHERE o_orderstatus = 'F'
+        |  AND n_nationkey < 5
+        |  AND l1.l_shipdate > o_orderdate + INTERVAL 60 DAY
+        |  AND EXISTS (SELECT 1 FROM lineitem l2
+        |    WHERE l2.l_orderkey = l1.l_orderkey
+        |      AND l2.l_suppkey <> l1.l_suppkey)
+        |  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+        |    WHERE l3.l_orderkey = l1.l_orderkey
+        |      AND l3.l_suppkey <> l1.l_suppkey
+        |      AND l3.l_shipdate > o_orderdate + INTERVAL 60 DAY)
+        |GROUP BY s_name""".stripMargin,
+
+    // the bucketed-path contract: the oracle is the PLAIN join on the
+    // raw parquet — the engine's bucketed write+read+join must be
+    // row-equivalent (the q_salted equivalence pattern); the zero-
+    // exchange plan itself is pinned in BucketedSpec
+    "q_bucketed" ->
+      """SELECT o_orderpriority,
+        |  round(CAST(sum(CAST(round(l_extendedprice *
+        |      (1 - l_discount) * 100) AS BIGINT)) AS DOUBLE) / 100, 2)
+        |    AS revenue,
+        |  count(*) AS n_lines
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderpriority""".stripMargin,
+
     "q6_forecast" ->
       """SELECT round(CAST(sum(CAST(round(l_extendedprice *
         |      l_discount * 100) AS BIGINT)) AS DOUBLE) / 100, 2)
@@ -1326,6 +1360,24 @@ object OracleSql {
         |SELECT node AS word, min(r) AS entity_id,
         |  (min(r) = node) AS is_kept
         |FROM reach GROUP BY node""".stripMargin),
+
+    // the multi-blocking union's closed form: because each engine leg
+    // confirms dist <= 2 exactly, the union's pair set is simply
+    // "dist <= 2 AND (code equal OR 3-prefix equal)" — no blocking
+    // appears here at all. Flags are the same predicates; the
+    // soundex flag is COALESCE'd so a letterless word (NULL code)
+    // compares false, matching the engine leg that drops NULL codes.
+    "q_er_union" ->
+      ("WITH " + erSoundexCtes + "\n" +
+      """SELECT a.word AS id_a, b.word AS id_b,
+        |  CAST(levenshtein(a.word, b.word) AS BIGINT) AS dist,
+        |  COALESCE(a.code = b.code, FALSE) AS via_soundex,
+        |  (substr(a.word, 1, 3) = substr(b.word, 1, 3)) AS via_prefix
+        |FROM k a JOIN k b ON a.word < b.word
+        |WHERE abs(length(a.word) - length(b.word)) <= 2
+        |  AND levenshtein(a.word, b.word) <= 2
+        |  AND (COALESCE(a.code = b.code, FALSE)
+        |    OR substr(a.word, 1, 3) = substr(b.word, 1, 3))""".stripMargin),
 
     "q_chunks" ->
       """WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks

