@@ -36,10 +36,26 @@ object Communities {
 
   /** Run `rounds` min-label steps over the undirected closure of
     * `edges` (self-loops dropped, duplicates collapsed). Output:
-    * (id, community) — community = min id within distance `rounds`. */
+    * (id, community) — community = min id within distance `rounds`.
+    *
+    * `earlyStop = true` terminates as soon as a round changes ZERO
+    * labels (one nodes-sized scan of the already-cached round state —
+    * no extra join), which at `rounds ≥ diameter + 1` yields the
+    * fixed-point: bit-identical to the fixed-R output for any larger
+    * R, and equal to [[graft.llm.Dedup.resolveComponents]]'s
+    * components (CommunitiesSpec pins both equalities). The default
+    * stays fixed-R so bounded-radius reads are reproducible.
+    *
+    * The output is materialized (eager final checkpoint) before the
+    * loop's cached round state is released, so repeated invocations in
+    * one session leave nothing in the CacheManager — the edge-sized
+    * `adj` checkpoint is RDD-cached only (no CacheManager entry) and
+    * is reclaimed by the ContextCleaner once the invocation's frames
+    * go out of scope. */
   def minLabelPropagation(nodes: DataFrame, id: String,
                           edges: DataFrame, src: String, dst: String,
-                          rounds: Int): DataFrame = {
+                          rounds: Int,
+                          earlyStop: Boolean = false): DataFrame = {
     require(rounds >= 1, s"rounds=$rounds must be >= 1")
     val nd = nodes.select(col(id).cast("long").as("__id")).distinct()
     val und = edges.select(col(src).cast("long").as("__a"),
@@ -53,10 +69,16 @@ object Communities {
       .unionAll(und.select(col("__v").as("__src"),
         col("__u").as("__dst")))
       .repartition(col("__src")).localCheckpoint()
-    var labels = nd.select(col("__id"), col("__id").as("__lbl"))
+    // round state carries (__id, __lbl, __chg): __chg marks whether
+    // THIS round lowered the label, so convergence is a filter over
+    // the cached state, not a self-join against the previous round
+    var state = nd.select(col("__id"), col("__id").as("__lbl"),
+        lit(true).as("__chg"))
       .repartition(col("__id")).localCheckpoint()
     var t = 0
-    while (t < rounds) {
+    var converged = false
+    while (t < rounds && !converged) {
+      val labels = state.select("__id", "__lbl")
       // groupBy DIRECTLY (no explicit repartition): min partially
       // aggregates map-side, so the one hash(dst) exchange moves
       // per-partition minima, not raw messages — the opposite call
@@ -67,16 +89,23 @@ object Communities {
           adj("__src") === labels("__id"))
         .select(col("__dst"), col("__lbl").as("__in"))
         .groupBy("__dst").agg(min("__in").as("__nm"))
-      val prev = labels
-      labels = graft.core.Checkpoints.fresh(
-        prev.join(msgs.hint("shuffle_hash"),
-            prev("__id") === msgs("__dst"), "left")
+      val prev = state
+      state = graft.core.Checkpoints.fresh(
+        labels.join(msgs.hint("shuffle_hash"),
+            labels("__id") === msgs("__dst"), "left")
           .select(col("__id"),
             least(col("__lbl"), coalesce(col("__nm"), col("__lbl")))
-              .as("__lbl")))
+              .as("__lbl"),
+            (coalesce(col("__nm"), col("__lbl")) < col("__lbl"))
+              .as("__chg")))
       graft.core.Checkpoints.release(prev)
+      if (earlyStop) converged = state.filter(col("__chg")).isEmpty
       t += 1
     }
-    labels.select(col("__id").as(id), col("__lbl").as("community"))
+    val out = state
+      .select(col("__id").as(id), col("__lbl").as("community"))
+      .localCheckpoint()
+    graft.core.Checkpoints.release(state)
+    out
   }
 }

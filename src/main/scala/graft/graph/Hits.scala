@@ -136,8 +136,16 @@ object Hits {
           when(col("__mx") > 0.0, col("__raw") / col("__mx"))
             .otherwise(lit(0.0)).as(out))
     }
-    normalized(auth, "authority")
+    // materialize the result, then release the final round's cached
+    // scores — repeated invocations in one session leave no
+    // CacheManager entries behind (eS/eD are RDD-cached only and
+    // reclaimed by the ContextCleaner on scope exit)
+    val out = normalized(auth, "authority")
       .join(normalized(hub, "hub"), Seq("__id"))
       .select(col("__id").as(id), col("authority"), col("hub"))
+      .localCheckpoint()
+    graft.core.Checkpoints.release(auth)
+    graft.core.Checkpoints.release(hub)
+    out
   }
 }

@@ -203,6 +203,14 @@ object PageRank {
       graft.core.Checkpoints.release(prev)
       t += 1
     }
-    ranks.select(col("__id").as(id), col("__rank").as("pagerank"))
+    // materialize the result, then release the final round's cached
+    // state — repeated invocations in one session leave no CacheManager
+    // entries behind (the plain edge/node-state localCheckpoints are
+    // RDD-cached only and reclaimed by the ContextCleaner on scope exit)
+    val out = ranks
+      .select(col("__id").as(id), col("__rank").as("pagerank"))
+      .localCheckpoint()
+    graft.core.Checkpoints.release(ranks)
+    out
   }
 }

@@ -745,8 +745,15 @@ object Dedup {
       throw new IllegalStateException(
         s"resolveComponents did not converge in $maxIters rounds — " +
           "component labels would be partial; raise maxIters")
-    labels.select(col("node").as(id), col("comp").as("keep_id"),
-      (col("node") === col("comp")).as("is_kept"))
+    // materialize the result, then release the final round's cached
+    // labels — repeated invocations in one session leave no
+    // CacheManager entries behind (the edge checkpoint is RDD-cached
+    // only and reclaimed by the ContextCleaner on scope exit)
+    val out = labels.select(col("node").as(id), col("comp").as("keep_id"),
+        (col("node") === col("comp")).as("is_kept"))
+      .localCheckpoint()
+    graft.core.Checkpoints.release(labelsCached)
+    out
   }
 
   /** Embedding cosine near-dup: hyperplane-LSH bucket join (Similarity,

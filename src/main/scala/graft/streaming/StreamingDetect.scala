@@ -462,6 +462,62 @@ object StreamingDetect {
       }
   }
 
+  case class CrostonStreamState(t: Long, lastI: Long, k: Long,
+                                z: Double, p: Double)
+  case class CrostonStreamOut(series_id: String, ts: Timestamp,
+                              value: Double, n_demands: Long,
+                              z_hat: Double, p_hat: Double,
+                              croston_forecast: Double)
+
+  /** Stateful Croston — L95's streaming twin, mirroring
+    * [[graft.models.Croston.croston]] exactly: every arrival advances
+    * the per-series ordinal; a demand arrival (`demandIf`) computes
+    * the inter-demand interval from the ordinal gap and steps BOTH SES
+    * recursions (z₁ = d₁, p₁ = q₁; z_k = α·d_k + (1−α)·z_{k−1}, same
+    * for p on the intervals, with α and 1−α as two separate literals
+    * exactly as the batch fold writes them), emitting the running
+    * forecast ẑ/p̂. State is O(1) per series — (ordinal, last-demand
+    * ordinal, k, z, p); no warm-up buffer, since Croston has no
+    * initialization window (z₁/p₁ come from the first demand itself).
+    * The LAST emission per series carries the batch operator's exact
+    * (n_demands, z_hat, p_hat, croston_forecast) row; StreamingSpec
+    * pins bit-parity across micro-batch splits, including splits
+    * inside a zero run (state carries the open interval) and between
+    * consecutive demands. Same append-only in-order contract as the
+    * other stateful detectors. */
+  def statefulCroston(points: Dataset[Point], demandIf: Double => Boolean,
+                      alpha: Double = 0.25): Dataset[CrostonStreamOut] = {
+    require(alpha > 0.0 && alpha < 1.0, s"alpha=$alpha not in (0,1)")
+    import points.sparkSession.implicits._
+    val b = 1.0 - alpha // written once, driver-side — mirrors the batch lit
+    points.groupByKey(_.series_id)
+      .flatMapGroupsWithState[CrostonStreamState, CrostonStreamOut](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (sid: String, it: Iterator[Point],
+         state: GroupState[CrostonStreamState]) =>
+          var st = state.getOption.getOrElse(
+            CrostonStreamState(0L, 0L, 0L, 0.0, 0.0))
+          val out = scala.collection.mutable.ArrayBuffer
+            .empty[CrostonStreamOut]
+          it.toSeq.sortWith((x, y) => x.ts.compareTo(y.ts) < 0)
+            .foreach { pt =>
+              val i = st.t + 1
+              st = st.copy(t = i)
+              if (demandIf(pt.value)) {
+                val d = pt.value
+                val q = (i - st.lastI).toDouble
+                val z = if (st.k == 0L) d else alpha * d + b * st.z
+                val p = if (st.k == 0L) q else alpha * q + b * st.p
+                st = CrostonStreamState(i, i, st.k + 1, z, p)
+                out += CrostonStreamOut(sid, pt.ts, pt.value, st.k,
+                  z, p, z / p)
+              }
+            }
+          state.update(st)
+          out.iterator
+      }
+  }
+
   // ---- L51 streaming: SPC charts with a frozen Phase-I baseline ----
 
   case class SpcStreamState(buf: Seq[Double], bufTs: Seq[Timestamp],

@@ -101,6 +101,59 @@ class NullKeyAuditSpec extends SparkSpec {
   private val mustFilterUser = Seq("q_croston", "q_hbos", "q_dbscan",
     "q_split", "q_leaderboard", "q_leadlag", "q_lof", "q_lof_w")
 
+  // --- the audit's PERIMETER, as code (r16): every registry query is
+  // in exactly one bucket. `expected` above (the events-reading
+  // SQL-oracle queries) is the audited bucket; the other two are
+  // exemptions whose VALIDITY is machine-checked per query below:
+  //   fixtureOracle — the oracle replays a pinned parquet fixture
+  //     (literal outputs; a null key can only enter via a deliberate
+  //     fixture regeneration, which re-pins the outputs themselves);
+  //   noEventsRead  — the oracle never reads the events table, so
+  //     neither null axis (user_id / event_type) exists in its input.
+  // A NEW query lands in no bucket and fails the perimeter test until
+  // a human classifies it — and a query whose oracle DRIFTS (a
+  // noEventsRead oracle gaining an events read, a fixture oracle
+  // losing its fixture) fails the validity check for its bucket.
+
+  private val fixtureOracle: Set[String] = Set(
+    "q_ann_ivf", "q_ann_ivf_q8", "q_ann_ivfpq", "q_ann_lsh", "q_ann_pq",
+    "q_ann_q8", "q_ar", "q_attributes", "q_bocpd", "q_bpe_merges",
+    "q_bpe_tokens", "q_bsts", "q_bsts_dummy", "q_ci_flags",
+    "q_conformal", "q_containment", "q_cp_flags", "q_cusum", "q_dtw",
+    "q_embed_neardup", "q_ensemble2", "q_ensemble3", "q_ewma",
+    "q_forecast_metrics", "q_gp", "q_holtwinters", "q_hybrid",
+    "q_iforest", "q_kalman", "q_kmeans", "q_langid", "q_matrix_profile",
+    "q_minhash", "q_mm_decode", "q_mm_resize", "q_mm_video",
+    "q_multimodal", "q_pelt", "q_semdedup", "q_shesd", "q_sig_dedup",
+    "q_simhash", "q_simhash_multi", "q_spectral", "q_stem",
+    "q_stl_exact", "q_unigram", "q_unigram_tokens", "q_winnow")
+
+  private val noEventsRead: Set[String] = Set(
+    "q18_big_orders", "q1_pricing", "q21_waiting", "q3_shipping",
+    "q4_priority", "q5_region_revenue", "q6_forecast", "q_backoff",
+    "q_bm25", "q_bucketed", "q_c4_filter", "q_chunks", "q_clustering",
+    "q_cms", "q_code", "q_colloc", "q_communities", "q_corpus",
+    "q_corpus2", "q_corpus3", "q_cosine_topk", "q_decontam",
+    "q_decontam_bloom", "q_dedup_exact", "q_dedup_resolve", "q_drift",
+    "q_dsir", "q_dsir_resample", "q_editdist", "q_entropy",
+    "q_er_block", "q_er_resolve", "q_er_union", "q_fingerprint",
+    "q_hardneg", "q_hashcos", "q_hits", "q_hybrid_search", "q_join_agg",
+    "q_kmv", "q_langid_ngram", "q_lsh_tune", "q_mixture", "q_mm_audio",
+    "q_mm_frames", "q_mmr", "q_nbquality", "q_ngram_jaccard",
+    "q_normalize", "q_novelty", "q_pack", "q_pack_slices", "q_pagerank",
+    "q_pagerank_pers", "q_part_revenue", "q_perplexity", "q_pii",
+    "q_pii_card", "q_quality", "q_quality_calibrate", "q_randproj",
+    "q_readability", "q_repetition", "q_retrieval_eval", "q_rm3",
+    "q_rollhash", "q_sample", "q_sample_up", "q_shuffle",
+    "q_shuffle_pack", "q_soundex", "q_span_dedup", "q_substr_dedup",
+    "q_text_stats", "q_tfidf", "q_topk_orders", "q_triangles", "q_url",
+    "q_vocab")
+
+  /** Names in `all` that no bucket classifies — the perimeter check,
+    * factored out so the negative case can prove it fires. */
+  private def unclassified(all: Set[String]): Set[String] =
+    all -- expected.keySet -- fixtureOracle -- noEventsRead
+
   private def audited: Set[String] =
     SparkEntry.oracleSql.collect {
       case (q, sql) if sql.contains("events") &&
@@ -115,11 +168,52 @@ class NullKeyAuditSpec extends SparkSpec {
         "(Verify + check_oracle on a null-bearing fixture) and pin")
   }
 
+  test("perimeter: every registry query is in exactly one audit bucket " +
+      "and each exemption is structurally valid") {
+    val all = SparkEntry.queries.keySet
+    assert(unclassified(all).isEmpty,
+      s"unclassified queries: ${unclassified(all).toSeq.sorted} — " +
+        "classify as audited (run the null-key audit), fixtureOracle, " +
+        "or noEventsRead")
+    val stale = (expected.keySet ++ fixtureOracle ++ noEventsRead) -- all
+    assert(stale.isEmpty, s"stale classifications: ${stale.toSeq.sorted}")
+    val overlaps = Seq(
+      expected.keySet & fixtureOracle, expected.keySet & noEventsRead,
+      fixtureOracle & noEventsRead).flatten
+    assert(overlaps.isEmpty, s"queries in two buckets: $overlaps")
+    // exemption validity: the structural reason each bucket is out of
+    // the audit's reach must still hold against the live oracle text
+    val badFix = fixtureOracle.filterNot(q =>
+      SparkEntry.oracleSql(q).contains("fixtures/sf0.01"))
+    assert(badFix.isEmpty,
+      s"fixture-oracle exemption no longer valid (oracle stopped " +
+        s"reading its pinned fixture): ${badFix.toSeq.sorted}")
+    val badNo = noEventsRead.filter(q =>
+      SparkEntry.oracleSql(q).contains("events"))
+    assert(badNo.isEmpty,
+      s"noEventsRead exemption no longer valid (oracle now reads " +
+        s"events — run the null-key audit): ${badNo.toSeq.sorted}")
+  }
+
+  test("perimeter negative case: an unclassified newcomer is reported") {
+    val got = unclassified(SparkEntry.queries.keySet + "q_dummy_new")
+    assert(got == Set("q_dummy_new"),
+      s"the perimeter check must flag exactly the newcomer, got $got")
+  }
+
   test("null-dropping engine operators have explicitly filtered oracles") {
-    val missing = mustFilterUser.filterNot(q =>
-      SparkEntry.oracleSql(q).contains("user_id IS NOT NULL"))
-    assert(missing.isEmpty,
-      s"oracle lost its null-key filter: $missing")
+    // EVERY events read in these oracles must carry the filter —
+    // counting reads vs filters catches a partially-filtered oracle
+    // (today each reads events exactly once)
+    val bad = mustFilterUser.filterNot { q =>
+      val sql = SparkEntry.oracleSql(q)
+      val reads = "FROM events".r.findAllIn(sql).length
+      val filters = "user_id IS NOT NULL".r.findAllIn(sql).length
+      reads >= 1 && filters >= reads
+    }
+    assert(bad.isEmpty,
+      s"oracle lost a null-key filter (fewer 'user_id IS NOT NULL' " +
+        s"than 'FROM events' reads): $bad")
   }
 
   test("engine null-key behavior matches the audited classification") {

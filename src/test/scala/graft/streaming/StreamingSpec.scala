@@ -1247,6 +1247,47 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("statefulCroston equals the batch decomposition across " +
+      "micro-batch splits (mid-zero-run and between demands)") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    // intermittent series: long zero runs with sparse demand spikes
+    val vals = Array.tabulate(60)(t =>
+      if ((t * 7919) % 11 < 3) 5.0 + ((t * 104729) % 7) else 0.0)
+    assert(vals.count(_ > 0.0) >= 10, "fixture must be intermittent")
+    val batch = graft.models.Croston.croston(
+        vals.zipWithIndex.map { case (v, t) => ("s", pt(t, v).ts, v) }
+          .toSeq.toDF("sid", "ts", "v"), "sid", "ts", "v",
+        demandIf = col("v") > 0.0, alpha = 0.25)
+      .collect().map(r => (r.getAs[Long]("n_demands"),
+        r.getAs[Double]("z_hat"), r.getAs[Double]("p_hat"),
+        r.getAs[Double]("croston_forecast"))).head
+    val input = MemoryStream[Point]
+    val out = statefulCroston(input.toDS(), _ > 0.0, alpha = 0.25)
+    val q = out.writeStream.format("memory").queryName("crostonstream")
+      .outputMode("append").start()
+    try {
+      val pts = vals.zipWithIndex.map { case (v, t) => pt(t, v) }
+      // split 1 lands inside a zero run (open interval crosses the
+      // batch boundary); split 2 lands right after a demand
+      val cut2 = vals.indices.filter(vals(_) > 0.0)(5) + 1
+      input.addData(pts.take(7): _*)
+      q.processAllAvailable()
+      input.addData(pts.slice(7, cut2): _*)
+      q.processAllAvailable()
+      input.addData(pts.drop(cut2): _*)
+      q.processAllAvailable()
+      val rows = spark.sql("select * from crostonstream").collect()
+      // one emission per demand point, k = 1..n with no gaps
+      val ks = rows.map(_.getAs[Long]("n_demands")).sorted.toSeq
+      assert(ks == (1L to ks.length).toSeq, s"demand ordinals: $ks")
+      val last = rows.maxBy(_.getAs[Long]("n_demands"))
+      assert((last.getAs[Long]("n_demands"), last.getAs[Double]("z_hat"),
+        last.getAs[Double]("p_hat"),
+        last.getAs[Double]("croston_forecast")) === batch)
+    } finally q.stop()
+  }
+
   test("stateless hygiene tier (pii redact + c4 clean) runs unchanged on a stream") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
