@@ -79,11 +79,21 @@ object Bench {
       else headline.filter(SparkEntry.queries.contains) ++
         SparkEntry.queries.keys.filterNot(headline.contains).toSeq.sorted
     // untimed warmup: absorb JVM/JIT/codegen startup so the first timed
-    // query measures steady-state execution, not session bring-up
-    try {
-      SparkEntry.queries("q1_pricing")(spark, sfDir)
-        .write.format("noop").mode("overwrite").save()
-    } catch { case _: Throwable => () }
+    // query measures steady-state execution, not session bring-up.
+    // r16 (anchors3): the PRE anchor block runs closest to JVM start,
+    // and the r15 record showed the ramp leaking into it (q1_pricing
+    // pre 0.445 vs post 0.214 — JIT tiering, not host drift). The
+    // warmup now drives a fixed ramp set covering the anchor shapes
+    // (scan+agg, window, sort, join) twice each, so pre-vs-post anchor
+    // disagreement brackets HOST DRIFT alone.
+    val ramp = Seq("q_join_agg", "q_backfill", "q_topk_orders",
+      "q1_pricing")
+    for (_ <- 1 to 2; name <- ramp if SparkEntry.queries.contains(name)) {
+      try {
+        SparkEntry.queries(name)(spark, sfDir)
+          .write.format("noop").mode("overwrite").save()
+      } catch { case _: Throwable => () }
+    }
     val errors = scala.collection.mutable.ListBuffer[String]()
     def once(name: String): Double = {
       val t0 = System.nanoTime()
@@ -201,7 +211,7 @@ object Bench {
       .mkString("{", ",", "}")
     val ancPre = anchorsPre.map { case (k, v) => "\"" + k + "\":" + r3(v) }
       .mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"reps":$reps,"reps_dev":$rp,"flagged":$fl,"anchors_pre":$ancPre,"anchors":$anc,"protocol":"warmup-minmedian-anchors2-r15","errors":$errs,"contended":$loadStart,"load_end":$loadEnd,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"reps":$reps,"reps_dev":$rp,"flagged":$fl,"anchors_pre":$ancPre,"anchors":$anc,"protocol":"warmup-minmedian-anchors3-r16","errors":$errs,"contended":$loadStart,"load_end":$loadEnd,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
