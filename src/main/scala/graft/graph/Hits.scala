@@ -61,7 +61,13 @@ object Hits {
     // __dst, and with localCheckpoint preserving the physical
     // partitioning NEITHER pass ever re-shuffles the edges — only the
     // nodes-sized score relation moves (r15 PageRank loop discipline).
-    // eD derives from the materialized eS, so the distinct runs once.
+    // eD derives from the materialized eS, so the distinct runs once;
+    // its checkpoint is LAZY (it materializes inside the first hub
+    // pass instead of as its own job — the r16 q_hits adjudication
+    // found the r15 restructure's fixed per-invocation barriers were
+    // the regression, not the exchanges), and its columns are
+    // re-aliased so a plan may reference BOTH copies without exprId
+    // conflicts (localCheckpoint preserves output attribute ids).
     val eS = edges.select(col(src).cast("long").as("__src"),
         col(dst).cast("long").as("__dst"))
       .filter(col("__src") =!= col("__dst") &&
@@ -69,80 +75,90 @@ object Hits {
       .distinct()
       .repartition(col("__src"))
       .localCheckpoint()
-    val eD = eS.repartition(col("__dst")).localCheckpoint()
+    val eD = eS.select(col("__src").as("__src"), col("__dst").as("__dst"))
+      .repartition(col("__dst")).localCheckpoint(false)
     // overflow guard for the no-per-pass-normalization design:
     // unnormalized scores grow at most like (max degree)^(2·iters)
     // (each pass multiplies the max score by at most the max in/out
     // degree), so require 2·iters·ln(maxDeg) under ln(DoubleMax) with
     // margin — beyond it scores reach Infinity and the end
-    // normalization silently yields NaN (Inf/Inf). maxDeg costs one
-    // bounded aggregate on the already-checkpointed edge set. Callers
-    // hitting this need per-pass rescaling semantics, which would
-    // change the float contract — fail loudly instead.
-    val maxDeg = math.max(
-      eS.groupBy("__src").count()
-        .agg(coalesce(max("count"), lit(0L))).head().getLong(0),
-      eD.groupBy("__dst").count()
-        .agg(coalesce(max("count"), lit(0L))).head().getLong(0))
+    // normalization silently yields NaN (Inf/Inf). maxDeg = the max
+    // over BOTH directions in ONE direction-tagged aggregate off the
+    // already-materialized eS (r15 ran two separate jobs here).
+    // Callers hitting this need per-pass rescaling semantics, which
+    // would change the float contract — fail loudly instead.
+    val maxDeg = eS.select(col("__src").as("__k"), lit(0).as("__d"))
+      .unionAll(eS.select(col("__dst").as("__k"), lit(1).as("__d")))
+      .groupBy("__k", "__d").count()
+      .agg(coalesce(max("count"), lit(0L))).head().getLong(0)
     require(2.0 * iters * math.log(math.max(maxDeg, 2L).toDouble) < 600.0,
       s"iters=$iters with max degree $maxDeg can overflow the " +
         "unnormalized double scores (bound: 2*iters*ln(maxDeg) < 600); " +
         "reduce iters")
     // one two-level-fold pass: scores keyed `fromCol` fold into
-    // `toCol` groups in from-order (only nonzero-score nodes present)
-    // stats-safe checkpoint per pass: plain localCheckpoint carries
-    // multiplied sizeInBytes forward and compounds across passes
-    // (core/Checkpoints.scala)
+    // `toCol` groups in from-order (only nonzero-score nodes present).
+    // The plan is LAZY here — the caller decides where the stats-safe
+    // checkpoint barrier lands (core/Checkpoints.scala).
     // the explicit toCol repartition feeds BOTH fold levels (hash(to)
     // satisfies the (to, salt) and (to) groupings — one exchange, not
     // two); shuffle_hash keeps the edges side unsorted
     def pass(scores: DataFrame, eDir: DataFrame, fromCol: String,
              toCol: String): DataFrame =
-      graft.core.Checkpoints.fresh(
-        eDir.join(scores.hint("shuffle_hash"),
-            eDir(fromCol) === scores("__id"))
-          .select(col(toCol), col(fromCol),
-            pmod(col(fromCol), lit(saltBuckets.toLong)).as("__sb"),
-            col("__score").as("__s"))
-          .repartition(col(toCol))
-          .groupBy(col(toCol), col("__sb"))
-          .agg(orderedSum(col(fromCol), col("__s")).as("__ps"))
-          .groupBy(col(toCol))
-          .agg(orderedSum(col("__sb"), col("__ps")).as("__score"))
-          .withColumnRenamed(toCol, "__id"))
-    var auth = nd.select(col("__id"), lit(1.0).as("__score"))
+      eDir.join(scores.hint("shuffle_hash"),
+          eDir(fromCol) === scores("__id"))
+        .select(col(toCol), col(fromCol),
+          pmod(col(fromCol), lit(saltBuckets.toLong)).as("__sb"),
+          col("__score").as("__s"))
+        .repartition(col(toCol))
+        .groupBy(col(toCol), col("__sb"))
+        .agg(orderedSum(col(fromCol), col("__s")).as("__ps"))
+        .groupBy(col(toCol))
+        .agg(orderedSum(col("__sb"), col("__ps")).as("__score"))
+        .withColumnRenamed(toCol, "__id")
+    var hub = nd.select(col("__id"), lit(1.0).as("__score"))
       .localCheckpoint()
-    var hub = auth
+    // FUSED iteration (r16): the intermediate authorities of a
+    // non-final iteration are consumed exactly once — by the same
+    // iteration's hub pass — so the auth pass inlines into the hub
+    // checkpoint's plan: identical exchanges and identical float folds
+    // (HitsSpec pins the values), HALF the materialization barriers.
+    // One stats-safe checkpoint per iteration keeps lineage flat.
     var t = 0
-    while (t < iters) {
-      val (prevAuth, prevHub) = (auth, hub)
-      auth = pass(hub, eS, "__src", "__dst")  // auth(v) = Σ hub(u), u→v
-      hub = pass(auth, eD, "__dst", "__src")  // hub(u) = Σ auth(v), u→v
-      // both passes are eagerly materialized above; release the
-      // superseded round (no-op at t=0, where both are the initial
-      // unpersisted localCheckpoint)
-      graft.core.Checkpoints.release(prevAuth)
+    while (t < iters - 1) {
+      val prevHub = hub
+      hub = graft.core.Checkpoints.fresh(
+        pass(pass(hub, eS, "__src", "__dst"), eD, "__dst", "__src"))
       graft.core.Checkpoints.release(prevHub)
       t += 1
     }
-    // end normalization over the full node set, zero-coalesced
-    def normalized(scores: DataFrame, out: String): DataFrame = {
-      val full = nd.join(scores, Seq("__id"), "left")
-        .select(col("__id"),
-          coalesce(col("__score"), lit(0.0)).as("__raw"))
-      val mx = full.agg(max("__raw").as("__mx"))
-      full.crossJoin(broadcast(mx))
-        .select(col("__id"),
-          when(col("__mx") > 0.0, col("__raw") / col("__mx"))
-            .otherwise(lit(0.0)).as(out))
-    }
+    // final iteration: the auth pass is needed for the output, so it
+    // gets its own barrier before the last hub pass
+    val auth = graft.core.Checkpoints.fresh(
+      pass(hub, eS, "__src", "__dst"))
+    val lastHub = hub
+    hub = graft.core.Checkpoints.fresh(
+      pass(auth, eD, "__dst", "__src"))
+    graft.core.Checkpoints.release(lastHub)
+    // end normalization over the full node set, zero-coalesced — both
+    // sides in ONE pass (one join chain + one two-max aggregate, where
+    // r15 ran the chain per side and joined the results)
+    val full = nd
+      .join(auth.withColumnRenamed("__score", "__as"), Seq("__id"), "left")
+      .join(hub.withColumnRenamed("__score", "__hs"), Seq("__id"), "left")
+      .select(col("__id"),
+        coalesce(col("__as"), lit(0.0)).as("__ra"),
+        coalesce(col("__hs"), lit(0.0)).as("__rh"))
+    val mx = full.agg(max("__ra").as("__ma"), max("__rh").as("__mh"))
     // materialize the result, then release the final round's cached
     // scores — repeated invocations in one session leave no
     // CacheManager entries behind (eS/eD are RDD-cached only and
     // reclaimed by the ContextCleaner on scope exit)
-    val out = normalized(auth, "authority")
-      .join(normalized(hub, "hub"), Seq("__id"))
-      .select(col("__id").as(id), col("authority"), col("hub"))
+    val out = full.crossJoin(broadcast(mx))
+      .select(col("__id").as(id),
+        when(col("__ma") > 0.0, col("__ra") / col("__ma"))
+          .otherwise(lit(0.0)).as("authority"),
+        when(col("__mh") > 0.0, col("__rh") / col("__mh"))
+          .otherwise(lit(0.0)).as("hub"))
       .localCheckpoint()
     graft.core.Checkpoints.release(auth)
     graft.core.Checkpoints.release(hub)
