@@ -611,6 +611,20 @@ object OracleSql {
         |  coalesce(r.value, -1.0) AS asof_value
         |FROM l ASOF LEFT JOIN r
         |  ON l.user_id = r.user_id AND l.ts >= r.ts""".stripMargin,
+
+    // interval join: plain equi+range inner join — epoch_us keeps the
+    // gap exact-integer (the verify house rule: never epoch())
+    "q_ijoin" ->
+      """WITH v AS (SELECT user_id, event_id AS view_id,
+        |    ts AS view_ts FROM events WHERE event_type = 'view'),
+        |c AS (SELECT user_id, event_id AS click_id, ts AS click_ts
+        |  FROM events WHERE event_type = 'click')
+        |SELECT v.user_id, view_id, click_id, view_ts, click_ts,
+        |  CAST(epoch_us(click_ts) - epoch_us(view_ts) AS BIGINT)
+        |    AS gap_us
+        |FROM v JOIN c ON v.user_id = c.user_id
+        |  AND click_ts > view_ts
+        |  AND click_ts <= view_ts + INTERVAL 6 HOUR""".stripMargin,
     "q_novelty" ->
       """WITH words AS (SELECT doc_id, string_split(text, ' ') AS w
         |  FROM documents),
@@ -1283,6 +1297,54 @@ object OracleSql {
         |  count(*) AS n_lines
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |GROUP BY o_orderpriority""".stripMargin,
+
+    // Q17 shape: the correlated scalar subquery is decorrelated the
+    // same way the engine plans it — one per-part aggregate joined
+    // back; the threshold is the exact-integer form (qty*n*5 < total)
+    "q17_small_qty" ->
+      """WITH p AS (SELECT p_partkey FROM part
+        |  WHERE p_brand = 'Brand#13' AND p_size < 20),
+        |l AS (SELECT l_partkey, l_quantity, l_extendedprice
+        |  FROM lineitem JOIN p ON l_partkey = p_partkey),
+        |th AS (SELECT l_partkey AS t_partkey,
+        |    CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT)
+        |      AS total_qty,
+        |    count(*) AS n_lines
+        |  FROM l GROUP BY 1)
+        |SELECT round(CAST(sum(CAST(round(l_extendedprice * 100)
+        |      AS BIGINT)) AS DOUBLE) / 100 / 7.0, 2) AS avg_yearly,
+        |  count(*) AS n_small
+        |FROM l JOIN th ON l_partkey = t_partkey
+        |  AND CAST(l_quantity AS BIGINT) * n_lines * 5 < total_qty""".stripMargin,
+
+    // Q13 shape: the priority filter lives INSIDE the outer join's ON
+    // (a fully-filtered customer counts as 0, not gone), and
+    // count(o_orderkey) null-skips exactly like the engine
+    "q13_cust_dist" ->
+      """WITH per AS (SELECT c_custkey, count(o_orderkey) AS c_count
+        |  FROM customer LEFT OUTER JOIN orders
+        |    ON c_custkey = o_custkey
+        |      AND o_orderpriority <> '1-URGENT'
+        |  GROUP BY c_custkey)
+        |SELECT c_count, count(*) AS custdist
+        |FROM per GROUP BY c_count""".stripMargin,
+
+    // Q22 shape: the scalar threshold is the exact-integer form
+    // (bal_cents * n_pos > tot_cents), NOT EXISTS is the anti probe
+    "q22_idle_balance" ->
+      """WITH c AS (SELECT c_custkey, c_nationkey, c_acctbal,
+        |    CAST(round(c_acctbal * 100) AS BIGINT) AS bal_cents
+        |  FROM customer WHERE c_nationkey < 10),
+        |thr AS (SELECT CAST(sum(bal_cents) AS BIGINT) AS tot_cents,
+        |    count(*) AS n_pos
+        |  FROM c WHERE c_acctbal > 0)
+        |SELECT c_nationkey, count(*) AS n_cust,
+        |  round(CAST(sum(bal_cents) AS DOUBLE) / 100, 2) AS total_bal
+        |FROM c, thr
+        |WHERE bal_cents * n_pos > tot_cents
+        |  AND NOT EXISTS (SELECT 1 FROM orders
+        |    WHERE o_custkey = c_custkey AND o_totalprice > 450000)
+        |GROUP BY c_nationkey""".stripMargin,
 
     "q6_forecast" ->
       """SELECT round(CAST(sum(CAST(round(l_extendedprice *
@@ -2780,6 +2842,15 @@ object OracleSql {
         |  count(*) AS n_events,
         |  round(sum(value), 9) AS sum_value
         |FROM e GROUP BY ROLLUP(event_type, user_mod)""".stripMargin,
+
+    "q_cube" ->
+      """WITH e AS (SELECT event_type, user_id % 10 AS user_mod,
+        |    value FROM events)
+        |SELECT event_type, user_mod,
+        |  CAST(GROUPING(event_type, user_mod) AS BIGINT) AS gid,
+        |  count(*) AS n_events,
+        |  round(sum(value), 9) AS sum_value
+        |FROM e GROUP BY CUBE(event_type, user_mod)""".stripMargin,
 
     "q_readability" ->
       """WITH c AS (SELECT doc_id,

@@ -467,6 +467,30 @@ object QueriesSeries {
           coalesce(col("asof_value"), lit(-1.0)).as("asof_value"))
     }),
 
+    // J-extra: event-time interval join — the ALL-matches sibling of
+    // q_asof: every view pairs with EVERY click by the same user in
+    // the 6 hours after it (exclusive lower / inclusive upper).
+    // One keyed equi-join with the range residual INSIDE; the same
+    // call is Spark's canonical watermarked stream-stream join
+    // (StreamingSpec pins batch ≡ stream across micro-batch splits,
+    // including a click arriving batches after its view). gap_us is
+    // exact integer microseconds on both engines.
+    "q_ijoin" -> ((s, dir) => {
+      val e = ev(s, dir)
+      val v = e.filter(col("event_type") === "view")
+        .select(col("user_id"), col("event_id").as("view_id"),
+          col("ts").as("view_ts"))
+      val c = e.filter(col("event_type") === "click")
+        .select(col("user_id"), col("event_id").as("click_id"),
+          col("ts").as("click_ts"))
+      core.IntervalJoin.intervalJoin(v, c, Seq("user_id"),
+          "view_ts", "click_ts", "0 SECONDS", "6 HOURS")
+        .select(col("user_id"), col("view_id"), col("click_id"),
+          col("view_ts"), col("click_ts"),
+          (unix_micros(col("click_ts")) - unix_micros(col("view_ts")))
+            .as("gap_us"))
+    }),
+
     // A-extra: Tukey-fence (boxplot-rule) outlier summary per series
     // — exact integer order-statistic quartiles (cents fixed-point,
     // no interpolation) and the 1.5·IQR rule compared at 4× scale,
@@ -771,6 +795,24 @@ object QueriesSeries {
         .select(col("event_type"),
           pmod(col("user_id"), lit(10L)).as("user_mod"), col("value"))
         .rollup("event_type", "user_mod")
+        .agg(grouping_id().cast("long").as("gid"),
+          count(lit(1)).as("n_events"),
+          round(sum("value"), 9).as("sum_value"))),
+
+    // Engine-extra: CUBE grouping sets — completes the OLAP subtotal
+    // family next to q_rollup with ALL four grouping sets of
+    // (event_type, user_mod) in ONE Expand + one aggregate (still
+    // map-side combinable: Expand multiplies rows BEFORE the partial
+    // agg, so each partition pre-folds every set locally and the
+    // exchange moves only group cells). grouping_id's bitmask
+    // disambiguates a cubed-away NULL from a data NULL — same
+    // convention as DuckDB's GROUPING(). At 100 TB the cube is 4× the
+    // group-cell volume of the plain agg, never 4× the fact volume.
+    "q_cube" -> ((s, dir) =>
+      ev(s, dir)
+        .select(col("event_type"),
+          pmod(col("user_id"), lit(10L)).as("user_mod"), col("value"))
+        .cube("event_type", "user_mod")
         .agg(grouping_id().cast("long").as("gid"),
           count(lit(1)).as("n_events"),
           round(sum("value"), 9).as("sum_value"))),
@@ -1253,6 +1295,87 @@ object QueriesSeries {
               * 100).cast("long")).cast("double") / 100, 2)
             .as("revenue"),
           count(lit(1)).as("n_lines"))
+    }),
+
+    // TPC-H Q17 shape (small-quantity-order revenue): the correlated
+    // scalar-subquery decorrelation — "l_quantity < 0.2 * avg(qty) of
+    // this part" is NOT a per-row rescan: the per-part average is
+    // computed ONCE as an aggregate over the probed lines (output is
+    // part-cardinality, never fact-sized) and joined back BROADCAST.
+    // The threshold compare is EXACT integer math (quantities are
+    // integer-valued in the testdata): qty * n_lines * 5 < total_qty
+    // ⇔ qty < 0.2 * avg — a float average could differ in ulps across
+    // engines' summation orders and flake boundary rows. Revenue is
+    // the house integer-cents pin, /7.0 applied to the exact sum.
+    "q17_small_qty" -> ((s, dir) => {
+      val p = tbl(s, dir, "part")
+        .filter(col("p_brand") === "Brand#13" && col("p_size") < 20)
+        .select("p_partkey")
+      val l = tbl(s, dir, "lineitem")
+        .select("l_partkey", "l_quantity", "l_extendedprice")
+      val lsel = l.join(broadcast(p),
+        col("l_partkey") === col("p_partkey"))
+      val th = lsel.groupBy(col("l_partkey").as("t_partkey"))
+        .agg(sum(col("l_quantity").cast("long")).as("total_qty"),
+          count(lit(1)).as("n_lines"))
+      lsel.join(broadcast(th),
+          col("l_partkey") === col("t_partkey") &&
+            col("l_quantity").cast("long") * col("n_lines") * 5 <
+              col("total_qty"))
+        .agg(round(sum(round(col("l_extendedprice") * 100).cast("long"))
+            .cast("double") / 100 / 7.0, 2).as("avg_yearly"),
+          count(lit(1)).as("n_small"))
+    }),
+
+    // TPC-H Q13 shape (customer order-count distribution): LEFT OUTER
+    // with the order filter INSIDE the join — a customer whose every
+    // order is filtered must land in bucket 0, not disappear, so the
+    // residual cannot become a post-join WHERE (it pushes to the
+    // ORDERS side scan instead, which is equivalent for left outer
+    // and lets parquet skip). count(o_orderkey) null-skips, putting
+    // match-less customers at c_count = 0; the custkey groupBy then
+    // reuses the join's hash partitioning (no exchange between join
+    // and first aggregate on the shuffle path), and the
+    // count-of-counts re-aggregate moves only ~#distinct-counts rows.
+    "q13_cust_dist" -> ((s, dir) => {
+      val c = tbl(s, dir, "customer").select("c_custkey")
+      val o = tbl(s, dir, "orders")
+        .select("o_custkey", "o_orderkey", "o_orderpriority")
+      c.join(o, c("c_custkey") === o("o_custkey") &&
+          o("o_orderpriority") =!= "1-URGENT", "left_outer")
+        .groupBy("c_custkey")
+        .agg(count(col("o_orderkey")).as("c_count"))
+        .groupBy("c_count")
+        .agg(count(lit(1)).as("custdist"))
+    }),
+
+    // TPC-H Q22 shape (prospective idle customers): global-scalar
+    // threshold + anti join. The average positive balance is ONE
+    // aggregate row cross-joined BROADCAST (never a driver collect),
+    // and the compare is exact integer cents — bal_cents * n_pos >
+    // tot_cents ⇔ bal > avg — so no cross-engine float average can
+    // flake a boundary customer. "Never placed a big-ticket order"
+    // (every testdata customer has SOME order) is a LEFT ANTI probe
+    // whose price filter pushes to the orders parquet scan, so the
+    // anti side ships only qualifying keys.
+    "q22_idle_balance" -> ((s, dir) => {
+      val c = tbl(s, dir, "customer")
+        .filter(col("c_nationkey") < 10)
+        .withColumn("bal_cents",
+          round(col("c_acctbal") * 100).cast("long"))
+      val thr = c.filter(col("c_acctbal") > 0)
+        .agg(sum(col("bal_cents")).as("tot_cents"),
+          count(lit(1)).as("n_pos"))
+      val o = tbl(s, dir, "orders")
+        .filter(col("o_totalprice") > 450000)
+        .select("o_custkey")
+      c.join(broadcast(thr))
+        .filter(col("bal_cents") * col("n_pos") > col("tot_cents"))
+        .join(o, col("c_custkey") === col("o_custkey"), "left_anti")
+        .groupBy("c_nationkey")
+        .agg(count(lit(1)).as("n_cust"),
+          round(sum(col("bal_cents")).cast("double") / 100, 2)
+            .as("total_bal"))
     }),
 
     // TPC-H Q14-flavored promo revenue: lineitem ⋈ broadcast part, with

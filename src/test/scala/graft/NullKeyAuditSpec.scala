@@ -46,6 +46,7 @@ class NullKeyAuditSpec extends SparkSpec {
     "q_backfill" -> (("keeps", "keeps")),
     "q_business" -> (("keeps", "drops")),
     "q_croston" -> (("drops", "keeps")),
+    "q_cube" -> (("keeps", "keeps")),
     "q_dbscan" -> (("drops", "keeps")),
     "q_decompose" -> (("drops", "keeps")),
     "q_event_metrics" -> (("keeps", "drops")),
@@ -56,6 +57,7 @@ class NullKeyAuditSpec extends SparkSpec {
     "q_hbos" -> (("drops", "keeps")),
     "q_hist" -> (("keeps", "keeps")),
     "q_histq" -> (("keeps", "keeps")),
+    "q_ijoin" -> (("drops", "drops")),
     "q_hll" -> (("drops", "keeps")),
     "q_json" -> (("keeps", "keeps")),
     "q_ks" -> (("keeps", "drops")),
@@ -129,7 +131,8 @@ class NullKeyAuditSpec extends SparkSpec {
     "q_stl_exact", "q_unigram", "q_unigram_tokens", "q_winnow")
 
   private val noEventsRead: Set[String] = Set(
-    "q18_big_orders", "q1_pricing", "q21_waiting", "q3_shipping",
+    "q13_cust_dist", "q17_small_qty", "q18_big_orders", "q1_pricing",
+    "q21_waiting", "q22_idle_balance", "q3_shipping",
     "q4_priority", "q5_region_revenue", "q6_forecast", "q_backoff",
     "q_bm25", "q_bucketed", "q_c4_filter", "q_chunks", "q_clustering",
     "q_cms", "q_code", "q_colloc", "q_communities", "q_corpus",

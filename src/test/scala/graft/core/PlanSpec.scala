@@ -957,6 +957,62 @@ class PlanSpec extends SparkSpec {
       s"no row_number workaround — the semi/anti pair IS the shape:\n$p")
   }
 
+  test("TPC-H Q17 shape: part dim AND the decorrelated per-part " +
+      "threshold aggregate both join back BROADCAST") {
+    val dir = "/root/testdata/sf0.001"
+    val p = plan(graft.SparkEntry.queries("q17_small_qty")(spark, dir))
+    val bhj = "BroadcastHashJoin".r.findAllIn(p).size
+    assert(bhj >= 2,
+      s"expected 2 broadcast joins (part filter + threshold agg), " +
+        s"got $bhj:\n$p")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"the threshold compare must ride INSIDE the keyed join:\n$p")
+    // the decorrelated aggregate sits UNDER the probe join (plan text
+    // is top-down: the final global agg prints first, the threshold
+    // agg below the joins)
+    val lastAgg = p.lastIndexOf("HashAggregate")
+    val firstJoin = p.indexOf("BroadcastHashJoin")
+    assert(firstJoin > 0 && lastAgg > firstJoin,
+      s"per-part threshold aggregate must sit under the probe join:\n$p")
+  }
+
+  test("TPC-H Q13 shape: the priority residual stays inside the OUTER " +
+      "join (pushed to the orders scan), never a post-join filter") {
+    val dir = "/root/testdata/sf0.001"
+    val p = plan(graft.SparkEntry.queries("q13_cust_dist")(spark, dir))
+    assert(p.contains("LeftOuter"),
+      s"match-less customers must survive to bucket 0:\n$p")
+    assert(p.contains("Not(EqualTo(o_orderpriority,1-URGENT))"),
+      s"the ON-clause residual must reach the orders parquet scan " +
+        s"as a pushed filter:\n$p")
+    assert(!p.contains("CartesianProduct"), s"no cartesian in Q13:\n$p")
+  }
+
+  test("TPC-H Q22 shape: one-row scalar threshold broadcasts, " +
+      "no-orders probe stays an anti join") {
+    val dir = "/root/testdata/sf0.001"
+    val p = plan(graft.SparkEntry.queries("q22_idle_balance")(spark, dir))
+    assert(p.contains("LeftAnti"),
+      s"NOT EXISTS must stay an anti join:\n$p")
+    val bnlj = "BroadcastNestedLoopJoin".r.findAllIn(p).size
+    assert(bnlj == 1,
+      s"exactly the 1-row threshold cross join may be a broadcast " +
+        s"NLJ, got $bnlj:\n$p")
+    assert(!p.contains("CartesianProduct"),
+      s"the scalar join must broadcast, never cartesian:\n$p")
+  }
+
+  test("interval join is a keyed equi-join with the range residual " +
+      "inside — never a cartesian or nested-loop pair join") {
+    val dir = "/root/testdata/sf0.001"
+    val p = plan(graft.SparkEntry.queries("q_ijoin")(spark, dir))
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"the user_id equality must key the join, range as residual:\n$p")
+    assert(p.contains("Join"), s"expected a join in the plan:\n$p")
+  }
+
   test("MMR re-rank: bounded per-query group state, no cartesian") {
     import spark.implicits._
     val rng = new scala.util.Random(5)

@@ -869,6 +869,54 @@ class StreamingSpec extends SparkSpec {
     assert(got(("b", t(9).getTime)) === ((None, None)))
   }
 
+  test("interval join: native watermarked stream-stream join equals " +
+      "batch across micro-batch splits (exclusive lower, inclusive " +
+      "upper, late-arriving match within the watermark)") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    def ts(hm: String) = Timestamp.valueOf(s"2024-01-01 $hm:00")
+    val vIn = MemoryStream[(Long, Long, Timestamp)]
+    val cIn = MemoryStream[(Long, Long, Timestamp)]
+    val joined = graft.core.IntervalJoin.intervalJoin(
+      vIn.toDF().toDF("user_id", "view_id", "view_ts"),
+      cIn.toDF().toDF("user_id", "click_id", "click_ts"),
+      Seq("user_id"), "view_ts", "click_ts", "0 SECONDS", "30 MINUTES",
+      watermark = Some("2 hours"))
+    val q = joined.writeStream.format("memory").queryName("ij")
+      .outputMode("append").start()
+    val views = Seq((1L, 101L, ts("00:00")), (2L, 102L, ts("00:05")),
+      (1L, 103L, ts("00:50")))
+    val clicks = Seq(
+      (1L, 201L, ts("00:00")), // gap 0: EXCLUDED by the exclusive lower
+      (1L, 202L, ts("00:10")), // matches v101
+      (2L, 203L, ts("00:40")), // +35m past v102: outside the window
+      (1L, 204L, ts("00:30")), // exactly +30m: KEPT by inclusive upper
+      (1L, 205L, ts("01:05")), // matches v103, arrives two batches late
+      (3L, 206L, ts("00:10"))) // keyless: no view for user 3
+    try {
+      vIn.addData(views(0), views(1)); cIn.addData(clicks(0))
+      q.processAllAvailable()
+      cIn.addData(clicks(1), clicks(2))
+      q.processAllAvailable()
+      vIn.addData(views(2)); cIn.addData(clicks(3))
+      q.processAllAvailable()
+      cIn.addData(clicks(4), clicks(5))
+      q.processAllAvailable()
+      val got = spark.sql("select view_id, click_id from ij").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got === Set((101L, 202L), (101L, 204L), (103L, 205L)))
+      // batch execution of the SAME call on the SAME rows
+      val batch = graft.core.IntervalJoin.intervalJoin(
+          views.toDF("user_id", "view_id", "view_ts"),
+          clicks.toDF("user_id", "click_id", "click_ts"),
+          Seq("user_id"), "view_ts", "click_ts",
+          "0 SECONDS", "30 MINUTES")
+        .select("view_id", "click_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(batch === got, "stream must equal batch")
+    } finally q.stop()
+  }
+
   test("windowed CMS increments union-merge to the batch estimates") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
