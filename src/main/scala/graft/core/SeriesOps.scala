@@ -487,4 +487,49 @@ object SeriesOps {
         max_by(col("__v"), col("__us")).as("v_last"),
         min("__v").as("v_min"), max("__v").as("v_max"))
   }
+
+  /** W-extra: regular-grid resampling with forward fill — the pandas
+    * `resample(step).ffill()` / `time_bucket_gapfill(..., locf)` read
+    * the engine lacked: DENSIFY each series to one row per grid
+    * instant (hour-anchored span of that series) carrying the last
+    * observation at-or-before it (inclusive), null before the first.
+    *
+    * Shape: the per-series span aggregate emits `sequence()` grid
+    * instants (grid-sized, bounded by span/step — never fact-scaled),
+    * the grid UNIONS with the observations, and ONE per-series ordered
+    * window (`last ignoreNulls`, tie-broken so an observation AT a
+    * grid instant is included) fills forward; grid rows are then kept.
+    * One exchange for the span agg + one window sort — no join of the
+    * grid back against the fact, no per-row interval probe. The grid
+    * marker rides the SORT KEY, not a filter, so a single window pass
+    * serves both row kinds.
+    *
+    * Null series keys are FILTERED (the grid of a null key is
+    * undefined under equi-join semantics; the oracle mirrors the
+    * filter — NullKeyAudit class (drops, keeps)).
+    */
+  def gridResample(df: DataFrame, series: String, ts: String,
+                   value: String, step: String = "1 HOUR",
+                   out: String = "value_ff"): DataFrame = {
+    val base = df.filter(col(series).isNotNull)
+      .select(col(series).as("__sk"), col(ts).as("__ts"),
+        col(value).cast("double").as("__v"))
+    val grid = base.groupBy("__sk")
+      .agg(min("__ts").as("__mn"), max("__ts").as("__mx"))
+      .select(col("__sk"),
+        explode(sequence(
+          date_trunc("hour", col("__mn")),
+          date_trunc("hour", col("__mx")),
+          expr(s"INTERVAL $step"))).as("__ts"),
+        lit(null).cast("double").as("__v"),
+        lit(1).as("__g"))
+    val w = Window.partitionBy("__sk")
+      .orderBy(col("__ts"), col("__g"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    base.withColumn("__g", lit(0))
+      .unionByName(grid)
+      .withColumn(out, last(col("__v"), ignoreNulls = true).over(w))
+      .filter(col("__g") === 1)
+      .select(col("__sk").as(series), col("__ts").as("grid_ts"), col(out))
+  }
 }

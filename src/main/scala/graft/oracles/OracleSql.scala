@@ -612,6 +612,24 @@ object OracleSql {
         |FROM l ASOF LEFT JOIN r
         |  ON l.user_id = r.user_id AND l.ts >= r.ts""".stripMargin,
 
+    // grid ffill resample: DuckDB's ASOF join (max e.ts <= grid_ts,
+    // inclusive) is the exact mirror of the engine's ordered-window
+    // forward fill; user_id IS NOT NULL on BOTH events reads (the
+    // engine filters null keys — NullKeyAudit class drops/keeps)
+    "q_resample" ->
+      """WITH e AS (SELECT user_id, ts, value FROM events
+        |  WHERE user_id IS NOT NULL),
+        |r AS (SELECT user_id, date_trunc('hour', min(ts)) AS mn,
+        |    date_trunc('hour', max(ts)) AS mx
+        |  FROM events WHERE user_id IS NOT NULL GROUP BY user_id),
+        |g AS (SELECT user_id,
+        |    unnest(generate_series(mn, mx, INTERVAL 1 HOUR))
+        |      AS grid_ts
+        |  FROM r)
+        |SELECT g.user_id, g.grid_ts, e.value AS value_ff
+        |FROM g ASOF LEFT JOIN e
+        |  ON g.user_id = e.user_id AND g.grid_ts >= e.ts""".stripMargin,
+
     // interval join: plain equi+range inner join — epoch_us keeps the
     // gap exact-integer (the verify house rule: never epoch())
     "q_ijoin" ->
@@ -1316,6 +1334,28 @@ object OracleSql {
         |  count(*) AS n_small
         |FROM l JOIN th ON l_partkey = t_partkey
         |  AND CAST(l_quantity AS BIGINT) * n_lines * 5 < total_qty""".stripMargin,
+
+    // Q7 shape: both sides pre-filtered to the watched nations, the
+    // disjunctive pair condition then reduces to supp <> cust
+    "q7_nation_trade" ->
+      """WITH sup AS (SELECT s_suppkey, n_name AS supp_nation
+        |  FROM supplier JOIN nation ON s_nationkey = n_nationkey
+        |  WHERE n_nationkey IN (1, 2)),
+        |cus AS (SELECT c_custkey, n_name AS cust_nation
+        |  FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |  WHERE n_nationkey IN (1, 2))
+        |SELECT supp_nation, cust_nation,
+        |  CAST(year(l_shipdate) AS BIGINT) AS l_year,
+        |  round(CAST(sum(CAST(round(l_extendedprice *
+        |      (1 - l_discount) * 100) AS BIGINT)) AS DOUBLE) / 100, 2)
+        |    AS revenue,
+        |  count(*) AS n_lines
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN sup ON l_suppkey = s_suppkey
+        |JOIN cus ON o_custkey = c_custkey
+        |WHERE supp_nation <> cust_nation
+        |GROUP BY 1, 2, 3""".stripMargin,
 
     // Q13 shape: the priority filter lives INSIDE the outer join's ON
     // (a fully-filtered customer counts as 0, not gone), and

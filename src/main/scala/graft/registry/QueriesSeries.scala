@@ -491,6 +491,16 @@ object QueriesSeries {
             .as("gap_us"))
     }),
 
+    // W-extra: regular-grid ffill resample — densify each user's
+    // series to one row per hour of its span, carrying the last
+    // observation at-or-before the instant (DuckDB's ASOF join is the
+    // oracle's exact mirror of the window ffill, inclusive tie).
+    // value_ff is a raw data value — no float arithmetic to pin.
+    "q_resample" -> ((s, dir) =>
+      SeriesOps.gridResample(ev(s, dir), "user_id", "ts", "value",
+          step = "1 HOUR")
+        .select(col("user_id"), col("grid_ts"), col("value_ff"))),
+
     // A-extra: Tukey-fence (boxplot-rule) outlier summary per series
     // — exact integer order-statistic quartiles (cents fixed-point,
     // no interpolation) and the 1.5·IQR rule compared at 4× scale,
@@ -1376,6 +1386,45 @@ object QueriesSeries {
         .agg(count(lit(1)).as("n_cust"),
           round(sum(col("bal_cents")).cast("double") / 100, 2)
             .as("total_bal"))
+    }),
+
+    // TPC-H Q7 shape (volume shipping between nation pairs): the
+    // classic DISJUNCTIVE cross-dimension predicate — (supp=A ∧
+    // cust=B) ∨ (supp=B ∧ cust=A) references both dims at once and
+    // cannot push into either scan. The engine plans it the way a
+    // 100 TB run wants it: the pushable per-side relaxation (nation ∈
+    // {A,B}) IS pushed into each dim scan, after which the
+    // disjunction is exactly `supp_nation ≠ cust_nation` — a cheap
+    // post-join residual on two broadcast attributes instead of an
+    // un-pushable OR over the fact. Revenue integer-cents per year.
+    "q7_nation_trade" -> ((s, dir) => {
+      val n1 = tbl(s, dir, "nation")
+        .filter(col("n_nationkey").isin(1, 2))
+        .select(col("n_nationkey").as("s_nk"),
+          col("n_name").as("supp_nation"))
+      val n2 = tbl(s, dir, "nation")
+        .filter(col("n_nationkey").isin(1, 2))
+        .select(col("n_nationkey").as("c_nk"),
+          col("n_name").as("cust_nation"))
+      val sup = tbl(s, dir, "supplier")
+        .join(broadcast(n1), col("s_nationkey") === col("s_nk"))
+        .select("s_suppkey", "supp_nation")
+      val cus = tbl(s, dir, "customer")
+        .join(broadcast(n2), col("c_nationkey") === col("c_nk"))
+        .select("c_custkey", "cust_nation")
+      tbl(s, dir, "lineitem")
+        .join(tbl(s, dir, "orders"),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(cus), col("o_custkey") === col("c_custkey"))
+        .filter(col("supp_nation") =!= col("cust_nation"))
+        .groupBy(col("supp_nation"), col("cust_nation"),
+          year(col("l_shipdate")).cast("long").as("l_year"))
+        .agg(round(sum(
+            round(col("l_extendedprice") * (lit(1) - col("l_discount"))
+              * 100).cast("long")).cast("double") / 100, 2)
+            .as("revenue"),
+          count(lit(1)).as("n_lines"))
     }),
 
     // TPC-H Q14-flavored promo revenue: lineitem ⋈ broadcast part, with

@@ -78,6 +78,7 @@ class NullKeyAuditSpec extends SparkSpec {
     "q_pr_curve" -> (("keeps", "keeps")),
     "q_psi" -> (("keeps", "drops")),
     "q_qq" -> (("keeps", "keeps")),
+    "q_resample" -> (("drops", "keeps")),
     "q_retention" -> (("keeps", "drops")),
     "q_rolling" -> (("keeps", "keeps")),
     "q_rollup" -> (("keeps", "keeps")),
@@ -101,7 +102,8 @@ class NullKeyAuditSpec extends SparkSpec {
     * say so explicitly — these are the ones where the drop is not
     * structural on the SQL side (no inner join discards the group). */
   private val mustFilterUser = Seq("q_croston", "q_hbos", "q_dbscan",
-    "q_split", "q_leaderboard", "q_leadlag", "q_lof", "q_lof_w")
+    "q_split", "q_leaderboard", "q_leadlag", "q_lof", "q_lof_w",
+    "q_resample")
 
   // --- the audit's PERIMETER, as code (r16): every registry query is
   // in exactly one bucket. `expected` above (the events-reading
@@ -133,7 +135,8 @@ class NullKeyAuditSpec extends SparkSpec {
   private val noEventsRead: Set[String] = Set(
     "q13_cust_dist", "q17_small_qty", "q18_big_orders", "q1_pricing",
     "q21_waiting", "q22_idle_balance", "q3_shipping",
-    "q4_priority", "q5_region_revenue", "q6_forecast", "q_backoff",
+    "q4_priority", "q5_region_revenue", "q6_forecast",
+    "q7_nation_trade", "q_backoff",
     "q_bm25", "q_bucketed", "q_c4_filter", "q_chunks", "q_clustering",
     "q_cms", "q_code", "q_colloc", "q_communities", "q_corpus",
     "q_corpus2", "q_corpus3", "q_cosine_topk", "q_decontam",

@@ -1013,6 +1013,32 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("Join"), s"expected a join in the plan:\n$p")
   }
 
+  test("TPC-H Q7 shape: nation IN-filter pushed to the dim scans, " +
+      "disjunctive pair condition reduced to a cheap residual") {
+    val dir = "/root/testdata/sf0.001"
+    val p = plan(graft.SparkEntry.queries("q7_nation_trade")(spark, dir))
+    assert(p.contains("In(n_nationkey"),
+      s"the per-side relaxation must reach the nation scans:\n$p")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"every join must stay keyed:\n$p")
+  }
+
+  test("gridResample densifies WITHOUT joining the grid back against " +
+      "the fact: union + one window, zero joins") {
+    import spark.implicits._
+    val df = (0 until 200).map(i =>
+      ("s" + (i % 3), new java.sql.Timestamp(1700000000000L + i * 900000L),
+        i.toDouble)).toDF("sid", "ts", "v")
+    val p = plan(SeriesOps.gridResample(df, "sid", "ts", "v"))
+    assert(!p.contains("Join"),
+      s"ffill must ride the union's sort key, not a grid-vs-fact " +
+        s"join:\n$p")
+    val windows = "\\bWindow\\b".r.findAllIn(p).size
+    assert(windows == 1, s"expected exactly one window pass, " +
+      s"got $windows:\n$p")
+  }
+
   test("MMR re-rank: bounded per-query group state, no cartesian") {
     import spark.implicits._
     val rng = new scala.util.Random(5)

@@ -321,4 +321,31 @@ class SeriesOpsSpec extends SparkSpec {
     }
     assert(m4.keySet === (0L until 25L).toSet)
   }
+
+  test("gridResample densifies to the hour-anchored span, forward " +
+      "fills inclusively, and leaves pre-first-observation grid null") {
+    import spark.implicits._
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    // series a: obs at 00:30, 02:00 (exactly ON a grid instant), 02:45
+    // series b: single obs — grid collapses to one instant
+    // null key row: filtered (drops)
+    val df = Seq(
+      (Option("a"), ts("2024-01-01 00:30:00"), 1.0),
+      (Option("a"), ts("2024-01-01 02:00:00"), 2.0),
+      (Option("a"), ts("2024-01-01 02:45:00"), 3.0),
+      (Option("b"), ts("2024-01-01 05:10:00"), 7.0),
+      (Option.empty[String], ts("2024-01-01 00:00:00"), 99.0)
+    ).toDF("sid", "ts", "v")
+    val got = SeriesOps.gridResample(df, "sid", "ts", "v")
+      .collect().map(r => (r.getString(0),
+        r.getTimestamp(1).toString,
+        Option(r.get(2)).map(_.asInstanceOf[Double]))).toSet
+    assert(got === Set(
+      // 00:00 precedes the first observation → null (no fabrication)
+      ("a", "2024-01-01 00:00:00.0", None),
+      ("a", "2024-01-01 01:00:00.0", Some(1.0)),
+      // observation AT the grid instant is included (inclusive tie)
+      ("a", "2024-01-01 02:00:00.0", Some(2.0)),
+      ("b", "2024-01-01 05:00:00.0", None)))
+  }
 }
