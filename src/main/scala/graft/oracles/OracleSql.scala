@@ -2892,6 +2892,20 @@ object OracleSql {
         |  round(sum(value), 9) AS sum_value
         |FROM e GROUP BY CUBE(event_type, user_mod)""".stripMargin,
 
+    // pivot desugars to conditional aggregation — FILTER counts give
+    // 0 for empty cells, matching the engine's coalesce
+    "q_pivot" ->
+      """WITH e AS (SELECT user_id % 10 AS user_mod, event_type
+        |  FROM events)
+        |SELECT user_mod,
+        |  count(*) FILTER (WHERE event_type = 'click') AS n_click,
+        |  count(*) FILTER (WHERE event_type = 'error') AS n_error,
+        |  count(*) FILTER (WHERE event_type = 'purchase')
+        |    AS n_purchase,
+        |  count(*) FILTER (WHERE event_type = 'signup') AS n_signup,
+        |  count(*) FILTER (WHERE event_type = 'view') AS n_view
+        |FROM e GROUP BY user_mod""".stripMargin,
+
     "q_readability" ->
       """WITH c AS (SELECT doc_id,
         |    greatest(len(regexp_extract_all(text, '[.!?]+')), 1)

@@ -827,6 +827,28 @@ object QueriesSeries {
           count(lit(1)).as("n_events"),
           round(sum("value"), 9).as("sum_value"))),
 
+    // Engine-extra: PIVOT reshape — long-to-wide per-type counts with
+    // the pivot values EXPLICIT (the 100 TB discipline: an implicit
+    // pivot first runs a distinct over the fact to discover columns;
+    // the explicit list keeps it ONE aggregate pass, map-side
+    // combinable). Cells with no rows are coalesced to 0 to match the
+    // oracle's conditional-aggregation (FILTER) face — the desugared
+    // form of the same reshape.
+    "q_pivot" -> ((s, dir) =>
+      ev(s, dir)
+        .select(pmod(col("user_id"), lit(10L)).as("user_mod"),
+          col("event_type"))
+        .groupBy("user_mod")
+        .pivot("event_type",
+          Seq("click", "error", "purchase", "signup", "view"))
+        .agg(count(lit(1)))
+        .select(col("user_mod"),
+          coalesce(col("click"), lit(0L)).as("n_click"),
+          coalesce(col("error"), lit(0L)).as("n_error"),
+          coalesce(col("purchase"), lit(0L)).as("n_purchase"),
+          coalesce(col("signup"), lit(0L)).as("n_signup"),
+          coalesce(col("view"), lit(0L)).as("n_view"))),
+
     // L-extra: blocked edit-distance near-dup pairs — the entity-
     // resolution face of the dedup tier (character-level edits where
     // minhash is token-level). Blocking = (length bucket ±1, 16-char

@@ -74,6 +74,7 @@ class NullKeyAuditSpec extends SparkSpec {
     "q_mad" -> (("drops", "keeps")),
     "q_paths" -> (("keeps", "drops")),
     "q_persist" -> (("keeps", "keeps")),
+    "q_pivot" -> (("keeps", "drops")),
     "q_pointwise" -> (("keeps", "drops")),
     "q_pr_curve" -> (("keeps", "keeps")),
     "q_psi" -> (("keeps", "drops")),
