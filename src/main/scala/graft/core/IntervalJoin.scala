@@ -42,11 +42,23 @@ object IntervalJoin {
     * @param upper inclusive upper bound (e.g. "30 MINUTES")
     * @param watermark event-time lateness bound, applied to BOTH sides
     *                  when the inputs are streaming (ignored in batch:
-    *                  batch has no watermark and needs no eviction) */
+    *                  batch has no watermark and needs no eviction)
+    * @param joinType "inner" (all matches) or "left_outer" — the
+    *                 drop-off read: a left row with NO in-window match
+    *                 emits once with null right fields. In streaming
+    *                 the null row can only emit when the WATERMARK
+    *                 passes `lts + upper` (before that a match could
+    *                 still arrive), so outer results trail the
+    *                 watermark by the interval width — the documented
+    *                 Structured Streaming outer-join latency, not a
+    *                 defect. Null-keyed LEFT rows pass through
+    *                 unmatched (outer semantics, both engines); null
+    *                 keys never match (equi semantics). */
   def intervalJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
                    lts: String, rts: String,
                    lower: String, upper: String,
-                   watermark: Option[String] = None): DataFrame = {
+                   watermark: Option[String] = None,
+                   joinType: String = "inner"): DataFrame = {
     require(keys.nonEmpty, "interval join requires at least one key")
     val l = watermark match {
       case Some(w) if left.isStreaming => left.withWatermark(lts, w)
@@ -60,7 +72,7 @@ object IntervalJoin {
     val keyEq = keys.map(k => col(k) === col("__r_" + k)).reduce(_ && _)
     val range = col(rts) > col(lts) + expr(s"INTERVAL $lower") &&
       col(rts) <= col(lts) + expr(s"INTERVAL $upper")
-    l.join(r, keyEq && range)
+    l.join(r, keyEq && range, joinType)
       .drop(keys.map("__r_" + _): _*)
   }
 }

@@ -643,6 +643,20 @@ object OracleSql {
         |FROM v JOIN c ON v.user_id = c.user_id
         |  AND click_ts > view_ts
         |  AND click_ts <= view_ts + INTERVAL 6 HOUR""".stripMargin,
+
+    // LEFT OUTER interval join: un-clicked views survive once with
+    // null click fields; null-user views pass through unmatched
+    "q_ijoin_left" ->
+      """WITH v AS (SELECT user_id, event_id AS view_id,
+        |    ts AS view_ts FROM events WHERE event_type = 'view'),
+        |c AS (SELECT user_id, event_id AS click_id, ts AS click_ts
+        |  FROM events WHERE event_type = 'click')
+        |SELECT v.user_id, view_id, click_id, view_ts, click_ts,
+        |  CAST(epoch_us(click_ts) - epoch_us(view_ts) AS BIGINT)
+        |    AS gap_us
+        |FROM v LEFT OUTER JOIN c ON v.user_id = c.user_id
+        |  AND click_ts > view_ts
+        |  AND click_ts <= view_ts + INTERVAL 6 HOUR""".stripMargin,
     "q_novelty" ->
       """WITH words AS (SELECT doc_id, string_split(text, ' ') AS w
         |  FROM documents),

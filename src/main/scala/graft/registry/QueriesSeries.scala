@@ -491,6 +491,30 @@ object QueriesSeries {
             .as("gap_us"))
     }),
 
+    // J-extra: LEFT OUTER interval join — the drop-off read on top of
+    // q_ijoin: every view appears EXACTLY once-or-more — matched
+    // views once per in-window click, un-clicked views ONCE with null
+    // click fields. Same keyed equi+range join; in streaming the null
+    // row emits when the watermark passes view_ts + window (the
+    // documented outer-join latency). Null-user views pass through
+    // unmatched on both engines (outer semantics).
+    "q_ijoin_left" -> ((s, dir) => {
+      val e = ev(s, dir)
+      val v = e.filter(col("event_type") === "view")
+        .select(col("user_id"), col("event_id").as("view_id"),
+          col("ts").as("view_ts"))
+      val c = e.filter(col("event_type") === "click")
+        .select(col("user_id"), col("event_id").as("click_id"),
+          col("ts").as("click_ts"))
+      core.IntervalJoin.intervalJoin(v, c, Seq("user_id"),
+          "view_ts", "click_ts", "0 SECONDS", "6 HOURS",
+          joinType = "left_outer")
+        .select(col("user_id"), col("view_id"), col("click_id"),
+          col("view_ts"), col("click_ts"),
+          (unix_micros(col("click_ts")) - unix_micros(col("view_ts")))
+            .as("gap_us"))
+    }),
+
     // W-extra: regular-grid ffill resample — densify each user's
     // series to one row per hour of its span, carrying the last
     // observation at-or-before the instant (DuckDB's ASOF join is the

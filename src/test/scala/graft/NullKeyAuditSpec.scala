@@ -58,6 +58,7 @@ class NullKeyAuditSpec extends SparkSpec {
     "q_hist" -> (("keeps", "keeps")),
     "q_histq" -> (("keeps", "keeps")),
     "q_ijoin" -> (("drops", "drops")),
+    "q_ijoin_left" -> (("keeps", "drops")),
     "q_hll" -> (("drops", "keeps")),
     "q_json" -> (("keeps", "keeps")),
     "q_ks" -> (("keeps", "drops")),

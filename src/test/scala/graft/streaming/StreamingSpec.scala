@@ -917,6 +917,54 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("LEFT OUTER interval join: an un-clicked view emits ONCE with " +
+      "null right fields after the watermark passes its window") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    def ts(hm: String) = Timestamp.valueOf(s"2024-01-01 $hm:00")
+    val vIn = MemoryStream[(Long, Long, Timestamp)]
+    val cIn = MemoryStream[(Long, Long, Timestamp)]
+    val joined = graft.core.IntervalJoin.intervalJoin(
+      vIn.toDF().toDF("user_id", "view_id", "view_ts"),
+      cIn.toDF().toDF("user_id", "click_id", "click_ts"),
+      Seq("user_id"), "view_ts", "click_ts", "0 SECONDS", "30 MINUTES",
+      watermark = Some("10 minutes"), joinType = "left_outer")
+    val q = joined.writeStream.format("memory").queryName("ijl")
+      .outputMode("append").start()
+    val views = Seq((1L, 101L, ts("00:00")), (2L, 102L, ts("00:00")),
+      (3L, 103L, ts("02:00")), (4L, 104L, ts("02:30")))
+    val clicks = Seq((1L, 201L, ts("00:10")), (3L, 204L, ts("02:10")),
+      (4L, 205L, ts("02:35")))
+    try {
+      // batch 1: v101 matches; v102 never will
+      vIn.addData(views(0), views(1)); cIn.addData(clicks(0))
+      q.processAllAvailable()
+      // batch 2 advances BOTH sides' event time (the global watermark
+      // is the MIN across watermarked inputs — advancing only one side
+      // would pin it and the null row would never emit)
+      vIn.addData(views(2)); cIn.addData(clicks(1))
+      q.processAllAvailable()
+      // batch 3 runs under batch 2's end-state watermark (01:50),
+      // which is past v102's eviction point (00:30): the null emits
+      vIn.addData(views(3)); cIn.addData(clicks(2))
+      q.processAllAvailable()
+      val got = spark.sql("select view_id, click_id from ijl").collect()
+        .map(r => (r.getLong(0), Option(r.get(1)))).toSet
+      assert(got === Set((101L, Some(201L)), (102L, None),
+        (103L, Some(204L)), (104L, Some(205L))),
+        "matched views once with their click, dropped view once null")
+      // batch execution: same call, same rows, same outer semantics
+      val batch = graft.core.IntervalJoin.intervalJoin(
+          views.toDF("user_id", "view_id", "view_ts"),
+          clicks.toDF("user_id", "click_id", "click_ts"),
+          Seq("user_id"), "view_ts", "click_ts",
+          "0 SECONDS", "30 MINUTES", joinType = "left_outer")
+        .select("view_id", "click_id").collect()
+        .map(r => (r.getLong(0), Option(r.get(1)))).toSet
+      assert(batch === got, "stream must equal batch")
+    } finally q.stop()
+  }
+
   test("windowed CMS increments union-merge to the batch estimates") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
