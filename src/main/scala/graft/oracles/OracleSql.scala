@@ -612,6 +612,33 @@ object OracleSql {
         |FROM l ASOF LEFT JOIN r
         |  ON l.user_id = r.user_id AND l.ts >= r.ts""".stripMargin,
 
+    // ranking tier: rank/dense_rank share the TIED window (equal
+    // counts share a rank — deterministic by definition), ntile/lead
+    // the total-ordered one; user filter matches the engine (Spark
+    // sorts nulls first, DuckDB last)
+    "q_rank_users" ->
+      """WITH c AS (SELECT user_id, count(*) AS n_events,
+        |    round(sum(value), 9) AS sum_value
+        |  FROM events WHERE user_id IS NOT NULL GROUP BY user_id)
+        |SELECT user_id, n_events, sum_value,
+        |  CAST(rank() OVER tied AS BIGINT) AS rnk,
+        |  CAST(dense_rank() OVER tied AS BIGINT) AS drnk,
+        |  CAST(ntile(4) OVER total AS BIGINT) AS quartile,
+        |  lead(user_id, 1) OVER total AS next_user
+        |FROM c
+        |WINDOW tied AS (ORDER BY n_events DESC),
+        |  total AS (ORDER BY n_events DESC, user_id ASC)""".stripMargin,
+
+    // time-RANGE frame on exact integer microseconds — the same
+    // numeric bounds as the engine's rangeBetween, (ts-24h, ts]
+    "q_rolling_time" ->
+      """SELECT user_id, ts,
+        |  count(*) OVER w AS n_24h,
+        |  round(avg(value) OVER w, 9) AS avg_24h
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+        |  RANGE BETWEEN 86399999999 PRECEDING AND CURRENT ROW)""".stripMargin,
+
     // grid ffill resample: DuckDB's ASOF join (max e.ts <= grid_ts,
     // inclusive) is the exact mirror of the engine's ordered-window
     // forward fill; user_id IS NOT NULL on BOTH events reads (the

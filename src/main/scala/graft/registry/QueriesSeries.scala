@@ -49,6 +49,46 @@ object QueriesSeries {
         .select(col("user_id"), col("ts"), col("value_bf"))
     }),
 
+    // W-extra: ranking-function tier — rank/dense_rank keep their
+    // tie semantics (ordered by n_events alone: equal counts share a
+    // rank, both functions deterministic UNDER ties by definition);
+    // ntile/lead need a total order so they tie-break on the key.
+    // This window runs over the user-cardinality AGGREGATE, never the
+    // fact — the global (unpartitioned) sort is group-cell-sized.
+    // Null user keys are filtered: Spark orders nulls FIRST, DuckDB
+    // LAST, so an unfiltered global ranking diverges on the first
+    // null key (the q_leadlag lesson; oracle carries the same filter).
+    "q_rank_users" -> ((s, dir) => {
+      val counts = ev(s, dir).filter(col("user_id").isNotNull)
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_events"),
+          round(sum("value"), 9).as("sum_value"))
+      val tied = Window.orderBy(col("n_events").desc)
+      val total = Window.orderBy(col("n_events").desc,
+        col("user_id").asc)
+      counts.select(col("user_id"), col("n_events"), col("sum_value"),
+        rank().over(tied).cast("long").as("rnk"),
+        dense_rank().over(tied).cast("long").as("drnk"),
+        ntile(4).over(total).cast("long").as("quartile"),
+        lead(col("user_id"), 1).over(total).as("next_user"))
+    }),
+
+    // W-extra: time-RANGE window frame — the last-24-HOURS read by
+    // actual event time, not row count (irregular series make the two
+    // differ; every other window in the engine is a row frame). The
+    // frame is declared on exact integer microseconds with the SAME
+    // numeric bounds on both engines — an INTERVAL-typed frame would
+    // differ on the boundary instant (DuckDB's PRECEDING is closed,
+    // this form is (ts-24h, ts]).
+    "q_rolling_time" -> ((s, dir) => {
+      val e = ev(s, dir).withColumn("__us", unix_micros(col("ts")))
+      val w = Window.partitionBy("user_id").orderBy(col("__us"))
+        .rangeBetween(-86399999999L, 0)
+      e.select(col("user_id"), col("ts"),
+        count(lit(1)).over(w).as("n_24h"),
+        round(avg("value").over(w), 9).as("avg_24h"))
+    }),
+
     // W4: lag features
     "q_lags" -> ((s, dir) =>
       SeriesOps.withLags(ev(s, dir), "user_id", "ts", "value", Seq(1, 2, 3))

@@ -80,7 +80,9 @@ class NullKeyAuditSpec extends SparkSpec {
     "q_pr_curve" -> (("keeps", "keeps")),
     "q_psi" -> (("keeps", "drops")),
     "q_qq" -> (("keeps", "keeps")),
+    "q_rank_users" -> (("drops", "keeps")),
     "q_resample" -> (("drops", "keeps")),
+    "q_rolling_time" -> (("keeps", "keeps")),
     "q_retention" -> (("keeps", "drops")),
     "q_rolling" -> (("keeps", "keeps")),
     "q_rollup" -> (("keeps", "keeps")),
@@ -105,7 +107,7 @@ class NullKeyAuditSpec extends SparkSpec {
     * structural on the SQL side (no inner join discards the group). */
   private val mustFilterUser = Seq("q_croston", "q_hbos", "q_dbscan",
     "q_split", "q_leaderboard", "q_leadlag", "q_lof", "q_lof_w",
-    "q_resample")
+    "q_resample", "q_rank_users")
 
   // --- the audit's PERIMETER, as code (r16): every registry query is
   // in exactly one bucket. `expected` above (the events-reading
