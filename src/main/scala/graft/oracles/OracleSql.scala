@@ -1357,6 +1357,25 @@ object OracleSql {
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |GROUP BY o_orderpriority""".stripMargin,
 
+    // Q10 shape: returnflag pushed to lineitem, date window to
+    // orders, top-20 tie-broken on the customer key
+    "q10_returned" ->
+      """SELECT c_custkey, c_name, c_acctbal, n_name,
+        |  round(CAST(sum(CAST(round(l_extendedprice *
+        |      (1 - l_discount) * 100) AS BIGINT)) AS DOUBLE) / 100, 2)
+        |    AS revenue,
+        |  count(*) AS n_returned
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |WHERE l_returnflag = 'R'
+        |  AND o_orderdate >= TIMESTAMP '1997-01-01'
+        |  AND o_orderdate < TIMESTAMP '1997-07-01'
+        |GROUP BY 1, 2, 3, 4
+        |ORDER BY revenue DESC, c_custkey ASC
+        |LIMIT 20""".stripMargin,
+
     // Q17 shape: the correlated scalar subquery is decorrelated the
     // same way the engine plans it — one per-part aggregate joined
     // back; the threshold is the exact-integer form (qty*n*5 < total)
@@ -2923,6 +2942,18 @@ object OracleSql {
         |  count(*) AS n_events,
         |  round(sum(value), 9) AS sum_value
         |FROM e GROUP BY ROLLUP(event_type, user_mod)""".stripMargin,
+
+    // set ops: EXCEPT/INTERSECT are DISTINCT set semantics with
+    // null-equality on both engines (SQL standard)
+    "q_except" ->
+      """SELECT user_id FROM events WHERE event_type = 'view'
+        |EXCEPT
+        |SELECT user_id FROM events WHERE event_type = 'purchase'""".stripMargin,
+
+    "q_intersect" ->
+      """SELECT user_id FROM events WHERE event_type = 'view'
+        |INTERSECT
+        |SELECT user_id FROM events WHERE event_type = 'purchase'""".stripMargin,
 
     "q_cube" ->
       """WITH e AS (SELECT event_type, user_id % 10 AS user_mod,

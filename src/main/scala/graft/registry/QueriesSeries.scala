@@ -873,6 +873,28 @@ object QueriesSeries {
           count(lit(1)).as("n_events"),
           round(sum("value"), 9).as("sum_value"))),
 
+    // Engine-extra: EXCEPT set op — viewers who never purchased.
+    // Dataset.except IS Catalyst's LeftAnti + distinct (SQL EXCEPT
+    // DISTINCT), with set-op null equality (a null key on both sides
+    // cancels — unlike an anti JOIN, which would keep it; both
+    // engines follow the SQL standard here, pinned by the null audit).
+    "q_except" -> ((s, dir) => {
+      val e = ev(s, dir)
+      e.filter(col("event_type") === "view").select("user_id")
+        .except(e.filter(col("event_type") === "purchase")
+          .select("user_id"))
+    }),
+
+    // Engine-extra: INTERSECT set op — users who BOTH viewed and
+    // purchased (semi-join + distinct under the hood, same set-op
+    // null equality as q_except).
+    "q_intersect" -> ((s, dir) => {
+      val e = ev(s, dir)
+      e.filter(col("event_type") === "view").select("user_id")
+        .intersect(e.filter(col("event_type") === "purchase")
+          .select("user_id"))
+    }),
+
     // Engine-extra: CUBE grouping sets — completes the OLAP subtotal
     // family next to q_rollup with ALL four grouping sets of
     // (event_type, user_mod) in ONE Expand + one aggregate (still
@@ -1511,6 +1533,35 @@ object QueriesSeries {
               * 100).cast("long")).cast("double") / 100, 2)
             .as("revenue"),
           count(lit(1)).as("n_lines"))
+    }),
+
+    // TPC-H Q10 shape (returned-item top customers): the classic
+    // dim ⋈ fact ⋈ fact aggregate-then-top-k — returnflag filter
+    // pushed to the lineitem scan, date window to orders, nation
+    // broadcast; revenue integer-cents, top-20 via
+    // TakeOrderedAndProject with the key as tie-break.
+    "q10_returned" -> ((s, dir) => {
+      val o = tbl(s, dir, "orders")
+        .filter(col("o_orderdate") >= lit("1997-01-01").cast("timestamp")
+          && col("o_orderdate") < lit("1997-07-01").cast("timestamp"))
+        .select("o_orderkey", "o_custkey")
+      val l = tbl(s, dir, "lineitem")
+        .filter(col("l_returnflag") === "R")
+        .select("l_orderkey", "l_extendedprice", "l_discount")
+      val c = tbl(s, dir, "customer")
+        .join(broadcast(tbl(s, dir, "nation")),
+          col("c_nationkey") === col("n_nationkey"))
+        .select("c_custkey", "c_name", "c_acctbal", "n_name")
+      l.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(c, col("o_custkey") === col("c_custkey"))
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(round(sum(
+            round(col("l_extendedprice") * (lit(1) - col("l_discount"))
+              * 100).cast("long")).cast("double") / 100, 2)
+            .as("revenue"),
+          count(lit(1)).as("n_returned"))
+        .orderBy(col("revenue").desc, col("c_custkey").asc)
+        .limit(20)
     }),
 
     // TPC-H Q14-flavored promo revenue: lineitem ⋈ broadcast part, with

@@ -50,6 +50,8 @@ class NullKeyAuditSpec extends SparkSpec {
     "q_dbscan" -> (("drops", "keeps")),
     "q_decompose" -> (("drops", "keeps")),
     "q_event_metrics" -> (("keeps", "drops")),
+    "q_except" -> (("drops", "drops")),
+    "q_intersect" -> (("keeps", "drops")),
     "q_eventize" -> (("keeps", "keeps")),
     "q_flags" -> (("drops", "keeps")),
     "q_funnel" -> (("keeps", "drops")),
@@ -137,6 +139,7 @@ class NullKeyAuditSpec extends SparkSpec {
     "q_stl_exact", "q_unigram", "q_unigram_tokens", "q_winnow")
 
   private val noEventsRead: Set[String] = Set(
+    "q10_returned",
     "q13_cust_dist", "q17_small_qty", "q18_big_orders", "q1_pricing",
     "q21_waiting", "q22_idle_balance", "q3_shipping",
     "q4_priority", "q5_region_revenue", "q6_forecast",
