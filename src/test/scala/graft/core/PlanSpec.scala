@@ -1039,6 +1039,44 @@ class PlanSpec extends SparkSpec {
       s"got $windows:\n$p")
   }
 
+  test("set ops compile to keyed anti/semi joins under a distinct " +
+      "aggregate — never a cartesian") {
+    val dir = "/root/testdata/sf0.001"
+    val ex = plan(graft.SparkEntry.queries("q_except")(spark, dir))
+    assert(ex.contains("LeftAnti"),
+      s"EXCEPT must plan as an anti join:\n$ex")
+    assert(ex.contains("HashAggregate"),
+      s"EXCEPT is DISTINCT set semantics — expected the dedup " +
+        s"aggregate:\n$ex")
+    val in = plan(graft.SparkEntry.queries("q_intersect")(spark, dir))
+    assert(in.contains("LeftSemi"),
+      s"INTERSECT must plan as a semi join:\n$in")
+    assert(!ex.contains("CartesianProduct") &&
+      !in.contains("CartesianProduct"), "no cartesian in set ops")
+  }
+
+  test("TPC-H Q10 shape: returnflag pushed to the lineitem scan, " +
+      "top-20 via TakeOrderedAndProject") {
+    val dir = "/root/testdata/sf0.001"
+    val p = plan(graft.SparkEntry.queries("q10_returned")(spark, dir))
+    assert(p.contains("EqualTo(l_returnflag,R)"),
+      s"returnflag must reach the lineitem parquet scan:\n$p")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"top-20 must be TakeOrderedAndProject, not a global sort:\n$p")
+    assert(!p.contains("CartesianProduct"), s"no cartesian in Q10:\n$p")
+  }
+
+  test("q_rank_users: ties EXIST in the ordering data, so rank and " +
+      "dense_rank are genuinely distinguished (guards the fixture)") {
+    val dir = "/root/testdata/sf0.001"
+    val rows = graft.SparkEntry.queries("q_rank_users")(spark, dir)
+      .select("rnk", "drnk").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(rows.exists { case (r, d) => r != d },
+      "no tie in n_events at sf0.001 — the rank/dense_rank pin is " +
+        "vacuous; pick a coarser ranking key")
+  }
+
   test("MMR re-rank: bounded per-query group state, no cartesian") {
     import spark.implicits._
     val rng = new scala.util.Random(5)

@@ -917,6 +917,25 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("interval join composes multiple equi keys (batch): the " +
+      "internal right-side rename disambiguates a self-joined lineage") {
+    import spark.implicits._
+    def ts(hm: String) = Timestamp.valueOf(s"2024-01-01 $hm:00")
+    // same (tenant, user) pair required on BOTH keys; u1 appears under
+    // two tenants — single-key joins would cross-match them
+    val l = Seq(("t1", 1L, 11L, ts("00:00")), ("t2", 1L, 12L, ts("00:00")))
+      .toDF("tenant", "user_id", "view_id", "view_ts")
+    val r = Seq(("t1", 1L, 21L, ts("00:10")), ("t2", 1L, 22L, ts("00:20")))
+      .toDF("tenant", "user_id", "click_id", "click_ts")
+    val got = graft.core.IntervalJoin.intervalJoin(l, r,
+        Seq("tenant", "user_id"), "view_ts", "click_ts",
+        "0 SECONDS", "30 MINUTES")
+      .select("view_id", "click_id").collect()
+      .map(x => (x.getLong(0), x.getLong(1))).toSet
+    assert(got === Set((11L, 21L), (12L, 22L)),
+      "each view must match only its own tenant's click")
+  }
+
   test("LEFT OUTER interval join: an un-clicked view emits ONCE with " +
       "null right fields after the watermark passes its window") {
     implicit val sqlCtx = spark.sqlContext
