@@ -2978,6 +2978,15 @@ object OracleSql {
         |  count(*) FILTER (WHERE event_type = 'view') AS n_view
         |FROM e GROUP BY user_mod""".stripMargin,
 
+    "q_grouping_sets" ->
+      """WITH e AS (SELECT event_type, user_id % 10 AS user_mod,
+        |    value FROM events)
+        |SELECT event_type, user_mod,
+        |  CAST(GROUPING(event_type, user_mod) AS BIGINT) AS gid,
+        |  count(*) AS n_events,
+        |  round(sum(value), 9) AS sum_value
+        |FROM e GROUP BY GROUPING SETS ((event_type), (user_mod), ())""".stripMargin,
+
     "q_readability" ->
       """WITH c AS (SELECT doc_id,
         |    greatest(len(regexp_extract_all(text, '[.!?]+')), 1)

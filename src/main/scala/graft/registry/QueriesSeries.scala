@@ -935,6 +935,23 @@ object QueriesSeries {
           coalesce(col("signup"), lit(0L)).as("n_signup"),
           coalesce(col("view"), lit(0L)).as("n_view"))),
 
+    // Engine-extra: arbitrary GROUPING SETS — the general form rollup
+    // and cube are special cases of: per-type totals, per-user-mod
+    // totals, and the grand total in ONE Expand + one aggregate, with
+    // NO (event_type, user_mod) cross cells (the cube would pay for
+    // them; picking exactly the sets you read is the 100 TB win of
+    // the general form). Same grouping_id bitmask as q_rollup/q_cube.
+    "q_grouping_sets" -> ((s, dir) =>
+      ev(s, dir)
+        .select(col("event_type"),
+          pmod(col("user_id"), lit(10L)).as("user_mod"), col("value"))
+        .groupingSets(
+          Seq(Seq(col("event_type")), Seq(col("user_mod")), Seq()),
+          col("event_type"), col("user_mod"))
+        .agg(grouping_id().cast("long").as("gid"),
+          count(lit(1)).as("n_events"),
+          round(sum("value"), 9).as("sum_value"))),
+
     // L-extra: blocked edit-distance near-dup pairs — the entity-
     // resolution face of the dedup tier (character-level edits where
     // minhash is token-level). Blocking = (length bucket ±1, 16-char

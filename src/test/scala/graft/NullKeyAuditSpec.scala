@@ -56,6 +56,7 @@ class NullKeyAuditSpec extends SparkSpec {
     "q_flags" -> (("drops", "keeps")),
     "q_funnel" -> (("keeps", "drops")),
     "q_global_stats" -> (("keeps", "keeps")),
+    "q_grouping_sets" -> (("keeps", "keeps")),
     "q_hbos" -> (("drops", "keeps")),
     "q_hist" -> (("keeps", "keeps")),
     "q_histq" -> (("keeps", "keeps")),
