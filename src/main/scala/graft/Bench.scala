@@ -67,17 +67,40 @@ object Bench {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "3").toInt
     val heavySec = sys.env.getOrElse("SPARK_GRAFT_HEAVY_SEC", "20").toDouble
-    val spark = SparkSession.builder()
+    // r17: long-session hygiene is ON by default (core/SessionHygiene —
+    // caps the app-status stores whose unbounded growth taxed the tail
+    // of a ~200-query sweep); SPARK_GRAFT_HYGIENE=off restores Spark
+    // defaults for A/B-ing the session-aging effect itself.
+    val hygiene = sys.env.getOrElse("SPARK_GRAFT_HYGIENE", "on") != "off"
+    val b0 = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+    val spark = (if (hygiene) graft.core.SessionHygiene(b0) else b0)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val names =
+    // r17 position experiment: SPARK_GRAFT_FIRST / SPARK_GRAFT_LAST
+    // (comma lists) move the named queries to the head / tail of the
+    // sweep — the instrument for separating "this query got slower"
+    // from "queries run LATE in a long session get slower". A record
+    // run leaves both unset (order=default).
+    val movedFirst = sys.env.getOrElse("SPARK_GRAFT_FIRST", "")
+      .split(",").map(_.trim).filter(_.nonEmpty).toSeq
+    val movedLast = sys.env.getOrElse("SPARK_GRAFT_LAST", "")
+      .split(",").map(_.trim).filter(_.nonEmpty).toSeq
+    val baseNames =
       if (args.nonEmpty) args.toSeq.filter(SparkEntry.queries.contains)
       else headline.filter(SparkEntry.queries.contains) ++
         SparkEntry.queries.keys.filterNot(headline.contains).toSeq.sorted
+    val names =
+      movedFirst.filter(baseNames.contains) ++
+        baseNames.filterNot(n =>
+          movedFirst.contains(n) || movedLast.contains(n)) ++
+        movedLast.filter(baseNames.contains)
+    val order =
+      if (movedFirst.isEmpty && movedLast.isEmpty) "default"
+      else s"first:${movedFirst.mkString("+")};last:${movedLast.mkString("+")}"
     // untimed warmup: absorb JVM/JIT/codegen startup so the first timed
     // query measures steady-state execution, not session bring-up.
     // r16 (anchors3): the PRE anchor block runs closest to JVM start,
@@ -150,7 +173,27 @@ object Bench {
         mn // contention only inflates — the min is the honest statistic
       } else med
     }
-    val results = names.map { name =>
+    // r17 (anchors4): ONE in-sweep anchor — q_rolling, also in both
+    // solo blocks — re-measured at the sweep's 25/50/75% marks with the
+    // anchor discipline (GC fence, warmup, min-of-3). The solo pre/post
+    // blocks bracket HOST drift but are structurally blind to session
+    // aging DURING the sweep (the r16 lesson: five late-alphabet
+    // queries climbed monotonically across three records while the
+    // anchors moved the other way); the mid marks make intra-sweep
+    // aging a measured quantity instead of an inference.
+    val midAnchor = "q_rolling"
+    val midMarks = Seq(names.size / 4, names.size / 2, 3 * names.size / 4)
+    val anchorsMid = scala.collection.mutable.LinkedHashMap[String, Double]()
+    def midAnchorAt(label: String): Unit =
+      if (args.isEmpty && SparkEntry.queries.contains(midAnchor)) {
+        System.gc()
+        once(midAnchor) // warmup
+        val times = Seq.fill(3)(once(midAnchor)).filter(_ >= 0)
+        anchorsMid += label -> (if (times.isEmpty) -1.0 else times.min)
+      }
+    val results = names.zipWithIndex.map { case (name, idx) =>
+      if (midMarks.indexOf(idx) >= 0)
+        midAnchorAt(s"p${25 * (midMarks.indexOf(idx) + 1)}")
       // full-GC fence between queries: heavy MLlib/MLE neighbors leave
       // enough young-gen debris to inflate the next query's median 3-6×
       // (r4: q_pointwise 4.0 s in-suite vs 0.6 s isolated), so pay the
@@ -211,7 +254,12 @@ object Bench {
       .mkString("{", ",", "}")
     val ancPre = anchorsPre.map { case (k, v) => "\"" + k + "\":" + r3(v) }
       .mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"reps":$reps,"reps_dev":$rp,"flagged":$fl,"anchors_pre":$ancPre,"anchors":$anc,"protocol":"warmup-minmedian-anchors3-r16","errors":$errs,"contended":$loadStart,"load_end":$loadEnd,"sf":"$sfDir"}""")
+    // anchors_mid: the in-sweep q_rolling marks — compare against its
+    // pre/post solo values; a mid value climbing while pre≈post says
+    // SESSION AGING, not host drift
+    val ancMid = anchorsMid.map { case (k, v) => "\"" + k + "\":" + r3(v) }
+      .mkString("{", ",", "}")
+    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"reps":$reps,"reps_dev":$rp,"flagged":$fl,"anchors_pre":$ancPre,"anchors_mid":$ancMid,"anchors":$anc,"protocol":"warmup-minmedian-anchors4-r17","order":"$order","hygiene":${hygiene},"errors":$errs,"contended":$loadStart,"load_end":$loadEnd,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -60,6 +60,15 @@ object IntervalJoin {
                    watermark: Option[String] = None,
                    joinType: String = "inner"): DataFrame = {
     require(keys.nonEmpty, "interval join requires at least one key")
+    // the key columns are renamed on the right side; any OTHER shared
+    // name (a timestamp or payload column) would emit ambiguous
+    // duplicate output columns — fail fast instead of letting the
+    // caller discover it at resolution time
+    val shared =
+      left.columns.toSet.intersect(right.columns.toSet) -- keys
+    require(shared.isEmpty,
+      s"non-key column names must be disjoint across the two inputs " +
+        s"(rename before joining): ${shared.toSeq.sorted.mkString(", ")}")
     val l = watermark match {
       case Some(w) if left.isStreaming => left.withWatermark(lts, w)
       case _ => left

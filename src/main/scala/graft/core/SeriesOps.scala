@@ -491,18 +491,31 @@ object SeriesOps {
   /** W-extra: regular-grid resampling with forward fill — the pandas
     * `resample(step).ffill()` / `time_bucket_gapfill(..., locf)` read
     * the engine lacked: DENSIFY each series to one row per grid
-    * instant (hour-anchored span of that series) carrying the last
+    * instant (unit-anchored span of that series) carrying the last
     * observation at-or-before it (inclusive), null before the first.
     *
     * Shape: the per-series span aggregate emits `sequence()` grid
     * instants (grid-sized, bounded by span/step — never fact-scaled),
     * the grid UNIONS with the observations, and ONE per-series ordered
-    * window (`last ignoreNulls`, tie-broken so an observation AT a
-    * grid instant is included) fills forward; grid rows are then kept.
-    * One exchange for the span agg + one window sort — no join of the
-    * grid back against the fact, no per-row interval probe. The grid
-    * marker rides the SORT KEY, not a filter, so a single window pass
-    * serves both row kinds.
+    * window fills forward; grid rows are then kept. One exchange for
+    * the span agg + one window sort — no join of the grid back against
+    * the fact, no per-row interval probe. The grid marker rides the
+    * SORT KEY, not a filter, so a single window pass serves both row
+    * kinds.
+    *
+    * Fill semantics are ASOF-faithful: the fill carries the latest
+    * observation ROW's value — even when that value is NULL — by
+    * filling a struct that is null only on grid rows (`last
+    * ignoreNulls` skips the grid markers but keeps a null-VALUED
+    * observation, exactly what an ASOF join returns). Same-instant
+    * observations are tie-broken deterministically on the value
+    * (largest wins), so duplicate-(series, ts) inputs cannot make the
+    * fill nondeterministic across partitionings.
+    *
+    * The grid anchor derives from `step`'s unit: DAY/WEEK steps
+    * truncate the span to that unit; HOUR and MINUTE steps anchor at
+    * the hour (a sub-hour step therefore lands on :00/:15/:30-style
+    * marks, never an arbitrary minute).
     *
     * Null series keys are FILTERED (the grid of a null key is
     * undefined under equi-join semantics; the oracle mirrors the
@@ -511,6 +524,13 @@ object SeriesOps {
   def gridResample(df: DataFrame, series: String, ts: String,
                    value: String, step: String = "1 HOUR",
                    out: String = "value_ff"): DataFrame = {
+    val unit = step.trim.split("\\s+").last.toLowerCase
+      .stripSuffix("s") match {
+      case "minute" | "hour" => "hour"
+      case u @ ("day" | "week") => u
+      case u => throw new IllegalArgumentException(
+        s"gridResample step unit must be MINUTE/HOUR/DAY/WEEK, got $u")
+    }
     val base = df.filter(col(series).isNotNull)
       .select(col(series).as("__sk"), col(ts).as("__ts"),
         col(value).cast("double").as("__v"))
@@ -518,17 +538,23 @@ object SeriesOps {
       .agg(min("__ts").as("__mn"), max("__ts").as("__mx"))
       .select(col("__sk"),
         explode(sequence(
-          date_trunc("hour", col("__mn")),
-          date_trunc("hour", col("__mx")),
+          date_trunc(unit, col("__mn")),
+          date_trunc(unit, col("__mx")),
           expr(s"INTERVAL $step"))).as("__ts"),
         lit(null).cast("double").as("__v"),
         lit(1).as("__g"))
     val w = Window.partitionBy("__sk")
-      .orderBy(col("__ts"), col("__g"))
+      .orderBy(col("__ts"), col("__g"), col("__v"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     base.withColumn("__g", lit(0))
       .unionByName(grid)
-      .withColumn(out, last(col("__v"), ignoreNulls = true).over(w))
+      // observation rows wrap their value in a struct; grid rows stay
+      // null — ignoreNulls then means "skip grid markers", never "skip
+      // null-valued observations" (the ASOF contract)
+      .withColumn("__obs",
+        when(col("__g") === 0, struct(col("__v"))))
+      .withColumn(out,
+        last(col("__obs"), ignoreNulls = true).over(w).getField("__v"))
       .filter(col("__g") === 1)
       .select(col("__sk").as(series), col("__ts").as("grid_ts"), col(out))
   }

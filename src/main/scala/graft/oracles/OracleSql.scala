@@ -1446,6 +1446,54 @@ object OracleSql {
         |    WHERE o_custkey = c_custkey AND o_totalprice > 450000)
         |GROUP BY c_nationkey""".stripMargin,
 
+    // Q2 shape: the CORRELATED scalar-subquery form — DuckDB
+    // decorrelates it into the same per-part MIN the engine plans;
+    // the supply relation derives from lineitem in exact integer
+    // cents (no partsupp in the testdata), so the min-equality can
+    // never flake on float ulps
+    "q2_min_cost" ->
+      """WITH p AS (SELECT p_partkey, p_name FROM part
+        |  WHERE p_size = 15),
+        |sup AS (SELECT s_suppkey, s_name, s_acctbal, n_name
+        |  FROM supplier JOIN nation ON s_nationkey = n_nationkey
+        |  JOIN region ON n_regionkey = r_regionkey
+        |  WHERE r_name = 'ASIA'),
+        |ps AS (SELECT l_partkey, l_suppkey,
+        |    min(CAST(round(l_extendedprice * 100) AS BIGINT))
+        |      AS cost_cents
+        |  FROM lineitem JOIN p ON l_partkey = p_partkey
+        |  GROUP BY 1, 2)
+        |SELECT s_acctbal, s_name, n_name, p_partkey, p_name,
+        |  round(CAST(cost_cents AS DOUBLE) / 100, 2) AS cost
+        |FROM ps JOIN sup ON l_suppkey = s_suppkey
+        |JOIN p ON l_partkey = p_partkey
+        |WHERE cost_cents = (SELECT min(ps2.cost_cents)
+        |  FROM ps ps2 JOIN sup s2 ON ps2.l_suppkey = s2.s_suppkey
+        |  WHERE ps2.l_partkey = ps.l_partkey)""".stripMargin,
+
+    // Q20 shape: nested EXISTS against a per-(part, supplier)
+    // aggregate that itself probes lineitem — compiles to the
+    // engine's semi-over-aggregate-over-fact; the 30% threshold is
+    // the exact cross-multiplied integer form
+    "q20_excess_stock" ->
+      """WITH w AS (SELECT p_partkey FROM part
+        |  WHERE p_name LIKE 'red%'),
+        |lw AS (SELECT l_partkey, l_suppkey,
+        |    CAST(l_quantity AS BIGINT) AS qty
+        |  FROM lineitem JOIN w ON l_partkey = p_partkey
+        |  WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+        |    AND l_shipdate < TIMESTAMP '1998-01-01'),
+        |ps AS (SELECT l_partkey, l_suppkey, sum(qty) AS qty_ps
+        |  FROM lw GROUP BY 1, 2),
+        |pt AS (SELECT l_partkey AS t_partkey, sum(qty_ps) AS qty_p
+        |  FROM ps GROUP BY 1)
+        |SELECT s_suppkey, s_name, n_name
+        |FROM supplier JOIN nation ON s_nationkey = n_nationkey
+        |WHERE n_nationkey < 15
+        |  AND EXISTS (SELECT 1 FROM ps JOIN pt ON l_partkey = t_partkey
+        |    WHERE l_suppkey = s_suppkey
+        |      AND qty_ps * 10 > qty_p * 3)""".stripMargin,
+
     "q6_forecast" ->
       """SELECT round(CAST(sum(CAST(round(l_extendedprice *
         |      l_discount * 100) AS BIGINT)) AS DOUBLE) / 100, 2)
@@ -2986,6 +3034,17 @@ object OracleSql {
         |  count(*) AS n_events,
         |  round(sum(value), 9) AS sum_value
         |FROM e GROUP BY GROUPING SETS ((event_type), (user_mod), ())""".stripMargin,
+
+    // multi-distinct: two count(DISTINCT) + plain aggregates in one
+    // statement (count DISTINCT skips NULL keys on both engines; the
+    // plain count/sum still see every row)
+    "q_multi_distinct" ->
+      """SELECT date_trunc('day', ts) AS d,
+        |  count(DISTINCT user_id) AS n_users,
+        |  count(DISTINCT event_type) AS n_types,
+        |  count(*) AS n_events,
+        |  round(sum(value), 9) AS sum_value
+        |FROM events GROUP BY 1""".stripMargin,
 
     "q_readability" ->
       """WITH c AS (SELECT doc_id,

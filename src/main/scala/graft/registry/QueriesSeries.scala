@@ -54,7 +54,11 @@ object QueriesSeries {
     // rank, both functions deterministic UNDER ties by definition);
     // ntile/lead need a total order so they tie-break on the key.
     // This window runs over the user-cardinality AGGREGATE, never the
-    // fact — the global (unpartitioned) sort is group-cell-sized.
+    // fact — the global (unpartitioned) sort is group-cell-sized. At
+    // 100× users, swap the global frame for rank-within-hash-bucket +
+    // merged per-bucket boundary ranks (or TakeOrdered when only a
+    // top-k is read); the global form is kept here because it is the
+    // exact tie/ntile semantics the oracle states.
     // Null user keys are filtered: Spark orders nulls FIRST, DuckDB
     // LAST, so an unfiltered global ranking diverges on the first
     // null key (the q_leadlag lesson; oracle carries the same filter).
@@ -952,6 +956,22 @@ object QueriesSeries {
           count(lit(1)).as("n_events"),
           round(sum("value"), 9).as("sum_value"))),
 
+    // A-extra: multi-DISTINCT aggregate — two count(DISTINCT) columns
+    // of different cardinalities plus plain aggregates in ONE
+    // statement. Spark plans this with a single Expand (one row
+    // replica per distinct group + one for the plain aggregates)
+    // feeding one shuffled aggregate pair — never three scans or one
+    // shuffle per distinct column; the plain count/sum stay map-side
+    // combinable on their replica. PlanSpec pins exactly one Expand
+    // and a single events scan.
+    "q_multi_distinct" -> ((s, dir) =>
+      ev(s, dir)
+        .groupBy(date_trunc("day", col("ts")).as("d"))
+        .agg(countDistinct(col("user_id")).as("n_users"),
+          countDistinct(col("event_type")).as("n_types"),
+          count(lit(1)).as("n_events"),
+          round(sum("value"), 9).as("sum_value"))),
+
     // L-extra: blocked edit-distance near-dup pairs — the entity-
     // resolution face of the dedup tier (character-level edits where
     // minhash is token-level). Blocking = (length bucket ±1, 16-char
@@ -1579,6 +1599,89 @@ object QueriesSeries {
           count(lit(1)).as("n_returned"))
         .orderBy(col("revenue").desc, col("c_custkey").asc)
         .limit(20)
+    }),
+
+    // TPC-H Q2 shape (min-cost supplier): the last classic correlated
+    // composition — "cost = (SELECT min(cost) FROM ... WHERE same
+    // part AND supplier in region)" — decorrelated as a per-part MIN
+    // over the JOINED (supply ⋈ regional-supplier) relation, joined
+    // back broadcast: the q17 discipline applied to a MIN over a
+    // join rather than a fact aggregate. The supply relation itself
+    // derives from lineitem (the testdata ships no partsupp): per
+    // (part, supplier) the cheapest observed line price in EXACT
+    // integer cents, so the min-equality join-back can never flake
+    // on float ulps. The part filter broadcast-pushes UNDER the
+    // supply aggregate (the agg input shrinks before any shuffle);
+    // supplier⋈nation⋈region is dim-sized broadcast; the join-back
+    // side is part-cardinality (never the fact).
+    "q2_min_cost" -> ((s, dir) => {
+      val p = tbl(s, dir, "part").filter(col("p_size") === 15)
+        .select("p_partkey", "p_name")
+      val sup = tbl(s, dir, "supplier")
+        .join(broadcast(tbl(s, dir, "nation")),
+          col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(tbl(s, dir, "region")),
+          col("n_regionkey") === col("r_regionkey"))
+        .filter(col("r_name") === "ASIA")
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+      val ps = tbl(s, dir, "lineitem")
+        .join(broadcast(p.select("p_partkey")),
+          col("l_partkey") === col("p_partkey"))
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(min(round(col("l_extendedprice") * 100).cast("long"))
+          .as("cost_cents"))
+      val psr = ps.join(broadcast(sup),
+        col("l_suppkey") === col("s_suppkey"))
+      val minc = psr.groupBy(col("l_partkey").as("m_partkey"))
+        .agg(min("cost_cents").as("min_cents"))
+      psr.join(broadcast(minc),
+          col("l_partkey") === col("m_partkey") &&
+            col("cost_cents") === col("min_cents"))
+        .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+        .select(col("s_acctbal"), col("s_name"), col("n_name"),
+          col("p_partkey"), col("p_name"),
+          round(col("cost_cents").cast("double") / 100, 2).as("cost"))
+    }),
+
+    // TPC-H Q20 shape (excess-stock suppliers): nested SEMI — the one
+    // join nesting Q21's semi/anti pair does not exercise: a semi
+    // join against a per-(part, supplier) aggregate threshold that
+    // ITSELF probes lineitem (semi over aggregate over fact).
+    // Suppliers who, for SOME watched part, shipped >30% of the
+    // part's total 1997 volume. Both aggregate layers are exact
+    // integer quantities and the 30% threshold is cross-multiplied
+    // (qty_ps·10 > qty_p·3), so no float boundary exists; the part
+    // filter and the date window push to their scans; the per-part
+    // total re-aggregates the (part, supplier) layer (aggregate-
+    // sized, never a second fact pass) and joins back broadcast.
+    "q20_excess_stock" -> ((s, dir) => {
+      val w = tbl(s, dir, "part")
+        .filter(col("p_name").startsWith("red"))
+        .select("p_partkey")
+      val lw = tbl(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp")
+          && col("l_shipdate") < lit("1998-01-01").cast("timestamp"))
+        .join(broadcast(w), col("l_partkey") === col("p_partkey"))
+        .select(col("l_partkey"), col("l_suppkey"),
+          col("l_quantity").cast("long").as("qty"))
+      val ps = lw.groupBy("l_partkey", "l_suppkey")
+        .agg(sum("qty").as("qty_ps"))
+      val pt = ps.groupBy(col("l_partkey").as("t_partkey"))
+        .agg(sum("qty_ps").as("qty_p"))
+      val excess = ps.join(broadcast(pt),
+          col("l_partkey") === col("t_partkey") &&
+            col("qty_ps") * 10 > col("qty_p") * 3)
+        .select("l_suppkey")
+      tbl(s, dir, "supplier")
+        .join(broadcast(tbl(s, dir, "nation")),
+          col("s_nationkey") === col("n_nationkey"))
+        .filter(col("n_nationkey") < 15)
+        // the probe set is aggregate-sized (threshold survivors over
+        // watched-part × supplier cells) — broadcast it so the
+        // supplier dim never shuffles for the semi
+        .join(broadcast(excess),
+          col("s_suppkey") === col("l_suppkey"), "left_semi")
+        .select("s_suppkey", "s_name", "n_name")
     }),
 
     // TPC-H Q14-flavored promo revenue: lineitem ⋈ broadcast part, with

@@ -76,6 +76,7 @@ class NullKeyAuditSpec extends SparkSpec {
     "q_lof_w" -> (("drops", "keeps")),
     "q_m4" -> (("drops", "keeps")),
     "q_mad" -> (("drops", "keeps")),
+    "q_multi_distinct" -> (("keeps", "keeps")),
     "q_paths" -> (("keeps", "drops")),
     "q_persist" -> (("keeps", "keeps")),
     "q_pivot" -> (("keeps", "drops")),
@@ -142,7 +143,8 @@ class NullKeyAuditSpec extends SparkSpec {
   private val noEventsRead: Set[String] = Set(
     "q10_returned",
     "q13_cust_dist", "q17_small_qty", "q18_big_orders", "q1_pricing",
-    "q21_waiting", "q22_idle_balance", "q3_shipping",
+    "q20_excess_stock", "q21_waiting", "q22_idle_balance",
+    "q2_min_cost", "q3_shipping",
     "q4_priority", "q5_region_revenue", "q6_forecast",
     "q7_nation_trade", "q_backoff",
     "q_bm25", "q_bucketed", "q_c4_filter", "q_chunks", "q_clustering",

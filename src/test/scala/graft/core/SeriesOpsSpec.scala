@@ -348,4 +348,51 @@ class SeriesOpsSpec extends SparkSpec {
       ("a", "2024-01-01 02:00:00.0", Some(2.0)),
       ("b", "2024-01-01 05:00:00.0", None)))
   }
+
+  test("gridResample fill is ASOF-faithful: a null-VALUED observation " +
+      "is carried (not skipped back to the previous non-null)") {
+    import spark.implicits._
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    // obs at 00:10 = 5.0, obs at 01:20 = NULL: the 02:00 grid row must
+    // read the LATEST observation (null), never resurrect the 5.0 —
+    // exactly what the DuckDB ASOF oracle returns
+    val df = Seq(
+      ("a", ts("2024-01-01 00:10:00"), Option(5.0)),
+      ("a", ts("2024-01-01 01:20:00"), Option.empty[Double]),
+      ("a", ts("2024-01-01 02:30:00"), Option(9.0))
+    ).toDF("sid", "ts", "v")
+    val got = SeriesOps.gridResample(df, "sid", "ts", "v")
+      .collect().map(r => (r.getTimestamp(1).toString,
+        Option(r.get(2)).map(_.asInstanceOf[Double]))).toSet
+    assert(got === Set(
+      ("2024-01-01 00:00:00.0", None),
+      ("2024-01-01 01:00:00.0", Some(5.0)),
+      ("2024-01-01 02:00:00.0", None)))
+  }
+
+  test("gridResample derives the grid anchor from the step unit and " +
+      "rejects unknown units") {
+    import spark.implicits._
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val df = Seq(
+      ("a", ts("2024-01-03 07:30:00"), 1.0),
+      ("a", ts("2024-01-05 23:10:00"), 2.0)
+    ).toDF("sid", "ts", "v")
+    // DAY step → day-anchored grid (midnight), not hour-of-first-obs
+    val days = SeriesOps.gridResample(df, "sid", "ts", "v", step = "1 DAY")
+      .collect().map(_.getTimestamp(1).toString).toSet
+    assert(days === Set("2024-01-03 00:00:00.0", "2024-01-04 00:00:00.0",
+      "2024-01-05 00:00:00.0"))
+    // sub-hour step anchors at the hour → quarter marks, not :30-offset
+    val q = SeriesOps.gridResample(df, "sid", "ts", "v",
+        step = "15 MINUTES")
+      .orderBy("grid_ts")
+      .collect().map(_.getTimestamp(1).toString)
+    assert(q.take(3).toSeq === Seq("2024-01-03 07:00:00.0",
+      "2024-01-03 07:15:00.0", "2024-01-03 07:30:00.0"))
+    val e = intercept[IllegalArgumentException] {
+      SeriesOps.gridResample(df, "sid", "ts", "v", step = "1 MONTH")
+    }
+    assert(e.getMessage.contains("MINUTE/HOUR/DAY/WEEK"))
+  }
 }

@@ -934,6 +934,17 @@ class StreamingSpec extends SparkSpec {
       .map(x => (x.getLong(0), x.getLong(1))).toSet
     assert(got === Set((11L, 21L), (12L, 22L)),
       "each view must match only its own tenant's click")
+    // shared NON-key names fail fast (only keys are renamed on the
+    // right — a shared payload/timestamp name would emit ambiguous
+    // duplicate columns downstream)
+    val e = intercept[IllegalArgumentException] {
+      graft.core.IntervalJoin.intervalJoin(l, r
+          .withColumnRenamed("click_ts", "view_ts"),
+        Seq("tenant", "user_id"), "view_ts", "view_ts",
+        "0 SECONDS", "30 MINUTES")
+    }
+    assert(e.getMessage.contains("disjoint") &&
+      e.getMessage.contains("view_ts"))
   }
 
   test("LEFT OUTER interval join: an un-clicked view emits ONCE with " +
