@@ -51,6 +51,20 @@ object Bench {
     "q_eventize", "q_sweep", "q_minhash", "q_quality",
     "q_cosine_topk", "q_event_metrics")
 
+  /** HEAVY anchor set (new in r17, measured into `anchors_heavy_pre` /
+    * `anchors_heavy` alongside the classic blocks — the classic list
+    * itself is never edited, per its contract). The r17 drift
+    * adjudication found the classic anchors structurally blind to the
+    * dimension that actually moved r15→r16: they are 1-3 stage
+    * scan/window/join shapes, while the +26 s regression mass sat in
+    * MANY-stage CPU/allocation-heavy queries (iterative models, pair
+    * generators, multi-pass rankers) whose per-stage fixed costs the
+    * classic set never samples. These three are mid-weight, plan-
+    * deterministic members of exactly that family; their solo ratio
+    * across rounds is the host factor FOR THAT FAMILY. */
+  val anchorsHeavy: Seq[String] = Seq(
+    "q_kmeans", "q_bm25", "q_dedup_resolve")
+
   /** Headline subset: one per operator family, heaviest first. */
   val headline: Seq[String] = Seq(
     "q1_pricing", "q_join_agg", "q_rolling", "q_stl_lite", "q_sweep",
@@ -145,15 +159,16 @@ object Bench {
     // this run". The pre/post pair brackets intra-run drift: agreeing
     // blocks = a trustworthy host factor; disagreeing blocks = the
     // record itself says which half to trust.
-    def anchorBlock(): Seq[(String, Double)] =
+    def anchorBlock(list: Seq[String]): Seq[(String, Double)] =
       if (args.nonEmpty) Seq.empty
-      else anchors.filter(SparkEntry.queries.contains).map { name =>
+      else list.filter(SparkEntry.queries.contains).map { name =>
         System.gc()
         once(name) // warmup
         val times = Seq.fill(3)(once(name)).filter(_ >= 0)
         name -> (if (times.isEmpty) -1.0 else times.min)
       }
-    val anchorsPre = anchorBlock()
+    val anchorsPre = anchorBlock(anchors)
+    val anchorsHeavyPre = anchorBlock(anchorsHeavy)
     // queries whose reps spread >3×: (min, max, statistic reported) —
     // contention evidence, recorded instead of silently laundered into
     // the median; the tag says which statistic the headline time used
@@ -224,7 +239,8 @@ object Bench {
     // anchor re-measures (full runs only — a subset run is a dev
     // iteration, not a record): solo min-of-3 per anchor at record
     // time, the next round's host-drift normalizer
-    val anchorTimes: Seq[(String, Double)] = anchorBlock()
+    val anchorTimes: Seq[(String, Double)] = anchorBlock(anchors)
+    val anchorsHeavyPost = anchorBlock(anchorsHeavy)
     val loadEnd = loadavg()
     // keep the line SHORT: the driver captures only a tail of stdout, so a
     // verbose line gets clipped mid-JSON and parses as null (round 4).
@@ -259,7 +275,12 @@ object Bench {
     // SESSION AGING, not host drift
     val ancMid = anchorsMid.map { case (k, v) => "\"" + k + "\":" + r3(v) }
       .mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"reps":$reps,"reps_dev":$rp,"flagged":$fl,"anchors_pre":$ancPre,"anchors_mid":$ancMid,"anchors":$anc,"protocol":"warmup-minmedian-anchors4-r17","order":"$order","hygiene":${hygiene},"errors":$errs,"contended":$loadStart,"load_end":$loadEnd,"sf":"$sfDir"}""")
+    def ancJson(xs: Seq[(String, Double)]): String =
+      xs.map { case (k, v) => "\"" + k + "\":" + r3(v) }
+        .mkString("{", ",", "}")
+    val ancH = ancJson(anchorsHeavyPost)
+    val ancHPre = ancJson(anchorsHeavyPre)
+    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"reps":$reps,"reps_dev":$rp,"flagged":$fl,"anchors_pre":$ancPre,"anchors_heavy_pre":$ancHPre,"anchors_mid":$ancMid,"anchors":$anc,"anchors_heavy":$ancH,"protocol":"warmup-minmedian-anchors4-r17","order":"$order","hygiene":${hygiene},"errors":$errs,"contended":$loadStart,"load_end":$loadEnd,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -15,12 +15,13 @@ import org.apache.spark.sql.SparkSession
   * them. In `local[*]` the driver IS the executor: by query ~150 of a
   * ~200-query sweep the store holds tens of thousands of task rows plus
   * hundreds of plan graphs, and every task completion pays bookkeeping
-  * against the bloated store while the heap pays the tenancy — the
-  * round-16 bench showed late-sweep queries climbing 1.3–1.7× on
-  * UNCHANGED operator code while solo runs of the same queries stayed
-  * flat (the r17 adjudication; BENCH_NOTES). A 1000-executor cluster
-  * hits the same wall purely driver-side: scheduling latency rises as
-  * the listener bus drains into ever-larger stores.
+  * against the bloated store while the heap pays the tenancy. (The r17
+  * drift adjudication measured NO intra-sweep aging signal at bench
+  * scale — BENCH_NOTES r17 — so these caps are a robustness bound, not
+  * a measured-regression fix; the growth itself is real and strongly
+  * referenced, and a 1000-executor cluster pays it purely driver-side,
+  * where scheduling latency rises as the listener bus drains into
+  * ever-larger stores.)
   *
   * These caps keep enough history for live debugging (the last ~50
   * queries) while bounding the store at a size whose bookkeeping is
