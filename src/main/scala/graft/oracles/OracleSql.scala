@@ -1471,6 +1471,37 @@ object OracleSql {
         |  FROM ps ps2 JOIN sup s2 ON ps2.l_suppkey = s2.s_suppkey
         |  WHERE ps2.l_partkey = ps.l_partkey)""".stripMargin,
 
+    // Q11 shape: the HAVING-against-global-share form — the grand
+    // total aggregates the per-part aggregate (one row), and the
+    // share threshold is exact cross-multiplied cents
+    "q11_important_stock" ->
+      """WITH sup AS (SELECT s_suppkey FROM supplier
+        |  JOIN nation ON s_nationkey = n_nationkey
+        |  WHERE n_regionkey = 3),
+        |psv AS (SELECT l_partkey,
+        |    CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+        |      AS BIGINT) AS value_cents
+        |  FROM lineitem JOIN sup ON l_suppkey = s_suppkey
+        |  GROUP BY 1),
+        |tot AS (SELECT CAST(sum(value_cents) AS BIGINT) AS tot_cents
+        |  FROM psv)
+        |SELECT l_partkey AS partkey,
+        |  round(CAST(value_cents AS DOUBLE) / 100, 2) AS value
+        |FROM psv, tot WHERE value_cents * 1000 > tot_cents""".stripMargin,
+
+    // Q16 shape: NOT IN compiles to the anti probe; the supply pairs
+    // are one DISTINCT aggregate over the fact
+    "q16_supplier_cnt" ->
+      """WITH ps AS (SELECT DISTINCT l_partkey, l_suppkey
+        |  FROM lineitem),
+        |bad AS (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+        |SELECT p_brand, p_type, p_size,
+        |  count(DISTINCT l_suppkey) AS supplier_cnt
+        |FROM ps JOIN part ON l_partkey = p_partkey
+        |WHERE p_brand <> 'Brand#13' AND p_size IN (5, 10, 15, 20)
+        |  AND l_suppkey NOT IN (SELECT s_suppkey FROM bad)
+        |GROUP BY 1, 2, 3""".stripMargin,
+
     // Q20 shape: nested EXISTS against a per-(part, supplier)
     // aggregate that itself probes lineitem — compiles to the
     // engine's semi-over-aggregate-over-fact; the 30% threshold is

@@ -1684,6 +1684,59 @@ object QueriesSeries {
         .select("s_suppkey", "s_name", "n_name")
     }),
 
+    // TPC-H Q11 shape (important stock): HAVING against a global
+    // scalar computed over the SAME aggregate — per-part supply value
+    // (regional suppliers only), kept where the part's value exceeds
+    // 0.001 of the grand total. The grand total is ONE row aggregated
+    // FROM the per-part aggregate (never a second fact pass) and
+    // broadcast back (AQE reuses the per-part aggregate's exchange at
+    // runtime — ReusedExchange, pinned in PlanSpec — so the fact map
+    // stage runs ONCE); the share threshold is cross-multiplied exact
+    // integer cents (value·1000 > total), so no float share can flake
+    // a boundary part. Q22 broadcast a scalar over a BASE table; this
+    // is the scalar-over-aggregate-filtering-its-own-aggregate form.
+    "q11_important_stock" -> ((s, dir) => {
+      val sup = tbl(s, dir, "supplier")
+        .join(broadcast(tbl(s, dir, "nation")),
+          col("s_nationkey") === col("n_nationkey"))
+        .filter(col("n_regionkey") === 3)
+        .select("s_suppkey")
+      val psv = tbl(s, dir, "lineitem")
+        .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+        .groupBy("l_partkey")
+        .agg(sum(round(col("l_extendedprice") * 100).cast("long"))
+          .as("value_cents"))
+      val tot = psv.agg(sum("value_cents").as("tot_cents"))
+      psv.join(broadcast(tot))
+        .filter(col("value_cents") * 1000 > col("tot_cents"))
+        .select(col("l_partkey").as("partkey"),
+          round(col("value_cents").cast("double") / 100, 2).as("value"))
+    }),
+
+    // TPC-H Q16 shape (supplier relation count): DISTINCT-count over
+    // an ANTI-joined derived relation — the (part, supplier) supply
+    // pairs (one distinct aggregate over the fact, never row-level),
+    // minus blacklisted suppliers (NOT IN ⇒ broadcast LEFT ANTI on a
+    // dim-derived key set), counted DISTINCT per part attribute
+    // group. The part filter broadcasts into the pair relation before
+    // the anti, so both reducers see only qualifying pairs.
+    "q16_supplier_cnt" -> ((s, dir) => {
+      val ps = tbl(s, dir, "lineitem")
+        .groupBy("l_partkey", "l_suppkey").agg(count(lit(1)))
+        .select("l_partkey", "l_suppkey")
+      val pf = tbl(s, dir, "part")
+        .filter(col("p_brand") =!= "Brand#13" &&
+          col("p_size").isin(5, 10, 15, 20))
+        .select("p_partkey", "p_brand", "p_type", "p_size")
+      val bad = tbl(s, dir, "supplier")
+        .filter(col("s_acctbal") < 0).select("s_suppkey")
+      ps.join(broadcast(pf), col("l_partkey") === col("p_partkey"))
+        .join(broadcast(bad),
+          col("l_suppkey") === col("s_suppkey"), "left_anti")
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+    }),
+
     // TPC-H Q14-flavored promo revenue: lineitem ⋈ broadcast part, with
     // a conditional-sum promo ratio per brand (completes table coverage —
     // every driver table is now exercised by at least one query)

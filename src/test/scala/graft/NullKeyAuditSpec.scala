@@ -141,8 +141,9 @@ class NullKeyAuditSpec extends SparkSpec {
     "q_stl_exact", "q_unigram", "q_unigram_tokens", "q_winnow")
 
   private val noEventsRead: Set[String] = Set(
-    "q10_returned",
-    "q13_cust_dist", "q17_small_qty", "q18_big_orders", "q1_pricing",
+    "q10_returned", "q11_important_stock",
+    "q13_cust_dist", "q16_supplier_cnt",
+    "q17_small_qty", "q18_big_orders", "q1_pricing",
     "q20_excess_stock", "q21_waiting", "q22_idle_balance",
     "q2_min_cost", "q3_shipping",
     "q4_priority", "q5_region_revenue", "q6_forecast",

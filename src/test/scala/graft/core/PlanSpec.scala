@@ -1028,6 +1028,44 @@ class PlanSpec extends SparkSpec {
       s"the 1997 date window must reach the lineitem parquet scan:\n$p")
   }
 
+  test("TPC-H Q11 shape: the grand total REUSES the per-part " +
+      "aggregate's exchange at runtime — the fact map stage runs once") {
+    val dir = "/root/testdata/sf0.001"
+    val df = graft.SparkEntry.queries("q11_important_stock")(spark, dir)
+    // the self-reference (psv joined with agg-of-psv) duplicates the
+    // subtree in the STATIC plan; the one-pass property is an AQE
+    // runtime fact (ReusedExchange on the psv shuffle), so execute
+    // and pin the final adaptive plan
+    df.collect()
+    val full = df.queryExecution.executedPlan.toString
+    assert(full.contains("isFinalPlan=true"),
+      s"probe must have executed:\n$full")
+    // the executed toString carries BOTH the final and the initial
+    // plan; pin the final section only
+    val p = full.split("== Initial Plan ==")(0)
+    assert(p.contains("ReusedExchange"),
+      s"the total's branch must reuse the per-part aggregate's " +
+        s"shuffle, not rescan the fact:\n$p")
+    // the 1-row total joins back as a broadcast NLJ (no key), and the
+    // share compare is a residual on it — never a cartesian
+    assert("BroadcastNestedLoopJoin".r.findAllIn(p).size == 1 &&
+      !p.contains("CartesianProduct"),
+      s"exactly the 1-row total may join keyless:\n$p")
+  }
+
+  test("TPC-H Q16 shape: distinct pair aggregate, broadcast anti on " +
+      "the blacklist, distinct count per attribute group") {
+    val dir = "/root/testdata/sf0.001"
+    val p = plan(graft.SparkEntry.queries("q16_supplier_cnt")(spark, dir))
+    assert(p.contains("LeftAnti"),
+      s"NOT IN must stay an anti join:\n$p")
+    assert("BroadcastHashJoin.*LeftAnti".r.findFirstIn(p).isDefined,
+      s"the blacklist is dim-derived and must broadcast into the anti:\n$p")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"no unkeyed join anywhere in Q16:\n$p")
+  }
+
   test("multi-distinct aggregate plans ONE Expand over ONE events " +
       "scan — never a shuffle per distinct column") {
     val dir = "/root/testdata/sf0.001"
