@@ -1472,8 +1472,9 @@ object OracleSql {
         |  WHERE ps2.l_partkey = ps.l_partkey)""".stripMargin,
 
     // Q11 shape: the HAVING-against-global-share form — the grand
-    // total aggregates the per-part aggregate (one row), and the
-    // share threshold is exact cross-multiplied cents
+    // total + part count aggregate the per-part aggregate (one row),
+    // and the scale-free threshold (value > 2·avg) is exact
+    // cross-multiplied cents
     "q11_important_stock" ->
       """WITH sup AS (SELECT s_suppkey FROM supplier
         |  JOIN nation ON s_nationkey = n_nationkey
@@ -1483,11 +1484,13 @@ object OracleSql {
         |      AS BIGINT) AS value_cents
         |  FROM lineitem JOIN sup ON l_suppkey = s_suppkey
         |  GROUP BY 1),
-        |tot AS (SELECT CAST(sum(value_cents) AS BIGINT) AS tot_cents
+        |tot AS (SELECT CAST(sum(value_cents) AS BIGINT) AS tot_cents,
+        |    count(*) AS n_parts
         |  FROM psv)
         |SELECT l_partkey AS partkey,
         |  round(CAST(value_cents AS DOUBLE) / 100, 2) AS value
-        |FROM psv, tot WHERE value_cents * 1000 > tot_cents""".stripMargin,
+        |FROM psv, tot
+        |WHERE value_cents * n_parts > tot_cents * 2""".stripMargin,
 
     // Q16 shape: NOT IN compiles to the anti probe; the supply pairs
     // are one DISTINCT aggregate over the fact

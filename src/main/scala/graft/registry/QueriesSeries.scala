@@ -1687,14 +1687,19 @@ object QueriesSeries {
     // TPC-H Q11 shape (important stock): HAVING against a global
     // scalar computed over the SAME aggregate — per-part supply value
     // (regional suppliers only), kept where the part's value exceeds
-    // 0.001 of the grand total. The grand total is ONE row aggregated
-    // FROM the per-part aggregate (never a second fact pass) and
-    // broadcast back (AQE reuses the per-part aggregate's exchange at
-    // runtime — ReusedExchange, pinned in PlanSpec — so the fact map
-    // stage runs ONCE); the share threshold is cross-multiplied exact
-    // integer cents (value·1000 > total), so no float share can flake
-    // a boundary part. Q22 broadcast a scalar over a BASE table; this
-    // is the scalar-over-aggregate-filtering-its-own-aggregate form.
+    // TWICE the average part value. The threshold is SCALE-FREE
+    // (value·n_parts > 2·total ⇔ value > 2·avg — a fixed share like
+    // TPC-H's 0.0001 selects a fraction that collapses to zero as the
+    // part dimension grows; the avg-relative form keeps a stable ~3%
+    // at every SF, probed 96 rows at sf0.01 / 539 at sf0.1). The
+    // grand total + count is ONE row aggregated FROM the per-part
+    // aggregate (never a second fact pass) and broadcast back (AQE
+    // reuses the per-part aggregate's exchange at runtime —
+    // ReusedExchange, pinned in PlanSpec — so the fact map stage runs
+    // ONCE); the compare is cross-multiplied exact integer cents, so
+    // no float share can flake a boundary part. Q22 broadcast a
+    // scalar over a BASE table; this is the scalar-over-aggregate-
+    // filtering-its-own-aggregate form.
     "q11_important_stock" -> ((s, dir) => {
       val sup = tbl(s, dir, "supplier")
         .join(broadcast(tbl(s, dir, "nation")),
@@ -1706,9 +1711,11 @@ object QueriesSeries {
         .groupBy("l_partkey")
         .agg(sum(round(col("l_extendedprice") * 100).cast("long"))
           .as("value_cents"))
-      val tot = psv.agg(sum("value_cents").as("tot_cents"))
+      val tot = psv.agg(sum("value_cents").as("tot_cents"),
+        count(lit(1)).as("n_parts"))
       psv.join(broadcast(tot))
-        .filter(col("value_cents") * 1000 > col("tot_cents"))
+        .filter(col("value_cents") * col("n_parts") >
+          col("tot_cents") * 2)
         .select(col("l_partkey").as("partkey"),
           round(col("value_cents").cast("double") / 100, 2).as("value"))
     }),
