@@ -101,8 +101,11 @@ object Bench {
     // run leaves both unset (order=default).
     val movedFirst = sys.env.getOrElse("SPARK_GRAFT_FIRST", "")
       .split(",").map(_.trim).filter(_.nonEmpty).toSeq
+    // a query named in BOTH lists would run twice (double-counted in
+    // total, duplicate JSON key): FIRST wins, LAST drops the overlap
     val movedLast = sys.env.getOrElse("SPARK_GRAFT_LAST", "")
       .split(",").map(_.trim).filter(_.nonEmpty).toSeq
+      .filterNot(movedFirst.contains)
     val baseNames =
       if (args.nonEmpty) args.toSeq.filter(SparkEntry.queries.contains)
       else headline.filter(SparkEntry.queries.contains) ++
@@ -197,7 +200,13 @@ object Bench {
     // anchors moved the other way); the mid marks make intra-sweep
     // aging a measured quantity instead of an inference.
     val midAnchor = "q_rolling"
-    val midMarks = Seq(names.size / 4, names.size / 2, 3 * names.size / 4)
+    // mark → label map (toMap keeps the LAST pair per duplicate index,
+    // so a tiny sweep where n/4 == n/2 still fires exactly once with a
+    // well-defined label — the old indexOf(idx) form silently skipped
+    // the later marks on collision)
+    val midMarks: Map[Int, String] = Seq(
+      names.size / 4 -> "p25", names.size / 2 -> "p50",
+      3 * names.size / 4 -> "p75").toMap
     val anchorsMid = scala.collection.mutable.LinkedHashMap[String, Double]()
     def midAnchorAt(label: String): Unit =
       if (args.isEmpty && SparkEntry.queries.contains(midAnchor)) {
@@ -207,8 +216,7 @@ object Bench {
         anchorsMid += label -> (if (times.isEmpty) -1.0 else times.min)
       }
     val results = names.zipWithIndex.map { case (name, idx) =>
-      if (midMarks.indexOf(idx) >= 0)
-        midAnchorAt(s"p${25 * (midMarks.indexOf(idx) + 1)}")
+      midMarks.get(idx).foreach(midAnchorAt)
       // full-GC fence between queries: heavy MLlib/MLE neighbors leave
       // enough young-gen debris to inflate the next query's median 3-6×
       // (r4: q_pointwise 4.0 s in-suite vs 0.6 s isolated), so pay the

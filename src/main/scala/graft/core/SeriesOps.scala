@@ -537,9 +537,15 @@ object SeriesOps {
     val grid = base.groupBy("__sk")
       .agg(min("__ts").as("__mn"), max("__ts").as("__mx"))
       .select(col("__sk"),
+        // the sequence END is the raw span max: sequence() emits
+        // anchor + k·step for every k with the mark <= end, so the
+        // last PARTIAL unit still yields its aligned marks (e.g.
+        // max 23:50 with a 15-minute step keeps 23:15/23:30/23:45 —
+        // truncating the end to the unit would drop them; only the
+        // START needs unit truncation, for anchoring)
         explode(sequence(
           date_trunc(unit, col("__mn")),
-          date_trunc(unit, col("__mx")),
+          col("__mx"),
           expr(s"INTERVAL $step"))).as("__ts"),
         lit(null).cast("double").as("__v"),
         lit(1).as("__g"))

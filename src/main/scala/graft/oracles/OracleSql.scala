@@ -1497,7 +1497,8 @@ object OracleSql {
     "q16_supplier_cnt" ->
       """WITH ps AS (SELECT DISTINCT l_partkey, l_suppkey
         |  FROM lineitem),
-        |bad AS (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+        |bad AS (SELECT s_suppkey FROM supplier
+        |  WHERE s_acctbal < 0 AND s_suppkey IS NOT NULL)
         |SELECT p_brand, p_type, p_size,
         |  count(DISTINCT l_suppkey) AS supplier_cnt
         |FROM ps JOIN part ON l_partkey = p_partkey

@@ -1735,8 +1735,14 @@ object QueriesSeries {
         .filter(col("p_brand") =!= "Brand#13" &&
           col("p_size").isin(5, 10, 15, 20))
         .select("p_partkey", "p_brand", "p_type", "p_size")
+      // NOT IN vs LEFT ANTI diverge on nullable keys: one NULL in the
+      // blacklist makes SQL NOT IN drop EVERY row (UNKNOWN), while the
+      // anti join keeps unmatched rows. The explicit isNotNull makes
+      // the anti-join compilation correct by construction instead of
+      // data-dependent (TPC-H keys happen to be non-null today).
       val bad = tbl(s, dir, "supplier")
-        .filter(col("s_acctbal") < 0).select("s_suppkey")
+        .filter(col("s_acctbal") < 0 && col("s_suppkey").isNotNull)
+        .select("s_suppkey")
       ps.join(broadcast(pf), col("l_partkey") === col("p_partkey"))
         .join(broadcast(bad),
           col("l_suppkey") === col("s_suppkey"), "left_anti")

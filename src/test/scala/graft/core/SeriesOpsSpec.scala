@@ -376,7 +376,7 @@ class SeriesOpsSpec extends SparkSpec {
     def ts(s: String) = java.sql.Timestamp.valueOf(s)
     val df = Seq(
       ("a", ts("2024-01-03 07:30:00"), 1.0),
-      ("a", ts("2024-01-05 23:10:00"), 2.0)
+      ("a", ts("2024-01-05 23:50:00"), 2.0)
     ).toDF("sid", "ts", "v")
     // DAY step → day-anchored grid (midnight), not hour-of-first-obs
     val days = SeriesOps.gridResample(df, "sid", "ts", "v", step = "1 DAY")
@@ -390,6 +390,11 @@ class SeriesOpsSpec extends SparkSpec {
       .collect().map(_.getTimestamp(1).toString)
     assert(q.take(3).toSeq === Seq("2024-01-03 07:00:00.0",
       "2024-01-03 07:15:00.0", "2024-01-03 07:30:00.0"))
+    // tail of the final PARTIAL hour: max=23:50 keeps the aligned
+    // 23:15/23:30/23:45 marks (an end truncated to the hour drops them)
+    assert(q.takeRight(4).toSeq === Seq("2024-01-05 23:00:00.0",
+      "2024-01-05 23:15:00.0", "2024-01-05 23:30:00.0",
+      "2024-01-05 23:45:00.0"))
     val e = intercept[IllegalArgumentException] {
       SeriesOps.gridResample(df, "sid", "ts", "v", step = "1 MONTH")
     }

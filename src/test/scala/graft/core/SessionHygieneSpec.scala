@@ -28,10 +28,18 @@ class SessionHygieneSpec extends AnyFunSuite {
   }
 
   test("apply() hands every cap to the builder") {
-    // the builder exposes no getter; verify via the private options map
-    // (declared on the SparkSessionBuilder superclass in Spark 4)
+    // the builder exposes no getter; verify via the private options
+    // map. Spark versions move the field between Builder and its
+    // SparkSessionBuilder superclass, so walk the hierarchy instead of
+    // hard-coding one location (a fixed getSuperclass breaks silently
+    // with NoSuchFieldException on the other layout).
     val b = SessionHygiene(SparkSession.builder())
-    val f = b.getClass.getSuperclass.getDeclaredField("options")
+    val f = Iterator.iterate[Class[_]](b.getClass)(_.getSuperclass)
+      .takeWhile(_ != null)
+      .flatMap(c => scala.util.Try(c.getDeclaredField("options")).toOption)
+      .nextOption()
+      .getOrElse(fail("no 'options' field anywhere in the builder " +
+        "class hierarchy — Spark renamed it; update this probe"))
     f.setAccessible(true)
     val opts = f.get(b).asInstanceOf[
       scala.collection.mutable.HashMap[String, String]]
