@@ -629,6 +629,35 @@ object OracleSql {
         |WINDOW tied AS (ORDER BY n_events DESC),
         |  total AS (ORDER BY n_events DESC, user_id ASC)""".stripMargin,
 
+    // two-level rank (core/Rank): the oracle is the PLAIN global
+    // window — identical rows including tie groups IS the operator's
+    // equivalence claim
+    "q_rank_users_2l" ->
+      """WITH c AS (SELECT user_id, count(*) AS n_events,
+        |    round(sum(value), 9) AS sum_value
+        |  FROM events WHERE user_id IS NOT NULL GROUP BY user_id)
+        |SELECT user_id, n_events, sum_value,
+        |  CAST(rank() OVER tied AS BIGINT) AS rnk,
+        |  CAST(dense_rank() OVER tied AS BIGINT) AS drnk
+        |FROM c
+        |WINDOW tied AS (ORDER BY n_events DESC)""".stripMargin,
+
+    // ranking-family completeness: percent_rank/cume_dist on the TIED
+    // window (exact rational functions of rank/peer counts);
+    // first_value/nth_value on the total order, nth_value under the
+    // shared default frame (null until row 3 enters)
+    "q_rank_full" ->
+      """WITH c AS (SELECT user_id, count(*) AS n_events
+        |  FROM events WHERE user_id IS NOT NULL GROUP BY user_id)
+        |SELECT user_id, n_events,
+        |  round(percent_rank() OVER tied, 9) AS prnk,
+        |  round(cume_dist() OVER tied, 9) AS cdist,
+        |  first_value(user_id) OVER total AS top_user,
+        |  nth_value(user_id, 3) OVER total AS third_user
+        |FROM c
+        |WINDOW tied AS (ORDER BY n_events DESC),
+        |  total AS (ORDER BY n_events DESC, user_id ASC)""".stripMargin,
+
     // time-RANGE frame on exact integer microseconds — the same
     // numeric bounds as the engine's rangeBetween, (ts-24h, ts]
     "q_rolling_time" ->
@@ -1357,6 +1386,18 @@ object OracleSql {
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |GROUP BY o_orderpriority""".stripMargin,
 
+    // the compaction contract: the oracle aggregates the RAW parquet —
+    // the engine's explode→compact→read round-trip must be
+    // row-equivalent (layout may change, rows may not); the
+    // file-count evidence lives in CompactSpec
+    "q_compact" ->
+      """SELECT l_returnflag, count(*) AS n_lines,
+        |  round(CAST(sum(CAST(round(l_extendedprice *
+        |      (1 - l_discount) * 100) AS BIGINT)) AS DOUBLE) / 100, 2)
+        |    AS revenue
+        |FROM lineitem
+        |GROUP BY l_returnflag""".stripMargin,
+
     // Q10 shape: returnflag pushed to lineitem, date window to
     // orders, top-20 tie-broken on the customer key
     "q10_returned" ->
@@ -1528,6 +1569,61 @@ object OracleSql {
         |  AND EXISTS (SELECT 1 FROM ps JOIN pt ON l_partkey = t_partkey
         |    WHERE l_suppkey = s_suppkey
         |      AND qty_ps * 10 > qty_p * 3)""".stripMargin,
+
+    // Q9 shape: per-part min-price cost (exact cents) joined back onto
+    // the fact, profit per (supplier nation, order year); the engine's
+    // salted hybrid is row-set ≡ the plain joins stated here
+    "q9_product_profit" ->
+      """WITH p AS (SELECT p_partkey FROM part
+        |  WHERE p_name LIKE '%blue%'),
+        |l AS (SELECT l_orderkey, l_partkey, l_suppkey,
+        |    CAST(round(l_extendedprice * (1 - l_discount) * 100)
+        |      AS BIGINT) AS rev_cents,
+        |    CAST(round(l_extendedprice * 100) AS BIGINT) AS price_cents
+        |  FROM lineitem JOIN p ON l_partkey = p_partkey),
+        |c AS (SELECT l_partkey AS c_partkey,
+        |    min(price_cents) AS cost_cents
+        |  FROM l GROUP BY 1)
+        |SELECT n_name AS nation,
+        |  CAST(year(o_orderdate) AS BIGINT) AS o_year,
+        |  round(CAST(sum(rev_cents - cost_cents) AS DOUBLE) / 100, 2)
+        |    AS profit,
+        |  count(*) AS n_lines
+        |FROM l JOIN c ON l_partkey = c_partkey
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |GROUP BY 1, 2""".stripMargin,
+
+    // Q19 shape: the OR-of-ANDs bracket predicate stated naively —
+    // DuckDB evaluates it post-join exactly as the engine's residual
+    "q19_brackets" ->
+      """SELECT round(CAST(sum(CAST(round(l_extendedprice *
+        |      (1 - l_discount) * 100) AS BIGINT)) AS DOUBLE) / 100, 2)
+        |    AS revenue,
+        |  count(*) AS n_lines
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15
+        |    AND l_quantity BETWEEN 1 AND 11)
+        |  OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 25
+        |    AND l_quantity BETWEEN 10 AND 20)
+        |  OR (p_brand = 'Brand#14' AND p_size BETWEEN 1 AND 35
+        |    AND l_quantity BETWEEN 20 AND 30)""".stripMargin,
+
+    // Q15 shape: the max-revenue view with ALL argmax rows kept —
+    // exact-cents equality makes the tie rule deterministic
+    "q15_top_supplier" ->
+      """WITH r AS (SELECT l_suppkey,
+        |    CAST(sum(CAST(round(l_extendedprice * (1 - l_discount)
+        |      * 100) AS BIGINT)) AS BIGINT) AS total_cents
+        |  FROM lineitem
+        |  WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+        |    AND l_shipdate < TIMESTAMP '1997-04-01'
+        |  GROUP BY 1)
+        |SELECT s_suppkey, s_name,
+        |  round(CAST(total_cents AS DOUBLE) / 100, 2) AS total_revenue
+        |FROM r JOIN supplier ON l_suppkey = s_suppkey
+        |WHERE total_cents = (SELECT max(total_cents) FROM r)""".stripMargin,
 
     "q6_forecast" ->
       """SELECT round(CAST(sum(CAST(round(l_extendedprice *

@@ -54,11 +54,13 @@ object QueriesSeries {
     // rank, both functions deterministic UNDER ties by definition);
     // ntile/lead need a total order so they tie-break on the key.
     // This window runs over the user-cardinality AGGREGATE, never the
-    // fact — the global (unpartitioned) sort is group-cell-sized. At
-    // 100× users, swap the global frame for rank-within-hash-bucket +
-    // merged per-bucket boundary ranks (or TakeOrdered when only a
-    // top-k is read); the global form is kept here because it is the
-    // exact tie/ntile semantics the oracle states.
+    // fact — the global (unpartitioned) sort is group-cell-sized. The
+    // 100×-scale form is CODE, not prose: core.Rank.globalRankByCounts
+    // (per-value counts + one ordered pass over the distinct-value
+    // relation + broadcast join-back — no global row sort), gated as
+    // q_rank_users_2l below and equivalence-pinned by RankSpec.
+    // ntile/lead stay here: they need the total order by definition
+    // (TakeOrdered covers the top-k read at scale).
     // Null user keys are filtered: Spark orders nulls FIRST, DuckDB
     // LAST, so an unfiltered global ranking diverges on the first
     // null key (the q_leadlag lesson; oracle carries the same filter).
@@ -75,6 +77,45 @@ object QueriesSeries {
         dense_rank().over(tied).cast("long").as("drnk"),
         ntile(4).over(total).cast("long").as("quartile"),
         lead(col("user_id"), 1).over(total).as("next_user"))
+    }),
+
+    // W-extra: the SAME user ranking through the scale-safe two-level
+    // form (core/Rank.scala) — per-count totals + ONE ordered pass
+    // over the distinct-count relation + broadcast join-back, no
+    // global row sort anywhere. Oracle is the plain global
+    // rank()/dense_rank() window: identical rows INCLUDING tie groups
+    // is exactly the equivalence the operator claims.
+    "q_rank_users_2l" -> ((s, dir) => {
+      val counts = ev(s, dir).filter(col("user_id").isNotNull)
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_events"),
+          round(sum("value"), 9).as("sum_value"))
+      core.Rank.globalRankByCounts(counts, "n_events")
+        .select(col("user_id"), col("n_events"), col("sum_value"),
+          col("rnk"), col("drnk"))
+    }),
+
+    // W-extra: the rest of the SQL ranking-function family over the
+    // same user aggregate — percent_rank/cume_dist keep the shared-
+    // tie semantics (ordered by n_events alone; both are exact
+    // rational functions of rank/peer counts, identically defined on
+    // both engines); first_value/nth_value need the total order so
+    // they tie-break on the key, and nth_value keeps its default
+    // frame semantics (null until the 3rd row enters the frame) —
+    // identical default (unbounded-preceding → current) on both
+    // engines. Ratios are round 9 (identical integer arithmetic).
+    "q_rank_full" -> ((s, dir) => {
+      val counts = ev(s, dir).filter(col("user_id").isNotNull)
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_events"))
+      val tied = Window.orderBy(col("n_events").desc)
+      val total = Window.orderBy(col("n_events").desc,
+        col("user_id").asc)
+      counts.select(col("user_id"), col("n_events"),
+        round(percent_rank().over(tied), 9).as("prnk"),
+        round(cume_dist().over(tied), 9).as("cdist"),
+        first(col("user_id")).over(total).as("top_user"),
+        nth_value(col("user_id"), 3).over(total).as("third_user"))
     }),
 
     // W-extra: time-RANGE window frame — the last-24-HOURS read by
@@ -1452,6 +1493,34 @@ object QueriesSeries {
           count(lit(1)).as("n_lines"))
     }),
 
+    // Engine-extra: small-file compaction (io/Compact — the
+    // OPTIMIZE-style bin-pack rewrite, third layout lever next to
+    // Z-order and bucketing): EXPLODE lineitem into 32 small files,
+    // compact them back to ~target-sized files with the scan's own
+    // split packing (no shuffle, no driver file loop), and aggregate
+    // the COMPACTED copy. The oracle is the same aggregate on the RAW
+    // parquet — equivalence-is-the-contract, the q_salted/q_bucketed
+    // convention: compaction may change the layout and nothing else.
+    // Revenue is the house integer-cents pin. File-count/bytes
+    // evidence is CompactSpec's job (here the gate is row fidelity).
+    "q_compact" -> ((s, dir) => {
+      val base = new java.io.File(
+        sys.props("java.io.tmpdir"), "graft_compact").getAbsolutePath
+      tbl(s, dir, "lineitem")
+        .select("l_returnflag", "l_extendedprice", "l_discount")
+        .repartition(32)
+        .write.mode("overwrite").parquet(s"$base/small")
+      io.Compact.compact(s, s"$base/small", s"$base/packed",
+        targetBytes = 64L << 20)
+      s.read.parquet(s"$base/packed")
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n_lines"),
+          round(sum(
+              round(col("l_extendedprice") * (lit(1) - col("l_discount"))
+                * 100).cast("long")).cast("double") / 100, 2)
+            .as("revenue"))
+    }),
+
     // TPC-H Q17 shape (small-quantity-order revenue): the correlated
     // scalar-subquery decorrelation — "l_quantity < 0.2 * avg(qty) of
     // this part" is NOT a per-row rescan: the per-part average is
@@ -1748,6 +1817,115 @@ object QueriesSeries {
           col("l_suppkey") === col("s_suppkey"), "left_anti")
         .groupBy("p_brand", "p_type", "p_size")
         .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+    }),
+
+    // TPC-H Q9 shape (product-type profit): the canonical MULTI-FACT
+    // skew-join composition — lineitem ⋈ per-part cost ⋈ orders ⋈
+    // supplier⋈nation, profit per (nation, order-year). The cost
+    // relation derives from the fact (no partsupp in the testdata):
+    // per-part MIN observed line price in EXACT integer cents (the q2
+    // convention), so profit = rev_cents − cost_cents is exact and
+    // the sum is partition-order-independent. The fact ⋈ cost join is
+    // the Q9 skew axis (popular parts dominate lineitem; at 100 TB
+    // the cost side is partsupp-scale — NOT broadcastable), so it
+    // runs through core/Salted.saltedJoinSkewed: hot parts (>40
+    // lines — below the per-part mean is ~30 at EVERY SF, so both
+    // branches stay populated at any scale) are salted 8 ways, the
+    // cold majority takes the plain join, row-set ≡ plain join (the
+    // SaltedSpec contract). lineitem ⋈ orders is the one genuine
+    // fact⋈fact shuffle; supplier⋈nation broadcasts.
+    "q9_product_profit" -> ((s, dir) => {
+      val p = tbl(s, dir, "part")
+        .filter(col("p_name").contains("blue"))
+        .select("p_partkey")
+      val l = tbl(s, dir, "lineitem")
+        .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+        .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"),
+          round(col("l_extendedprice") * (lit(1) - col("l_discount"))
+            * 100).cast("long").as("rev_cents"),
+          round(col("l_extendedprice") * 100).cast("long")
+            .as("price_cents"))
+      val cost = l.groupBy("l_partkey")
+        .agg(min("price_cents").as("cost_cents"))
+      val sup = tbl(s, dir, "supplier")
+        .join(broadcast(tbl(s, dir, "nation")),
+          col("s_nationkey") === col("n_nationkey"))
+        .select("s_suppkey", "n_name")
+      core.Salted.saltedJoinSkewed(l, cost, Seq("l_partkey"),
+          salts = 8, threshold = 40)
+        .join(tbl(s, dir, "orders").select("o_orderkey", "o_orderdate"),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+        .groupBy(col("n_name").as("nation"),
+          year(col("o_orderdate")).cast("long").as("o_year"))
+        .agg(round(sum(col("rev_cents") - col("cost_cents"))
+            .cast("double") / 100, 2).as("profit"),
+          count(lit(1)).as("n_lines"))
+    }),
+
+    // TPC-H Q19 shape (bracket revenue): the disjunctive OR-of-ANDs
+    // predicate — three (brand, size-range, quantity-range) arms OR'd
+    // together, each referencing BOTH join sides. The partial-pushdown
+    // discipline: Catalyst extracts the per-side relaxation of the OR
+    // ((qty∈[1,11]) ∨ (qty∈[10,20]) ∨ (qty∈[20,30]) onto the lineitem
+    // scan as a pushed Or-filter; the brand/size disjunction onto the
+    // part scan) and the full residual evaluates post-join on the
+    // BROADCAST part attributes — PlanSpec pins the pushed brackets in
+    // PushedFilters. Revenue is the house integer-cents pin.
+    "q19_brackets" -> ((s, dir) => {
+      val l = tbl(s, dir, "lineitem")
+        .select("l_partkey", "l_quantity", "l_extendedprice",
+          "l_discount")
+      val p = tbl(s, dir, "part")
+        .select("p_partkey", "p_brand", "p_size")
+      val arms =
+        (col("p_brand") === "Brand#12" && col("p_size").between(1, 15) &&
+          col("l_quantity").between(1, 11)) ||
+        (col("p_brand") === "Brand#23" && col("p_size").between(1, 25) &&
+          col("l_quantity").between(10, 20)) ||
+        (col("p_brand") === "Brand#14" && col("p_size").between(1, 35) &&
+          col("l_quantity").between(20, 30))
+      l.join(broadcast(p), col("l_partkey") === col("p_partkey"))
+        .filter(arms)
+        .agg(round(sum(
+            round(col("l_extendedprice") * (lit(1) - col("l_discount"))
+              * 100).cast("long")).cast("double") / 100, 2)
+            .as("revenue"),
+          count(lit(1)).as("n_lines"))
+    }),
+
+    // TPC-H Q15 shape (top-revenue supplier): argmax with ALL tie rows
+    // kept — a different top-1 discipline from TakeOrderedAndProject
+    // (which keeps exactly k rows and would DROP a tied co-winner).
+    // The per-supplier revenue aggregates ONCE in exact integer cents;
+    // the 1-row MAX aggregates FROM it and joins back broadcast on
+    // exact equality (AQE reuses the revenue aggregate's exchange —
+    // the q11 discipline, pinned on the executed plan), so every
+    // supplier at the max survives. Cents-exact equality means a tie
+    // is a true tie, never a float-ulp coincidence; RankSpec pins the
+    // both-winners behavior on a planted-tie fixture.
+    "q15_top_supplier" -> ((s, dir) => {
+      val rev = tbl(s, dir, "lineitem")
+        // the explicit key isNotNull matters for the plan, not the
+        // rows: the supplier join later pushes isnotnull(l_suppkey)
+        // into the PROBE copy of this subtree only, and that one-sided
+        // filter breaks exchange-subtree equality — stating it here
+        // keeps both copies byte-identical so AQE's ReusedExchange
+        // fires (the q11 one-fact-pass discipline, pinned in PlanSpec)
+        .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp")
+          && col("l_shipdate") < lit("1997-04-01").cast("timestamp")
+          && col("l_suppkey").isNotNull)
+        .groupBy("l_suppkey")
+        .agg(sum(round(col("l_extendedprice") * (lit(1) - col("l_discount"))
+            * 100).cast("long")).as("total_cents"))
+      val mx = rev.agg(max("total_cents").as("max_cents"))
+      rev.join(broadcast(mx), col("total_cents") === col("max_cents"))
+        .join(broadcast(tbl(s, dir, "supplier")
+            .select("s_suppkey", "s_name")),
+          col("l_suppkey") === col("s_suppkey"))
+        .select(col("s_suppkey"), col("s_name"),
+          round(col("total_cents").cast("double") / 100, 2)
+            .as("total_revenue"))
     }),
 
     // TPC-H Q14-flavored promo revenue: lineitem ⋈ broadcast part, with

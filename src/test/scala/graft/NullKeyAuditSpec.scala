@@ -85,6 +85,8 @@ class NullKeyAuditSpec extends SparkSpec {
     "q_psi" -> (("keeps", "drops")),
     "q_qq" -> (("keeps", "keeps")),
     "q_rank_users" -> (("drops", "keeps")),
+    "q_rank_users_2l" -> (("drops", "keeps")),
+    "q_rank_full" -> (("drops", "keeps")),
     "q_resample" -> (("drops", "keeps")),
     "q_rolling_time" -> (("keeps", "keeps")),
     "q_retention" -> (("keeps", "drops")),
@@ -111,7 +113,7 @@ class NullKeyAuditSpec extends SparkSpec {
     * structural on the SQL side (no inner join discards the group). */
   private val mustFilterUser = Seq("q_croston", "q_hbos", "q_dbscan",
     "q_split", "q_leaderboard", "q_leadlag", "q_lof", "q_lof_w",
-    "q_resample", "q_rank_users")
+    "q_resample", "q_rank_users", "q_rank_users_2l", "q_rank_full")
 
   // --- the audit's PERIMETER, as code (r16): every registry query is
   // in exactly one bucket. `expected` above (the events-reading
@@ -144,12 +146,15 @@ class NullKeyAuditSpec extends SparkSpec {
     "q10_returned", "q11_important_stock",
     "q13_cust_dist", "q16_supplier_cnt",
     "q17_small_qty", "q18_big_orders", "q1_pricing",
+    "q19_brackets",
     "q20_excess_stock", "q21_waiting", "q22_idle_balance",
     "q2_min_cost", "q3_shipping",
     "q4_priority", "q5_region_revenue", "q6_forecast",
-    "q7_nation_trade", "q_backoff",
+    "q7_nation_trade", "q9_product_profit", "q15_top_supplier",
+    "q_backoff",
     "q_bm25", "q_bucketed", "q_c4_filter", "q_chunks", "q_clustering",
-    "q_cms", "q_code", "q_colloc", "q_communities", "q_corpus",
+    "q_cms", "q_code", "q_colloc", "q_communities", "q_compact",
+    "q_corpus",
     "q_corpus2", "q_corpus3", "q_cosine_topk", "q_decontam",
     "q_decontam_bloom", "q_dedup_exact", "q_dedup_resolve", "q_drift",
     "q_dsir", "q_dsir_resample", "q_editdist", "q_entropy",

@@ -1066,6 +1066,69 @@ class PlanSpec extends SparkSpec {
       s"no unkeyed join anywhere in Q16:\n$p")
   }
 
+  test("TPC-H Q9 shape: hybrid skew join — plain + salted branches " +
+      "union, hot-key set detected once and broadcast, salt on the " +
+      "join key") {
+    val dir = "/root/testdata/sf0.001"
+    val p = plan(graft.SparkEntry.queries("q9_product_profit")(spark, dir))
+    assert(p.contains("Union"),
+      s"the hybrid must union the plain and salted branches:\n$p")
+    assert(p.contains("__salt"),
+      s"the hot branch must join on (key, salt):\n$p")
+    assert("__n#\\d+L? > 40".r.findFirstIn(p).isDefined,
+      s"hot-key detection (count > threshold) must be in the plan:\n$p")
+    assert(!p.contains("CartesianProduct"),
+      s"salt replication must ride a broadcast, never a cartesian:\n$p")
+    assert(p.contains("StringContains(p_name,blue)"),
+      s"the part-name filter must reach the part scan:\n$p")
+  }
+
+  test("TPC-H Q19 shape: OR-of-ANDs brackets partially pushed — the " +
+      "per-side relaxations reach BOTH scans, residual rides the " +
+      "broadcast join") {
+    val dir = "/root/testdata/sf0.001"
+    val p = plan(graft.SparkEntry.queries("q19_brackets")(spark, dir))
+    // lineitem side: the quantity-bracket disjunction is pushed
+    assert("PushedFilters: \\[[^\\]]*Or\\(Or\\(And\\(GreaterThanOrEqual\\(l_quantity"
+        .r.findFirstIn(p).isDefined,
+      s"the OR of quantity brackets must reach the lineitem scan as " +
+        s"a pushed Or-filter:\n$p")
+    // part side: the brand/size disjunction is pushed
+    assert("PushedFilters: \\[[^\\]]*p_brand".r.findFirstIn(p).isDefined,
+      s"the brand/size disjunction must reach the part scan:\n$p")
+    // the full cross-side residual evaluates inside the broadcast join
+    assert("BroadcastHashJoin.*p_brand".r.findFirstIn(p).isDefined,
+      s"the residual OR must ride the broadcast join, not a " +
+        s"post-join filter stage:\n$p")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"the bracket predicate must never degrade the join to an " +
+        s"unkeyed form:\n$p")
+  }
+
+  test("TPC-H Q15 shape: the 1-row MAX reuses the per-supplier " +
+      "revenue aggregate's exchange — the fact map stage runs once") {
+    val dir = "/root/testdata/sf0.001"
+    val df = graft.SparkEntry.queries("q15_top_supplier")(spark, dir)
+    // exchange reuse is an AQE runtime fact: execute, pin the final plan
+    df.collect()
+    val full = df.queryExecution.executedPlan.toString
+    assert(full.contains("isFinalPlan=true"),
+      s"probe must have executed:\n$full")
+    val p = full.split("== Initial Plan ==")(0)
+    assert(p.contains("ReusedExchange"),
+      s"the MAX branch must reuse the revenue aggregate's shuffle, " +
+        s"not rescan the fact (the explicit l_suppkey isNotNull in " +
+        s"the query keeps both subtrees byte-identical):\n$p")
+    // max join-back and supplier dim both broadcast; argmax equality
+    // is a keyed join (ties ride it for free)
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 2,
+      s"max join-back and supplier dim must broadcast:\n$p")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"the max-equality compare must ride a keyed join:\n$p")
+  }
+
   test("multi-distinct aggregate plans ONE Expand over ONE events " +
       "scan — never a shuffle per distinct column") {
     val dir = "/root/testdata/sf0.001"
