@@ -91,7 +91,8 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
-    val spark = (if (hygiene) graft.core.SessionHygiene(b0) else b0)
+    val b1 = graft.core.EngineTuning(b0)
+    val spark = (if (hygiene) graft.core.SessionHygiene(b1) else b1)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // r17 position experiment: SPARK_GRAFT_FIRST / SPARK_GRAFT_LAST

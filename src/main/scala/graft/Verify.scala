@@ -18,11 +18,12 @@ object Verify {
     // ~200 queries in one session: cap the app-status stores so the
     // tail of the run is not taxed by listener bookkeeping (the r17
     // session-aging finding; see core/SessionHygiene)
-    val spark = graft.core.SessionHygiene(SparkSession.builder()
+    val spark = graft.core.SessionHygiene(graft.core.EngineTuning(
+        SparkSession.builder()
         .master(s"local[$cpus]")
         .config("spark.sql.shuffle.partitions", cpus)
         .config("spark.sql.session.timeZone", "UTC")
-        .config("spark.ui.enabled", "false"))
+        .config("spark.ui.enabled", "false")))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()

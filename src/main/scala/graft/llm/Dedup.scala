@@ -616,7 +616,21 @@ object Dedup {
                                            ): DataFrame = {
     val nb = resolveBlocks(maxDist, blocks)
     val keys = multiIndexKeys(col("fp"), nb, nb - maxDist)
-    val buckets = fps.select(col("doc"), col("fp"),
+    // materialize the (doc, fp) relation ONCE before fanning it out:
+    // the bucket join consumes it on BOTH sides (probe + broadcast
+    // build), and without the checkpoint each side recomputes the full
+    // text-tokenize + per-doc fingerprint aggregate (measured r18:
+    // two identical simhash subtrees in the plan). The checkpoint is
+    // O(docs) × 16 bytes — the guide-§8 "decide on small rows" proxy
+    // relation — and the explicit repartition keeps the ~C(b,q)×docs
+    // probe-side pair explosion core-parallel regardless of how AQE
+    // coalesced the aggregate output (measured r18: one coalesced
+    // partition ran the 28.6M-probe join single-threaded, 5.9 s of an
+    // 8.6 s query).
+    val fpsM = fps
+      .repartition(fps.sparkSession.sparkContext.defaultParallelism)
+      .localCheckpoint()
+    val buckets = fpsM.select(col("doc"), col("fp"),
         explode(array(keys: _*)).as("b"))
       .select(col("doc"), col("fp"), col("b.tbl"), col("b.key"))
     if (maxBucketSize == Int.MaxValue) {
@@ -674,7 +688,8 @@ object Dedup {
     * documents. Output: (id, keep_id, is_kept) — keep the minimum id of
     * each component, like `exact`. */
   def resolveComponents(docs: DataFrame, pairs: DataFrame, id: String,
-                        maxIters: Int = 64): DataFrame = {
+                        maxIters: Int = 64, jumpLevels: Int = 2): DataFrame = {
+    require(jumpLevels >= 1, s"jumpLevels=$jumpLevels must be >= 1")
     // checkpointed ALREADY hash-partitioned on src (localCheckpoint
     // preserves physical partitioning): the per-round message join
     // then never re-shuffles the edge set — only the nodes-sized
@@ -701,37 +716,50 @@ object Dedup {
           least(col("comp"), coalesce(col("ncomp"), col("comp")))
             .as("comp"),
           coalesce(col("ncomp") < col("comp"), lit(false)).as("__chg"))
-      // pointer jumping: comp := prevComp(prevComp(comp)) — TWO
-      // shortcut levels through the PREVIOUS round's (checkpointed)
-      // labels, so nothing recomputes and the round stays one job.
-      // Two levels because one level only doubles on orderly id
-      // chains; on tangled orders (measured on the DBSCAN ε-graph)
-      // the extra nodes-sized join roughly halves the rounds. Labels
-      // only decrease, so the lookups are monotone-safe; a root label
-      // is a no-op (join miss keeps comp).
-      val jump = labels.select(col("node").as("__jn"), col("comp").as("__jc"))
-      val jump2 = labels.select(col("node").as("__kn"), col("comp").as("__kc"))
-      // the changed flag rides along in the round's own projection, so
-      // ONE count() both materializes the lazy checkpoint (it scans every
-      // partition) and answers convergence — one scheduled job per round
-      // instead of a separate join+action on top of the checkpoint
-      val hop1 = prop
-        .join(jump, prop("comp") === jump("__jn"), "left")
-        .select(col("node"),
-          coalesce(col("__jc"), col("comp")).as("comp"),
-          (col("__chg") || coalesce(col("__jc") < col("comp"), lit(false)))
-            .as("__chg"))
+      // pointer jumping: comp := prevComp(comp), chained `jumpLevels`
+      // deep through the PREVIOUS round's (checkpointed) labels. Every
+      // level is a left join against the SAME label relation, so the
+      // planner builds ONE broadcast and reuses it (ReusedExchange —
+      // the levels' subtrees are canonically identical) and each extra
+      // level costs only a nodes-sized in-plan probe. What a level
+      // BUYS is a full extra hop of path compression per round, and a
+      // ROUND is the expensive unit here — one scheduled job + eager
+      // checkpoint + convergence count, ~0.4 s of fixed cost at bench
+      // scale regardless of data (r18 profile: q_dbscan spent 5+ s in
+      // ~12 rounds of sub-100 ms jobs). Levels beyond 2 were MEASURED
+      // not to pay (r18): convergence is bounded by min-label EDGE
+      // propagation (one hop per round through the static edge set),
+      // so 6 levels cut rounds only 12 → 10 while each level added a
+      // per-round broadcast job (job-time sum rose 5.3 → 8.0 s on the
+      // DBSCAN ε-graph) — hence the default stays 2. Labels only
+      // decrease, so the lookups are monotone-safe; a root label is a
+      // no-op (join miss keeps comp); the FINAL labels are the same
+      // fixpoint (component min) at any level count — levels move
+      // only how fast the loop gets there.
+      //
+      // The changed flag rides along in the round's own projection, so
+      // ONE count() both materializes the lazy checkpoint (it scans
+      // every partition) and answers convergence — one scheduled job
+      // per round instead of a separate join+action on the checkpoint.
+      var cur = prop
+      var lvl = 0
+      while (lvl < jumpLevels) {
+        val jn = s"__jn$lvl"
+        val jc = s"__jc$lvl"
+        val jump = labels.select(col("node").as(jn), col("comp").as(jc))
+        cur = cur.join(jump, cur("comp") === jump(jn), "left")
+          .select(col("node"),
+            coalesce(col(jc), col("comp")).as("comp"),
+            (col("__chg") || coalesce(col(jc) < col("comp"), lit(false)))
+              .as("__chg"))
+        lvl += 1
+      }
       // Checkpoints.fresh, NOT plain localCheckpoint: a carried-stats
       // checkpoint compounds sizeInBytes multiplicatively through the
       // loop and overflows BigInteger around round ~25 (see
       // core/Checkpoints.scala — measured, and it killed a 64-round
       // run before this)
-      val updated = graft.core.Checkpoints.fresh(hop1
-        .join(jump2, hop1("comp") === jump2("__kn"), "left")
-        .select(col("node"),
-          coalesce(col("__kc"), col("comp")).as("comp"),
-          (col("__chg") || coalesce(col("__kc") < col("comp"), lit(false)))
-            .as("__chg")), eager = false)
+      val updated = graft.core.Checkpoints.fresh(cur, eager = false)
       converged = updated.filter(col("__chg")).count() == 0
       // the count above materialized `updated` (checkpoint + cache);
       // the superseded round's persisted labels can now be released

@@ -106,10 +106,55 @@ object Dbscan {
       .join(coreB, Seq("__nb"))
       .filter(col("__na") < col("__nb"))
       .select(col("__na").as("id_a"), col("__nb").as("id_b"))
-    val comp = graft.llm.Dedup
-      .resolveComponents(core.withColumnRenamed("__na", "doc_id"),
-        coreEdges, "doc_id")
-      .select(col("doc_id").as("__na"), col("keep_id").as("__cl"))
+    // Connected components of the core-core graph. The ε-graph is
+    // PER-SERIES by construction (candidates join on __sk; composite
+    // node ids embed the series key), so components never span series
+    // and the generic distributed fixpoint loop
+    // (Dedup.resolveComponents) is structural overkill: its per-ROUND
+    // fixed cost (message join + checkpoint + convergence count,
+    // ~0.4 s each at bench scale) × the ε-chain's hop-bounded ~10-12
+    // rounds was 5+ s of q_dbscan's 8 s (r18 profile). Per-series
+    // min-id union-find inside one cogroup pass computes the SAME
+    // labels (component minimum — union always roots the smaller id,
+    // so the root IS the min) in a single job, and is the same
+    // bounded-per-series distribution shape as every M-row model here:
+    // the group is one series' CORE points, bounded by the monitoring
+    // window that bounds the candidate join itself. Cross-series
+    // graphs (document dedup) keep the distributed loop.
+    val comp = {
+      val spark = df.sparkSession
+      import spark.implicits._
+      val nodesK = core.select(col("__na"))
+        .withColumn("__g", expr("__na div 4294967296L"))
+        .as[(Long, Long)]
+      val edgesK = coreEdges
+        .withColumn("__g", expr("id_a div 4294967296L"))
+        .select(col("__g"), col("id_a"), col("id_b"))
+        .as[(Long, Long, Long)]
+      nodesK.groupByKey(_._2).cogroup(edgesK.groupByKey(_._1)) {
+        (_, nodes, edges) =>
+          val parent = scala.collection.mutable.LongMap.empty[Long]
+          def find(x: Long): Long = {
+            var r = x
+            while (parent.getOrElse(r, r) != r) r = parent(r)
+            var c = x
+            while (parent.getOrElse(c, c) != r) {
+              val n = parent(c); parent(c) = r; c = n
+            }
+            r
+          }
+          val ns = nodes.map(_._1).toArray
+          ns.foreach(n => parent(n) = n)
+          edges.foreach { case (_, a, b) =>
+            val ra = find(a); val rb = find(b)
+            // root the smaller id: the final root of every tree is the
+            // component MINIMUM, matching resolveComponents' labels
+            if (ra < rb) parent(rb) = ra
+            else if (rb < ra) parent(ra) = rb
+          }
+          ns.iterator.map(n => (n, find(n)))
+      }.toDF("__na", "__cl")
+    }
     // border: non-core points take the SMALLEST cluster label among
     // their core neighbors (deterministic total order)
     val borders = nbrs

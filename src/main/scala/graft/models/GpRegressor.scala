@@ -48,6 +48,58 @@ object GpRegressor {
     }
   }
 
+  /** True iff `xs` is the consecutive unit grid xs(0), xs(0)+1, … —
+    * the shape `run` always produces (ordinal indices). On a unit grid
+    * every kernel value depends only on the INTEGER index distance, so
+    * the n×n kernel matrix is Toeplitz with n distinct entries: the
+    * fast path below computes each distinct value once and copies it,
+    * which is bit-identical to evaluating the kernel per cell (the
+    * kernel is a function of d = a − b through d² and |d|, and unit-
+    * grid differences are exact in double arithmetic), but replaces
+    * O(n²) exp/sin evaluations per LML call with O(n). The ML-II fit
+    * costs ~200 LML evaluations per series — this is its hot loop. */
+  private def unitGrid(xs: Array[Double]): Boolean = {
+    var k = 1
+    while (k < xs.length) {
+      if (xs(k) != xs(0) + k) return false
+      k += 1
+    }
+    true
+  }
+
+  /** kernel values by integer distance 0..maxD (kernel(a,b) = f(a−b)
+    * and f(−m) = f(m) exactly: d enters as d² and |d|). */
+  private def kernelByDist(kernel: Kernel, maxD: Int): Array[Double] = {
+    val kv = new Array[Double](maxD + 1)
+    var m = 0
+    while (m <= maxD) { kv(m) = kernel(0.0, m.toDouble); m += 1 }
+    kv
+  }
+
+  /** Train-kernel Gram matrix with the white/jitter diagonal — Toeplitz
+    * fast path on a unit grid, per-cell evaluation otherwise. */
+  private def gramMatrix(xTrain: Array[Double], kernel: Kernel)
+      : DenseMatrix[Double] = {
+    val n = xTrain.length
+    if (unitGrid(xTrain)) {
+      val kv = kernelByDist(kernel, n - 1)
+      val M = DenseMatrix.zeros[Double](n, n)
+      var i = 0
+      while (i < n) {
+        var j = 0
+        while (j < n) {
+          M(i, j) = kv(math.abs(i - j)) +
+            (if (i == j) kernel.white + 1e-8 else 0.0)
+          j += 1
+        }
+        i += 1
+      }
+      M
+    } else DenseMatrix.tabulate(n, n) { (i, j) =>
+      kernel(xTrain(i), xTrain(j)) + (if (i == j) kernel.white + 1e-8 else 0.0)
+    }
+  }
+
   /** Exact log-marginal likelihood of the (normalized) train data under
     * a kernel — the ML-II model-selection objective (sklearn optimizes
     * this by gradient; we grid-search it, SURVEY §7.4(2)). */
@@ -59,9 +111,7 @@ object GpRegressor {
     val yStd = math.max(math.sqrt(
       yTrain.map(v => (v - yMean) * (v - yMean)).sum / n), 1e-9)
     val y = DenseVector(yTrain.map(v => (v - yMean) / yStd))
-    val K = DenseMatrix.tabulate(n, n) { (i, j) =>
-      kernel(xTrain(i), xTrain(j)) + (if (i == j) kernel.white + 1e-8 else 0.0)
-    }
+    val K = gramMatrix(xTrain, kernel)
     val L = cholesky(K)
     val z = lowerSolve(L, y)
     val alpha = upperSolve(L, z)
@@ -203,21 +253,40 @@ object GpRegressor {
     val yStd = math.max(math.sqrt(
       yTrain.map(v => (v - yMean) * (v - yMean)).sum / n), 1e-9)
     val y = DenseVector(yTrain.map(v => (v - yMean) / yStd))
-    val K = DenseMatrix.tabulate(n, n) { (i, j) =>
-      kernel(xTrain(i), xTrain(j)) + (if (i == j) kernel.white + 1e-8 else 0.0)
-    }
+    val K = gramMatrix(xTrain, kernel)
     val L = cholesky(K)
     // alpha = K^-1 y via two triangular solves
     val z = lowerSolve(L, y)
     val alpha = upperSolve(L, z)
     val m = xTest.length
     val mean = new Array[Double](m); val std = new Array[Double](m)
+    // cross-kernel Toeplitz fast path: when train AND test sit on the
+    // SAME unit grid (test offset from train start by an exact integer,
+    // as `run` constructs them), k(xTrain(i), xTest(j)) depends only on
+    // the integer index distance — same bit-exact argument as
+    // `gramMatrix` (`unitGrid` Scaladoc)
+    val off: Int =
+      if (m > 0 && unitGrid(xTrain) && unitGrid(xTest) && {
+        val d = xTest(0) - xTrain(0)
+        d == math.rint(d) && math.abs(d) <= Int.MaxValue.toDouble
+      }) (xTest(0) - xTrain(0)).toInt
+      else Int.MinValue
+    // |off + j − i| over j ∈ [0,m), i ∈ [0,n) is maximized at a corner
+    val kvCross: Array[Double] =
+      if (off != Int.MinValue)
+        kernelByDist(kernel,
+          math.max(math.abs(off + m - 1), math.abs(off - (n - 1))))
+      else null
     var j = 0
     while (j < m) {
-      val ks = DenseVector.tabulate(n)(i => kernel(xTrain(i), xTest(j)))
+      val ks =
+        if (kvCross != null)
+          DenseVector.tabulate(n)(i => kvCross(math.abs(off + j - i)))
+        else DenseVector.tabulate(n)(i => kernel(xTrain(i), xTest(j)))
       val mu = (ks dot alpha) * yStd + yMean
       val v = lowerSolve(L, ks)
-      val varf = kernel(xTest(j), xTest(j)) + kernel.white - (v dot v)
+      val varf = (if (kvCross != null) kvCross(0)
+        else kernel(xTest(j), xTest(j))) + kernel.white - (v dot v)
       mean(j) = mu
       std(j) = math.sqrt(math.max(varf, 1e-12)) * yStd
       j += 1
