@@ -123,13 +123,25 @@ object Hits {
     // checkpoint's plan: identical exchanges and identical float folds
     // (HitsSpec pins the values), HALF the materialization barriers.
     // One stats-safe checkpoint per iteration keeps lineage flat.
+    // r18: up to TWO fused iterations (four passes) per barrier — the
+    // r16 adjudication already established the BARRIERS, not the
+    // exchanges, are this loop's fixed cost; the second iteration adds
+    // only its own joins/folds to the same plan (identical expressions,
+    // identical ordered folds → identical doubles; HitsSpec pins them),
+    // and the stats-safe checkpoint still truncates lineage at depth ≤ 2
+    // iterations.
     var t = 0
     while (t < iters - 1) {
       val prevHub = hub
-      hub = graft.core.Checkpoints.fresh(
-        pass(pass(hub, eS, "__src", "__dst"), eD, "__dst", "__src"))
+      var cur = pass(pass(hub, eS, "__src", "__dst"), eD, "__dst", "__src")
+      var done = 1
+      if (t + 2 <= iters - 1) {
+        cur = pass(pass(cur, eS, "__src", "__dst"), eD, "__dst", "__src")
+        done = 2
+      }
+      hub = graft.core.Checkpoints.fresh(cur)
       graft.core.Checkpoints.release(prevHub)
-      t += 1
+      t += done
     }
     // final iteration: the auth pass is needed for the output, so it
     // gets its own barrier before the last hub pass

@@ -167,8 +167,9 @@ object PageRank {
         ndState.select(col("__id"), col("__p").as("__rank"),
           col("__deg"))
     }
-    var t = 0
-    while (t < iters) {
+    // one power-iteration step as a PLAN TRANSFORM: the checkpoint
+    // cadence below composes `step` without touching its arithmetic
+    def step(cur: DataFrame): DataFrame = {
       // two-level fold: salt-bucket partial ordered sums (buffer ≤
       // indeg/S per group even on a hub), then the ordered merge of
       // the ≤ S subtotals. The explicit __dst repartition feeds BOTH
@@ -177,7 +178,7 @@ object PageRank {
       // keeps the edges side unsorted (SMJ would sort |E| rows per
       // step to join a nodes-sized build side).
       val contrib = eP
-        .join(ranks.hint("shuffle_hash"), eP("__src") === ranks("__id"))
+        .join(cur.hint("shuffle_hash"), eP("__src") === cur("__id"))
         .select(col("__dst"), col("__src"),
           contribOf(col("__rank"), col("__w"), col("__deg")).as("__c"),
           pmod(col("__src"), lit(saltBuckets.toLong)).as("__sb"))
@@ -186,22 +187,36 @@ object PageRank {
         .agg(orderedSum(col("__src"), col("__c")).as("__ps"))
         .groupBy("__dst")
         .agg(orderedSum(col("__sb"), col("__ps")).as("__cs"))
+      ndState
+        .join(contrib.hint("shuffle_hash"),
+          ndState("__id") === contrib("__dst"), "left")
+        .select(col("__id"),
+          (base + lit(damping) * coalesce(col("__cs"), lit(0.0)))
+            .as("__rank"),
+          col("__deg"))
+    }
+    var t = 0
+    while (t < iters) {
+      // TWO steps per scheduled round (r18): the expensive unit of the
+      // loop is the ROUND — eager checkpoint + job scheduling, a fixed
+      // ~0.3-0.4 s at bench scale — while a second step inside the
+      // same plan only adds the step's own joins/aggregates. Each
+      // step's expressions are untouched (same doubles; the ordered
+      // folds are partitioning-independent by construction), so the
+      // cadence moves cost, not values. Depth stays bounded: the plan
+      // holds ≤ 2 steps before the stats-safe checkpoint truncates it.
+      val steps = math.min(2, iters - t)
+      var cur = step(ranks)
+      if (steps == 2) cur = step(cur)
       // stats-safe checkpoint: plain localCheckpoint carries the
       // round's multiplied sizeInBytes forward and compounds it
       // across iterations (core/Checkpoints.scala). The eager
       // checkpoint materializes the new round (scanning the previous
       // ranks' cache), after which the superseded round is released.
       val prev = ranks
-      ranks = graft.core.Checkpoints.fresh(
-        ndState
-          .join(contrib.hint("shuffle_hash"),
-            ndState("__id") === contrib("__dst"), "left")
-          .select(col("__id"),
-            (base + lit(damping) * coalesce(col("__cs"), lit(0.0)))
-              .as("__rank"),
-            col("__deg")))
+      ranks = graft.core.Checkpoints.fresh(cur)
       graft.core.Checkpoints.release(prev)
-      t += 1
+      t += steps
     }
     // materialize the result, then release the final round's cached
     // state — repeated invocations in one session leave no CacheManager

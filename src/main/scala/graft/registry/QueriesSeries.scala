@@ -267,8 +267,12 @@ object QueriesSeries {
     // ensemble, not parallel silos.
     "q_ensemble2" -> ((s, dir) => {
       val base = ev(s, dir)
+      // both per-series model passes fan out TWO ways below (the MAD
+      // aggregate + the score join) — without the checkpoint each
+      // consumer re-runs the full mapGroups recursion (r18 measured the
+      // query at ~2× its own members)
       val hw = graft.models.HoltWinters.forecast(base, "user_id", "ts",
-        "value", period = 24)
+        "value", period = 24).localCheckpoint()
       val hwZ = SeriesOps.madSigma(hw, "user_id", "hw_resid", "__mad")
       val s1 = hw.join(broadcast(hwZ), "user_id")
         .withColumn("score_hw",
@@ -278,7 +282,7 @@ object QueriesSeries {
         .select(col("user_id").cast("string").as("series_id"),
           col("ts"), col("value"), col("score_hw"), col("flag_hw"))
       val shesdRaw = graft.models.Esd.seasonalHybridEsd(base, "user_id",
-        "ts", "value", period = 24)
+        "ts", "value", period = 24).localCheckpoint()
       // normalize by per-series MAD so the member is commensurate with
       // the other z-like scores — a raw residual magnitude would be in
       // data units and dominate the equal-weight mean
