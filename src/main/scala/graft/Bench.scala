@@ -289,7 +289,17 @@ object Bench {
         .mkString("{", ",", "}")
     val ancH = ancJson(anchorsHeavyPost)
     val ancHPre = ancJson(anchorsHeavyPre)
-    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"reps":$reps,"reps_dev":$rp,"flagged":$fl,"anchors_pre":$ancPre,"anchors_heavy_pre":$ancHPre,"anchors_mid":$ancMid,"anchors":$anc,"anchors_heavy":$ancH,"protocol":"warmup-minmedian-anchors4-r17","order":"$order","hygiene":${hygiene},"errors":$errs,"contended":$loadStart,"load_end":$loadEnd,"sf":"$sfDir"}""")
+    val line = s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"reps":$reps,"reps_dev":$rp,"flagged":$fl,"anchors_pre":$ancPre,"anchors_heavy_pre":$ancHPre,"anchors_mid":$ancMid,"anchors":$anc,"anchors_heavy":$ancH,"protocol":"warmup-minmedian-anchors4-r17","order":"$order","hygiene":${hygiene},"errors":$errs,"contended":$loadStart,"load_end":$loadEnd,"sf":"$sfDir"}"""
+    println(line)
+    // sidecar copy (VERDICT r18 item 2): the driver captures only a TAIL
+    // of stdout, and r17's one-line JSON was front-truncated in that
+    // capture (parsed: null → no official round-over-round comparison).
+    // The file survives any stdout clipping; failures to write it must
+    // never fail the bench itself.
+    try java.nio.file.Files.write(
+      java.nio.file.Paths.get("bench_last.json"),
+      (line + "\n").getBytes("UTF-8"))
+    catch { case _: Throwable => () }
     spark.stop()
   }
 }

@@ -57,9 +57,12 @@ object QueryProfile {
       val qe = df.queryExecution
       qe.toRdd.foreachPartition(it => while (it.hasNext) it.next())
       val sec = (System.nanoTime() - t0) / 1e9
+      // drain BEFORE removing: the listener bus is async, so the final
+      // job's onJobEnd can post after removal and be silently dropped,
+      // under-reporting the job-time sum (ADVICE r18)
+      Thread.sleep(200)
       spark.sparkContext.removeSparkListener(listener)
       println(f"== $name%s: $sec%.2f s warm (build $tBuild%.2f s)")
-      Thread.sleep(200) // let late job-end events drain
       val jl = jobLog.toArray(Array.empty[(Int, Long, Long, Int, String)])
         .sortBy(_._1)
       println(s"  jobs: ${jl.length}, " +

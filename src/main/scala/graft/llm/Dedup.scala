@@ -627,9 +627,13 @@ object Dedup {
     // coalesced the aggregate output (measured r18: one coalesced
     // partition ran the 28.6M-probe join single-threaded, 5.9 s of an
     // 8.6 s query).
+    // eager=false (ADVICE r18): plan-only consumers (PlanDump/explain)
+    // must not pay a full tokenize+fingerprint job at DataFrame-
+    // construction time; the first ACTION materializes the checkpoint,
+    // and both join sides still share the one materialized copy.
     val fpsM = fps
       .repartition(fps.sparkSession.sparkContext.defaultParallelism)
-      .localCheckpoint()
+      .localCheckpoint(eager = false)
     val buckets = fpsM.select(col("doc"), col("fp"),
         explode(array(keys: _*)).as("b"))
       .select(col("doc"), col("fp"), col("b.tbl"), col("b.key"))

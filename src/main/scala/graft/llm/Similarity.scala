@@ -539,7 +539,9 @@ object Similarity {
       .as[(Long, Long, Double, Long, Array[Float])]
     val lam = lambda
     val kk = k
-    ds.groupByKey(_._1)
+    graft.core.Grouped
+      .pinned[Long, (Long, Long, Double, Long, Array[Float])](
+        ds, col(ds.columns.head))
       .flatMapGroups { (qid: Long, it: Iterator[(Long, Long, Double, Long, Array[Float])]) =>
         val cs = it.toArray.sortBy(_._4)
         def dot(a: Array[Float], b: Array[Float]): Double = {

@@ -55,7 +55,11 @@ object AutoRegressor {
           seqLen: Int = 48, trainFrac: Double = 0.5,
           regressor: String = "ridge"): DataFrame = {
     val lags = 1 to seqLen
-    val withLags = SeriesOps.withLags(df, series, ts, value, lags)
+    // Grouped.pin: one pinned exchange serves the lag windows, the
+    // split window, and the broadcast-scored projection — all
+    // series-clustered, CPU-heavy over tiny shuffle bytes
+    val withLags = SeriesOps.withLags(
+      graft.core.Grouped.pin(df, Seq(series)), series, ts, value, lags)
     val lagCols = lags.map(k => s"${value}_lag$k")
     val complete = withLags.na.drop(lagCols)
     val split =
@@ -85,7 +89,8 @@ object AutoRegressor {
         lagArr.as("lags"),
         (col("split") === "Train").as("train"))
       .as[ArRow]
-    val fits = rows.groupByKey(_.sk).mapGroups { (k, it) =>
+    val fits = graft.core.Grouped.pinned[String, ArRow](rows, col("sk"))
+      .mapGroups { (k, it) =>
       // content-total order: duplicate (timestamp, value) rows with
       // different lag vectors would otherwise leave the normal-equation
       // accumulation order partition-dependent, voiding bit-determinism

@@ -38,6 +38,17 @@ import org.apache.spark.sql.functions._
   * (4.3 B rows per series — far beyond any per-series window the
   * naive pair join could run on anyway).
   *
+  * Per-series SIZE CONTRACT (the cogroup union-find): one series' CORE
+  * point ids plus its core-core edges are materialized into a single
+  * task's LongMap — bounded by the same monitoring window that bounds
+  * the candidate join itself (the module-wide per-series contract; at
+  * ~16 bytes per entry a 10⁷-point series costs ~160 MB of task heap).
+  * A series beyond that budget should not reach this operator at all —
+  * its ε-candidate join is the earlier wall — but callers clustering
+  * genuinely unbounded keys must pre-segment the series (or swap the
+  * component step for the distributed `Dedup.resolveComponents` loop,
+  * which scales past task memory at ~10× the scheduling cost).
+  *
   * Output: (series, ord, role ∈ core|border|noise, cluster — the
   * component's min composite id, or −1 for noise).
   */
@@ -50,6 +61,12 @@ object Dbscan {
     require(minPts >= 2, s"minPts=$minPts must be >= 2")
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("__sk").orderBy("__o")
+    // deliberately NOT Grouped.pin'ned: the grid-bucketed candidate
+    // join keeps pair volume LINEAR in points, so no stage here is
+    // CPU-starved — the query is dominated by its ~8 sequential
+    // stage barriers, and pinning every one of them to 32 tasks was
+    // measured 1.1 s SLOWER than stock AQE coalescing
+    // (OPTIMIZATION_r19.md §3)
     val pts = df.select(col(series).cast("long").as("__sk"),
         col(order).as("__o"),
         round(col(value) * scale).cast("long").as("__c"))
@@ -131,6 +148,12 @@ object Dbscan {
         .withColumn("__g", expr("id_a div 4294967296L"))
         .select(col("__g"), col("id_a"), col("id_b"))
         .as[(Long, Long, Long)]
+      // plain groupByKey — deliberately NOT Grouped.pinned: the
+      // union-find input is the nodes-sized core set (tiny vs the pair
+      // volume) and the per-series fold is microseconds, so AQE's
+      // coalescing of this exchange is the RIGHT call; pinning it was
+      // measured 0.5-1 s SLOWER (32 tasks × 2 extra exchanges of
+      // scheduling for no compute win — OPTIMIZATION_r19.md §3)
       nodesK.groupByKey(_._2).cogroup(edgesK.groupByKey(_._1)) {
         (_, nodes, edges) =>
           val parent = scala.collection.mutable.LongMap.empty[Long]
@@ -154,6 +177,12 @@ object Dbscan {
           }
           ns.iterator.map(n => (n, find(n)))
       }.toDF("__na", "__cl")
+        // comp fans out to TWO consumers (the border min-label join and
+        // the core-role union): without this barrier the whole cogroup
+        // subtree — union-find pass plus its upstream exchanges — is
+        // planned and executed twice (r19 plan dump showed 2 CoGroup
+        // nodes; the q_ensemble2 multi-consumer pattern)
+        .localCheckpoint()
     }
     // border: non-core points take the SMALLEST cluster label among
     // their core neighbors (deterministic total order)

@@ -51,7 +51,11 @@ object Decompose {
     // engines on the same double before any derived math (the L26
     // engine-portability convention). The phase/series means are
     // ORDERED folds for the same reason.
-    val base = df
+    // Grouped.pin: the 2xMA windows and both ordered-fold phase
+    // aggregates all cluster on the series key — one pinned exchange
+    // keeps the whole chain core-parallel (folds are sort_array'd, so
+    // partitioning cannot change any float result)
+    val base = graft.core.Grouped.pin(df, Seq(series))
       .withColumn("__rn", row_number().over(w).cast("long"))
       .withColumn("__cnt", count(col(value)).over(frame))
       .withColumn("__trend",

@@ -69,10 +69,14 @@ object Dtw {
     require(templateKeys.nonEmpty, "no template keys")
     val spark = df.sparkSession
     import spark.implicits._
+    // Grouped.pin BEFORE the ordinal window: one pinned exchange serves
+    // the window AND the column-keyed grouping (zero further exchanges)
     val keyed = graft.core.SeriesOps.withRowNumber(
-        df.select(col(series).cast("string").as("sk"),
-          col(ts).cast("timestamp").as("__ts"),
-          col(value).cast("double").as("value")), "sk", "__ts", "ord")
+        graft.core.Grouped.pin(
+          df.select(col(series).cast("string").as("sk"),
+            col(ts).cast("timestamp").as("__ts"),
+            col(value).cast("double").as("value")), Seq("sk")),
+        "sk", "__ts", "ord")
       .withColumn("ord", col("ord").cast("long"))
       .select("sk", "ord", "value")
     val tmplArrays: Map[String, Array[Double]] = keyed
@@ -82,8 +86,7 @@ object Dtw {
       .map { case (k, rs) => k -> znorm(rs.sortBy(_.ord).map(_.value)) }
     require(tmplArrays.nonEmpty, "template keys matched no series")
     val bc = spark.sparkContext.broadcast(tmplArrays)
-    keyed.as[DtwRow]
-      .groupByKey(_.sk)
+    graft.core.Grouped.keyed[String, DtwRow](keyed.as[DtwRow], col("sk"))
       .flatMapGroups { (sk: String, it: Iterator[DtwRow]) =>
         val y = znorm(it.toArray.sortBy(_.ord).map(_.value))
         bc.value.toSeq.sortBy(_._1).iterator.map { case (tid, t) =>

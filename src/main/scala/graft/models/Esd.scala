@@ -218,13 +218,13 @@ object Esd {
       robust = true)
     val spark = df.sparkSession
     import spark.implicits._
-    dec.select(col(series).cast("string").as("sk"),
+    val typed = dec.select(col(series).cast("string").as("sk"),
         col("rn").cast("long").as("ord"),
         col(ts).cast("timestamp").as("ts"),
         col(value).cast("double").as("value"),
         col("seasonal").cast("double").as("seasonal"))
       .as[ShesdRow]
-      .groupByKey(_.sk)
+    graft.core.Grouped.pinned[String, ShesdRow](typed, col("sk"))
       .flatMapGroups { (sk: String, it: Iterator[ShesdRow]) =>
         val rows = it.toArray.sortBy(_.ord)
         val med = median(rows.map(_.value))

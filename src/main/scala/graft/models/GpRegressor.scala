@@ -59,6 +59,15 @@ object GpRegressor {
     * O(n²) exp/sin evaluations per LML call with O(n). The ML-II fit
     * costs ~200 LML evaluations per series — this is its hot loop. */
   private def unitGrid(xs: Array[Double]): Boolean = {
+    // exactness guard (ADVICE r18): the Toeplitz path's bit-identity
+    // argument needs fl(x0+i) − fl(x0+j) == i − j EXACTLY, which holds
+    // when x0 is an integer and the whole grid stays below 2^52 (every
+    // grid value then a representable integer, differences exact).
+    // A fractional or huge origin (x0 = 0.3, x0 > 2^52) could pass the
+    // consecutive-check below while its differences round — run()
+    // always passes 1-based ordinals, but external callers might not.
+    if (xs.isEmpty || xs(0) != math.rint(xs(0)) ||
+      math.abs(xs(0)) + xs.length >= 4503599627370496.0) return false
     var k = 1
     while (k < xs.length) {
       if (xs(k) != xs(0) + k) return false
@@ -343,7 +352,8 @@ object GpRegressor {
         yield mk(l, w)
     val typed = df.select(col(series).cast("string"), col(ts), col(value))
       .as[(String, Timestamp, Double)]
-    typed.groupByKey(_._1).flatMapGroups { (sid, it) =>
+    graft.core.Grouped.pinned[String, (String, Timestamp, Double)](
+        typed, col(typed.columns.head)).flatMapGroups { (sid, it) =>
       val rows = it.toArray.sortBy(_._2.getTime)
       val n = rows.length
       val trainEnd = (n * trainFrac).toInt

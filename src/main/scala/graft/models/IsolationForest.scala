@@ -133,10 +133,15 @@ object IsolationForest {
     require(trees > 0 && psi > 1, "need trees > 0 and psi > 1")
     val spark = df.sparkSession
     import spark.implicits._
-    val feat = df.select(col(idCol).cast("long").as("id"),
-        col(series).cast("string").as("sk"),
-        col(ts).cast("timestamp").as("ts"),
-        col(value).cast("double").as("value"))
+    // Grouped.pin BEFORE the Δ-feature window: the pinned exchange
+    // serves the window AND keeps the per-row forest scoring map (100
+    // tree traversals per row, CPU-bound over tiny shuffle bytes) at
+    // full core parallelism
+    val feat = graft.core.Grouped.pin(
+        df.select(col(idCol).cast("long").as("id"),
+          col(series).cast("string").as("sk"),
+          col(ts).cast("timestamp").as("ts"),
+          col(value).cast("double").as("value")), Seq("sk"))
       .withColumn("delta",
         col("value") - coalesce(lag(col("value"), 1).over(
           Window.partitionBy("sk").orderBy("ts")), col("value")))

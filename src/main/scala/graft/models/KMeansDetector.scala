@@ -25,7 +25,11 @@ object KMeansDetector {
   def run(df: DataFrame, series: String, ts: String, value: String,
           lags: Int = 4, k: Int = 8, trainFrac: Double = 0.5,
           seed: Long = 42L): DataFrame = {
-    val lagged = SeriesOps.withLags(df, series, ts, value, 1 to lags)
+    // Grouped.pin: lag/split windows and the per-row centroid scoring
+    // all ride one pinned series exchange (moments/fit are fixed-shape
+    // ordered reductions — partitioning cannot change the floats)
+    val lagged = SeriesOps.withLags(
+      graft.core.Grouped.pin(df, Seq(series)), series, ts, value, 1 to lags)
     val lagCols = (1 to lags).map(i => s"${value}_lag$i")
     val complete = lagged.na.drop(lagCols)
     val split = SeriesOps.withSplit(complete, series, ts, trainFrac)

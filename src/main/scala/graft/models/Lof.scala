@@ -52,8 +52,15 @@ object Lof {
   private def features(df: DataFrame, series: String, order: String,
                        value: String): DataFrame = {
     val w = Window.partitionBy("__sk").orderBy("__o")
-    df.select(col(series).cast("string").as("__sk"),
-        col(order).as("__o"), col(value).cast("double").as("__x"))
+    // pinned series partitioning (Grouped.pin): one AQE-proof exchange
+    // serves the feature windows AND both faces' candidate self-joins
+    // (projections of this frame, co-partitioned on __sk) — the pair
+    // explosion's parallelism must not be sized from its tiny INPUT
+    // bytes, which is what AQE coalescing would do
+    graft.core.Grouped.pin(
+        df.select(col(series).cast("string").as("__sk"),
+          col(order).as("__o"), col(value).cast("double").as("__x")),
+        Seq("__sk"))
       .filter(col("__x").isNotNull && col("__sk").isNotNull)
       .withColumn("__i", row_number().over(w).cast("long"))
       .withColumn("__y",

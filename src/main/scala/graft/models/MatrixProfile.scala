@@ -163,13 +163,17 @@ object MatrixProfile {
     require(w >= 4, s"w=$w must be >= 4")
     val spark = df.sparkSession
     import spark.implicits._
-    graft.core.SeriesOps.withRowNumber(
-        df.select(col(series).cast("string").as("sk"),
-          col(ts).cast("timestamp").as("ts"),
-          col(value).cast("double").as("value")), "sk", "ts", "ord")
+    // Grouped.pin BEFORE the ordinal window: one pinned exchange serves
+    // the window AND the column-keyed grouping (zero further exchanges)
+    val typed = graft.core.SeriesOps.withRowNumber(
+        graft.core.Grouped.pin(
+          df.select(col(series).cast("string").as("sk"),
+            col(ts).cast("timestamp").as("ts"),
+            col(value).cast("double").as("value")), Seq("sk")),
+        "sk", "ts", "ord")
       .withColumn("ord", col("ord").cast("long"))
       .as[MpRow]
-      .groupByKey(_.sk)
+    graft.core.Grouped.keyed[String, MpRow](typed, col("sk"))
       .flatMapGroups { (sk: String, it: Iterator[MpRow]) =>
         val rows = it.toArray.sortBy(_.ord)
         if (rows.length < 2 * w) Iterator.empty

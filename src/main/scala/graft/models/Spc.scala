@@ -40,14 +40,20 @@ object Spc {
                     value: String) = {
     val spark = df.sparkSession
     import spark.implicits._
-    graft.core.SeriesOps.withRowNumber(
-        df.select(col(series).cast("string").as("sk"),
-          col(ts).cast("timestamp").as("ts"),
-          col(value).cast("double").as("value")), "sk", "ts", "ord")
+    // Grouped.pin BEFORE the ordinal window: the one pinned exchange
+    // serves the window AND the column-keyed grouping below (zero
+    // further exchanges), so the per-series fit keeps full parallelism
+    // however small the shuffle bytes are
+    val typed = graft.core.SeriesOps.withRowNumber(
+        graft.core.Grouped.pin(
+          df.select(col(series).cast("string").as("sk"),
+            col(ts).cast("timestamp").as("ts"),
+            col(value).cast("double").as("value")), Seq("sk")),
+        "sk", "ts", "ord")
       .withColumn("ord", col("ord").cast("long"))
       .select(col("sk"), col("ord"), col("ts"), col("value"))
       .as[SpcRow]
-      .groupByKey(_.sk)
+    graft.core.Grouped.keyed[String, SpcRow](typed, col("sk"))
   }
 
   /** In-order Welford mean/std (ddof=1); σ̂ floored at 1e-12 so a

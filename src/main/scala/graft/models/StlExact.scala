@@ -255,7 +255,8 @@ object StlExact {
     import spark.implicits._
     val typed = df.select(col(series).cast("string"), col(ts), col(value))
       .as[(String, Timestamp, Double)]
-    typed.groupByKey(_._1).flatMapGroups { (sid, it) =>
+    graft.core.Grouped.pinned[String, (String, Timestamp, Double)](
+        typed, col(typed.columns.head)).flatMapGroups { (sid, it) =>
       val rows = it.toArray.sortBy(_._2.getTime)
       val ys = rows.map(_._3)
       if (ys.length < 2 * period) Iterator.empty

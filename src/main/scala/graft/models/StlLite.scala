@@ -41,7 +41,13 @@ object StlLite {
           .otherwise((element_at(w, lo) +
             element_at(w, lo + 1)) / lit(2.0))
       } else avg(col(value)).over(frame)
-    val base = SeriesOps.withRowNumber(df, series, ts)
+    // pin the series partitioning up front (Grouped.pin): the rolling
+    // trend windows below are CPU-heavy per row (robust mode sorts a
+    // ±half frame per point) over a BYTE-tiny shuffle, exactly the
+    // shape AQE's byte-based coalescing starves; the one pinned
+    // exchange serves every window and the phase aggregate
+    val base = SeriesOps.withRowNumber(
+        graft.core.Grouped.pin(df, Seq(series)), series, ts)
       .withColumn("trend", trendAgg)
       .withColumn("__phase", (col("rn") - 1) % period)
       .withColumn("__detr", col(value) - col("trend"))

@@ -38,10 +38,16 @@ object Trend {
     * Series with fewer than 2 points are dropped (no pairs). */
   def theilSenMannKendall(df: DataFrame, series: String, ts: String,
                           value: String): DataFrame = {
+    // pinned series partitioning (Grouped.pin): the ONE exchange the
+    // ordinal window needs, and the n²-per-series pair self-join below
+    // joins two projections of it — both sides co-partitioned, so the
+    // pair EXPLOSION (output bytes >> input bytes, the case AQE's
+    // input-byte coalescing starves) runs at full core parallelism
     val base = graft.core.SeriesOps.withRowNumber(
-        df.select(col(series).cast("string").as("sk"),
-          col(ts).cast("timestamp").as("ts"),
-          col(value).cast("double").as("y")), "sk", "ts", "i")
+        graft.core.Grouped.pin(
+          df.select(col(series).cast("string").as("sk"),
+            col(ts).cast("timestamp").as("ts"),
+            col(value).cast("double").as("y")), Seq("sk")), "sk", "ts", "i")
       .select(col("sk"), col("i").cast("long").as("i"), col("y"))
     val a = base.select(col("sk"), col("i").as("ia"), col("y").as("ya"))
     val b = base.select(col("sk"), col("i").as("ib"), col("y").as("yb"))
@@ -109,10 +115,13 @@ object Trend {
   def theilSenWindowed(df: DataFrame, series: String, ts: String,
                       value: String, w: Int): DataFrame = {
     require(w >= 1, s"w=$w must be >= 1")
+    // same pinned-input shape as the exact face (see there); the
+    // (sk, bk) equi-join is satisfied by hash(sk) on both sides
     val base = graft.core.SeriesOps.withRowNumber(
-        df.select(col(series).cast("string").as("sk"),
-          col(ts).cast("timestamp").as("ts"),
-          col(value).cast("double").as("y")), "sk", "ts", "i")
+        graft.core.Grouped.pin(
+          df.select(col(series).cast("string").as("sk"),
+            col(ts).cast("timestamp").as("ts"),
+            col(value).cast("double").as("y")), Seq("sk")), "sk", "ts", "i")
       .select(col("sk"), col("i").cast("long").as("i"), col("y"))
     val a = base.select(col("sk"), col("i").as("ia"), col("y").as("ya"),
       floor(col("i") / w).as("bk"))
