@@ -197,17 +197,24 @@ object PageRank {
     }
     var t = 0
     while (t < iters) {
-      // TWO steps per scheduled round (r18): the expensive unit of the
-      // loop is the ROUND — eager checkpoint + job scheduling, a fixed
-      // ~0.3-0.4 s at bench scale — while a second step inside the
-      // same plan only adds the step's own joins/aggregates. Each
-      // step's expressions are untouched (same doubles; the ordered
-      // folds are partitioning-independent by construction), so the
-      // cadence moves cost, not values. Depth stays bounded: the plan
-      // holds ≤ 2 steps before the stats-safe checkpoint truncates it.
-      val steps = math.min(2, iters - t)
+      // Checkpoint cadence ADJUDICATED r19 (VERDICT r18 #8): the r18
+      // two-steps-per-round fusing verifiably halves the scheduled
+      // barrier jobs (QueryProfile: 80 → 59 jobs for 10 iterations)
+      // but wall time is FLAT at bench scale (6.11 s vs 6.22 s solo;
+      // driver r18 measured the same null result) — the removed
+      // barriers are the cheap ones; driver-side planning gaps
+      // dominate. Per the verdict's tiebreak the DEFAULT is back to
+      // the simpler one-step round (half the plan depth per
+      // checkpoint); `SPARK_GRAFT_PR_STEPS=2` keeps the fused cadence
+      // testable for clusters where barrier cost is real. Step
+      // expressions are identical either way (ordered folds are
+      // partitioning-independent), so the cadence moves cost, not
+      // values.
+      val steps = math.min(
+        sys.env.getOrElse("SPARK_GRAFT_PR_STEPS", "1").toInt, iters - t)
       var cur = step(ranks)
-      if (steps == 2) cur = step(cur)
+      var s = 1
+      while (s < steps) { cur = step(cur); s += 1 }
       // stats-safe checkpoint: plain localCheckpoint carries the
       // round's multiplied sizeInBytes forward and compounds it
       // across iterations (core/Checkpoints.scala). The eager
