@@ -50,11 +50,34 @@ object Bm25 {
   private[llm] def postingsAndStats(docs: DataFrame, docId: String,
       textCol: String): (DataFrame, DataFrame) = {
     val corpus = docs.filter(col(textCol).isNotNull)
-    val words = corpus.select(col(docId).as("doc_id"),
-      size(split(col(textCol), " ")).cast("long").as("dl"),
-      explode(split(col(textCol), " ")).as("term"))
-    val tf = words.groupBy("doc_id", "term")
-      .agg(count(lit(1)).as("tf"), max("dl").as("dl"))
+    // per-doc term frequencies computed INSIDE the scan stage: sort
+    // the token array, find run starts, emit (term, run length) pairs
+    // — O(L log L) per document, zero shuffle. The former
+    // explode-all-tokens + groupBy(doc_id, term) shape paid a
+    // postings-sized exchange AND a pathological hash aggregate (r19
+    // profile: avgHashProbe=320, ~5 s aggTime at sf0.1) for values
+    // that are a per-ROW property: tf never crosses documents. Same
+    // (doc_id, term, tf, dl) relation, bit-identical values (integer
+    // counts). `try_element_at` everywhere: 1-based, NULL (never an
+    // ANSI error) out of bounds — the k+1 lookup past the last run
+    // start feeds the final run's length via coalesce(n+1).
+    val toks = split(col(textCol), " ")
+    val st = col("__st"); val n = col("__n"); val starts = col("__starts")
+    val tf = corpus.select(col(docId).as("doc_id"),
+        size(toks).cast("long").as("dl"), array_sort(toks).as("__st"))
+      .withColumn("__n", size(st))
+      .withColumn("__starts", filter(sequence(lit(1), n),
+        i => i === 1 ||
+          try_element_at(st, i) =!= try_element_at(st, i - 1)))
+      .select(col("doc_id"), col("dl"),
+        explode(transform(sequence(lit(1), size(starts)),
+          k => struct(
+            try_element_at(st, try_element_at(starts, k)).as("term"),
+            (coalesce(try_element_at(starts, k + 1), n + 1) -
+              try_element_at(starts, k)).cast("long").as("tf"))))
+          .as("__p"))
+      .select(col("doc_id"), col("__p.term").as("term"),
+        col("__p.tf").as("tf"), col("dl"))
     // (n_docs, avgdl) from the raw scan: avg token count ≡ avg dl
     val stats = corpus.agg(count(lit(1)).as("n_docs"),
       avg(size(split(col(textCol), " ")).cast("long")).as("avgdl"))
